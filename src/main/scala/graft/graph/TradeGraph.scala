@@ -1,0 +1,90 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** The deterministic "trade graph" — the library's stand-in for the
+  * reference's npm module dependency graph (reference:
+  * documentation/queries.md, the `DEPENDS_ON` relationship walks).
+  *
+  * Nodes: nations. Directed edge src→dst when customers of nation
+  * `src` buy (via orders/lineitem) from suppliers of nation `dst`,
+  * kept only for each src's top-3 partners by lineitem count
+  * (tie-break: smaller dst key). Sparse (≤3 out-edges per node),
+  * cyclic, and re-derivable in ANSI SQL — so every multi-hop
+  * algorithm over it is oracle-checkable.
+  *
+  * Scale notes: the fact-fact joins (lineitem⋈orders) shuffle on the
+  * join keys and benefit from AQE; `supplier`/`customer` are dimension
+  * tables that AQE broadcast-converts at bench scale. The per-src
+  * top-k is a window over an already tiny aggregate (|nations|² upper
+  * bound), so the expensive part is one partial-agg-friendly groupBy.
+  */
+object TradeGraph {
+
+  /** Edge list: (src BIGINT, dst BIGINT, cnt BIGINT). */
+  def edges(t: Tables): DataFrame = {
+    val pair = t.lineitem
+      .select("l_orderkey", "l_suppkey")
+      .join(t.orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(
+        col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("cnt").desc, col("dst").asc)
+    pair.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("src", "dst", "cnt")
+  }
+
+  /** Node list: (node BIGINT, n_name) — all nations, including ones
+    * with zero trade-graph degree. */
+  def nodes(t: Tables): DataFrame =
+    t.nation.select(col("n_nationkey").cast("long").as("node"),
+      col("n_name"))
+
+  /** Undirected view of [[edges]]: each edge emitted in both
+    * directions, deduplicated (for connected components etc.). */
+  def undirectedEdges(t: Tables): DataFrame = {
+    val e = edges(t).select("src", "dst")
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+  }
+
+  /** The ANSI-SQL mirror of [[edges]], as a WITH-clause body shared by
+    * every graph oracle (DuckDB-compatible). */
+  val sqlCte: String =
+    """pair AS (
+      |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+      |         CAST(s.s_nationkey AS BIGINT) AS dst,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  GROUP BY 1, 2
+      |), trade AS (
+      |  SELECT src, dst, cnt FROM (
+      |    SELECT src, dst, cnt,
+      |           row_number() OVER (PARTITION BY src
+      |                              ORDER BY cnt DESC, dst ASC) AS rk
+      |    FROM pair) ranked
+      |  WHERE rk <= 3
+      |)""".stripMargin
+
+  /** SQL mirror of [[undirectedEdges]] (depends on [[sqlCte]]). */
+  val sqlUndirectedCte: String =
+    """undirected AS (
+      |  SELECT src, dst FROM trade
+      |  UNION
+      |  SELECT dst AS src, src AS dst FROM trade
+      |)""".stripMargin
+}
