@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
+import graft.graph.Algorithms
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Each `queries` entry is one first-class operator; `oracleSql` holds
@@ -15,10 +16,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Algorithms.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql
+    Relational.oracleSql ++ Algorithms.oracleSql
 }

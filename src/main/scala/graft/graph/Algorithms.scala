@@ -1,0 +1,359 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph algorithms over the trade graph — the Spark-first
+  * re-expression of the reference's Cypher analytics surface
+  * (reference: documentation/queries.md — `DEPENDS_ON*1..k` walks,
+  * allShortestPaths, PageRank, community detection, SCC).
+  *
+  * Every algorithm is a bounded loop of DataFrame joins + aggs:
+  * the shape that scales on a real cluster (frontier keyed by node,
+  * shuffle partitioning reused across iterations, AQE free to
+  * broadcast a shrinking frontier). Loop conditions only ever read
+  * driver-side scalars (`count`), never row data; lineage is cut with
+  * eager `localCheckpoint` per iteration so plans stay flat at high
+  * iteration counts.
+  */
+object Algorithms {
+
+  /** Materialize the (tiny) edge list once per algorithm run so the
+    * lineitem-scale derivation isn't re-executed every iteration. */
+  private def checkpointedEdges(t: Tables): DataFrame =
+    TradeGraph.edges(t).select("src", "dst").localCheckpoint()
+
+  // ---------------------------------------------------------------- q11
+  /** k-hop neighborhood from a root: nodes reachable in ≤ k hops with
+    * their minimum hop distance (BFS — each node enters the frontier
+    * exactly once, so `min` is implicit). */
+  def khop(t: Tables, root: Long = 0L, k: Int = 3): DataFrame = {
+    val edges = checkpointedEdges(t)
+    val spark = t.spark
+    import spark.implicits._
+    var visited = Seq((root, 0L)).toDF("node", "hop").localCheckpoint()
+    var frontier = visited
+    var hop = 0L
+    while (hop < k && frontier.isEmpty == false) {
+      hop += 1
+      frontier = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node"))
+        .distinct()
+        .join(visited.select(col("node").as("v")), col("node") === col("v"), "left_anti")
+        .withColumn("hop", lit(hop))
+        .localCheckpoint()
+      visited = visited.union(frontier).localCheckpoint()
+    }
+    visited.orderBy("node")
+  }
+
+  def q11Khop(spark: SparkSession, dir: String): DataFrame =
+    khop(Tables(spark, dir))
+
+  // ---------------------------------------------------------------- q12
+  /** Directed transitive closure as (src, dst) reachable pairs —
+    * semi-naive evaluation: only the frontier (newly discovered
+    * pairs) joins the edge list each round. */
+  def transitiveClosure(edges: DataFrame): DataFrame = {
+    var closure = edges.select("src", "dst").distinct().localCheckpoint()
+    var frontier = closure
+    var n = frontier.count()
+    while (n > 0) {
+      frontier = frontier.join(
+          edges.select(col("src").as("m"), col("dst").as("d")),
+          frontier("dst") === col("m"))
+        .select(frontier("src"), col("d").as("dst"))
+        .distinct()
+        .join(closure.select(col("src").as("s2"), col("dst").as("d2")),
+          col("src") === col("s2") && col("dst") === col("d2"), "left_anti")
+        .localCheckpoint()
+      n = frontier.count()
+      if (n > 0) closure = closure.union(frontier).localCheckpoint()
+    }
+    closure
+  }
+
+  /** Reachable-set size per node (all nation nodes, zero included). */
+  def q12TransitiveClosure(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val reach = transitiveClosure(checkpointedEdges(t))
+      .groupBy("src").agg(count(lit(1)).as("n_reachable"))
+    TradeGraph.nodes(t)
+      .join(reach, col("node") === col("src"), "left")
+      .select(col("node"), coalesce(col("n_reachable"), lit(0L)).as("n_reachable"))
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** All-pairs shortest path lengths (directed, unweighted) — BFS over
+    * (src, dst) pair frontier; a pair is discovered at its minimal hop
+    * by construction. */
+  def q13ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val edges = checkpointedEdges(Tables(spark, dir))
+    var visited = edges.withColumn("hops", lit(1L)).localCheckpoint()
+    var frontier = visited
+    var hop = 1L
+    var n = frontier.count()
+    while (n > 0) {
+      hop += 1
+      frontier = frontier.join(
+          edges.select(col("src").as("m"), col("dst").as("d")),
+          frontier("dst") === col("m"))
+        .select(frontier("src"), col("d").as("dst"))
+        .distinct()
+        .join(visited.select(col("src").as("s2"), col("dst").as("d2")),
+          col("src") === col("s2") && col("dst") === col("d2"), "left_anti")
+        .withColumn("hops", lit(hop))
+        .localCheckpoint()
+      n = frontier.count()
+      if (n > 0) visited = visited.union(frontier).localCheckpoint()
+    }
+    visited.orderBy("src", "dst")
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** PageRank, GraphX semantics (r₀=1; r ← 0.15 + 0.85·Σ_in r/outdeg),
+    * fixed 5 iterations, output rounded to 6dp. Join-agg per
+    * iteration; ranks localCheckpoint'ed so the plan depth stays
+    * constant. */
+  def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val outdeg = edges.groupBy(col("src").as("od_node"))
+      .agg(count(lit(1)).as("od")).localCheckpoint()
+    var ranks = nodes.select(col("node"), lit(1.0).as("r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = nodes.select(col("node"))
+        .join(edges.select(col("src"), col("dst")), col("dst") === col("node"), "left")
+        .join(ranks.select(col("node").as("rn"), col("r")), col("rn") === col("src"), "left")
+        .join(outdeg, col("od_node") === col("src"), "left")
+        .groupBy(col("node"))
+        .agg((lit(0.15) + lit(0.85) * coalesce(sum(col("r") / col("od")), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
+  def q14Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    pagerank(TradeGraph.nodes(t).select("node"), checkpointedEdges(t), 5)
+      .select(col("node"), round(col("r"), 6).as("pagerank"))
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** Connected components on the undirected trade graph: min-id
+    * propagation to fixpoint (≤ diameter iterations; the deterministic
+    * oracle-able community detector — GraphX LabelPropagation is the
+    * nondeterministic scale alternative, see GraphxBridge). */
+  def connectedComponents(nodes: DataFrame, undirected: DataFrame): DataFrame = {
+    var comp = nodes.select(col("node"), col("node").as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNeighbor = undirected
+        .join(comp.select(col("node").as("cn"), col("component")),
+          col("src") === col("cn"))
+        .groupBy(col("dst").as("node")).agg(min(col("component")).as("nc"))
+      val next = comp.select(col("node"), col("component"))
+        .join(viaNeighbor.select(col("node").as("vn"), col("nc")),
+          col("node") === col("vn"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+        .localCheckpoint()
+      changed = next.join(comp.select(col("node").as("pn"), col("component").as("pc")),
+          next("node") === col("pn"))
+        .filter(col("component") =!= col("pc")).count()
+      comp = next
+    }
+    comp
+  }
+
+  def q15ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    connectedComponents(TradeGraph.nodes(t).select("node"),
+        TradeGraph.undirectedEdges(t).localCheckpoint())
+      .orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Strongly connected components: scc(v) = min{u : v→*u and u→*v},
+    * from the directed closure joined with its own transpose. */
+  def q16Scc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val reach = transitiveClosure(checkpointedEdges(t))
+    val mutual = reach.as("f")
+      .join(reach.as("b"),
+        col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
+      .select(col("f.src").as("node"), col("f.dst").as("peer"))
+    val withSelf = TradeGraph.nodes(t)
+      .select(col("node"), col("node").as("peer"))
+      .union(mutual)
+    withSelf.groupBy("node").agg(min(col("peer")).as("scc")).orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q17
+  /** Preferential attachment score deg(u)·deg(v) for all unordered
+    * node pairs, top 20. Degrees are a tiny aggregate → broadcast
+    * pair join, never a data-scale cross product. */
+  def q17PreferentialAttachment(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val deg = TradeGraph.nodes(t).select(col("node"))
+      .join(e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg")), col("node") === col("n"), "left")
+      .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+    deg.as("a").join(broadcast(deg.as("b")), col("a.node") < col("b.node"))
+      .select(col("a.node").as("u"), col("b.node").as("v"),
+        (col("a.deg") * col("b.deg")).as("score"))
+      .orderBy(col("score").desc, col("u").asc, col("v").asc)
+      .limit(20)
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Sub-dependency counts: for each direct partner of the root, how
+    * many partners it has in turn (the reference's "deps of my deps"
+    * breakdown). */
+  def q18SubdepCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = checkpointedEdges(Tables(spark, dir))
+    e.filter(col("src") === 0L)
+      .select(col("dst").as("dep"))
+      .join(e.select(col("src").as("s2"), col("dst").as("d2")),
+        col("dep") === col("s2"), "left")
+      .groupBy("dep").agg(count(col("d2")).as("subdeps"))
+      .orderBy("dep")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_khop" -> (q11Khop _),
+    "q12_transitive_closure" -> (q12TransitiveClosure _),
+    "q13_shortest_paths" -> (q13ShortestPaths _),
+    "q14_pagerank" -> (q14Pagerank _),
+    "q15_connected_components" -> (q15ConnectedComponents _),
+    "q16_scc" -> (q16Scc _),
+    "q17_preferential_attachment" -> (q17PreferentialAttachment _),
+    "q18_subdep_counts" -> (q18SubdepCounts _),
+  )
+
+  private val T = TradeGraph.sqlCte
+  private val U = TradeGraph.sqlUndirectedCte
+
+  /** Unrolled PageRank SQL: r0..rN as chained CTEs (exact mirror of
+    * [[pagerank]]'s join-agg iteration). */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         0.15 + 0.85 * COALESCE(SUM(p.r / o.od), 0.0) AS r
+         |  FROM nodes n
+         |  LEFT JOIN trade t ON t.dst = n.node
+         |  LEFT JOIN r${i - 1} p ON p.node = t.src
+         |  LEFT JOIN outdeg o ON o.node = t.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $T,
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |outdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od
+       |           FROM trade GROUP BY 1),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+       |$steps
+       |SELECT node, round(r, 6) AS pagerank FROM r$iters ORDER BY node""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q11_khop" ->
+      s"""WITH RECURSIVE $T,
+         |bfs AS (
+         |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS hop
+         |  UNION ALL
+         |  SELECT t.dst, b.hop + 1 FROM bfs b
+         |  JOIN trade t ON t.src = b.node WHERE b.hop < 3
+         |)
+         |SELECT node, CAST(min(hop) AS BIGINT) AS hop
+         |FROM bfs GROUP BY node ORDER BY node""".stripMargin,
+
+    "q12_transitive_closure" ->
+      s"""WITH RECURSIVE $T,
+         |reach AS (
+         |  SELECT src, dst FROM trade
+         |  UNION
+         |  SELECT r.src, t.dst FROM reach r JOIN trade t ON t.src = r.dst
+         |)
+         |SELECT CAST(n.n_nationkey AS BIGINT) AS node,
+         |       CAST(COALESCE(c.n_reachable, 0) AS BIGINT) AS n_reachable
+         |FROM nation n
+         |LEFT JOIN (SELECT src, count(*) AS n_reachable
+         |           FROM reach GROUP BY 1) c
+         |  ON c.src = CAST(n.n_nationkey AS BIGINT)
+         |ORDER BY node""".stripMargin,
+
+    "q13_shortest_paths" ->
+      s"""WITH RECURSIVE $T,
+         |sp AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM trade
+         |  UNION
+         |  SELECT s.src, t.dst, s.hops + 1 FROM sp s
+         |  JOIN trade t ON t.src = s.dst WHERE s.hops < 12
+         |)
+         |SELECT src, dst, min(hops) AS hops
+         |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q14_pagerank" -> pagerankSql(5),
+
+    "q15_connected_components" ->
+      s"""WITH RECURSIVE $T, $U,
+         |reach AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |         CAST(n_nationkey AS BIGINT) AS peer
+         |  FROM nation
+         |  UNION
+         |  SELECT r.node, u.dst FROM reach r
+         |  JOIN undirected u ON u.src = r.peer
+         |)
+         |SELECT node, CAST(min(peer) AS BIGINT) AS component
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "q16_scc" ->
+      s"""WITH RECURSIVE $T,
+         |reach AS (
+         |  SELECT src, dst FROM trade
+         |  UNION
+         |  SELECT r.src, t.dst FROM reach r JOIN trade t ON t.src = r.dst
+         |),
+         |mutual AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |         CAST(n_nationkey AS BIGINT) AS peer
+         |  FROM nation
+         |  UNION
+         |  SELECT f.src AS node, f.dst AS peer FROM reach f
+         |  JOIN reach b ON f.src = b.dst AND f.dst = b.src
+         |)
+         |SELECT node, CAST(min(peer) AS BIGINT) AS scc
+         |FROM mutual GROUP BY node ORDER BY node""".stripMargin,
+
+    "q17_preferential_attachment" ->
+      s"""WITH $T,
+         |deg AS (
+         |  SELECT CAST(n.n_nationkey AS BIGINT) AS node,
+         |         CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg
+         |  FROM nation n
+         |  LEFT JOIN (SELECT n2, count(*) AS deg FROM (
+         |               SELECT src AS n2 FROM trade
+         |               UNION ALL SELECT dst AS n2 FROM trade) b
+         |             GROUP BY 1) d
+         |    ON d.n2 = CAST(n.n_nationkey AS BIGINT)
+         |)
+         |SELECT a.node AS u, b.node AS v, a.deg * b.deg AS score
+         |FROM deg a JOIN deg b ON a.node < b.node
+         |ORDER BY score DESC, u ASC, v ASC
+         |LIMIT 20""".stripMargin,
+
+    "q18_subdep_counts" ->
+      s"""WITH $T
+         |SELECT t1.dst AS dep, CAST(count(t2.dst) AS BIGINT) AS subdeps
+         |FROM trade t1
+         |LEFT JOIN trade t2 ON t2.src = t1.dst
+         |WHERE t1.src = 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}
