@@ -3,6 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.Relational
 import graft.graph.Algorithms
+import graft.text.TextOps
+import graft.sim.Similarity
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   * Each `queries` entry is one first-class operator; `oracleSql` holds
@@ -16,10 +19,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Algorithms.queries
+    Relational.queries ++ Algorithms.queries ++ TextOps.queries ++
+      Similarity.queries ++ StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ Algorithms.oracleSql
+    Relational.oracleSql ++ Algorithms.oracleSql ++ TextOps.oracleSql ++
+      Similarity.oracleSql ++ StreamOps.oracleSql
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -20,7 +21,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+  /** `ts` is TIMESTAMP(NANOS) parquet, which Spark 4 cannot map to its
+    * µs TimestampType — read it as a raw nanos BIGINT (legacy conf)
+    * and let operators do epoch math on longs; `ts_us` matches
+    * DuckDB's ns→µs truncation exactly. */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts_us", expr("ts div 1000"))
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

@@ -1,0 +1,192 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Embedding similarity search over the `embeddings` table
+  * (`array<float>` column): brute-force cosine top-k as the exactness
+  * baseline, random-hyperplane LSH bucketing as the 100 TB scale path,
+  * and blocked cosine near-dup pairs.
+  *
+  * Scale design: the query set is always the broadcast side of the
+  * scoring join (top-k never shuffles the corpus); LSH bucket joins
+  * shuffle only on the bucket key, and the hyperplane weights are a
+  * deterministic md5-derived constant folded into the plan (no
+  * side-channel state, identical in the DuckDB oracle). Dot products
+  * run on `array<double>` through codegen'd zip_with/aggregate —
+  * double accumulation in ascending dim order in both engines.
+  */
+object Similarity {
+
+  val Dims = 64
+
+  /** cosine(a, b) for two array<double> columns — codegen HOFs. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def vecs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  // ---------------------------------------------------------------- q24
+  /** Brute-force cosine top-k: query vectors (vec_id < 5) broadcast
+    * against the corpus; rank by exact cosine, top 10. */
+  def q24SimTopk(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_vec"), col("e").as("qe"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("q_vec"))
+      .select(col("q_vec"), col("vec_id").as("cand"),
+        cosine(col("qe"), col("e")).as("sim"))
+    val w = Window.partitionBy("q_vec").orderBy(col("sim").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("q_vec"), col("cand"), round(col("sim"), 6).as("sim"), col("rank"))
+      .orderBy("q_vec", "rank")
+  }
+
+  // ------------------------------------------------------- LSH weights
+  /** Deterministic random-hyperplane weights: w(h,d) derived from
+    * md5("h_d") — reproducible in ANSI SQL, no RNG state to ship. */
+  def hyperplane(h: Int, d: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${h}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 4)
+    (java.lang.Long.parseLong(hex, 16) / 65535.0) * 2.0 - 1.0
+  }
+
+  private def weights(nPlanes: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map(h => (0 until Dims).map(d => hyperplane(h, d)))
+
+  /** Sign-bucket id over the first nPlanes hyperplanes. */
+  def bucket(e: Column, nPlanes: Int): Column = {
+    val w = weights(nPlanes)
+    val planeBits = (0 until nPlanes).map { h =>
+      val wh = typedLit(w(h))
+      val d = aggregate(zip_with(wh, e, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      when(d >= 0.0, lit(1L << h)).otherwise(lit(0L))
+    }
+    planeBits.reduce(_ + _)
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** LSH-bucketed ANN: 6-hyperplane sign bucket (64 coarse buckets, IVF-like), candidates share the
+    * query's bucket, exact cosine rerank, top-5 per query. */
+  def q25SimAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).withColumn("bkt", bucket(col("e"), 6))
+    val q = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_vec"), col("e").as("qe"), col("bkt").as("qbkt"))
+    val scored = v.join(broadcast(q),
+        col("bkt") === col("qbkt") && col("vec_id") =!= col("q_vec"))
+      .select(col("q_vec"), col("vec_id").as("cand"),
+        cosine(col("qe"), col("e")).as("sim"))
+    val w = Window.partitionBy("q_vec").orderBy(col("sim").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_vec"), col("cand"), round(col("sim"), 6).as("sim"), col("rank"))
+      .orderBy("q_vec", "rank")
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Embedding near-dup pairs: 4-hyperplane bucket blocking (16
+    * buckets), exact cosine ≥ 0.4 within bucket. The bucket join is
+    * the only pair generator — never O(n²) over the corpus. */
+  def q26EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir).withColumn("bkt", bucket(col("e"), 4))
+    v.as("x").join(v.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        cosine(col("x.e"), col("y.e")).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
+      .orderBy("a", "b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_sim_topk" -> (q24SimTopk _),
+    "q25_sim_ann_lsh" -> (q25SimAnnLsh _),
+    "q26_embedding_neardup" -> (q26EmbeddingNeardup _),
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  private def hexToLongSql(hexExpr: String, start: Int, len: Int): String =
+    (0 until len).map { p =>
+      val mult = math.pow(16, len - 1 - p).toLong
+      s"(strpos('0123456789abcdef', substr($hexExpr, ${start + p}, 1)) - 1) * CAST($mult AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** Shared DuckDB CTEs: norms and (vec, dim, value-double) terms. */
+  private val vecCtes =
+    """v AS (SELECT vec_id, embedding FROM embeddings),
+      |vd AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+      |       embedding FROM v),
+      |vv AS (SELECT vec_id, i, CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x FROM vd),
+      |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vv GROUP BY 1)""".stripMargin
+
+  /** Bucket CTE over nPlanes md5-derived hyperplanes (mirror of
+    * [[bucket]]). */
+  private def bucketCte(nPlanes: Int): String =
+    s"""wt AS (SELECT h.h, d.d,
+       |    (${hexToLongSql("md5(CAST(h.h AS VARCHAR) || '_' || CAST(d.d AS VARCHAR))", 1, 4)}
+       |     / 65535.0) * 2.0 - 1.0 AS w
+       |  FROM (SELECT unnest(generate_series(0, ${nPlanes - 1})) AS h) h,
+       |       (SELECT unnest(generate_series(0, $Dims - 1)) AS d) d),
+       |dotw AS (SELECT vv.vec_id, wt.h, sum(wt.w * vv.x) AS s
+       |  FROM vv JOIN wt ON wt.d = vv.i - 1
+       |  GROUP BY 1, 2),
+       |bkt AS (SELECT vec_id,
+       |    CAST(sum(CASE WHEN s >= 0.0 THEN CAST(1 AS BIGINT) << CAST(h AS INT)
+       |             ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM dotw GROUP BY 1)""".stripMargin
+
+  private val pairSimSql =
+    """dots AS (SELECT a.vec_id AS av, b.vec_id AS bv, sum(a.x * b.x) AS d
+      |  FROM vv a JOIN vv b ON a.i = b.i
+      |  JOIN cand c ON c.av = a.vec_id AND c.bv = b.vec_id
+      |  GROUP BY 1, 2),
+      |sims AS (SELECT av, bv, d / (na.nrm * nb.nrm) AS sim
+      |  FROM dots JOIN nrm na ON na.vec_id = av JOIN nrm nb ON nb.vec_id = bv)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q24_sim_topk" ->
+      s"""WITH $vecCtes,
+         |cand AS (SELECT q.vec_id AS av, c.vec_id AS bv
+         |  FROM v q, v c WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+         |$pairSimSql,
+         |r AS (SELECT av, bv, sim,
+         |    row_number() OVER (PARTITION BY av ORDER BY sim DESC, bv ASC) AS rk
+         |  FROM sims)
+         |SELECT av AS q_vec, bv AS cand, round(sim, 6) AS sim,
+         |       CAST(rk AS BIGINT) AS rank
+         |FROM r WHERE rk <= 10 ORDER BY q_vec, rank""".stripMargin,
+
+    "q25_sim_ann_lsh" ->
+      s"""WITH $vecCtes,
+         |${bucketCte(6)},
+         |cand AS (SELECT q.vec_id AS av, c.vec_id AS bv
+         |  FROM bkt q JOIN bkt c ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id < 5),
+         |$pairSimSql,
+         |r AS (SELECT av, bv, sim,
+         |    row_number() OVER (PARTITION BY av ORDER BY sim DESC, bv ASC) AS rk
+         |  FROM sims)
+         |SELECT av AS q_vec, bv AS cand, round(sim, 6) AS sim,
+         |       CAST(rk AS BIGINT) AS rank
+         |FROM r WHERE rk <= 5 ORDER BY q_vec, rank""".stripMargin,
+
+    "q26_embedding_neardup" ->
+      s"""WITH $vecCtes,
+         |${bucketCte(4)},
+         |cand AS (SELECT x.vec_id AS av, y.vec_id AS bv
+         |  FROM bkt x JOIN bkt y ON x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |$pairSimSql
+         |SELECT av AS a, bv AS b, round(sim, 6) AS sim
+         |FROM sims WHERE sim >= 0.4 ORDER BY a, b""".stripMargin,
+  )
+}

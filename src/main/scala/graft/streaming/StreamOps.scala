@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream operators over the `events` table. Each operator has
+  * two forms:
+  *  - a batch-equivalent DataFrame plan (the `queries()` entry,
+  *    oracle-checked against DuckDB), and
+  *  - a real Structured Streaming form in [[Streaming]] (spec-driven
+  *    with MemoryStream) with identical semantics.
+  *
+  * All time math is done on epoch micros/millis (BIGINT) so the ns
+  * parquet timestamps compare identically across Spark (µs) and
+  * DuckDB (ns): truncation to ms/µs is the same floor in both.
+  */
+object StreamOps {
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000 // 30 min in micros
+
+  // ---------------------------------------------------------------- q32
+  /** Tumbling 1-hour window aggregation per event_type: count + exact
+    * decimal sum of value (map-side partial agg; the window key is
+    * derived column math, so the single shuffle is the groupBy). */
+  def q32WindowedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("bucket",
+        floor(expr("ts_us div 1000") / lit(3600000.0)).cast("long"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("bucket", "event_type")
+
+  // ---------------------------------------------------------------- q33
+  /** Gap-based sessionization (30-min inactivity): lag + cumulative
+    * sum of session-start flags, then per-session stats. Partitioned
+    * by user — the window never sees more than one user's events per
+    * partition, the same keying the streaming form uses for state. */
+  def q33Sessionization(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("ts_us").as("us"))
+      .withColumn("prev", lag("us", 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("us") - col("prev") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("is_new").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_windowed_agg" -> (q32WindowedAgg _),
+    "q33_sessionization" -> (q33Sessionization _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q32_windowed_agg" ->
+      """SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS bucket,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q33_sessionization" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flags AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |              OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |sess AS (SELECT user_id, us,
+        |    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flags)
+        |SELECT user_id, session_id,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(us) AS start_us, max(us) AS end_us,
+        |       max(us) - min(us) AS duration_us
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}

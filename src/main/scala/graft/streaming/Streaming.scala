@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event operators (SURVEY §2.5).
+  * Semantics match the batch-equivalents in [[StreamOps]]; specs drive
+  * them with MemoryStream + processAllAvailable.
+  *
+  * At cluster scale these run unchanged: watermark + window state is
+  * partitioned by group key, sessionization state lives in the state
+  * store keyed by user, and the enrichment join broadcasts the static
+  * dimension per microbatch.
+  */
+object Streaming {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+  case class SessionState(sessionId: Long, nEvents: Long,
+    startUs: Long, lastUs: Long)
+
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+    start_us: Long, end_us: Long, duration_us: Long)
+
+  /** S1: tumbling 1-hour windowed aggregation with a 2-hour watermark.
+    * Append-mode safe: results emit once the watermark passes window
+    * end. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(
+        floor(unix_millis(col("window.start")) / lit(3600000.0)).cast("long")
+          .as("bucket"),
+        col("event_type"), col("n"), col("total"))
+
+  /** S2: gap-based sessionization via flatMapGroupsWithState — emits a
+    * session row when the 30-min gap closes it; processing-time
+    * timeout flushes the open session when the group goes idle.
+    *
+    * NOTE: within one batch, events are sorted in-memory per user —
+    * the state store only ever holds one open session per user, which
+    * is what bounds state at cluster scale. */
+  def sessionize(events: Dataset[Event])(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gap = StreamOps.SessionGapUs
+
+    def flush(userId: Long, st: SessionState): SessionOut =
+      SessionOut(userId, st.sessionId, st.nEvents, st.startUs, st.lastUs,
+        st.lastUs - st.startUs)
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(flush(userId, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue, Long.MinValue))
+            val out = Seq.newBuilder[SessionOut]
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000, e.event_id))
+            for (e <- sorted) {
+              val us = e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
+              if (st.nEvents == 0L) {
+                st = SessionState(1L, 1L, us, us)
+              } else if (us - st.lastUs > gap) {
+                out += flush(userId, st)
+                st = SessionState(st.sessionId + 1, 1L, us, us)
+              } else {
+                st = st.copy(nEvents = st.nEvents + 1, lastUs = us)
+              }
+            }
+            state.update(st)
+            state.setTimeoutDuration("1 hour")
+            out.result().iterator
+          }
+      }
+  }
+
+  /** S3: stream-static enrichment — stream joined to a broadcast
+    * dimension (per-microbatch broadcast at scale). */
+  def enrich(events: DataFrame, dim: DataFrame, streamKey: String,
+      dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+}
