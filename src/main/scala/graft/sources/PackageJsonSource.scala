@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Manifest ingest: npm `package.json`-shaped documents → property
+  * graph entity/edge DataFrames.
+  *
+  * Re-expresses the reference's ETL surface Spark-first (reference:
+  * src/GitHubMinerHelper.ts fetch/persist of package.json +
+  * src/InsertDataHelper.ts / src/Neo4jClient.ts graph upserts):
+  *  - explicit schema (no sampling-based inference pass — one scan at
+  *    100 TB, not two);
+  *  - dependency maps exploded into typed edge rows
+  *    (DEPENDS_ON / DEV_DEPENDS_ON / PEER_DEPENDS_ON);
+  *  - idempotent "upsert" semantics via dropDuplicates on natural
+  *    keys (replaces the reference's Redis seen-set + Neo4j MERGE).
+  */
+object PackageJsonSource {
+
+  val manifestSchema: StructType = StructType(Seq(
+    StructField("name", StringType),
+    StructField("version", StringType),
+    StructField("owner", StringType),
+    StructField("repo_url", StringType),
+    StructField("stargazers_count", LongType),
+    StructField("forks_count", LongType),
+    StructField("dependencies", MapType(StringType, StringType)),
+    StructField("devDependencies", MapType(StringType, StringType)),
+    StructField("peerDependencies", MapType(StringType, StringType)),
+  ))
+
+  /** Read a directory/file of JSON-lines manifests with the explicit
+    * schema (works unchanged on a 100 TB manifest dump). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(manifestSchema).json(path)
+
+  case class GraphEntities(users: DataFrame, repos: DataFrame,
+    modules: DataFrame, edges: DataFrame)
+
+  /** Explode one dependency map into typed edge rows. */
+  private def depEdges(m: DataFrame, column: String, edgeType: String): DataFrame =
+    m.select(col("name").as("src_module"),
+        explode_outer(col(column)).as(Seq("dst_module", "version_range")))
+      .filter(col("dst_module").isNotNull)
+      .withColumn("edge_type", lit(edgeType))
+
+  /** Manifests → (users, repos, modules, typed edges), all exactly
+    * deduplicated on natural keys. */
+  def entities(manifests: DataFrame): GraphEntities = {
+    val users = manifests.select(col("owner").as("login"))
+      .filter(col("login").isNotNull).dropDuplicates("login")
+    val repos = manifests
+      .select(col("name"), col("owner"), col("repo_url"),
+        col("stargazers_count"), col("forks_count"))
+      .dropDuplicates("name")
+    val declared = manifests.select(col("name"), col("version"))
+    val edges = Seq(
+        depEdges(manifests, "dependencies", "DEPENDS_ON"),
+        depEdges(manifests, "devDependencies", "DEV_DEPENDS_ON"),
+        depEdges(manifests, "peerDependencies", "PEER_DEPENDS_ON"))
+      .reduce(_.union(_))
+      .dropDuplicates("src_module", "dst_module", "edge_type")
+    // module universe = declared manifests ∪ referenced dep targets
+    val modules = declared
+      .unionByName(edges.select(col("dst_module").as("name"))
+        .withColumn("version", lit(null).cast("string")), allowMissingColumns = false)
+      .groupBy("name").agg(max("version").as("version"))
+    GraphEntities(users, repos, modules, edges)
+  }
+
+  /** OWNS edges (user → repo), mirror of the reference's
+    * (GitUser)-[:OWNS]->(GitRepo). */
+  def ownsEdges(manifests: DataFrame): DataFrame =
+    manifests.select(col("owner").as("login"), col("name").as("repo"))
+      .filter(col("login").isNotNull)
+      .dropDuplicates("login", "repo")
+      .withColumn("edge_type", lit("OWNS"))
+}

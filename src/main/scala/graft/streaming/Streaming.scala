@@ -40,15 +40,21 @@ object Streaming {
         col("event_type"), col("n"), col("total"))
 
   /** S2: gap-based sessionization via flatMapGroupsWithState — emits a
-    * session row when the 30-min gap closes it; processing-time
-    * timeout flushes the open session when the group goes idle.
+    * session row when the 30-min gap closes it; with
+    * `ProcessingTimeTimeout` (the production default) the open session
+    * flushes when the group goes idle. Pass `NoTimeout` in synchronous
+    * tests: the timeout-check loop otherwise keeps scheduling no-data
+    * batches, so `processAllAvailable` never settles.
     *
     * NOTE: within one batch, events are sorted in-memory per user —
     * the state store only ever holds one open session per user, which
     * is what bounds state at cluster scale. */
-  def sessionize(events: Dataset[Event])(implicit spark: SparkSession): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      (implicit spark: SparkSession): Dataset[SessionOut] = {
     import spark.implicits._
     val gap = StreamOps.SessionGapUs
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout
 
     def flush(userId: Long, st: SessionState): SessionOut =
       SessionOut(userId, st.sessionId, st.nEvents, st.startUs, st.lastUs,
@@ -56,7 +62,7 @@ object Streaming {
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
             val out = state.getOption.map(flush(userId, _)).toSeq
@@ -78,7 +84,7 @@ object Streaming {
               }
             }
             state.update(st)
-            state.setTimeoutDuration("1 hour")
+            if (useTimeout) state.setTimeoutDuration("1 hour")
             out.result().iterator
           }
       }

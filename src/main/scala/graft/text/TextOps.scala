@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -38,6 +38,30 @@ object TextOps {
       .selectExpr("doc_id",
         "explode(array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5)))) AS gram")
 
+  /** Per-doc gram set + 8 minhash values, all computed in-row
+    * (array_min over per-perm md5s) — no shuffle, no explode. The
+    * gram universe here is tiny-vocab synthetic text, so any blocking
+    * on a SINGLE min-gram collapses (one block held 22% of the corpus
+    * at sf0.1); 4-perm concatenated keys push background collision
+    * down to ~j⁴. */
+  private def sigDocs(d: DataFrame): DataFrame = {
+    val hs = (0 to 7).map(k =>
+      s"array_min(transform(grams, g -> md5(concat('$k:', g)))) AS h$k")
+    d.filter(length(col("s")) >= 5)
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5))) AS grams")
+      .selectExpr(Seq("doc_id", "grams") ++ hs: _*)
+  }
+
+  /** Add exact in-row Jaccard between gram arrays `ga`/`gb`, filter to
+    * `>= thresh`, emit rounded `jaccard`. */
+  private def verifyJaccard(pairs: DataFrame, thresh: Double): DataFrame =
+    pairs
+      .withColumn("c", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .withColumn("j", col("c") / (size(col("ga")) + size(col("gb")) - col("c")))
+      .filter(col("j") >= thresh)
+      .withColumn("jaccard", round(col("j"), 6))
+
   // ---------------------------------------------------------------- q20
   /** Exact dedup: group by md5 of normalized text, keep min doc_id.
     * (The reference's Redis set-membership dedup, as a hash groupBy —
@@ -50,64 +74,44 @@ object TextOps {
       .orderBy("keep_id")
 
   // ---------------------------------------------------------------- q21
-  /** N-gram Jaccard near-dup: distinct 5-gram sets, min-gram-hash
-    * blocking (MinHash with one permutation), exact Jaccard ≥ 0.5 on
-    * candidates only. */
+  /** N-gram Jaccard near-dup: distinct 5-gram sets, single-band
+    * 4-perm minhash blocking (background collision ∝ j⁴), exact
+    * in-row Jaccard ≥ 0.5 on candidates. */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val g = grams(docs(spark, dir)).localCheckpoint()
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val blk = g.groupBy("doc_id").agg(min(md5(col("gram"))).as("b"))
-    val cand = blk.as("x").join(blk.as("y"),
-        col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    val inter = cand
-      .join(g.as("ga"), col("ga.doc_id") === col("a"))
-      .join(g.as("gb"), col("gb.doc_id") === col("b") && col("ga.gram") === col("gb.gram"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), col("a") === col("da"))
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), col("b") === col("db"))
-      .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("j") >= 0.5)
-      .select(col("a"), col("b"), round(col("j"), 6).as("jaccard"))
+    val sig = sigDocs(docs(spark, dir))
+      .select(col("doc_id"), col("grams"),
+        concat(col("h0"), col("h1"), col("h2"), col("h3")).as("blk"))
+      .localCheckpoint()
+    val pairs = sig.as("x").join(sig.as("y"),
+        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.grams").as("ga"), col("y.grams").as("gb"))
+    verifyJaccard(pairs, 0.5)
+      .select(col("a"), col("b"), col("jaccard"))
       .orderBy("a", "b")
   }
 
   // ---------------------------------------------------------------- q22
-  /** MinHash + LSH near-dup, full pipeline: 8 permutations h_i = min
-    * over grams of md5(i:gram); 4 bands of 2 rows generate candidate
-    * pairs (the only pair join is bucket-blocked); candidates are then
-    * verified with exact Jaccard ≥ 0.5 on the gram sets. */
+  /** MinHash + LSH near-dup, full pipeline: 8 permutations computed
+    * in-row (array_min over per-perm md5s — zero shuffle), 2 bands of
+    * 4 rows generate candidate pairs (the only pair join is
+    * bucket-blocked), then exact in-row Jaccard ≥ 0.5 verification. */
   def q22DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val g = grams(docs(spark, dir)).localCheckpoint()
-    val mh = g.select(col("doc_id"), explode(sequence(lit(0), lit(7))).as("i"), col("gram"))
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("gram")))).as("h"))
-    val sigAggs = (0 to 7).map(k => min(when(col("i") === k, col("h"))).as(s"h$k"))
-    val sig = mh.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sig = sigDocs(docs(spark, dir)).localCheckpoint()
     val bands = sig.selectExpr("doc_id",
-      """stack(4,
-        |  0, md5(concat(h0, h1)),
-        |  1, md5(concat(h2, h3)),
-        |  2, md5(concat(h4, h5)),
-        |  3, md5(concat(h6, h7))) AS (j, k)""".stripMargin)
+      """stack(2,
+        |  0, md5(concat(h0, h1, h2, h3)),
+        |  1, md5(concat(h4, h5, h6, h7))) AS (j, k)""".stripMargin)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.j") === col("y.j") && col("x.k") === col("y.k") &&
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(countDistinct(col("x.j")).as("n_shared_bands"))
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(g.as("ga"), col("ga.doc_id") === col("a"))
-      .join(g.as("gb"), col("gb.doc_id") === col("b") && col("ga.gram") === col("gb.gram"))
-      .groupBy(col("a"), col("b"), col("n_shared_bands"))
-      .agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.select(col("doc_id").as("da"), col("n").as("na")), col("a") === col("da"))
-      .join(sz.select(col("doc_id").as("db"), col("n").as("nb")), col("b") === col("db"))
-      .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
-      .filter(col("j") >= 0.5)
-      .select(col("a"), col("b"), col("n_shared_bands"), round(col("j"), 6).as("jaccard"))
+    val ga = sig.select(col("doc_id").as("da"), col("grams").as("ga"))
+    val gb = sig.select(col("doc_id").as("db"), col("grams").as("gb"))
+    val pairs = cand.join(ga, col("a") === col("da")).join(gb, col("b") === col("db"))
+    verifyJaccard(pairs, 0.5)
+      .select(col("a"), col("b"), col("n_shared_bands"), col("jaccard"))
       .orderBy("a", "b")
   }
 
@@ -115,24 +119,26 @@ object TextOps {
   /** SimHash: 32-bit signature from per-word md5 bits (frequency
     * weighted), computed shuffle-free via aggregate/zip_with; pairs
     * via 4×8-bit byte-banding, which is EXACT for hamming ≤ 3. */
-  private val simhashSigExpr: String =
+  private val simhashCountsExpr: String =
     """aggregate(
-      |  sequence(0, 31),
-      |  cast(0 as bigint),
-      |  (acc, j) -> acc + if(element_at(
-      |    aggregate(
-      |      transform(split(s, ' '),
-      |                w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)),
-      |      array_repeat(cast(0 as bigint), 32),
-      |      (cnt, h) -> zip_with(cnt,
-      |        transform(sequence(0, 31),
-      |                  b -> if(shiftright(h, b) % 2 = 1, cast(1 as bigint), cast(-1 as bigint))),
-      |        (x, y) -> x + y)
-      |    ), j + 1) > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))
+      |  transform(split(s, ' '),
+      |            w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)),
+      |  array_repeat(cast(0 as bigint), 32),
+      |  (cnt, h) -> zip_with(cnt,
+      |    transform(sequence(0, 31),
+      |              b -> if(shiftright(h, b) % 2 = 1, cast(1 as bigint), cast(-1 as bigint))),
+      |    (x, y) -> x + y)
       |)""".stripMargin
 
   def simhashSignatures(d: DataFrame): DataFrame =
-    d.selectExpr("doc_id", s"$simhashSigExpr AS sig")
+    // the bit-count array is bound to a lambda variable so it is
+    // evaluated once per row — an attribute reference would be inlined
+    // by CollapseProject and re-evaluated on every output bit
+    d.selectExpr("doc_id",
+      s"""element_at(transform(array($simhashCountsExpr),
+         |  c -> aggregate(sequence(0, 31), cast(0 as bigint),
+         |    (acc, j) -> acc + if(element_at(c, j + 1) > 0,
+         |      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))), 1) AS sig""".stripMargin)
 
   def q23DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = simhashSignatures(docs(spark, dir)).localCheckpoint()
@@ -317,7 +323,10 @@ object TextOps {
     "q21_ngram_jaccard" ->
       s"""WITH $gramCtes,
          |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM g GROUP BY 1),
-         |blk AS (SELECT doc_id, min(md5(gram)) AS b FROM g GROUP BY 1),
+         |blk AS (SELECT doc_id,
+         |    min(md5('0:' || gram)) || min(md5('1:' || gram)) ||
+         |    min(md5('2:' || gram)) || min(md5('3:' || gram)) AS b
+         |  FROM g GROUP BY 1),
          |cand AS (SELECT x.doc_id AS a, y.doc_id AS b FROM blk x
          |         JOIN blk y ON x.b = y.b AND x.doc_id < y.doc_id),
          |inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS c
@@ -335,18 +344,12 @@ object TextOps {
 
     "q22_dedup_minhash" ->
       s"""WITH $gramCtes,
-         |mh AS (SELECT g.doc_id, p.i,
-         |    min(md5(CAST(p.i AS VARCHAR) || ':' || g.gram)) AS h
-         |  FROM g, (SELECT unnest(generate_series(0, 7)) AS i) p
-         |  GROUP BY 1, 2),
          |sig AS (SELECT doc_id,
-         |${(0 to 7).map(k => s"    min(CASE WHEN i = $k THEN h END) AS h$k").mkString(",\n")}
-         |  FROM mh GROUP BY 1),
+         |${(0 to 7).map(k => s"    min(md5('$k:' || gram)) AS h$k").mkString(",\n")}
+         |  FROM g GROUP BY 1),
          |bands AS (
-         |  SELECT doc_id, 0 AS j, md5(h0 || h1) AS k FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(h2 || h3) FROM sig
-         |  UNION ALL SELECT doc_id, 2, md5(h4 || h5) FROM sig
-         |  UNION ALL SELECT doc_id, 3, md5(h6 || h7) FROM sig),
+         |  SELECT doc_id, 0 AS j, md5(h0 || h1 || h2 || h3) AS k FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM sig),
          |cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
          |    CAST(count(DISTINCT x.j) AS BIGINT) AS n_shared_bands
          |  FROM bands x JOIN bands y

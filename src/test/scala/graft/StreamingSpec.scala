@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.{StreamOps, Streaming}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Long): Timestamp =
+    new Timestamp(1700000000000L + minute * 60000L)
+
+  private val sample = Seq(
+    Streaming.Event(1L, ts(0), 7L, "view", 1.0),
+    Streaming.Event(2L, ts(10), 7L, "view", 2.0),
+    Streaming.Event(3L, ts(70), 7L, "click", 3.0), // 60-min gap → new session
+    Streaming.Event(4L, ts(75), 8L, "view", 4.0),
+    Streaming.Event(5L, ts(130), 7L, "view", 5.0), // another gap
+  )
+
+  test("streaming windowed agg matches the batch plan on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Streaming.Event]
+    ms.addData(sample)
+    val q = Streaming.windowedAgg(ms.toDF())
+      .writeStream.format("memory").queryName("wagg")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    // append mode holds back windows until the watermark passes; drive
+    // the watermark forward with a late sentinel batch
+    val ms2 = MemoryStream[Streaming.Event]
+    ms2.addData(sample)
+    ms2.addData(Seq(Streaming.Event(99L, ts(600), 9L, "view", 0.0)))
+    val q2 = Streaming.windowedAgg(ms2.toDF())
+      .writeStream.format("memory").queryName("wagg2")
+      .outputMode("append").start()
+    try { q2.processAllAvailable() } finally { q2.stop() }
+    val got = spark.table("wagg2")
+      .select("bucket", "event_type", "n", "total").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = sample.toDF()
+      .withColumn("bucket", floor(unix_millis(col("ts")) / lit(3600000.0)).cast("long"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(want.subsetOf(got))
+  }
+
+  test("stateful sessionization emits gap-closed sessions") {
+    implicit val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Streaming.Event]
+    ms.addData(sample)
+    val q = Streaming.sessionize(ms.toDS(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val rows = spark.table("sess").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"))).toSet
+    // user 7: sessions 1 (events 1,2) and 2 (event 3) closed by gaps;
+    // session 3 (event 5) and user 8's session stay open (no emission)
+    assert(rows == Set((7L, 1L, 2L), (7L, 2L, 1L)))
+  }
+
+  test("batch sessionization q33 segments by the 30-minute gap") {
+    val df = StreamOps.q33Sessionization(spark, sfDir())
+    val bad = df.filter(col("n_events") < 1).count()
+    assert(bad == 0)
+    // session ids are dense per user starting at 1
+    val firstIds = df.groupBy("user_id")
+      .agg(min("session_id").as("m")).filter(col("m") =!= 1L).count()
+    assert(firstIds == 0)
+  }
+
+  test("stream-static enrichment keeps stream rows and adds dim columns") {
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("uid", "tier")
+    val out = Streaming.enrich(sample.toDF(), dim, "user_id", "uid")
+    assert(out.count() == sample.size)
+    assert(out.columns.contains("tier"))
+    assert(out.filter(col("tier").isNull).count() == 0)
+  }
+}
