@@ -2,21 +2,32 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Checkpoints, Tables}
 
 /** LLM-training-pipeline text operators over the `documents` table:
   * exact + near dedup (n-gram Jaccard, MinHash+LSH, SimHash),
   * language ID, quality scoring, token counting, fingerprinting.
   *
   * Design rules for 100 TB:
-  *  - signatures (minhash perms, simhash bits, fingerprints) are
+  *  - signatures (minhash lanes, simhash bits, fingerprints) are
   *    computed with codegen'd higher-order functions *inside the row*
   *    — zero shuffle until the tiny signature relation exists;
-  *  - candidate-pair generation is always blocked (min-gram block,
-  *    LSH bands, simhash byte-bands) — never an O(n²) cross join;
-  *  - the simhash band width (4 bands × 8 bits) makes banding *exact*
-  *    for hamming ≤ 3 (pigeonhole), so the blocked plan returns the
-  *    same pairs a brute-force scan would.
+  *  - candidate-pair generation is always blocked (LSH bands, simhash
+  *    bit-bands) — never an O(n²) cross join;
+  *  - candidate verification never ships gram arrays: exact Jaccard is
+  *    a join+agg over the exploded (doc_id, gram) relation restricted
+  *    to candidate pairs, so the shuffle payload is single grams, not
+  *    whole per-doc gram sets;
+  *  - banding parameters follow the S-curve 1-(1-j^r)^L: bands of
+  *    r=2 16-bit lanes with L=8 (q21) / L=12 (q22) give ≥0.90 / ≥0.97
+  *    recall at the j=0.5 threshold and ~1.0 for real near-dups
+  *    (j≥0.9), while keeping background collisions ∝ j²·L;
+  *  - minhash lanes are md5 SLICES (8 × 16-bit lanes per digest), so
+  *    24 permutations cost 3 md5 calls per gram, not 24;
+  *  - the simhash band width (4 bands × 15 bits) makes banding *exact*
+  *    for hamming ≤ 3 (pigeonhole) with 32768 buckets per band, so the
+  *    blocked plan provably returns the same pairs a brute-force scan
+  *    would (spec-verified against a full O(n²) signature comparison).
   *
   * Hash family: md5 hex strings (identical in Spark and DuckDB), with
   * hex→int via base-16 `conv` (Spark) / nibble positional sums
@@ -29,38 +40,70 @@ object TextOps {
     docs.withColumn("s",
       lower(trim(regexp_replace(col("text"), "\\s+", " "))))
 
-  private def docs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docs(spark: SparkSession, dir: String): DataFrame =
     withNorm(Tables(spark, dir).documents)
 
   /** (doc_id, gram) — distinct char-5-gram relation. */
-  private def grams(d: DataFrame): DataFrame =
+  private[graft] def grams(d: DataFrame): DataFrame =
     d.filter(length(col("s")) >= 5)
       .selectExpr("doc_id",
         "explode(array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5)))) AS gram")
 
-  /** Per-doc gram set + 8 minhash values, all computed in-row
-    * (array_min over per-perm md5s) — no shuffle, no explode. The
-    * gram universe here is tiny-vocab synthetic text, so any blocking
-    * on a SINGLE min-gram collapses (one block held 22% of the corpus
-    * at sf0.1); 4-perm concatenated keys push background collision
-    * down to ~j⁴. */
-  private def sigDocs(d: DataFrame): DataFrame = {
-    val hs = (0 to 7).map(k =>
-      s"array_min(transform(grams, g -> md5(concat('$k:', g)))) AS h$k")
-    d.filter(length(col("s")) >= 5)
+  /** Per-doc minhash lane signature, computed fully in-row: `nMd5`
+    * digests per gram (md5 of "k:gram"), each sliced into 8 × 4-hex
+    * (16-bit) lanes, lane value = min over the doc's distinct grams.
+    * 8·nMd5 permutations for nMd5 md5 calls per gram. The md5 arrays
+    * are materialized in their own projection so the 8 lane mins share
+    * one digest evaluation (CollapseProject keeps non-cheap exprs
+    * referenced more than once in their own project). */
+  private[graft] def laneSigs(d: DataFrame, nMd5: Int): DataFrame = {
+    val withGrams = d.filter(length(col("s")) >= 5)
       .selectExpr("doc_id",
         "array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5))) AS grams")
-      .selectExpr(Seq("doc_id", "grams") ++ hs: _*)
+    val mds = (0 until nMd5).map(k =>
+      s"transform(grams, g -> md5(concat('$k:', g))) AS m$k")
+    val lanes = for (k <- 0 until nMd5; l <- 0 until 8)
+      yield s"array_min(transform(m$k, h -> substring(h, ${1 + 4 * l}, 4))) AS h${8 * k + l}"
+    withGrams.selectExpr("doc_id" +: mds: _*)
+      .selectExpr("doc_id" +: lanes: _*)
   }
 
-  /** Add exact in-row Jaccard between gram arrays `ga`/`gb`, filter to
-    * `>= thresh`, emit rounded `jaccard`. */
-  private def verifyJaccard(pairs: DataFrame, thresh: Double): DataFrame =
-    pairs
-      .withColumn("c", size(array_intersect(col("ga"), col("gb"))).cast("double"))
-      .withColumn("j", col("c") / (size(col("ga")) + size(col("gb")) - col("c")))
+  /** (doc_id, j, k): band j's key = concat of lanes 2j, 2j+1. */
+  private[graft] def bandRelation(sig: DataFrame, nBands: Int): DataFrame = {
+    val entries = (0 until nBands)
+      .map(b => s"$b, concat(h${2 * b}, h${2 * b + 1})").mkString(", ")
+    sig.selectExpr("doc_id", s"stack($nBands, $entries) AS (j, k)")
+  }
+
+  /** Band-blocked candidate pairs (a < b), one row per shared band —
+    * the ONLY pair generator; the join key (j, k) shuffles only the
+    * tiny band relation. */
+  private[graft] def candidates(bands: DataFrame): DataFrame =
+    bands.as("x").join(bands.as("y"),
+        col("x.j") === col("y.j") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+
+  /** Exact Jaccard for candidate pairs via the exploded gram relation:
+    * intersection = join+agg restricted to `cand`, sizes from a per-doc
+    * count — no gram arrays cross the shuffle. `carry` = extra cand
+    * columns to keep (functionally dependent on (a, b)). */
+  private def jaccardVerified(g: DataFrame, cand: DataFrame, thresh: Double,
+      carry: Seq[String] = Nil): DataFrame = {
+    val inter = cand.as("c")
+      .join(g.as("ga"), col("c.a") === col("ga.doc_id"))
+      .join(g.as("gb"),
+        col("c.b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
+      .groupBy(("a" +: "b" +: carry).map(n => col("c." + n).as(n)): _*)
+      .agg(count(lit(1)).as("c"))
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("nn").as("na")), col("a") === col("da"))
+      .join(sz.select(col("doc_id").as("db"), col("nn").as("nb")), col("b") === col("db"))
+      .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("j") >= thresh)
       .withColumn("jaccard", round(col("j"), 6))
+  }
 
   // ---------------------------------------------------------------- q20
   /** Exact dedup: group by md5 of normalized text, keep min doc_id.
@@ -74,58 +117,48 @@ object TextOps {
       .orderBy("keep_id")
 
   // ---------------------------------------------------------------- q21
-  /** N-gram Jaccard near-dup: distinct 5-gram sets, single-band
-    * 4-perm minhash blocking (background collision ∝ j⁴), exact
-    * in-row Jaccard ≥ 0.5 on candidates. */
+  /** N-gram Jaccard near-dup: distinct 5-gram sets, 8 bands × 2
+    * 16-bit minhash lanes (recall 1-(1-j²)⁸ ≥ 0.90 at j=0.5), exact
+    * join+agg Jaccard ≥ 0.5 on candidates. */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val sig = sigDocs(docs(spark, dir))
-      .select(col("doc_id"), col("grams"),
-        concat(col("h0"), col("h1"), col("h2"), col("h3")).as("blk"))
-      .localCheckpoint()
-    val pairs = sig.as("x").join(sig.as("y"),
-        col("x.blk") === col("y.blk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-        col("x.grams").as("ga"), col("y.grams").as("gb"))
-    verifyJaccard(pairs, 0.5)
+    val d = docs(spark, dir)
+    val sig = Checkpoints.cut(laneSigs(d, 2))
+    val cand = candidates(bandRelation(sig, 8)).distinct()
+    jaccardVerified(grams(d), cand, 0.5)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy("a", "b")
   }
 
   // ---------------------------------------------------------------- q22
-  /** MinHash + LSH near-dup, full pipeline: 8 permutations computed
-    * in-row (array_min over per-perm md5s — zero shuffle), 2 bands of
-    * 4 rows generate candidate pairs (the only pair join is
-    * bucket-blocked), then exact in-row Jaccard ≥ 0.5 verification. */
+  /** MinHash + LSH near-dup, full pipeline: 24 minhash permutations
+    * (3 md5/gram sliced into 8 lanes each) computed in-row — zero
+    * shuffle; 12 bands of 2 lanes generate candidate pairs (recall
+    * 1-(1-j²)¹² ≥ 0.97 at j=0.5); exact join+agg Jaccard ≥ 0.5. */
   def q22DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = sigDocs(docs(spark, dir)).localCheckpoint()
-    val bands = sig.selectExpr("doc_id",
-      """stack(2,
-        |  0, md5(concat(h0, h1, h2, h3)),
-        |  1, md5(concat(h4, h5, h6, h7))) AS (j, k)""".stripMargin)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.j") === col("y.j") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(countDistinct(col("x.j")).as("n_shared_bands"))
-    val ga = sig.select(col("doc_id").as("da"), col("grams").as("ga"))
-    val gb = sig.select(col("doc_id").as("db"), col("grams").as("gb"))
-    val pairs = cand.join(ga, col("a") === col("da")).join(gb, col("b") === col("db"))
-    verifyJaccard(pairs, 0.5)
+    val d = docs(spark, dir)
+    val sig = Checkpoints.cut(laneSigs(d, 3))
+    val cand = candidates(bandRelation(sig, 12))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared_bands"))
+    jaccardVerified(grams(d), cand, 0.5, carry = Seq("n_shared_bands"))
       .select(col("a"), col("b"), col("n_shared_bands"), col("jaccard"))
       .orderBy("a", "b")
   }
 
   // ---------------------------------------------------------------- q23
-  /** SimHash: 32-bit signature from per-word md5 bits (frequency
+  /** SimHash: 60-bit signature from per-word md5 bits (frequency
     * weighted), computed shuffle-free via aggregate/zip_with; pairs
-    * via 4×8-bit byte-banding, which is EXACT for hamming ≤ 3. */
+    * via 4×15-bit banding — 32768 buckets per band, and EXACT for
+    * hamming ≤ 3 (a pair differing in ≤3 bits must share one of the
+    * 4 bands untouched, by pigeonhole). */
+  val SimhashBits = 60
+
   private val simhashCountsExpr: String =
-    """aggregate(
+    s"""aggregate(
       |  transform(split(s, ' '),
-      |            w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint)),
-      |  array_repeat(cast(0 as bigint), 32),
+      |            w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
+      |  array_repeat(cast(0 as bigint), $SimhashBits),
       |  (cnt, h) -> zip_with(cnt,
-      |    transform(sequence(0, 31),
+      |    transform(sequence(0, ${SimhashBits - 1}),
       |              b -> if(shiftright(h, b) % 2 = 1, cast(1 as bigint), cast(-1 as bigint))),
       |    (x, y) -> x + y)
       |)""".stripMargin
@@ -136,18 +169,18 @@ object TextOps {
     // by CollapseProject and re-evaluated on every output bit
     d.selectExpr("doc_id",
       s"""element_at(transform(array($simhashCountsExpr),
-         |  c -> aggregate(sequence(0, 31), cast(0 as bigint),
+         |  c -> aggregate(sequence(0, ${SimhashBits - 1}), cast(0 as bigint),
          |    (acc, j) -> acc + if(element_at(c, j + 1) > 0,
          |      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))), 1) AS sig""".stripMargin)
 
   def q23DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val sig = simhashSignatures(docs(spark, dir)).localCheckpoint()
+    val sig = Checkpoints.cut(simhashSignatures(docs(spark, dir)))
     val bands = sig.selectExpr("doc_id", "sig",
       """stack(4,
-        |  0, shiftright(sig, 0) % 256,
-        |  1, shiftright(sig, 8) % 256,
-        |  2, shiftright(sig, 16) % 256,
-        |  3, shiftright(sig, 24) % 256) AS (j, bv)""".stripMargin)
+        |  0, shiftright(sig, 0) % 32768,
+        |  1, shiftright(sig, 15) % 32768,
+        |  2, shiftright(sig, 30) % 32768,
+        |  3, shiftright(sig, 45) % 32768) AS (j, bv)""".stripMargin)
     bands.as("x").join(bands.as("y"),
         col("x.j") === col("y.j") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -297,15 +330,41 @@ object TextOps {
        |        FROM n WHERE length(s) >= 5),
        |g AS (SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS gram FROM pos)""".stripMargin
 
+  /** Mirror of [[laneSigs]] + [[bandRelation]]: sig lanes as min md5
+    * slices, bands as a UNION ALL of lane-pair keys. */
+  private def laneSigSql(nMd5: Int, nBands: Int): String = {
+    val lanes = (for (k <- 0 until nMd5; l <- 0 until 8)
+      yield s"    min(substr(md5('$k:' || gram), ${1 + 4 * l}, 4)) AS h${8 * k + l}")
+      .mkString(",\n")
+    val bands = (0 until nBands)
+      .map(b => s"  SELECT doc_id, $b AS j, h${2 * b} || h${2 * b + 1} AS k FROM sig")
+      .mkString("\n  UNION ALL\n")
+    s"""sig AS (SELECT doc_id,
+       |$lanes
+       |  FROM g GROUP BY 1),
+       |bands AS (
+       |$bands)""".stripMargin
+  }
+
+  /** Shared verification tail: exact Jaccard via the exploded gram
+    * relation restricted to `cand` (mirror of [[jaccardVerified]]). */
+  private def jaccardTailSql(carry: String): String =
+    s"""sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM g GROUP BY 1),
+       |inter AS (SELECT c.a, c.b$carry, CAST(count(*) AS BIGINT) AS c
+       |  FROM cand c
+       |  JOIN g ga ON ga.doc_id = c.a
+       |  JOIN g gb ON gb.doc_id = c.b AND ga.gram = gb.gram
+       |  GROUP BY ALL)""".stripMargin
+
   private val simhashSqlCtes: String = {
-    val h = hexToLongSql("md5(w)", 1, 8)
+    val h = hexToLongSql("md5(w)", 1, 15)
     s"""$normCte,
        |w AS (SELECT doc_id, unnest(string_split(s, ' ')) AS w FROM n),
        |hh AS (SELECT doc_id, $h AS h FROM w),
        |bits AS (SELECT doc_id, j,
        |    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << CAST(j AS INT))) % 2 = 1
        |             THEN 1 ELSE -1 END) AS c
-       |  FROM hh, (SELECT unnest(generate_series(0, 31)) AS j) js
+       |  FROM hh, (SELECT unnest(generate_series(0, ${SimhashBits - 1})) AS j) js
        |  GROUP BY 1, 2),
        |sig AS (SELECT doc_id,
        |    CAST(sum(CASE WHEN c > 0
@@ -322,18 +381,10 @@ object TextOps {
 
     "q21_ngram_jaccard" ->
       s"""WITH $gramCtes,
-         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM g GROUP BY 1),
-         |blk AS (SELECT doc_id,
-         |    min(md5('0:' || gram)) || min(md5('1:' || gram)) ||
-         |    min(md5('2:' || gram)) || min(md5('3:' || gram)) AS b
-         |  FROM g GROUP BY 1),
-         |cand AS (SELECT x.doc_id AS a, y.doc_id AS b FROM blk x
-         |         JOIN blk y ON x.b = y.b AND x.doc_id < y.doc_id),
-         |inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS c
-         |  FROM cand c
-         |  JOIN g ga ON ga.doc_id = c.a
-         |  JOIN g gb ON gb.doc_id = c.b AND ga.gram = gb.gram
-         |  GROUP BY 1, 2)
+         |${laneSigSql(2, 8)},
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |         JOIN bands y ON x.j = y.j AND x.k = y.k AND x.doc_id < y.doc_id),
+         |${jaccardTailSql("")}
          |SELECT i.a, i.b,
          |       round(CAST(i.c AS DOUBLE) / (sa.nn + sb.nn - i.c), 6) AS jaccard
          |FROM inter i
@@ -344,23 +395,13 @@ object TextOps {
 
     "q22_dedup_minhash" ->
       s"""WITH $gramCtes,
-         |sig AS (SELECT doc_id,
-         |${(0 to 7).map(k => s"    min(md5('$k:' || gram)) AS h$k").mkString(",\n")}
-         |  FROM g GROUP BY 1),
-         |bands AS (
-         |  SELECT doc_id, 0 AS j, md5(h0 || h1 || h2 || h3) AS k FROM sig
-         |  UNION ALL SELECT doc_id, 1, md5(h4 || h5 || h6 || h7) FROM sig),
+         |${laneSigSql(3, 12)},
          |cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
-         |    CAST(count(DISTINCT x.j) AS BIGINT) AS n_shared_bands
+         |    CAST(count(*) AS BIGINT) AS n_shared_bands
          |  FROM bands x JOIN bands y
          |    ON x.j = y.j AND x.k = y.k AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2),
-         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nn FROM g GROUP BY 1),
-         |inter AS (SELECT c.a, c.b, c.n_shared_bands, CAST(count(*) AS BIGINT) AS c
-         |  FROM cand c
-         |  JOIN g ga ON ga.doc_id = c.a
-         |  JOIN g gb ON gb.doc_id = c.b AND ga.gram = gb.gram
-         |  GROUP BY 1, 2, 3)
+         |${jaccardTailSql(", c.n_shared_bands")}
          |SELECT i.a, i.b, i.n_shared_bands,
          |       round(CAST(i.c AS DOUBLE) / (sa.nn + sb.nn - i.c), 6) AS jaccard
          |FROM inter i
@@ -372,7 +413,7 @@ object TextOps {
     "q23_dedup_simhash" ->
       s"""WITH $simhashSqlCtes,
          |bands AS (SELECT doc_id, sig, j2,
-         |    (sig // (CAST(1 AS BIGINT) << CAST(8 * j2 AS INT))) % 256 AS bv
+         |    (sig // (CAST(1 AS BIGINT) << CAST(15 * j2 AS INT))) % 32768 AS bv
          |  FROM sig, (SELECT unnest(generate_series(0, 3)) AS j2) js),
          |pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
          |    x.sig AS sa, y.sig AS sb
@@ -439,8 +480,8 @@ object TextOps {
          |      * ([$pows])[CAST((i - 1) % 8 AS INT) + 1] AS t
          |  FROM pos)
          |SELECT n.doc_id, md5(n.s) AS fp_md5,
-         |       CAST(sum(t.t) AS BIGINT) % 2147483647 AS rolling
-         |FROM n JOIN terms t ON t.doc_id = n.doc_id
+         |       CAST(COALESCE(sum(t.t), 0) AS BIGINT) % 2147483647 AS rolling
+         |FROM n LEFT JOIN terms t ON t.doc_id = n.doc_id
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
 

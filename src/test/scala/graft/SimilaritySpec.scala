@@ -27,15 +27,72 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("ANN rerank results are a subset of brute-force candidates") {
-    val brute = Similarity.q24SimTopk(spark, sfDir())
-      .select("q_vec", "cand").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ann = Similarity.q25SimAnnLsh(spark, sfDir())
-      .select("q_vec", "cand", "rank").collect()
-    // every ANN hit at rank 1 with high sim must also be a brute-force
-    // neighbor IF it survives the bucket — structural sanity only:
-    ann.foreach(r => assert(r.getLong(0) != r.getLong(1)))
+  private def vecs() = Tables(spark, sfDir()).embeddings
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+
+  test("q25 multi-table ANN recall@5 vs brute force ≥ 0.9 (50 queries)") {
+    val v = vecs()
+    val nq = 50
+    // brute-force top-5 per query
+    val q = v.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qv"), col("e").as("qe"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("qv"))
+      .select(col("qv"), col("vec_id").as("cand"),
+        Similarity.cosine(col("qe"), col("e")).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qv").orderBy(col("sim").desc, col("cand").asc)
+    val truth = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select("qv", "cand")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidates reachable through any of the 12 hash tables
+    val banded = Similarity.bandedBuckets(v, Similarity.AnnRows, Similarity.AnnTables)
+      .select(col("vec_id"), col("j"), col("bkt"))
+    val qb = Similarity.bandedBuckets(v.filter(col("vec_id") < nq),
+        Similarity.AnnRows, Similarity.AnnTables)
+      .select(col("vec_id").as("qv"), col("j").as("qj"), col("bkt").as("qbkt"))
+    val cand = banded.join(qb,
+        col("j") === col("qj") && col("bkt") === col("qbkt") &&
+          col("vec_id") =!= col("qv"))
+      .select(col("qv"), col("vec_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & cand).size.toDouble / truth.size
+    assert(recall >= 0.9, s"ANN recall@5 $recall over $nq queries")
+  }
+
+  test("q26 banded near-dup recall vs brute force ≥ 0.9 at cos ≥ 0.4") {
+    val v = vecs()
+    val truth = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        Similarity.cosine(col("x.e"), col("y.e")).as("sim"))
+      .filter(col("sim") >= Similarity.NeardupThreshold)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val cand = Similarity.neardupPairs(v,
+        Similarity.NeardupRows, Similarity.NeardupBands)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth & cand).size.toDouble / truth.size
+    assert(recall >= 0.9, s"near-dup recall $recall (truth ${truth.size})")
+  }
+
+  test("dedup-regime banding (r=8, L=6): planted dups recalled, candidates sub-quadratic") {
+    // the 100 TB configuration: true duplicates sit at cos ≥ 0.99, so
+    // wider bands (256 buckets each) keep recall ~1 while background
+    // collisions decay as 2^-r — planted-dup corpus built in-test
+    val rnd = new scala.util.Random(42)
+    val base = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextGaussian())))
+    val dups = (0 until 20).map { i =>
+      (1000L + i, base(i)._2.map(x => x + 0.05 * rnd.nextGaussian()))
+    }
+    val df = (base ++ dups).toDF("vec_id", "e")
+    val pairs = Similarity.neardupPairs(df, 8, 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = (0 until 20).map(i => (i.toLong, 1000L + i)).toSet
+    val recall = (planted & pairs).size.toDouble / planted.size
+    val allPairs = 220 * 219 / 2
+    assert(recall >= 0.9, s"planted-dup recall $recall")
+    assert(pairs.size <= allPairs / 10,
+      s"candidate pairs ${pairs.size} not sub-quadratic (all $allPairs)")
   }
 
   test("hyperplane weights are deterministic and in [-1, 1]") {

@@ -1,9 +1,41 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.text.TextOps
 
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
+
+  /** Brute-force ground truth: all pairs with exact 5-gram Jaccard ≥
+    * thresh (every such pair shares ≥1 gram, so the gram join is a
+    * complete pair generator). */
+  private def bruteForceJaccardPairs(thresh: Double): Set[(Long, Long)] = {
+    val g = TextOps.grams(TextOps.docs(spark, sfDir()))
+    val inter = g.as("ga").join(g.as("gb"),
+        col("ga.gram") === col("gb.gram") && col("ga.doc_id") < col("gb.doc_id"))
+      .groupBy(col("ga.doc_id").as("a"), col("gb.doc_id").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    inter
+      .join(sz.select(col("doc_id").as("da"), col("nn").as("na")), col("a") === col("da"))
+      .join(sz.select(col("doc_id").as("db"), col("nn").as("nb")), col("b") === col("db"))
+      .filter(col("c").cast("double") / (col("na") + col("nb") - col("c")) >= thresh)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("q21/q22 band blocking recall vs brute-force ground truth ≥ 0.9") {
+    val truth = bruteForceJaccardPairs(0.5)
+    assert(truth.nonEmpty, "planted near-dups expected in testdata")
+    val d = TextOps.docs(spark, sfDir())
+    for ((nMd5, nBands) <- Seq((2, 8), (3, 12))) {
+      val cand = TextOps.candidates(
+          TextOps.bandRelation(TextOps.laneSigs(d, nMd5), nBands))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth & cand).size.toDouble / truth.size
+      assert(recall >= 0.9,
+        s"recall $recall with $nMd5 md5s / $nBands bands (truth ${truth.size})")
+    }
+  }
 
   test("q20 exact-dedup groups cover every document") {
     val total = TextOps.q20DedupExact(spark, sfDir()).agg(
@@ -23,7 +55,7 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
-  test("simhash byte-banding is exact for hamming ≤ 3 (pigeonhole)") {
+  test("simhash 15-bit banding is exact for hamming ≤ 3 (pigeonhole)") {
     // brute-force all signature pairs and compare against the banded op
     val sigs = TextOps.simhashSignatures(
         Tables(spark, sfDir()).documents.selectExpr("doc_id",
