@@ -1,8 +1,9 @@
 package graft.graph
 
+import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables
+import graft.{Checkpoints, Tables}
 
 /** Iterative graph algorithms over the trade graph — the Spark-first
   * re-expression of the reference's Cypher analytics surface
@@ -13,26 +14,26 @@ import graft.Tables
   * the shape that scales on a real cluster (frontier keyed by node,
   * shuffle partitioning reused across iterations, AQE free to
   * broadcast a shrinking frontier). Loop conditions only ever read
-  * driver-side scalars (`count`), never row data; lineage is cut with
-  * eager `localCheckpoint` per iteration so plans stay flat at high
-  * iteration counts.
+  * driver-side scalars (`count`), never row data; lineage is cut per
+  * iteration via [[Checkpoints.cut]] (reliable `checkpoint` when
+  * `spark.graft.checkpoint.dir` is set, `localCheckpoint` locally) so
+  * plans stay flat at high iteration counts.
   */
 object Algorithms {
 
   /** Materialize the (tiny) edge list once per algorithm run so the
     * lineitem-scale derivation isn't re-executed every iteration. */
   private def checkpointedEdges(t: Tables): DataFrame =
-    TradeGraph.edges(t).select("src", "dst").localCheckpoint()
+    TradeGraph.edges(t).select("src", "dst").pipe(Checkpoints.cut)
 
   // ---------------------------------------------------------------- q11
   /** k-hop neighborhood from a root: nodes reachable in ≤ k hops with
     * their minimum hop distance (BFS — each node enters the frontier
     * exactly once, so `min` is implicit). */
-  def khop(t: Tables, root: Long = 0L, k: Int = 3): DataFrame = {
-    val edges = checkpointedEdges(t)
-    val spark = t.spark
+  def khop(edges: DataFrame, root: Long = 0L, k: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
     import spark.implicits._
-    var visited = Seq((root, 0L)).toDF("node", "hop").localCheckpoint()
+    var visited = Seq((root, 0L)).toDF("node", "hop").pipe(Checkpoints.cut)
     var frontier = visited
     var hop = 0L
     while (hop < k && frontier.isEmpty == false) {
@@ -42,21 +43,58 @@ object Algorithms {
         .distinct()
         .join(visited.select(col("node").as("v")), col("node") === col("v"), "left_anti")
         .withColumn("hop", lit(hop))
-        .localCheckpoint()
-      visited = visited.union(frontier).localCheckpoint()
+        .pipe(Checkpoints.cut)
+      visited = visited.union(frontier).pipe(Checkpoints.cut)
     }
     visited.orderBy("node")
   }
 
   def q11Khop(spark: SparkSession, dir: String): DataFrame =
-    khop(Tables(spark, dir))
+    khop(checkpointedEdges(Tables(spark, dir)))
+
+  // ---------------------------------------------------------------- q19
+  /** Dependency chains: bounded path enumeration from a root with a
+    * cycle guard — the reference's `[node in nodes(p) | node.name] AS
+    * depsChain` query (documentation/queries.md:362-365) re-expressed
+    * as an iterative frontier of (leaf, path) rows. Paths are emitted
+    * at every depth 1..k, a node never repeats within one path
+    * (visited-in-path check), and the output is the '->'-joined id
+    * chain so the driver's value compare is list-free. At scale the
+    * frontier is keyed by leaf for the edge join; path arrays only
+    * ever travel with their own row. */
+  def dependencyChains(edges: DataFrame, root: Long, k: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var frontier = Seq((root, Seq(root))).toDF("leaf", "path")
+      .pipe(Checkpoints.cut)
+    var acc: DataFrame = null
+    for (depth <- 1 to k) {
+      frontier = frontier
+        .join(edges, col("leaf") === col("src"))
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(col("dst").as("leaf"),
+          concat(col("path"), array(col("dst"))).as("path"))
+        .pipe(Checkpoints.cut)
+      val out = frontier.select(col("path"), lit(depth.toLong).as("depth"))
+      acc = if (acc == null) out else acc.union(out)
+    }
+    acc
+      .select(
+        expr("array_join(transform(path, x -> cast(x as string)), '->')")
+          .as("path_str"),
+        col("depth"))
+      .orderBy("depth", "path_str")
+  }
+
+  def q19DependencyChains(spark: SparkSession, dir: String): DataFrame =
+    dependencyChains(checkpointedEdges(Tables(spark, dir)), 0L, 4)
 
   // ---------------------------------------------------------------- q12
   /** Directed transitive closure as (src, dst) reachable pairs —
     * semi-naive evaluation: only the frontier (newly discovered
     * pairs) joins the edge list each round. */
   def transitiveClosure(edges: DataFrame): DataFrame = {
-    var closure = edges.select("src", "dst").distinct().localCheckpoint()
+    var closure = edges.select("src", "dst").distinct().pipe(Checkpoints.cut)
     var frontier = closure
     var n = frontier.count()
     while (n > 0) {
@@ -67,9 +105,9 @@ object Algorithms {
         .distinct()
         .join(closure.select(col("src").as("s2"), col("dst").as("d2")),
           col("src") === col("s2") && col("dst") === col("d2"), "left_anti")
-        .localCheckpoint()
+        .pipe(Checkpoints.cut)
       n = frontier.count()
-      if (n > 0) closure = closure.union(frontier).localCheckpoint()
+      if (n > 0) closure = closure.union(frontier).pipe(Checkpoints.cut)
     }
     closure
   }
@@ -91,7 +129,7 @@ object Algorithms {
     * by construction. */
   def q13ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
     val edges = checkpointedEdges(Tables(spark, dir))
-    var visited = edges.withColumn("hops", lit(1L)).localCheckpoint()
+    var visited = edges.withColumn("hops", lit(1L)).pipe(Checkpoints.cut)
     var frontier = visited
     var hop = 1L
     var n = frontier.count()
@@ -105,9 +143,9 @@ object Algorithms {
         .join(visited.select(col("src").as("s2"), col("dst").as("d2")),
           col("src") === col("s2") && col("dst") === col("d2"), "left_anti")
         .withColumn("hops", lit(hop))
-        .localCheckpoint()
+        .pipe(Checkpoints.cut)
       n = frontier.count()
-      if (n > 0) visited = visited.union(frontier).localCheckpoint()
+      if (n > 0) visited = visited.union(frontier).pipe(Checkpoints.cut)
     }
     visited.orderBy("src", "dst")
   }
@@ -119,8 +157,8 @@ object Algorithms {
     * constant. */
   def pagerank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     val outdeg = edges.groupBy(col("src").as("od_node"))
-      .agg(count(lit(1)).as("od")).localCheckpoint()
-    var ranks = nodes.select(col("node"), lit(1.0).as("r")).localCheckpoint()
+      .agg(count(lit(1)).as("od")).pipe(Checkpoints.cut)
+    var ranks = nodes.select(col("node"), lit(1.0).as("r")).pipe(Checkpoints.cut)
     for (_ <- 1 to iters) {
       ranks = nodes.select(col("node"))
         .join(edges.select(col("src"), col("dst")), col("dst") === col("node"), "left")
@@ -128,7 +166,7 @@ object Algorithms {
         .join(outdeg, col("od_node") === col("src"), "left")
         .groupBy(col("node"))
         .agg((lit(0.15) + lit(0.85) * coalesce(sum(col("r") / col("od")), lit(0.0))).as("r"))
-        .localCheckpoint()
+        .pipe(Checkpoints.cut)
     }
     ranks
   }
@@ -147,7 +185,7 @@ object Algorithms {
     * nondeterministic scale alternative, see GraphxBridge). */
   def connectedComponents(nodes: DataFrame, undirected: DataFrame): DataFrame = {
     var comp = nodes.select(col("node"), col("node").as("component"))
-      .localCheckpoint()
+      .pipe(Checkpoints.cut)
     var changed = 1L
     while (changed > 0) {
       val viaNeighbor = undirected
@@ -159,7 +197,7 @@ object Algorithms {
           col("node") === col("vn"), "left")
         .select(col("node"),
           least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
-        .localCheckpoint()
+        .pipe(Checkpoints.cut)
       changed = next.join(comp.select(col("node").as("pn"), col("component").as("pc")),
           next("node") === col("pn"))
         .filter(col("component") =!= col("pc")).count()
@@ -171,7 +209,7 @@ object Algorithms {
   def q15ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     connectedComponents(TradeGraph.nodes(t).select("node"),
-        TradeGraph.undirectedEdges(t).localCheckpoint())
+        TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut))
       .orderBy("node")
   }
 
@@ -223,8 +261,28 @@ object Algorithms {
       .orderBy("dep")
   }
 
+  // ---------------------------------------------------------------- q37
+  /** Community membership listing: the reference's `collect(n.name)
+    * per community` (documentation/queries.md:170-175) over the
+    * deterministic connected-components partition — collect_list with
+    * an in-row sort so the member string is order-stable. Per-community
+    * member lists are only safe to collect because community count ≪
+    * corpus; the heavy work stays in the iterative CC. */
+  def q37CommunityMembers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val comp = connectedComponents(TradeGraph.nodes(t).select("node"),
+      TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut))
+    comp.join(TradeGraph.nodes(t), Seq("node"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("members"))
+      .orderBy("component")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_khop" -> (q11Khop _),
+    "q19_dependency_chains" -> (q19DependencyChains _),
+    "q37_community_members" -> (q37CommunityMembers _),
     "q12_transitive_closure" -> (q12TransitiveClosure _),
     "q13_shortest_paths" -> (q13ShortestPaths _),
     "q14_pagerank" -> (q14Pagerank _),
@@ -287,18 +345,51 @@ object Algorithms {
          |  ON c.src = CAST(n.n_nationkey AS BIGINT)
          |ORDER BY node""".stripMargin,
 
+    // recursion bound = |nations| (25): an upper bound on any simple
+    // path length, so the oracle can never drop long-diameter pairs
+    // the Spark BFS would find at a different scale factor
     "q13_shortest_paths" ->
       s"""WITH RECURSIVE $T,
          |sp AS (
          |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM trade
          |  UNION
          |  SELECT s.src, t.dst, s.hops + 1 FROM sp s
-         |  JOIN trade t ON t.src = s.dst WHERE s.hops < 12
+         |  JOIN trade t ON t.src = s.dst WHERE s.hops < 25
          |)
          |SELECT src, dst, min(hops) AS hops
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_pagerank" -> pagerankSql(5),
+
+    "q19_dependency_chains" ->
+      s"""WITH RECURSIVE $T,
+         |p AS (
+         |  SELECT CAST(0 AS BIGINT) AS leaf, [CAST(0 AS BIGINT)] AS path,
+         |         CAST(0 AS BIGINT) AS depth
+         |  UNION ALL
+         |  SELECT t.dst, list_append(p.path, t.dst), p.depth + 1
+         |  FROM p JOIN trade t ON t.src = p.leaf
+         |  WHERE p.depth < 4 AND NOT list_contains(p.path, t.dst)
+         |)
+         |SELECT array_to_string(path, '->') AS path_str, depth
+         |FROM p WHERE depth >= 1 ORDER BY depth, path_str""".stripMargin,
+
+    "q37_community_members" ->
+      s"""WITH RECURSIVE $T, $U,
+         |reach AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |         CAST(n_nationkey AS BIGINT) AS peer
+         |  FROM nation
+         |  UNION
+         |  SELECT r.node, u.dst FROM reach r
+         |  JOIN undirected u ON u.src = r.peer
+         |),
+         |comp AS (SELECT node, CAST(min(peer) AS BIGINT) AS component
+         |         FROM reach GROUP BY node)
+         |SELECT c.component, CAST(count(*) AS BIGINT) AS n_members,
+         |       string_agg(n.n_name, ',' ORDER BY n.n_name) AS members
+         |FROM comp c JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = c.node
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q15_connected_components" ->
       s"""WITH RECURSIVE $T, $U,

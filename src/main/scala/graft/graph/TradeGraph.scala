@@ -24,8 +24,9 @@ import graft.Tables
   */
 object TradeGraph {
 
-  /** Edge list: (src BIGINT, dst BIGINT, cnt BIGINT). */
-  def edges(t: Tables): DataFrame = {
+  /** Ranked edge list (src, dst, cnt, rk): each src's top-3 partners
+    * with their rank. */
+  private def ranked(t: Tables): DataFrame = {
     val pair = t.lineitem
       .select("l_orderkey", "l_suppkey")
       .join(t.orders.select("o_orderkey", "o_custkey"),
@@ -42,8 +43,21 @@ object TradeGraph {
       .orderBy(col("cnt").desc, col("dst").asc)
     pair.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 3)
-      .select("src", "dst", "cnt")
   }
+
+  /** Edge list: (src BIGINT, dst BIGINT, cnt BIGINT). */
+  def edges(t: Tables): DataFrame =
+    ranked(t).select("src", "dst", "cnt")
+
+  /** Typed edge view: partner rank → dependency type (rank 1 =
+    * DEPENDS_ON, 2 = DEV_DEPENDS_ON, 3 = PEER_DEPENDS_ON) — the
+    * deterministic analog of the reference's typed relationship set
+    * (InsertDataHelper.ts dependency-kind mapping). */
+  def typedEdges(t: Tables): DataFrame =
+    ranked(t).select(col("src"), col("dst"), col("cnt"),
+      when(col("rk") === 1, "DEPENDS_ON")
+        .when(col("rk") === 2, "DEV_DEPENDS_ON")
+        .otherwise("PEER_DEPENDS_ON").as("edge_type"))
 
   /** Node list: (node BIGINT, n_name) — all nations, including ones
     * with zero trade-graph degree. */
@@ -73,6 +87,22 @@ object TradeGraph {
       |  GROUP BY 1, 2
       |), trade AS (
       |  SELECT src, dst, cnt FROM (
+      |    SELECT src, dst, cnt,
+      |           row_number() OVER (PARTITION BY src
+      |                              ORDER BY cnt DESC, dst ASC) AS rk
+      |    FROM pair) ranked
+      |  WHERE rk <= 3
+      |)""".stripMargin
+
+  /** SQL mirror of [[typedEdges]] (standalone WITH body — re-derives
+    * pair/rank so it composes with or without [[sqlCte]]). */
+  val sqlTypedCte: String =
+    """typed AS (
+      |  SELECT src, dst, cnt,
+      |         CASE rk WHEN 1 THEN 'DEPENDS_ON'
+      |                 WHEN 2 THEN 'DEV_DEPENDS_ON'
+      |                 ELSE 'PEER_DEPENDS_ON' END AS edge_type
+      |  FROM (
       |    SELECT src, dst, cnt,
       |           row_number() OVER (PARTITION BY src
       |                              ORDER BY cnt DESC, dst ASC) AS rk

@@ -70,6 +70,21 @@ object PackageJsonSource {
     GraphEntities(users, repos, modules, edges)
   }
 
+  /** Module dependency graph view of [[entities]] with stable long
+    * node ids (xxhash64 of the module name — id assignment needs no
+    * global ordering pass, so it works on a 100 TB manifest dump), in
+    * the (nodes, edges) shape the graph.Algorithms operators consume —
+    * the reference's end-to-end flow (miner ETL → Neo4j graph →
+    * Cypher analytics) as ingest → DataFrames → iterative algorithms. */
+  def moduleGraph(e: GraphEntities): (DataFrame, DataFrame) = {
+    val nodes = e.modules.select(xxhash64(col("name")).as("node"), col("name"))
+    val edges = e.edges.select(
+        xxhash64(col("src_module")).as("src"),
+        xxhash64(col("dst_module")).as("dst"))
+      .dropDuplicates("src", "dst")
+    (nodes, edges)
+  }
+
   /** OWNS edges (user → repo), mirror of the reference's
     * (GitUser)-[:OWNS]->(GitRepo). */
   def ownsEdges(manifests: DataFrame): DataFrame =

@@ -65,8 +65,14 @@ object Streaming {
         OutputMode.Append, timeout) {
         (userId: Long, it: Iterator[Event], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val out = state.getOption.map(flush(userId, _)).toSeq
-            state.remove()
+            // flush the open session but KEEP the per-user counter
+            // (nEvents=0 sentinel): the next session continues the
+            // monotone id sequence instead of restarting at 1. The
+            // counter state is O(#users) and carries no timeout, so it
+            // is read-mostly after the flush.
+            val out = state.getOption.filter(_.nEvents > 0L)
+              .map(flush(userId, _)).toSeq
+            state.getOption.foreach(st => state.update(st.copy(nEvents = 0L)))
             out.iterator
           } else {
             var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue, Long.MinValue))
@@ -75,7 +81,7 @@ object Streaming {
             for (e <- sorted) {
               val us = e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
               if (st.nEvents == 0L) {
-                st = SessionState(1L, 1L, us, us)
+                st = SessionState(st.sessionId + 1L, 1L, us, us)
               } else if (us - st.lastUs > gap) {
                 out += flush(userId, st)
                 st = SessionState(st.sessionId + 1, 1L, us, us)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.graph.{Algorithms, GraphxBridge, TradeGraph}
+import graft.graph.{Algorithms, GraphxBridge, Louvain, TradeGraph}
 
 class AlgorithmsSpec extends SparkSpec {
   import spark.implicits._
@@ -49,6 +49,43 @@ class AlgorithmsSpec extends SparkSpec {
     val g = GraphxBridge.toGraph(nodes, edges)
     val lp = GraphxBridge.labelPropagation(g, 5).collect()
     assert(lp.length == 5)
+  }
+
+  test("louvain finds the two triangles and beats baseline partitions") {
+    val ns = (1L to 6L).toDF("node")
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val lv = Louvain.louvain(ns, es)
+    val q = Louvain.modularity(es, lv)
+    val singleton = ns.select(col("node"), col("node").as("community"))
+    val random = ns.select(col("node"), (col("node") % 2).as("community"))
+    assert(q > Louvain.modularity(es, singleton))
+    assert(q >= Louvain.modularity(es, random))
+    val m = lv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L) && m(2L) == m(3L))
+    assert(m(4L) == m(5L) && m(5L) == m(6L))
+    assert(m(1L) != m(4L))
+  }
+
+  test("q38 louvain modularity on the trade graph beats a random split") {
+    val t = Tables(spark, sfDir())
+    val e = TradeGraph.edges(t)
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    val lv = Louvain.q38Louvain(spark, sfDir())
+      .select(col("node"), col("community"))
+    val nodes = TradeGraph.nodes(t).select("node")
+    val rand = nodes.select(col("node"), (col("node") % 5).as("community"))
+    assert(Louvain.modularity(e, lv) >= Louvain.modularity(e, rand))
+  }
+
+  test("dependency chains enumerate cycle-free paths with the guard") {
+    // 1→2→3→1 cycle with spur 1→5: paths from 1 stop at the revisit
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 5L)).toDF("src", "dst")
+    val paths = Algorithms.dependencyChains(es, 1L, 4)
+      .collect().map(_.getString(0)).toSet
+    assert(paths == Set("1->2", "1->5", "1->2->3"))
   }
 
   test("trade graph: ≤3 out-edges per src, deterministic across runs") {

@@ -41,4 +41,30 @@ class PackageJsonSourceSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(owns == Set(("ada", "alpha"), ("ada", "gamma"), ("bob", "beta")))
   }
+
+  test("manifest graph end-to-end: ingest → khop / pagerank / CC") {
+    import org.apache.spark.sql.functions._
+    val (nodes, edges) = PackageJsonSource.moduleGraph(
+      PackageJsonSource.entities(manifests))
+    val id = nodes.collect().map(r => r.getString(1) -> r.getLong(0)).toMap
+
+    // alpha depends (any type) on beta, gamma, testlib — all 1 hop
+    val hops = graph.Algorithms.khop(edges, id("alpha"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hops == Map(id("alpha") -> 0L, id("beta") -> 1L,
+      id("gamma") -> 1L, id("testlib") -> 1L))
+
+    // undirected CC: the fixture graph is one component
+    val und = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    val comp = graph.Algorithms.connectedComponents(nodes.select("node"), und)
+      .collect().map(_.getLong(1)).toSet
+    assert(comp.size == 1)
+
+    // pagerank: gamma (fed by alpha AND beta) outranks beta (alpha only)
+    val pr = graph.Algorithms.pagerank(nodes.select("node"), edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(id("gamma")) > pr(id("beta")))
+    assert(pr.values.forall(_ >= 0.15 - 1e-12))
+  }
 }

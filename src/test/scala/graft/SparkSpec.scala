@@ -5,12 +5,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites (one JVM, one session). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
+  lazy val spark: SparkSession = Tables.configure(SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+    .config("spark.ui.enabled", "false"))
     .getOrCreate()
 
   def sfDir(sf: String = "0.001"): String = s"/root/testdata/sf$sf"
