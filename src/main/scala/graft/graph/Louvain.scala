@@ -72,9 +72,27 @@ object Louvain {
       .union(edges.select(col("dst").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
       .pipe(Checkpoints.cut)
+    // single-job Q evaluation with m and deg precomputed (modularity()
+    // would recount edges and re-aggregate degrees on every call)
+    def qOf(a: DataFrame): Double = {
+      val within = edges
+        .join(a.select(col("node").as("src"), col("community").as("cs")), "src")
+        .join(a.select(col("node").as("dst"), col("community").as("cd")), "dst")
+        .filter(col("cs") === col("cd"))
+        .groupBy(col("cs").as("community")).agg(count(lit(1)).as("lc"))
+      a.join(deg, Seq("node"), "left")
+        .groupBy("community").agg(sum(coalesce(col("deg"), lit(0L))).as("dc"))
+        .join(within, Seq("community"), "left")
+        .select(sum(coalesce(col("lc"), lit(0L)).cast("double") / m
+          - pow(col("dc").cast("double") / (2.0 * m), 2.0)).as("q"))
+        .first().getDouble(0)
+    }
     var best = assign
-    var bestQ = modularity(edges, assign)
-    for (sweep <- 1 to iters) {
+    var bestQ = qOf(assign)
+    var stable = 0
+    var sweep = 0
+    while (sweep < iters && stable < 2) {
+      sweep += 1
       val tot = assign.join(deg, Seq("node"), "left")
         .groupBy("community").agg(sum(coalesce(col("deg"), lit(0L))).as("dtot"))
       // candidate communities per node: every neighbor community plus
@@ -99,16 +117,28 @@ object Louvain {
             - col("deg").cast("double") * col("dtot_x") / (2.0 * m * m))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("node").orderBy(col("score").desc, col("c").asc)
+      val prev = assign
       assign = scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("node"),
           when(pmod(col("node"), lit(2)) === lit(sweep % 2), col("c"))
             .otherwise(col("community")).as("community"))
         .pipe(Checkpoints.cut)
-      val q = modularity(edges, assign)
-      if (q > bestQ) { bestQ = q; best = assign }
+      // convergence: two consecutive no-move sweeps (one per parity)
+      // terminate the loop; unchanged sweeps skip the modularity job
+      val changed = assign
+        .join(prev.select(col("node"), col("community").as("pc")), "node")
+        .filter(col("community") =!= col("pc")).count()
+      if (changed == 0) stable += 1
+      else stable = 0
+      // score once per full even+odd pass (and at convergence) — the
+      // argmax-Q safety net at half the per-sweep job cost
+      if (changed > 0 && (sweep % 2 == 0 || sweep == iters)) {
+        val q = qOf(assign)
+        if (q > bestQ) { bestQ = q; best = assign }
+      }
     }
-    best
+    if (stable >= 2 && qOf(assign) >= bestQ) assign else best
   }
 
   /** q38: Louvain communities on the undirected trade graph —
@@ -118,11 +148,13 @@ object Louvain {
     * partitions instead). */
   def q38Louvain(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // one row per undirected edge: keep the canonical direction only
-    val e = TradeGraph.edges(t)
+    // one row per undirected edge, canonical direction only; cut the
+    // lineage so the lineitem-scale derivation runs once, not once per
+    // sweep job (louvain + modularity reference `edges` repeatedly)
+    val e = Checkpoints.cut(TradeGraph.edges(t)
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
-      .distinct()
+      .distinct())
     louvain(TradeGraph.nodes(t).select("node"), e)
       .orderBy("node")
   }

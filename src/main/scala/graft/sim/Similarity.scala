@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.GraftFunctions.dot
 
 /** Embedding similarity search over the `embeddings` table
   * (`array<float>` column): brute-force cosine top-k as the exactness
@@ -34,12 +35,11 @@ object Similarity {
 
   val Dims = 64
 
-  /** cosine(a, b) for two array<double> columns — codegen HOFs. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+  /** cosine(a, b) for two array<double> columns — built on the custom
+    * codegen [[graft.functions.DotProduct]] expression (ascending-dim
+    * accumulation, identical to the DuckDB oracle's ordered sum). */
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
 
   private def vecs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).embeddings
@@ -77,8 +77,7 @@ object Similarity {
   def bucketRange(e: Column, from: Int, until: Int): Column = {
     val planeBits = (from until until).map { h =>
       val wh = typedLit((0 until Dims).map(d => hyperplane(h, d)))
-      val d = aggregate(zip_with(wh, e, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-      when(d >= 0.0, lit(1L << (h - from))).otherwise(lit(0L))
+      when(dot(wh, e) >= 0.0, lit(1L << (h - from))).otherwise(lit(0L))
     }
     planeBits.reduce(_ + _)
   }
@@ -136,18 +135,23 @@ object Similarity {
   val NeardupBands = 10
   val NeardupThreshold = 0.4
 
-  /** Band-blocked candidate pairs (a < b) with exact cosine — the
-    * cosine is computed per band hit BEFORE the pair dedup so only
-    * scalar rows cross the dedup shuffle (identical inputs ⇒
-    * bit-identical sim on every duplicate, so dedup is sound). */
+  /** Band-blocked candidate pairs (a < b) with exact cosine. The band
+    * self-join and the pair dedup run on scalar (id, band, bucket)
+    * rows only — embeddings never ride the candidate shuffles; they
+    * are fetched once per DEDUPED pair through two dimension joins
+    * (broadcast-able: the join key is the pair side, the corpus
+    * streams) and scored with the codegen dot product. */
   private[graft] def neardupPairs(v: DataFrame, r: Int, bands: Int): DataFrame = {
-    val banded = bandedBuckets(v, r, bands)
-    banded.as("x").join(banded.as("y"),
+    val banded = bandedBuckets(v, r, bands).select("vec_id", "j", "bkt")
+    val pairs = banded.as("x").join(banded.as("y"),
         col("x.j") === col("y.j") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        cosine(col("x.e"), col("y.e")).as("sim"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .dropDuplicates("a", "b")
+    pairs
+      .join(v.select(col("vec_id").as("a"), col("e").as("ea")), "a")
+      .join(v.select(col("vec_id").as("b"), col("e").as("eb")), "b")
+      .select(col("a"), col("b"), cosine(col("ea"), col("eb")).as("sim"))
   }
 
   def q26EmbeddingNeardup(spark: SparkSession, dir: String): DataFrame =

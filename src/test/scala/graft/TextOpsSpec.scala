@@ -27,13 +27,13 @@ class TextOpsSpec extends SparkSpec {
     val truth = bruteForceJaccardPairs(0.5)
     assert(truth.nonEmpty, "planted near-dups expected in testdata")
     val d = TextOps.docs(spark, sfDir())
-    for ((nMd5, nBands) <- Seq((2, 8), (3, 12))) {
+    for ((nMd5, nBands, r) <- Seq((2, 3, 5), (1, 2, 4))) {
       val cand = TextOps.candidates(
-          TextOps.bandRelation(TextOps.laneSigs(d, nMd5), nBands))
+          TextOps.bandRelation(TextOps.laneSigs(d, nMd5), nBands, r))
         .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (truth & cand).size.toDouble / truth.size
       assert(recall >= 0.9,
-        s"recall $recall with $nMd5 md5s / $nBands bands (truth ${truth.size})")
+        s"recall $recall with $nMd5 md5s / $nBands bands of $r (truth ${truth.size})")
     }
   }
 
