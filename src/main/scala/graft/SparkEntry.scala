@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Relational, TypedEdges}
+import graft.operators.{AsofJoin, Relational, TypedEdges}
 import graft.graph.{Algorithms, Louvain}
 import graft.text.TextOps
 import graft.sim.Similarity
@@ -19,13 +19,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TypedEdges.queries ++ Algorithms.queries ++
-      Louvain.queries ++ TextOps.queries ++ Similarity.queries ++
-      StreamOps.queries
+    Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
+      Algorithms.queries ++ Louvain.queries ++ TextOps.queries ++
+      Similarity.queries ++ StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ TypedEdges.oracleSql ++ Algorithms.oracleSql ++
-      TextOps.oracleSql ++ Similarity.oracleSql ++ StreamOps.oracleSql
+    Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
+      Algorithms.oracleSql ++ TextOps.oracleSql ++ Similarity.oracleSql ++
+      StreamOps.oracleSql
 }

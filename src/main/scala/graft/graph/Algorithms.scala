@@ -230,9 +230,15 @@ object Algorithms {
   }
 
   // ---------------------------------------------------------------- q17
-  /** Preferential attachment score deg(u)·deg(v) for all unordered
-    * node pairs, top 20. Degrees are a tiny aggregate → broadcast
-    * pair join, never a data-scale cross product. */
+  /** Preferential attachment score deg(u)·deg(v) for unordered node
+    * pairs, top 20. The non-equi pair join is a broadcast nested loop
+    * by nature, so the library caps it with a top-degree PREFILTER
+    * (mirrored in the oracle): only the top-[[PrefAttachPool]] nodes by
+    * (degree, node) enter the pairing — any top-20-by-product pair is
+    * dominated by pairs inside a pool that large, so the result is
+    * unchanged while the loop join is O(pool²) instead of O(V²). */
+  val PrefAttachPool = 64
+
   def q17PreferentialAttachment(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val e = checkpointedEdges(t)
@@ -240,6 +246,8 @@ object Algorithms {
       .join(e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg")), col("node") === col("n"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
+      .orderBy(col("deg").desc, col("node").asc)
+      .limit(PrefAttachPool)
     deg.as("a").join(broadcast(deg.as("b")), col("a.node") < col("b.node"))
       .select(col("a.node").as("u"), col("b.node").as("v"),
         (col("a.deg") * col("b.deg")).as("score"))
@@ -433,6 +441,8 @@ object Algorithms {
          |               UNION ALL SELECT dst AS n2 FROM trade) b
          |             GROUP BY 1) d
          |    ON d.n2 = CAST(n.n_nationkey AS BIGINT)
+         |  ORDER BY deg DESC, node ASC
+         |  LIMIT 64
          |)
          |SELECT a.node AS u, b.node AS v, a.deg * b.deg AS score
          |FROM deg a JOIN deg b ON a.node < b.node

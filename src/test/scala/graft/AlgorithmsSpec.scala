@@ -51,6 +51,17 @@ class AlgorithmsSpec extends SparkSpec {
     assert(lp.length == 5)
   }
 
+  test("GraphX SCC agrees with the DataFrame SCC (scale-path parity)") {
+    val t = Tables(spark, sfDir())
+    val df = Algorithms.q16Scc(spark, sfDir())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val g = GraphxBridge.toGraph(
+      TradeGraph.nodes(t).select("node"), TradeGraph.edges(t))
+    val gx = GraphxBridge.stronglyConnectedComponents(g, 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gx == df) // both label an SCC with its minimum vertex id
+  }
+
   test("louvain finds the two triangles and beats baseline partitions") {
     val ns = (1L to 6L).toDF("node")
     val es = Seq((1L, 2L), (2L, 3L), (1L, 3L),
