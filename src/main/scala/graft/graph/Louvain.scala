@@ -57,7 +57,13 @@ object Louvain {
     * (node, community) of the best-modularity assignment seen within
     * `iters` sweeps, starting from singleton communities. `edges` is
     * undirected, one row per edge. */
-  def louvain(nodes: DataFrame, edges: DataFrame, iters: Int = 10): DataFrame = {
+  /** Default sweep budget: 3 full even+odd passes — local moves on
+    * the test graphs stop producing changes by pass 3, and
+    * semi-synchronous sweeps can limit-cycle (never two consecutive
+    * stable sweeps), so a budget beats waiting for strict
+    * convergence; the argmax-Q selection makes extra sweeps safe but
+    * not useful. */
+  def louvain(nodes: DataFrame, edges: DataFrame, iters: Int = 6): DataFrame = {
     val m = edges.count().toDouble
     var assign = nodes.select(col("node"), col("node").as("community"))
       .pipe(Checkpoints.cut)

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.Relational
+import graft.sim.Similarity
+
+/** Physical-plan audits: the scale properties the design claims
+  * (column pruning into the scan, predicate pushdown, broadcast of
+  * dimension/query sides, no accidental cartesian products, custom
+  * expression inside whole-stage codegen) asserted on the actual
+  * executed plans, not just by inspection. */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q01: scan reads exactly the 4 exported columns (pruning)") {
+    val p = plan(Relational.q01PropertyExport(spark, sfDir()))
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p"))
+    assert(rs.split(",").length == 4, s"scan not pruned: $rs")
+  }
+
+  test("q02: all threshold predicates reach PushedFilters") {
+    val p = plan(Relational.q02ThresholdFilter(spark, sfDir()))
+    val pf = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no PushedFilters in:\n$p"))
+    assert(pf.contains("o_totalprice") && pf.contains("o_orderdate"),
+      s"predicates not pushed: $pf")
+  }
+
+  test("q03: part dimension join is a broadcast hash join") {
+    val p = plan(Relational.q03TopIndegree(spark, sfDir()))
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q24: codegen dot product in the plan, corpus never cartesian-joined") {
+    val df = Similarity.q24SimTopk(spark, sfDir())
+    val p = plan(df)
+    assert(p.contains("graft_dot"), "custom DotProduct expression absent")
+    assert(!p.contains("CartesianProduct"),
+      "scoring must broadcast the query side, not cross-join")
+    // the non-equi join must BUILD the (tiny) query side
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"),
+      "query side not broadcast")
+    // whole-stage codegen markers (*(n)) appear on the executed plan
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "no whole-stage codegen stages in the executed plan")
+  }
+
+  test("q26: candidate generation is an equi join on the band key") {
+    val df = Similarity.q26EmbeddingNeardup(spark, sfDir())
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degenerated to an all-pairs join:\n$p")
+  }
+}
