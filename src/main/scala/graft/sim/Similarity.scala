@@ -160,10 +160,61 @@ object Similarity {
       .select(col("a"), col("b"), round(col("sim"), 6).as("sim"))
       .orderBy("a", "b")
 
+  // ---------------------------------------------------------------- q41
+  /** IVF-style ANN: a coarse quantizer of [[IvfCells]] deterministic
+    * direction vectors (md5-derived, so the oracle reproduces them;
+    * a production deployment would train k-means centroids instead —
+    * the plan shape is identical). Every corpus vector lands in its
+    * argmax-dot cell; a query probes its [[IvfProbes]] best cells and
+    * reranks only those cells' vectors with exact cosine. Corpus work
+    * per query is ~nprobe/cells of a scan, and the cell assignment is
+    * one codegen pass — the classic IVF cost model. */
+  val IvfCells = 16
+  val IvfProbes = 2
+  /** Offset into the hyperplane family so IVF directions never reuse
+    * the LSH planes. */
+  private val IvfBase = 100
+
+  private def cellDots(e: Column): Seq[Column] =
+    (0 until IvfCells).map { c =>
+      val wc = typedLit((0 until Dims).map(d => hyperplane(IvfBase + c, d)))
+      dot(wc, e)
+    }
+
+  /** argmax cell (ties → smallest cell id, via array_position on the
+    * first occurrence of the max). */
+  private def cellOf(e: Column): Column = {
+    val arr = array(cellDots(e): _*)
+    (array_position(arr, array_max(arr)) - 1).cast("int")
+  }
+
+  def q41SimAnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val corpus = v.withColumn("cell", cellOf(col("e")))
+    // queries: rank all cells by dot, probe the top IvfProbes
+    val qDots = v.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_vec"), col("e").as("qe"),
+        posexplode(array(cellDots(col("e")): _*)).as(Seq("cell", "d")))
+    val wq = Window.partitionBy("q_vec").orderBy(col("d").desc, col("cell").asc)
+    val probes = qDots.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("q_vec"), col("qe"), col("cell"))
+    val scored = corpus.join(broadcast(probes),
+        corpus("cell") === probes("cell") && col("vec_id") =!= col("q_vec"))
+      .select(col("q_vec"), col("vec_id").as("cand"),
+        cosine(col("qe"), col("e")).as("sim"))
+    val w = Window.partitionBy("q_vec").orderBy(col("sim").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_vec"), col("cand"), round(col("sim"), 6).as("sim"), col("rank"))
+      .orderBy("q_vec", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_sim_topk" -> (q24SimTopk _),
     "q25_sim_ann_lsh" -> (q25SimAnnLsh _),
     "q26_embedding_neardup" -> (q26EmbeddingNeardup _),
+    "q41_sim_ann_ivf" -> (q41SimAnnIvf _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -245,5 +296,31 @@ object Similarity {
          |$pairSimSql
          |SELECT av AS a, bv AS b, round(sim, 6) AS sim
          |FROM sims WHERE sim >= $NeardupThreshold ORDER BY a, b""".stripMargin,
+
+    "q41_sim_ann_ivf" ->
+      s"""WITH $vecCtes,
+         |cwt AS (SELECT c.c, d.d,
+         |    (${hexToLongSql("md5(CAST(c.c + 100 AS VARCHAR) || '_' || CAST(d.d AS VARCHAR))", 1, 4)}
+         |     / 65535.0) * 2.0 - 1.0 AS w
+         |  FROM (SELECT unnest(generate_series(0, ${IvfCells - 1})) AS c) c,
+         |       (SELECT unnest(generate_series(0, $Dims - 1)) AS d) d),
+         |dotc AS (SELECT vv.vec_id, cwt.c, sum(cwt.w * vv.x) AS s
+         |  FROM vv JOIN cwt ON cwt.d = vv.i - 1
+         |  GROUP BY 1, 2),
+         |cellr AS (SELECT vec_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rk
+         |  FROM dotc),
+         |corpus AS (SELECT vec_id, c AS cell FROM cellr WHERE rk = 1),
+         |probes AS (SELECT vec_id AS qv, c AS cell FROM cellr
+         |           WHERE rk <= $IvfProbes AND vec_id < 5),
+         |cand AS (SELECT p.qv AS av, x.vec_id AS bv
+         |  FROM probes p JOIN corpus x ON x.cell = p.cell AND x.vec_id <> p.qv),
+         |$pairSimSql,
+         |r AS (SELECT av, bv, sim,
+         |    row_number() OVER (PARTITION BY av ORDER BY sim DESC, bv ASC) AS rk
+         |  FROM sims)
+         |SELECT av AS q_vec, bv AS cand, round(sim, 6) AS sim,
+         |       CAST(rk AS BIGINT) AS rank
+         |FROM r WHERE rk <= 5 ORDER BY q_vec, rank""".stripMargin,
   )
 }

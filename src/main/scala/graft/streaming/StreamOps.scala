@@ -55,9 +55,26 @@ object StreamOps {
       .orderBy("user_id", "session_id")
   }
 
+  // ---------------------------------------------------------------- q40
+  /** Distinct users per tumbling hour: exact two-level aggregation
+    * (dedup on (bucket, user) then count — partial-agg friendly, no
+    * collect_set; the streaming form is watermark + dropDuplicates +
+    * count, same two-level shape, and at 100 TB the approximate path
+    * is approx_count_distinct with a fixed-size HLL sketch). */
+  def q40WindowedUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .withColumn("bucket",
+        floor(expr("ts_us div 1000") / lit(3600000.0)).cast("long"))
+      .select("bucket", "user_id")
+      .distinct()
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_windowed_agg" -> (q32WindowedAgg _),
     "q33_sessionization" -> (q33Sessionization _),
+    "q40_windowed_users" -> (q40WindowedUsers _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -85,5 +102,11 @@ object StreamOps {
         |       min(us) AS start_us, max(us) AS end_us,
         |       max(us) - min(us) AS duration_us
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q40_windowed_users" ->
+      """SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS bucket,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -95,6 +95,17 @@ class SimilaritySpec extends SparkSpec {
       s"candidate pairs ${pairs.size} not sub-quadratic (all $allPairs)")
   }
 
+  test("q41 IVF: per-query results stay within probed cells, ranked") {
+    val rows = Similarity.q41SimAnnIvf(spark, sfDir()).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("q_vec"))
+    byQ.values.foreach { rs =>
+      assert(rs.length <= 5)
+      val sims = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim")).toSeq
+      assert(sims == sims.sorted.reverse, "rerank must be descending")
+    }
+  }
+
   test("hyperplane weights are deterministic and in [-1, 1]") {
     val w1 = Similarity.hyperplane(3, 17)
     val w2 = Similarity.hyperplane(3, 17)
