@@ -39,6 +39,21 @@ object Streaming {
           .as("bucket"),
         col("event_type"), col("n"), col("total"))
 
+  /** One session-fold transition: nEvents=0 means "no open session,
+    * sessionId is the last used id" — a fresh event therefore starts
+    * session sessionId+1, keeping ids monotone across idle-timeout
+    * flushes. */
+  private[graft] def step(userId: Long, st: SessionState, us: Long,
+      gap: Long): (Option[SessionOut], SessionState) =
+    if (st.nEvents == 0L) (None, SessionState(st.sessionId + 1L, 1L, us, us))
+    else if (us - st.lastUs > gap)
+      (Some(flush(userId, st)), SessionState(st.sessionId + 1L, 1L, us, us))
+    else (None, st.copy(nEvents = st.nEvents + 1, lastUs = us))
+
+  private[graft] def flush(userId: Long, st: SessionState): SessionOut =
+    SessionOut(userId, st.sessionId, st.nEvents, st.startUs, st.lastUs,
+      st.lastUs - st.startUs)
+
   /** S2: gap-based sessionization via flatMapGroupsWithState — emits a
     * session row when the 30-min gap closes it; with
     * `ProcessingTimeTimeout` (the production default) the open session
@@ -55,10 +70,6 @@ object Streaming {
     import spark.implicits._
     val gap = StreamOps.SessionGapUs
     val useTimeout = timeout != GroupStateTimeout.NoTimeout
-
-    def flush(userId: Long, st: SessionState): SessionOut =
-      SessionOut(userId, st.sessionId, st.nEvents, st.startUs, st.lastUs,
-        st.lastUs - st.startUs)
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionOut](
@@ -80,14 +91,9 @@ object Streaming {
             val sorted = it.toSeq.sortBy(e => (e.ts.getTime * 1000 + e.ts.getNanos / 1000 % 1000, e.event_id))
             for (e <- sorted) {
               val us = e.ts.getTime / 1000 * 1000000 + e.ts.getNanos / 1000
-              if (st.nEvents == 0L) {
-                st = SessionState(st.sessionId + 1L, 1L, us, us)
-              } else if (us - st.lastUs > gap) {
-                out += flush(userId, st)
-                st = SessionState(st.sessionId + 1, 1L, us, us)
-              } else {
-                st = st.copy(nEvents = st.nEvents + 1, lastUs = us)
-              }
+              val (emitted, next) = step(userId, st, us, gap)
+              emitted.foreach(out += _)
+              st = next
             }
             state.update(st)
             if (useTimeout) state.setTimeoutDuration("1 hour")

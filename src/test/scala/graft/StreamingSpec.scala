@@ -77,6 +77,25 @@ class StreamingSpec extends SparkSpec {
     assert(firstIds == 0)
   }
 
+  test("session ids stay monotone across idle-timeout flushes") {
+    val gap = StreamOps.SessionGapUs
+    var st = Streaming.SessionState(0L, 0L, Long.MinValue, Long.MinValue)
+    // first event opens session 1
+    st = Streaming.step(7L, st, 1000L, gap)._2
+    assert(st.sessionId == 1L && st.nEvents == 1L)
+    // idle timeout: the handler flushes and keeps the counter
+    // (nEvents = 0 sentinel) — mirror what the timeout branch does
+    st = st.copy(nEvents = 0L)
+    // next event must continue at session 2, not restart at 1
+    val (out, st2) = Streaming.step(7L, st, 2000L, gap)
+    assert(out.isEmpty)
+    assert(st2.sessionId == 2L && st2.nEvents == 1L)
+    // gap-close inside a batch also increments monotonically
+    val (flushed, st3) = Streaming.step(7L, st2, 2000L + gap + 1, gap)
+    assert(flushed.exists(_.session_id == 2L))
+    assert(st3.sessionId == 3L)
+  }
+
   test("stream-static enrichment keeps stream rows and adds dim columns") {
     val dim = Seq((7L, "gold"), (8L, "basic")).toDF("uid", "tier")
     val out = Streaming.enrich(sample.toDF(), dim, "user_id", "uid")
