@@ -36,6 +36,26 @@ object PackageJsonSource {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(manifestSchema).json(path)
 
+  /** Lenient read: malformed JSON lines (the reference's miner hits
+    * these constantly on real package.json dumps —
+    * GitHubMinerHelper.ts catch blocks) are captured in a
+    * `_corrupt_record` column instead of poisoning the scan.
+    * Returns (good rows with the manifest schema, corrupt raw lines)
+    * so the pipeline can quarantine rejects to a side output. */
+  def readLenient(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val schema = manifestSchema.add("_corrupt_record", StringType)
+    val raw = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // corrupt-record column must not be filtered in isolation
+    val good = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw"))
+    (good, bad)
+  }
+
   case class GraphEntities(users: DataFrame, repos: DataFrame,
     modules: DataFrame, edges: DataFrame)
 

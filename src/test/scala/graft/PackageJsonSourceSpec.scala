@@ -3,6 +3,7 @@ package graft
 import graft.sources.PackageJsonSource
 
 class PackageJsonSourceSpec extends SparkSpec {
+  import spark.implicits._
 
   private lazy val manifests =
     PackageJsonSource.read(spark, "src/test/resources/manifests.jsonl")
@@ -40,6 +41,37 @@ class PackageJsonSourceSpec extends SparkSpec {
     val owns = PackageJsonSource.ownsEdges(manifests).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(owns == Set(("ada", "alpha"), ("ada", "gamma"), ("bob", "beta")))
+  }
+
+  test("lenient read quarantines malformed manifest lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifests")
+    val f = dir.resolve("mixed.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"name": "ok1", "owner": "ada", "dependencies": {"beta": "^1"}}
+        |{not json at all
+        |{"name": "ok2", "owner": "bob"}
+        |""".stripMargin)
+    val (good, bad) = PackageJsonSource.readLenient(spark, f.toString)
+    assert(good.count() == 2)
+    assert(good.collect().map(_.getAs[String]("name")).toSet == Set("ok1", "ok2"))
+    assert(bad.count() == 1)
+    assert(bad.first().getString(0).contains("not json"))
+  }
+
+  test("salted skew join returns exactly the plain join's rows") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.SkewJoin
+    // heavy skew: 90% of facts share key 1
+    val fact = ((1 to 900).map(i => (1L, i.toLong)) ++
+      (1 to 100).map(i => (i.toLong % 7 + 2, i.toLong))).toDF("k", "payload")
+    val build = Seq((1L, "hot"), (2L, "warm"), (3L, "cool")).toDF("bk", "label")
+    val plain = fact.join(build, col("k") === col("bk"))
+      .select("k", "payload", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    val salted = SkewJoin.salted(fact, build, "k", "bk", buckets = 8)
+      .select("k", "payload", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(salted.toSeq == plain.toSeq)
   }
 
   test("manifest graph end-to-end: ingest → khop / pagerank / CC") {
