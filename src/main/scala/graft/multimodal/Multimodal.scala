@@ -72,4 +72,27 @@ object Multimodal {
         .filter(_.frame_idx % sampleEvery == 0))
     }
   }
+
+  /** Feature extraction over decoded frames — genuine math (NOT part
+    * of the stub): pixel mean, standard deviation, dimensions, and an
+    * 8-bin intensity histogram as one fixed-width `array<double>`.
+    * Pure codegen'd higher-order functions, no UDF, no shuffle; the
+    * output column drops straight into the `graft.sim` similarity /
+    * near-dup operators (media → embedding → ANN composition). */
+  def extractFeatures(frames: DataFrame): DataFrame =
+    frames
+      .withColumn("px", col("pixels").cast("array<double>"))
+      .withColumn("mean_px",
+        expr("aggregate(px, 0.0D, (a, p) -> a + p) / size(px)"))
+      .withColumn("std_px", sqrt(
+        expr("aggregate(px, 0.0D, (a, p) -> a + (p - mean_px) * (p - mean_px)) / size(px)")))
+      .withColumn("hist",
+        expr("""transform(sequence(0, 7),
+               |  b -> size(filter(px, p -> cast(least(floor(p * 8), 7D) as int) = b))
+               |       / cast(size(px) as double))""".stripMargin))
+      .select(col("doc_id"), col("frame_idx"),
+        concat(
+          array(col("mean_px"), col("std_px"),
+            col("width").cast("double"), col("height").cast("double")),
+          col("hist")).as("features"))
 }

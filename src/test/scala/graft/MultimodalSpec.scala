@@ -36,6 +36,31 @@ class MultimodalSpec extends SparkSpec {
     assert(sampled.length == all.count(_.frame_idx % 2 == 0))
   }
 
+  test("feature extraction: fixed-width vectors that feed similarity ops") {
+    import org.apache.spark.sql.functions._
+    val frames = Multimodal.decodeFrames(media, targetPixels = 16).toDF()
+    val feats = Multimodal.extractFeatures(frames)
+    val rows = feats.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getAs[scala.collection.Seq[Double]]("features")
+      assert(v.length == 12)
+      assert(math.abs(v.drop(4).sum - 1.0) < 1e-9, "histogram must sum to 1")
+      assert(v(1) >= 0.0, "std must be non-negative")
+    }
+    // composition: frame features drive the cosine similarity operator
+    val f0 = feats.filter(col("frame_idx") === 0)
+      .select(col("doc_id"), col("features"))
+    val sim = f0.as("x").join(f0.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .limit(100)
+      .select(graft.sim.Similarity.cosine(
+        col("x.features"), col("y.features")).as("s"))
+      .collect()
+    assert(sim.forall(r => r.getDouble(0) >= -1.0 - 1e-9 &&
+      r.getDouble(0) <= 1.0 + 1e-9))
+  }
+
   test("decoder dims agree with the q31 metadata query") {
     val meta = TextOps.q31MultimodalMeta(spark, sfDir()).collect()
       .map(r => r.getAs[Long]("doc_id") ->
