@@ -143,8 +143,27 @@ object Relational {
     hosted.union(orphan).orderBy("status")
   }
 
+  /** q42: undirected relationship-exists between two named entities
+    * (the reference's `EXISTS((a)-[:DEV_DEPENDS_ON]-(b))` point check,
+    * queries.md:192-196) for every pair of the first five nations —
+    * the existence probe is a broadcast left join against the
+    * deduplicated undirected edge set, emitted as 0/1. */
+  def q42EdgeExistsPairs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val und = TradeGraph.undirectedEdges(t)
+    val ids = t.nation.filter(col("n_nationkey") < 5)
+      .select(col("n_nationkey").cast("long").as("id"))
+    val pairs = ids.as("x").join(ids.as("y"), col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+    pairs.join(und, col("a") === col("src") && col("b") === col("dst"), "left")
+      .select(col("a"), col("b"),
+        when(col("src").isNotNull, 1L).otherwise(0L).as("connected"))
+      .orderBy("a", "b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_property_export" -> (q01PropertyExport _),
+    "q42_edge_exists_pairs" -> (q42EdgeExistsPairs _),
     "q02_threshold_filter" -> (q02ThresholdFilter _),
     "q03_top_indegree" -> (q03TopIndegree _),
     "q04_owner_degree" -> (q04OwnerDegree _),
@@ -159,6 +178,17 @@ object Relational {
   private val T = TradeGraph.sqlCte
 
   val oracleSql: Map[String, String] = Map(
+    "q42_edge_exists_pairs" ->
+      s"""WITH $T, ${TradeGraph.sqlUndirectedCte},
+         |ids AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation
+         |        WHERE n_nationkey < 5)
+         |SELECT x.id AS a, y.id AS b,
+         |       CAST(CASE WHEN u.src IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         |         AS connected
+         |FROM ids x JOIN ids y ON x.id < y.id
+         |LEFT JOIN undirected u ON u.src = x.id AND u.dst = y.id
+         |ORDER BY a, b""".stripMargin,
+
     "q01_property_export" ->
       """SELECT p_partkey, p_name, p_brand, p_retailprice
         |FROM part ORDER BY p_partkey""".stripMargin,
