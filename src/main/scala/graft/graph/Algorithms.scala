@@ -124,12 +124,18 @@ object Algorithms {
   }
 
   // ---------------------------------------------------------------- q13
-  /** All-pairs shortest path lengths (directed, unweighted) — BFS over
-    * (src, dst) pair frontier; a pair is discovered at its minimal hop
-    * by construction. */
-  def q13ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
-    val edges = checkpointedEdges(Tables(spark, dir))
-    var visited = edges.withColumn("hops", lit(1L)).pipe(Checkpoints.cut)
+  /** Shortest path lengths (directed, unweighted) from `sources` —
+    * BFS over a (src, dst) pair frontier; a pair is discovered at its
+    * minimal hop by construction. The source-set parameter is the
+    * scale control: all-pairs output is O(V²) and only sane on small
+    * graphs, while a bounded source set keeps the frontier (and the
+    * result) proportional to |sources|·V. */
+  def shortestPaths(edges: DataFrame, sources: Option[DataFrame] = None): DataFrame = {
+    val seed = sources match {
+      case Some(s) => edges.join(s.select(col("node").as("src")), Seq("src"), "left_semi")
+      case None => edges
+    }
+    var visited = seed.withColumn("hops", lit(1L)).pipe(Checkpoints.cut)
     var frontier = visited
     var hop = 1L
     var n = frontier.count()
@@ -149,6 +155,12 @@ object Algorithms {
     }
     visited.orderBy("src", "dst")
   }
+
+  /** q13: the all-pairs instance (every node a source) — fine for the
+    * trade graph; use [[shortestPaths]] with a source set on large
+    * graphs. */
+  def q13ShortestPaths(spark: SparkSession, dir: String): DataFrame =
+    shortestPaths(checkpointedEdges(Tables(spark, dir)))
 
   // ---------------------------------------------------------------- q14
   /** PageRank, GraphX semantics (r₀=1; r ← 0.15 + 0.85·Σ_in r/outdeg),

@@ -91,6 +91,17 @@ class AlgorithmsSpec extends SparkSpec {
     assert(Louvain.modularity(e, lv) >= Louvain.modularity(e, rand))
   }
 
+  test("source-set shortest paths equals the all-pairs slice") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 5L)).toDF("src", "dst")
+    val all = Algorithms.shortestPaths(es)
+      .filter(col("src") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fromOne = Algorithms.shortestPaths(es, Some(Seq(1L).toDF("node")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fromOne == all)
+    assert(fromOne == Set((1L, 2L, 1L), (1L, 3L, 2L), (1L, 1L, 3L), (1L, 5L, 1L)))
+  }
+
   test("dependency chains enumerate cycle-free paths with the guard") {
     // 1→2→3→1 cycle with spur 1→5: paths from 1 stop at the revisit
     val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 5L)).toDF("src", "dst")
