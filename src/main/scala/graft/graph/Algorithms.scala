@@ -36,7 +36,8 @@ object Algorithms {
     var visited = Seq((root, 0L)).toDF("node", "hop").pipe(Checkpoints.cut)
     var frontier = visited
     var hop = 0L
-    while (hop < k && frontier.isEmpty == false) {
+    var n = 1L // one driver-side scalar per iteration, no extra isEmpty action
+    while (hop < k && n > 0) {
       hop += 1
       frontier = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node"))
@@ -44,7 +45,8 @@ object Algorithms {
         .join(visited.select(col("node").as("v")), col("node") === col("v"), "left_anti")
         .withColumn("hop", lit(hop))
         .pipe(Checkpoints.cut)
-      visited = visited.union(frontier).pipe(Checkpoints.cut)
+      n = frontier.count()
+      if (n > 0) visited = visited.union(frontier).pipe(Checkpoints.cut)
     }
     visited.orderBy("node")
   }

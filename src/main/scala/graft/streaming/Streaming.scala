@@ -107,4 +107,19 @@ object Streaming {
   def enrich(events: DataFrame, dim: DataFrame, streamKey: String,
       dimKey: String): DataFrame =
     events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
+
+  /** S4: distinct users per tumbling hour on a stream — the
+    * fixed-state path: approx_count_distinct keeps one HLL sketch per
+    * window in the state store regardless of user cardinality (the
+    * exact batch form is q40; at 100 TB the sketch is the only shape
+    * whose state does not grow with distinct keys). */
+  def windowedUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct("user_id").as("n_users_approx"))
+      .select(
+        floor(unix_millis(col("window.start")) / lit(3600000.0)).cast("long")
+          .as("bucket"),
+        col("n_users_approx"))
 }

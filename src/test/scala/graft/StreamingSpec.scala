@@ -77,6 +77,27 @@ class StreamingSpec extends SparkSpec {
     assert(firstIds == 0)
   }
 
+  test("streaming distinct users approximates the exact batch count") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Streaming.Event]
+    // 40 users in one bucket + a watermark-driving sentinel far ahead
+    val burst = (1 to 40).map(i =>
+      Streaming.Event(i.toLong, ts(i % 30), i.toLong % 40, "view", 1.0))
+    ms.addData(burst)
+    ms.addData(Seq(Streaming.Event(99L, ts(600), 9L, "view", 0.0)))
+    val q = Streaming.windowedUsers(ms.toDF())
+      .writeStream.format("memory").queryName("wusers")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("wusers").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bucket0 = ts(0).getTime / 3600000L
+    assert(got.contains(bucket0))
+    val approx = got(bucket0).toDouble
+    assert(math.abs(approx - 40.0) / 40.0 < 0.15,
+      s"HLL estimate $approx too far from exact 40")
+  }
+
   test("session ids stay monotone across idle-timeout flushes") {
     val gap = StreamOps.SessionGapUs
     var st = Streaming.SessionState(0L, 0L, Long.MinValue, Long.MinValue)
