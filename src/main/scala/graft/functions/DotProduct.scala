@@ -70,4 +70,12 @@ object GraftFunctions {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Register graft's custom expressions as SQL functions on an
+    * existing session (`SELECT graft_dot(a, b) ...`). For cluster
+    * deployments set `spark.sql.extensions=graft.GraftExtensions`
+    * instead — same registrations, applied at session build. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.FunctionRegistrar.registerTemp(
+      spark, "graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
 }

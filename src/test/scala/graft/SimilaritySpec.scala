@@ -106,6 +106,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graft_dot is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .first().getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("hyperplane weights are deterministic and in [-1, 1]") {
     val w1 = Similarity.hyperplane(3, 17)
     val w2 = Similarity.hyperplane(3, 17)
