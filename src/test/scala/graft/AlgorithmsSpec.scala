@@ -110,6 +110,18 @@ class AlgorithmsSpec extends SparkSpec {
     assert(paths == Set("1->2", "1->5", "1->2->3"))
   }
 
+  test("reliable checkpoint dir is honored when configured") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.conf.set(Checkpoints.ConfKey, dir.toString)
+    try {
+      val out = Algorithms.khop(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), 1L, 2)
+      assert(out.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+      val entries = java.nio.file.Files.walk(dir).count()
+      assert(entries > 1, "no reliable checkpoint data written under the dir")
+    } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
   test("trade graph: ≤3 out-edges per src, deterministic across runs") {
     val t = Tables(spark, sfDir())
     val e1 = TradeGraph.edges(t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
