@@ -63,24 +63,18 @@ object TextOps {
     * the documents, not two). Also emits `nn` = |gram set| for the
     * Jaccard denominator. */
   /** Per-doc minhash lane signature, computed fully in-row from the
-    * documents (no exploded-gram shuffle): `nMd5` digests per gram
-    * (md5 of "k:gram"), each sliced into 8 × 4-hex (16-bit) lanes,
-    * lane value = min over the doc's distinct grams — 8·nMd5
-    * permutations for nMd5 md5 calls per gram. The md5 arrays live in
-    * their own projection so the 8 lane mins share one digest
-    * evaluation (CollapseProject keeps non-cheap exprs referenced more
-    * than once in their own project). Also emits `nn` = |gram set| for
-    * the Jaccard denominator. */
+    * documents (no exploded-gram shuffle) by the custom
+    * [[graft.functions.MinhashSignature]] Catalyst expression: one JVM
+    * loop per row instead of 8·nMd5 interpreted HOF passes — see the
+    * expression's Scaladoc for the why. Emits `nn` = |gram set| for
+    * the Jaccard denominator plus lanes h0..h(8·nMd5-1). */
   private[graft] def laneSigs(d: DataFrame, nMd5: Int): DataFrame = {
-    val withGrams = d.filter(length(col("s")) >= 5)
-      .selectExpr("doc_id",
-        "array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5))) AS grams")
-    val mds = (0 until nMd5).map(k =>
-      s"transform(grams, g -> md5(concat('$k:', g))) AS m$k")
-    val lanes = for (k <- 0 until nMd5; l <- 0 until 8)
-      yield s"array_min(transform(m$k, h -> substring(h, ${1 + 4 * l}, 4))) AS h${8 * k + l}"
-    withGrams.selectExpr(Seq("doc_id", "size(grams) AS nn") ++ mds: _*)
-      .selectExpr(Seq("doc_id", "nn") ++ lanes: _*)
+    val sig = d.filter(length(col("s")) >= 5)
+      .select(col("doc_id"),
+        graft.functions.MinhashSignature(col("s"), nMd5).as("sig"))
+    val laneCols = (0 until 8 * nMd5).map(i =>
+      col("sig.lanes").getItem(i).as(s"h$i"))
+    sig.select(col("doc_id") +: col("sig.nn").as("nn") +: laneCols: _*)
   }
 
   /** (doc_id, j, k): band j's key = concat of `r` consecutive lanes
