@@ -1,0 +1,103 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 60-bit simhash of a whitespace-normalized string in ONE expression:
+  * words = split(s, ' ') (trailing empties kept, mirroring Spark's
+  * `split`), per-word hash = first 15 hex nibbles of md5(word) as a
+  * 60-bit value, frequency-weighted ±1 per bit, sign → signature bit.
+  * Bit-identical to the HOF `aggregate`/`zip_with` formulation and
+  * the DuckDB oracle; one interpreted call per row instead of
+  * |words|·60 interpreted lambda evals (HOFs are CodegenFallback). */
+case class SimhashSignature(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  private val Bits = 60
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val md = MessageDigest.getInstance("MD5")
+    val counts = new Array[Int](Bits)
+    val words = s.split(" ", -1)
+    var wi = 0
+    while (wi < words.length) {
+      md.reset()
+      val digest = md.digest(words(wi).getBytes(StandardCharsets.UTF_8))
+      // first 15 hex nibbles → 60-bit value
+      var h = 0L
+      var i = 0
+      while (i < 15) {
+        val nib = (digest(i / 2) >> (4 * (1 - i % 2))) & 0xf
+        h = (h << 4) | nib
+        i += 1
+      }
+      var b = 0
+      while (b < Bits) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      wi += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < Bits) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashSignature =
+    copy(child = newChild)
+}
+
+object SimhashSignature {
+  def apply(c: Column): Column =
+    ColumnBridge.column(SimhashSignature(ColumnBridge.expression(c)))
+}
+
+/** Distinct char-5-grams of a string as an array (first-occurrence
+  * order) — the single-loop form of
+  * `array_distinct(transform(sequence(...), i -> substring(s, i, 5)))`,
+  * which pays an interpreted lambda eval per position (HOFs are
+  * CodegenFallback). Null for strings shorter than 5. */
+case class CharGrams(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_grams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < 5) return null
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + 5 <= s.length) { seen.add(s.substring(i, i + 5)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
+object CharGrams {
+  def apply(c: Column): Column =
+    ColumnBridge.column(CharGrams(ColumnBridge.expression(c)))
+}

@@ -47,11 +47,12 @@ object TextOps {
   private[graft] def docs(spark: SparkSession, dir: String): DataFrame =
     withNorm(Tables(spark, dir).documents)
 
-  /** (doc_id, gram) — distinct char-5-gram relation. */
+  /** (doc_id, gram) — distinct char-5-gram relation (single-loop
+    * [[graft.functions.CharGrams]] expression, exploded). */
   private[graft] def grams(d: DataFrame): DataFrame =
     d.filter(length(col("s")) >= 5)
-      .selectExpr("doc_id",
-        "explode(array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5)))) AS gram")
+      .select(col("doc_id"),
+        explode(graft.functions.CharGrams(col("s"))).as("gram"))
 
   /** Per-doc minhash lane signature derived from the exploded gram
     * relation: `nMd5` digests per gram (md5 of "k:gram"), each sliced
@@ -176,26 +177,9 @@ object TextOps {
     * 4 bands untouched, by pigeonhole). */
   val SimhashBits = 60
 
-  private val simhashCountsExpr: String =
-    s"""aggregate(
-      |  transform(split(s, ' '),
-      |            w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
-      |  array_repeat(cast(0 as bigint), $SimhashBits),
-      |  (cnt, h) -> zip_with(cnt,
-      |    transform(sequence(0, ${SimhashBits - 1}),
-      |              b -> if(shiftright(h, b) % 2 = 1, cast(1 as bigint), cast(-1 as bigint))),
-      |    (x, y) -> x + y)
-      |)""".stripMargin
-
   def simhashSignatures(d: DataFrame): DataFrame =
-    // the bit-count array is bound to a lambda variable so it is
-    // evaluated once per row — an attribute reference would be inlined
-    // by CollapseProject and re-evaluated on every output bit
-    d.selectExpr("doc_id",
-      s"""element_at(transform(array($simhashCountsExpr),
-         |  c -> aggregate(sequence(0, ${SimhashBits - 1}), cast(0 as bigint),
-         |    (acc, j) -> acc + if(element_at(c, j + 1) > 0,
-         |      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))), 1) AS sig""".stripMargin)
+    d.select(col("doc_id"),
+      graft.functions.SimhashSignature(col("s")).as("sig"))
 
   def q23DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val sig = Checkpoints.cut(simhashSignatures(docs(spark, dir)))
