@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{CharGrams, MinhashSignature, SimhashSignature}
+
+/** Randomized equivalence tests pinning the custom single-loop
+  * Catalyst expressions to the HOF formulations they replaced — the
+  * HOF forms are what the DuckDB oracles mirror, so equivalence here
+  * is what keeps the optimized plans oracle-faithful on arbitrary
+  * input, not just the test corpus. Inputs are seeded (deterministic
+  * across runs) and include empty strings, single words, repeats, and
+  * sub-5-char edge cases. */
+class ExpressionEquivalenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomTexts(n: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val alphabet = "abcdefghij0123 " // small alphabet → repeats + spaces
+    (0 until n).map { _ =>
+      val len = rnd.nextInt(40)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        .replaceAll(" +", " ").trim
+    } ++ Seq("", "a", "abcd", "abcde", "aaaaaaaaaa", "one two one two")
+  }
+
+  test("MinhashSignature lanes == HOF md5-slice formulation") {
+    val d = randomTexts(60, 7L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "s")
+    val custom = d.filter(length(col("s")) >= 5)
+      .select(col("doc_id"), MinhashSignature(col("s"), 2).as("sig"))
+      .selectExpr("doc_id", "sig.nn AS nn", "sig.lanes AS lanes")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[String](2).toList))
+      .toSet
+    val hof = d.filter(length(col("s")) >= 5)
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5))) AS grams")
+      .selectExpr("doc_id", "cast(size(grams) as int) AS nn",
+        "transform(grams, g -> md5(concat('0:', g))) AS m0",
+        "transform(grams, g -> md5(concat('1:', g))) AS m1")
+      .selectExpr(Seq("doc_id", "nn") ++
+        (for (k <- 0 to 1; l <- 0 to 7)
+          yield s"array_min(transform(m$k, h -> substring(h, ${1 + 4 * l}, 4))) AS h${8 * k + l}"): _*)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        (2 to 17).map(r.getString).toList))
+      .toSet
+    assert(custom == hof)
+  }
+
+  test("SimhashSignature == HOF aggregate/zip_with formulation") {
+    val d = randomTexts(60, 11L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "s")
+    val custom = d.select(col("doc_id"), SimhashSignature(col("s")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val counts =
+      """aggregate(
+        |  transform(split(s, ' '),
+        |            w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)),
+        |  array_repeat(cast(0 as bigint), 60),
+        |  (cnt, h) -> zip_with(cnt,
+        |    transform(sequence(0, 59),
+        |              b -> if(shiftright(h, b) % 2 = 1, cast(1 as bigint), cast(-1 as bigint))),
+        |    (x, y) -> x + y))""".stripMargin
+    val hof = d.selectExpr("doc_id",
+      s"""element_at(transform(array($counts),
+         |  c -> aggregate(sequence(0, 59), cast(0 as bigint),
+         |    (acc, j) -> acc + if(element_at(c, j + 1) > 0,
+         |      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))), 1) AS sig""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(custom == hof)
+  }
+
+  test("CharGrams == array_distinct/transform formulation") {
+    val d = randomTexts(60, 13L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "s")
+      .filter(length(col("s")) >= 5)
+    val custom = d.select(col("doc_id"), CharGrams(col("s")).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val hof = d.selectExpr("doc_id",
+      "array_distinct(transform(sequence(1, length(s) - 4), i -> substring(s, i, 5))) AS g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(custom == hof)
+  }
+}
