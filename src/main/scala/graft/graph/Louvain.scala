@@ -95,9 +95,8 @@ object Louvain {
     }
     var best = assign
     var bestQ = qOf(assign)
-    var stable = 0
     var sweep = 0
-    while (sweep < iters && stable < 2) {
+    while (sweep < iters) {
       sweep += 1
       val tot = assign.join(deg, Seq("node"), "left")
         .groupBy("community").agg(sum(coalesce(col("deg"), lit(0L))).as("dtot"))
@@ -123,28 +122,22 @@ object Louvain {
             - col("deg").cast("double") * col("dtot_x") / (2.0 * m * m))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("node").orderBy(col("score").desc, col("c").asc)
-      val prev = assign
       assign = scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("node"),
           when(pmod(col("node"), lit(2)) === lit(sweep % 2), col("c"))
             .otherwise(col("community")).as("community"))
         .pipe(Checkpoints.cut)
-      // convergence: two consecutive no-move sweeps (one per parity)
-      // terminate the loop; unchanged sweeps skip the modularity job
-      val changed = assign
-        .join(prev.select(col("node"), col("community").as("pc")), "node")
-        .filter(col("community") =!= col("pc")).count()
-      if (changed == 0) stable += 1
-      else stable = 0
-      // score once per full even+odd pass (and at convergence) — the
-      // argmax-Q safety net at half the per-sweep job cost
-      if (changed > 0 && (sweep % 2 == 0 || sweep == iters)) {
+      // score once per full even+odd pass — the argmax-Q selection
+      // both absorbs semi-synchronous limit cycles and replaces a
+      // convergence test (which a cycle would never satisfy); one
+      // driver scalar per pass is the only loop traffic
+      if (sweep % 2 == 0 || sweep == iters) {
         val q = qOf(assign)
         if (q > bestQ) { bestQ = q; best = assign }
       }
     }
-    if (stable >= 2 && qOf(assign) >= bestQ) assign else best
+    best
   }
 
   /** q38: Louvain communities on the undirected trade graph —
