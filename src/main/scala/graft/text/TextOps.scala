@@ -202,6 +202,49 @@ object TextOps {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------------------- q43
+  /** Quality-aware exact dedup: within each exact-duplicate cluster
+    * (md5 of normalized text) keep the highest-quality document — the
+    * production "keep best, not first" dedup policy, composing the
+    * q20 grouping with the q28 scorer. The ORDER BY uses the
+    * 6dp-rounded quality so the tie-break is engine-stable. */
+  def q43DedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val q = q28QualityScore(spark, dir).select("doc_id", "quality")
+    val fp = docs(spark, dir).select(col("doc_id"), md5(col("s")).as("fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("quality").desc, col("doc_id").asc)
+    fp.join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("dup_count", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      .filter(col("rk") === 1)
+      .select(col("fp"), col("doc_id").as("keep_id"),
+        col("dup_count"), col("quality").as("best_quality"))
+      .orderBy("keep_id")
+  }
+
+  // ---------------------------------------------------------------- q44
+  /** Near-dup clustering — the end of the dedup pipeline: verified
+    * q21 near-dup pairs become undirected edges, connected components
+    * assign every document (pairless docs stay singletons) a cluster
+    * labeled by its minimum member id. Blocking bounds the edge set,
+    * the iterative CC bounds the propagation — no step is quadratic
+    * in the corpus. */
+  def q44NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val sig = Checkpoints.cut(laneSigs(d, 2))
+    val cand = Checkpoints.cut(candidates(bandRelation(sig, 3, 5)).distinct())
+    val pairs = Checkpoints.cut(
+      jaccardVerified(d, sig.select("doc_id", "nn"), cand, 0.5)
+        .select(col("a"), col("b")))
+    val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    val nodes = d.select(col("doc_id").as("node"))
+    graft.graph.Algorithms.connectedComponents(nodes, und)
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- q27
   /** Language ID: stopword-hit-ratio argmax over a fixed per-language
     * lexicon (deterministic tie-break: lang ascending). The per-lang
@@ -312,6 +355,8 @@ object TextOps {
     "q23_dedup_simhash" -> (q23DedupSimhash _),
     "q27_lang_id" -> (q27LangId _),
     "q28_quality_score" -> (q28QualityScore _),
+    "q43_dedup_keep_best" -> (q43DedupKeepBest _),
+    "q44_neardup_clusters" -> (q44NeardupClusters _),
     "q29_token_count" -> (q29TokenCount _),
     "q30_fingerprint" -> (q30Fingerprint _),
     "q31_multimodal_meta" -> (q31MultimodalMeta _),
@@ -431,6 +476,55 @@ object TextOps {
          |SELECT a, b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          |FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
          |ORDER BY a, b""".stripMargin,
+
+    "q43_dedup_keep_best" -> {
+      // quality formula mirrors q28's oracle; ORDER BY the 6dp-rounded
+      // value so cross-engine tie-breaks are stable
+      val en = langLexicon.toMap.apply("en").map(w => s"'$w'").mkString(", ")
+      s"""WITH $normCte,
+         |f AS (SELECT doc_id,
+         |    CAST(len(string_split(s, ' ')) AS BIGINT) AS nw,
+         |    CAST(length(s) - length(regexp_replace(s, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(s) AS pr,
+         |    CAST(len(list_filter(string_split(s, ' '),
+         |        w -> list_contains([$en], w))) AS BIGINT) AS m
+         |  FROM n),
+         |q AS (SELECT doc_id,
+         |    round(0.3 * least(1.0, CAST(nw AS DOUBLE) / 100.0)
+         |          + 0.3 * (1.0 - pr)
+         |          + 0.4 * (CAST(m AS DOUBLE) / nw), 6) AS quality
+         |  FROM f),
+         |fp AS (SELECT doc_id, md5(s) AS fp FROM n),
+         |jn AS (SELECT fp.fp, fp.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY fp.fp
+         |                       ORDER BY q.quality DESC, fp.doc_id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY fp.fp) AS dup_count
+         |  FROM fp JOIN q USING (doc_id))
+         |SELECT fp, doc_id AS keep_id, CAST(dup_count AS BIGINT) AS dup_count,
+         |       quality AS best_quality
+         |FROM jn WHERE rk = 1 ORDER BY keep_id""".stripMargin
+    },
+
+    "q44_neardup_clusters" ->
+      s"""WITH RECURSIVE $gramCtes,
+         |${laneSigSql(2, 3, 5)},
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |         JOIN bands y ON x.j = y.j AND x.k = y.k AND x.doc_id < y.doc_id),
+         |${jaccardTailSql("")},
+         |pairs AS (SELECT i.a, i.b
+         |  FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.a
+         |  JOIN sz sb ON sb.doc_id = i.b
+         |  WHERE CAST(i.c AS DOUBLE) / (sa.nn + sb.nn - i.c) >= 0.5),
+         |und AS (SELECT a AS src, b AS dst FROM pairs
+         |        UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS peer FROM n
+         |  UNION
+         |  SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.peer
+         |)
+         |SELECT node AS doc_id, CAST(min(peer) AS BIGINT) AS cluster
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q27_lang_id" -> {
       val langsValues = langLexicon.map { case (lang, sw) =>
