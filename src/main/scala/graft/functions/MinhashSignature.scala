@@ -55,7 +55,7 @@ case class MinhashSignature(child: Expression, nMd5: Int)
       var k = 0
       while (k < nMd5) {
         md.reset()
-        val digest = md.digest((k + ":" + g).getBytes(StandardCharsets.UTF_8))
+        val digest = md.digest(s"$k:$g".getBytes(StandardCharsets.UTF_8))
         // lowercase hex, sliced into 8 4-char lanes (2 bytes each)
         var l = 0
         while (l < 8) {

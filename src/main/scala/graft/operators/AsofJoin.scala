@@ -32,7 +32,7 @@ object AsofJoin {
       prefix: String = "r_"): DataFrame = {
     val rStruct = struct(payload.map(col): _*)
     val rType = right.select(rStruct.as("r")).schema.head.dataType
-    val lStruct = struct(left.columns.map(col): _*)
+    val lStruct = struct(left.columns.toIndexedSeq.map(col): _*)
     val lType = left.select(lStruct.as("l")).schema.head.dataType
     val lSide = left.select(col(key).as("__k"), col(leftTime).as("__t"),
       lStruct.as("__l"), lit(null).cast(rType).as("__r"), lit(1).as("__side"))
@@ -48,9 +48,9 @@ object AsofJoin {
     val matched = lSide.unionByName(rSide)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val leftCols = left.columns.toIndexedSeq.map(c => col(s"__l.$c").as(c))
     val rightCols = payload.map(c => col(s"__m.$c").as(prefix + c))
-    matched.select(leftCols ++ rightCols: _*)
+    matched.select((leftCols ++ rightCols).toIndexedSeq: _*)
   }
 
   // ---------------------------------------------------------------- q39

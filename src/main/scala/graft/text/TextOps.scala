@@ -10,8 +10,9 @@ import graft.{Checkpoints, Tables}
   *
   * Design rules for 100 TB:
   *  - signatures (minhash lanes, simhash bits, fingerprints) are
-  *    computed with codegen'd higher-order functions *inside the row*
-  *    — zero shuffle until the tiny signature relation exists;
+  *    computed *inside the row* (custom single-loop Catalyst
+  *    expressions in graft.functions) — zero shuffle until the tiny
+  *    signature relation exists;
   *  - candidate-pair generation is always blocked (LSH bands, simhash
   *    bit-bands) — never an O(n²) cross join;
   *  - candidate verification never ships gram arrays: exact Jaccard is
@@ -54,15 +55,6 @@ object TextOps {
       .select(col("doc_id"),
         explode(graft.functions.CharGrams(col("s"))).as("gram"))
 
-  /** Per-doc minhash lane signature derived from the exploded gram
-    * relation: `nMd5` digests per gram (md5 of "k:gram"), each sliced
-    * into 8 × 4-hex (16-bit) lanes, lane value = min over the doc's
-    * distinct grams, via a groupBy min-agg. The min is map-side
-    * combined, so the shuffle carries one 4-hex value per doc per lane
-    * — the gram corpus itself never shuffles — and the single gram
-    * materialization feeds signature AND verification (one pass over
-    * the documents, not two). Also emits `nn` = |gram set| for the
-    * Jaccard denominator. */
   /** Per-doc minhash lane signature, computed fully in-row from the
     * documents (no exploded-gram shuffle) by the custom
     * [[graft.functions.MinhashSignature]] Catalyst expression: one JVM
@@ -320,7 +312,7 @@ object TextOps {
     * polynomial hash (Σ ascii(cᵢ)·31^(i mod 8) mod 2^31-1) evaluated
     * in-row via aggregate/transform — no shuffle, no UDF. */
   def q30Fingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val pows = (0 to 7).map(k => math.pow(31, k).toLong + "L").mkString(", ")
+    val pows = (0 to 7).map(k => s"${math.pow(31, k).toLong}L").mkString(", ")
     docs(spark, dir)
       .selectExpr("doc_id", "md5(s) AS fp_md5",
         s"""aggregate(
