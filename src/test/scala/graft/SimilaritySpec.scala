@@ -27,7 +27,7 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  private def vecs() = Tables(spark, sfDir()).embeddings
+  private def vecs(dir: String = sfDir()) = Tables(spark, dir).embeddings
     .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
 
   test("q25 multi-table ANN recall@5 vs brute force ≥ 0.9 (50 queries)") {
@@ -60,18 +60,20 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("q26 banded near-dup recall vs brute force ≥ 0.9 at cos ≥ 0.4") {
-    val v = vecs()
-    val truth = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-        Similarity.cosine(col("x.e"), col("y.e")).as("sim"))
-      .filter(col("sim") >= Similarity.NeardupThreshold)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(truth.nonEmpty)
-    val cand = Similarity.neardupPairs(v,
-        Similarity.NeardupRows, Similarity.NeardupBands)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = (truth & cand).size.toDouble / truth.size
-    assert(recall >= 0.9, s"near-dup recall $recall (truth ${truth.size})")
+    for (sf <- Seq("0.001", "0.01")) {
+      val v = vecs(sfDir(sf))
+      val truth = v.as("x").join(v.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          Similarity.cosine(col("x.e"), col("y.e")).as("sim"))
+        .filter(col("sim") >= Similarity.NeardupThreshold)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.nonEmpty)
+      val cand = Similarity.neardupPairs(v,
+          Similarity.NeardupRows, Similarity.NeardupBands)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (truth & cand).size.toDouble / truth.size
+      assert(recall >= 0.9, s"sf$sf near-dup recall $recall (truth ${truth.size})")
+    }
   }
 
   test("dedup-regime banding (r=8, L=6): planted dups recalled, candidates sub-quadratic") {

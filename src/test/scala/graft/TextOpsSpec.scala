@@ -9,8 +9,8 @@ class TextOpsSpec extends SparkSpec {
   /** Brute-force ground truth: all pairs with exact 5-gram Jaccard ≥
     * thresh (every such pair shares ≥1 gram, so the gram join is a
     * complete pair generator). */
-  private def bruteForceJaccardPairs(thresh: Double): Set[(Long, Long)] = {
-    val g = TextOps.grams(TextOps.docs(spark, sfDir()))
+  private def bruteForceJaccardPairs(thresh: Double, dir: String): Set[(Long, Long)] = {
+    val g = TextOps.grams(TextOps.docs(spark, dir))
     val inter = g.as("ga").join(g.as("gb"),
         col("ga.gram") === col("gb.gram") && col("ga.doc_id") < col("gb.doc_id"))
       .groupBy(col("ga.doc_id").as("a"), col("gb.doc_id").as("b"))
@@ -24,16 +24,19 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("q21/q22 band blocking recall vs brute-force ground truth ≥ 0.9") {
-    val truth = bruteForceJaccardPairs(0.5)
-    assert(truth.nonEmpty, "planted near-dups expected in testdata")
-    val d = TextOps.docs(spark, sfDir())
-    for ((nMd5, nBands, r) <- Seq((2, 3, 5), (1, 2, 4))) {
-      val cand = TextOps.candidates(
-          TextOps.bandRelation(TextOps.laneSigs(d, nMd5), nBands, r))
-        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      val recall = (truth & cand).size.toDouble / truth.size
-      assert(recall >= 0.9,
-        s"recall $recall with $nMd5 md5s / $nBands bands of $r (truth ${truth.size})")
+    for (sf <- Seq("0.001", "0.01")) {
+      val dir = sfDir(sf)
+      val truth = bruteForceJaccardPairs(0.5, dir)
+      assert(truth.nonEmpty, s"planted near-dups expected at sf$sf")
+      val d = TextOps.docs(spark, dir)
+      for ((nMd5, nBands, r) <- Seq((2, 3, 5), (1, 2, 4))) {
+        val cand = TextOps.candidates(
+            TextOps.bandRelation(TextOps.laneSigs(d, nMd5), nBands, r))
+          .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (truth & cand).size.toDouble / truth.size
+        assert(recall >= 0.9,
+          s"sf$sf recall $recall with $nMd5 md5s / $nBands bands of $r (truth ${truth.size})")
+      }
     }
   }
 
