@@ -15,13 +15,25 @@ object Checkpoints {
 
   val ConfKey = "spark.graft.checkpoint.dir"
 
-  /** Materialize `df` and cut its lineage, honoring [[ConfKey]]. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Materialize `df` and cut its lineage, honoring [[ConfKey]]. If
+    * the context already has a different checkpoint dir, the
+    * configured one wins (with a warning) — never silently write
+    * checkpoints somewhere other than where [[ConfKey]] says. */
   def cut(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
+        val existing = spark.sparkContext.getCheckpointDir
+        // setCheckpointDir appends a UUID; match on the parent prefix.
+        if (existing.exists(e => !e.startsWith(dir))) {
+          log.warn(s"$ConfKey=$dir overrides existing checkpoint dir " +
+            s"${existing.get}; resetting to $dir")
           spark.sparkContext.setCheckpointDir(dir)
+        } else if (existing.isEmpty) {
+          spark.sparkContext.setCheckpointDir(dir)
+        }
         df.checkpoint()
       case _ => df.localCheckpoint()
     }

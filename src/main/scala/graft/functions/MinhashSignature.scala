@@ -36,16 +36,25 @@ case class MinhashSignature(child: Expression, nMd5: Int)
     StructField("lanes", ArrayType(StringType, containsNull = false),
       nullable = false)))
 
+  // Strings shorter than 5 code points eval to null regardless of the
+  // child's nullability — declare it so the optimizer never elides the
+  // null handling downstream.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_minhash_signature"
 
   private val hexChars = "0123456789abcdef".toCharArray
 
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    if (s.length < 5) return null
+    // Code-point windows, matching Spark `substring`/`length` and
+    // DuckDB substr semantics (UTF-16 code units would shift gram
+    // boundaries on supplementary characters).
+    val cps = s.codePoints().toArray
+    if (cps.length < 5) return null
     val grams = new java.util.HashSet[String]()
     var i = 0
-    while (i + 5 <= s.length) { grams.add(s.substring(i, i + 5)); i += 1 }
+    while (i + 5 <= cps.length) { grams.add(new String(cps, i, 5)); i += 1 }
     val md = MessageDigest.getInstance("MD5")
     val nLanes = 8 * nMd5
     val lanes = new Array[String](nLanes)

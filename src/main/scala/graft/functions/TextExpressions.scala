@@ -80,12 +80,18 @@ case class CharGrams(child: Expression)
     ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_grams"
 
+  // Null for sub-5-code-point strings even on non-nullable children.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    if (s.length < 5) return null
+    // Code-point windows — see MinhashSignature: Spark substring and
+    // DuckDB substr count code points, not UTF-16 units.
+    val cps = s.codePoints().toArray
+    if (cps.length < 5) return null
     val seen = new java.util.LinkedHashSet[String]()
     var i = 0
-    while (i + 5 <= s.length) { seen.add(s.substring(i, i + 5)); i += 1 }
+    while (i + 5 <= cps.length) { seen.add(new String(cps, i, 5)); i += 1 }
     val out = new Array[Any](seen.size)
     val it = seen.iterator()
     var j = 0

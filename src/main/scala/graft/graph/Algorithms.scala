@@ -247,21 +247,31 @@ object Algorithms {
   /** Preferential attachment score deg(u)·deg(v) for unordered node
     * pairs, top 20. The non-equi pair join is a broadcast nested loop
     * by nature, so the library caps it with a top-degree PREFILTER
-    * (mirrored in the oracle): only the top-[[PrefAttachPool]] nodes by
-    * (degree, node) enter the pairing — any top-20-by-product pair is
-    * dominated by pairs inside a pool that large, so the result is
-    * unchanged while the loop join is O(pool²) instead of O(V²). */
+    * (mirrored in the oracle): the pool is every node whose degree is
+    * ≥ the [[PrefAttachPool]]-th highest degree — DEGREE TIES AT THE
+    * BOUNDARY ARE INCLUDED, which makes the top-20 provably identical
+    * to the unfiltered computation: an excluded node's degree is
+    * strictly below every pool degree, so each of its pairs is
+    * product-dominated by ≥ C(pool,2) ≥ 2016 in-pool pairs (and when
+    * the boundary degree is 0 no node is excluded at all). The loop
+    * join is O(pool²) instead of O(V²). */
   val PrefAttachPool = 64
 
   def q17PreferentialAttachment(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val e = checkpointedEdges(t)
-    val deg = TradeGraph.nodes(t).select(col("node"))
+    val degAll = TradeGraph.nodes(t).select(col("node"))
       .join(e.select(col("src").as("n")).union(e.select(col("dst").as("n")))
         .groupBy("n").agg(count(lit(1)).as("deg")), col("node") === col("n"), "left")
       .select(col("node"), coalesce(col("deg"), lit(0L)).as("deg"))
-      .orderBy(col("deg").desc, col("node").asc)
+    // Scalar boundary degree (top-k then min — no global window), then
+    // tie-inclusive pool via a broadcast 1-row cross join.
+    val boundary = degAll.orderBy(col("deg").desc, col("node").asc)
       .limit(PrefAttachPool)
+      .agg(min(col("deg")).as("pool_min"))
+    val deg = degAll.crossJoin(broadcast(boundary))
+      .filter(col("deg") >= col("pool_min"))
+      .select("node", "deg")
     deg.as("a").join(broadcast(deg.as("b")), col("a.node") < col("b.node"))
       .select(col("a.node").as("u"), col("b.node").as("v"),
         (col("a.deg") * col("b.deg")).as("score"))
@@ -446,7 +456,7 @@ object Algorithms {
 
     "q17_preferential_attachment" ->
       s"""WITH $T,
-         |deg AS (
+         |degall AS (
          |  SELECT CAST(n.n_nationkey AS BIGINT) AS node,
          |         CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg
          |  FROM nation n
@@ -455,8 +465,12 @@ object Algorithms {
          |               UNION ALL SELECT dst AS n2 FROM trade) b
          |             GROUP BY 1) d
          |    ON d.n2 = CAST(n.n_nationkey AS BIGINT)
-         |  ORDER BY deg DESC, node ASC
-         |  LIMIT 64
+         |),
+         |deg AS (
+         |  SELECT node, deg FROM degall
+         |  WHERE deg >= (SELECT min(deg) FROM (
+         |                  SELECT deg FROM degall
+         |                  ORDER BY deg DESC, node ASC LIMIT 64) topk)
          |)
          |SELECT a.node AS u, b.node AS v, a.deg * b.deg AS score
          |FROM deg a JOIN deg b ON a.node < b.node

@@ -20,7 +20,11 @@ class ExpressionEquivalenceSpec extends SparkSpec {
       val len = rnd.nextInt(40)
       (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
         .replaceAll(" +", " ").trim
-    } ++ Seq("", "a", "abcd", "abcde", "aaaaaaaaaa", "one two one two")
+    } ++ Seq("", "a", "abcd", "abcde", "aaaaaaaaaa", "one two one two",
+      // non-BMP (supplementary) characters: gram windows must count
+      // CODE POINTS like Spark substring/length, not UTF-16 units
+      "a😀bc😀de", "😀😁xyz ab",
+      "😀😁😂😃")
   }
 
   test("MinhashSignature lanes == HOF md5-slice formulation") {

@@ -108,6 +108,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("graft_dot yields null (not a truncated score) on length mismatch") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0))).toDF("a", "b")
+    // codegen path
+    val r = df.select(graft.functions.GraftFunctions.dot(col("a"), col("b")).as("d"))
+    assert(r.first().isNullAt(0))
+    assert(r.schema("d").nullable, "mismatch-null must be declared nullable")
+    // interpreted path: direct eval of the expression
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val interp = graft.functions.DotProduct(
+      Literal.create(Seq(1.0, 2.0, 3.0), ArrayType(DoubleType)),
+      Literal.create(Seq(1.0, 2.0), ArrayType(DoubleType))).eval(null)
+    assert(interp == null)
+  }
+
   test("graft_dot is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
