@@ -25,13 +25,18 @@ object Bench {
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()
       catch { case _: Throwable => () }
+      Checkpoints.releaseAll(spark)
     }
     val results = names.map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // queries are independent: drop checkpoint/cache blocks so one
+      // query's residue never inflates the GC cost of the next
+      Checkpoints.releaseAll(spark)
+      (name, dt, ok)
     }
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v else -1.0)

@@ -38,4 +38,29 @@ object Checkpoints {
       case _ => df.localCheckpoint()
     }
   }
+
+  /** Free the cached blocks behind checkpointed DataFrames that are no
+    * longer reachable (superseded loop iterations). Without this an
+    * iterative algorithm retains every iteration's blocks for the
+    * lifetime of the session — at cluster scale that is a memory leak
+    * proportional to iterations × frontier size, and even locally the
+    * accumulated deserialized blocks degrade GC across a long session.
+    * Safe on aliased/released inputs: unpersist is idempotent. */
+  def release(dfs: DataFrame*): Unit =
+    dfs.filter(_ != null).foreach { df =>
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
+    }
+
+  /** Drop every persisted RDD and SQL-cached plan in the session —
+    * end-of-query hygiene for Verify/Bench, where queries are
+    * independent and nothing may carry blocks into the next one. */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sqlContext.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
 }

@@ -39,6 +39,7 @@ object Algorithms {
     var n = 1L // one driver-side scalar per iteration, no extra isEmpty action
     while (hop < k && n > 0) {
       hop += 1
+      val prevFrontier = frontier
       frontier = frontier.join(edges, frontier("node") === edges("src"))
         .select(col("dst").as("node"))
         .distinct()
@@ -46,13 +47,24 @@ object Algorithms {
         .withColumn("hop", lit(hop))
         .pipe(Checkpoints.cut)
       n = frontier.count()
-      if (n > 0) visited = visited.union(frontier).pipe(Checkpoints.cut)
+      if (n > 0) {
+        val prevVisited = visited
+        visited = visited.union(frontier).pipe(Checkpoints.cut)
+        Checkpoints.release(prevVisited)
+      }
+      // iteration 1 aliases frontier to visited — never free a live result
+      if (!(prevFrontier eq visited)) Checkpoints.release(prevFrontier)
     }
+    if (!(frontier eq visited)) Checkpoints.release(frontier)
     visited.orderBy("node")
   }
 
-  def q11Khop(spark: SparkSession, dir: String): DataFrame =
-    khop(checkpointedEdges(Tables(spark, dir)))
+  def q11Khop(spark: SparkSession, dir: String): DataFrame = {
+    val e = checkpointedEdges(Tables(spark, dir))
+    val out = khop(e) // eager loop: e is consumed before this returns
+    Checkpoints.release(e)
+    out
+  }
 
   // ---------------------------------------------------------------- q19
   /** Dependency chains: bounded path enumeration from a root with a
@@ -67,8 +79,12 @@ object Algorithms {
   def dependencyChains(edges: DataFrame, root: Long, k: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // every depth's frontier feeds the lazy union, so frontiers are
+    // only releasable once the union itself is checkpointed
+    val spent = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var frontier = Seq((root, Seq(root))).toDF("leaf", "path")
       .pipe(Checkpoints.cut)
+    spent += frontier
     var acc: DataFrame = null
     for (depth <- 1 to k) {
       frontier = frontier
@@ -77,10 +93,13 @@ object Algorithms {
         .select(col("dst").as("leaf"),
           concat(col("path"), array(col("dst"))).as("path"))
         .pipe(Checkpoints.cut)
+      spent += frontier
       val out = frontier.select(col("path"), lit(depth.toLong).as("depth"))
       acc = if (acc == null) out else acc.union(out)
     }
-    acc
+    val paths = Checkpoints.cut(acc)
+    Checkpoints.release(spent.toSeq: _*)
+    paths
       .select(
         expr("array_join(transform(path, x -> cast(x as string)), '->')")
           .as("path_str"),
@@ -88,8 +107,12 @@ object Algorithms {
       .orderBy("depth", "path_str")
   }
 
-  def q19DependencyChains(spark: SparkSession, dir: String): DataFrame =
-    dependencyChains(checkpointedEdges(Tables(spark, dir)), 0L, 4)
+  def q19DependencyChains(spark: SparkSession, dir: String): DataFrame = {
+    val e = checkpointedEdges(Tables(spark, dir))
+    val out = dependencyChains(e, 0L, 4) // eager: ends on a cut union
+    Checkpoints.release(e)
+    out
+  }
 
   // ---------------------------------------------------------------- q12
   /** Directed transitive closure as (src, dst) reachable pairs —
@@ -100,6 +123,7 @@ object Algorithms {
     var frontier = closure
     var n = frontier.count()
     while (n > 0) {
+      val prevFrontier = frontier
       frontier = frontier.join(
           edges.select(col("src").as("m"), col("dst").as("d")),
           frontier("dst") === col("m"))
@@ -109,16 +133,24 @@ object Algorithms {
           col("src") === col("s2") && col("dst") === col("d2"), "left_anti")
         .pipe(Checkpoints.cut)
       n = frontier.count()
-      if (n > 0) closure = closure.union(frontier).pipe(Checkpoints.cut)
+      if (n > 0) {
+        val prevClosure = closure
+        closure = closure.union(frontier).pipe(Checkpoints.cut)
+        Checkpoints.release(prevClosure)
+      }
+      if (!(prevFrontier eq closure)) Checkpoints.release(prevFrontier)
     }
+    if (!(frontier eq closure)) Checkpoints.release(frontier)
     closure
   }
 
   /** Reachable-set size per node (all nation nodes, zero included). */
   def q12TransitiveClosure(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val reach = transitiveClosure(checkpointedEdges(t))
-      .groupBy("src").agg(count(lit(1)).as("n_reachable"))
+    val e = checkpointedEdges(t)
+    val closure = transitiveClosure(e) // eager fixpoint
+    Checkpoints.release(e)
+    val reach = closure.groupBy("src").agg(count(lit(1)).as("n_reachable"))
     TradeGraph.nodes(t)
       .join(reach, col("node") === col("src"), "left")
       .select(col("node"), coalesce(col("n_reachable"), lit(0L)).as("n_reachable"))
@@ -143,6 +175,7 @@ object Algorithms {
     var n = frontier.count()
     while (n > 0) {
       hop += 1
+      val prevFrontier = frontier
       frontier = frontier.join(
           edges.select(col("src").as("m"), col("dst").as("d")),
           frontier("dst") === col("m"))
@@ -153,16 +186,26 @@ object Algorithms {
         .withColumn("hops", lit(hop))
         .pipe(Checkpoints.cut)
       n = frontier.count()
-      if (n > 0) visited = visited.union(frontier).pipe(Checkpoints.cut)
+      if (n > 0) {
+        val prevVisited = visited
+        visited = visited.union(frontier).pipe(Checkpoints.cut)
+        Checkpoints.release(prevVisited)
+      }
+      if (!(prevFrontier eq visited)) Checkpoints.release(prevFrontier)
     }
+    if (!(frontier eq visited)) Checkpoints.release(frontier)
     visited.orderBy("src", "dst")
   }
 
   /** q13: the all-pairs instance (every node a source) — fine for the
     * trade graph; use [[shortestPaths]] with a source set on large
     * graphs. */
-  def q13ShortestPaths(spark: SparkSession, dir: String): DataFrame =
-    shortestPaths(checkpointedEdges(Tables(spark, dir)))
+  def q13ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val e = checkpointedEdges(Tables(spark, dir))
+    val out = shortestPaths(e) // eager loop
+    Checkpoints.release(e)
+    out
+  }
 
   // ---------------------------------------------------------------- q14
   /** PageRank, GraphX semantics (r₀=1; r ← 0.15 + 0.85·Σ_in r/outdeg),
@@ -174,6 +217,7 @@ object Algorithms {
       .agg(count(lit(1)).as("od")).pipe(Checkpoints.cut)
     var ranks = nodes.select(col("node"), lit(1.0).as("r")).pipe(Checkpoints.cut)
     for (_ <- 1 to iters) {
+      val prev = ranks
       ranks = nodes.select(col("node"))
         .join(edges.select(col("src"), col("dst")), col("dst") === col("node"), "left")
         .join(ranks.select(col("node").as("rn"), col("r")), col("rn") === col("src"), "left")
@@ -181,7 +225,9 @@ object Algorithms {
         .groupBy(col("node"))
         .agg((lit(0.15) + lit(0.85) * coalesce(sum(col("r") / col("od")), lit(0.0))).as("r"))
         .pipe(Checkpoints.cut)
+      Checkpoints.release(prev)
     }
+    Checkpoints.release(outdeg)
     ranks
   }
 
@@ -215,6 +261,7 @@ object Algorithms {
       changed = next.join(comp.select(col("node").as("pn"), col("component").as("pc")),
           next("node") === col("pn"))
         .filter(col("component") =!= col("pc")).count()
+      Checkpoints.release(comp) // change count above was the last read
       comp = next
     }
     comp
@@ -222,9 +269,10 @@ object Algorithms {
 
   def q15ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    connectedComponents(TradeGraph.nodes(t).select("node"),
-        TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut))
-      .orderBy("node")
+    val u = TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut)
+    val comp = connectedComponents(TradeGraph.nodes(t).select("node"), u)
+    Checkpoints.release(u) // fixpoint reached; comp is checkpointed
+    comp.orderBy("node")
   }
 
   // ---------------------------------------------------------------- q16
@@ -232,7 +280,9 @@ object Algorithms {
     * from the directed closure joined with its own transpose. */
   def q16Scc(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val reach = transitiveClosure(checkpointedEdges(t))
+    val e = checkpointedEdges(t)
+    val reach = transitiveClosure(e) // eager fixpoint
+    Checkpoints.release(e)
     val mutual = reach.as("f")
       .join(reach.as("b"),
         col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
@@ -302,8 +352,9 @@ object Algorithms {
     * corpus; the heavy work stays in the iterative CC. */
   def q37CommunityMembers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val comp = connectedComponents(TradeGraph.nodes(t).select("node"),
-      TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut))
+    val u = TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut)
+    val comp = connectedComponents(TradeGraph.nodes(t).select("node"), u)
+    Checkpoints.release(u)
     comp.join(TradeGraph.nodes(t), Seq("node"))
       .groupBy("component")
       .agg(count(lit(1)).as("n_members"),

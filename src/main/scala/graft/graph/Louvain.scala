@@ -122,6 +122,7 @@ object Louvain {
             - col("deg").cast("double") * col("dtot_x") / (2.0 * m * m))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("node").orderBy(col("score").desc, col("c").asc)
+      val prev = assign
       assign = scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("node"),
@@ -134,9 +135,17 @@ object Louvain {
       // driver scalar per pass is the only loop traffic
       if (sweep % 2 == 0 || sweep == iters) {
         val q = qOf(assign)
-        if (q > bestQ) { bestQ = q; best = assign }
+        if (q > bestQ) {
+          bestQ = q
+          if (!(best eq prev)) Checkpoints.release(best)
+          best = assign
+        }
       }
+      // free the superseded sweep unless it is still the best-Q holder
+      if (!(prev eq best)) Checkpoints.release(prev)
     }
+    Checkpoints.release(adj, deg)
+    if (!(assign eq best)) Checkpoints.release(assign)
     best
   }
 
@@ -154,8 +163,9 @@ object Louvain {
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .distinct())
-    louvain(TradeGraph.nodes(t).select("node"), e)
-      .orderBy("node")
+    val best = louvain(TradeGraph.nodes(t).select("node"), e)
+    Checkpoints.release(e) // sweeps are eager; best is checkpointed
+    best.orderBy("node")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
