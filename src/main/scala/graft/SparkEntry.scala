@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsofJoin, Relational, TypedEdges}
 import graft.graph.{Algorithms, Louvain}
-import graft.text.TextOps
-import graft.sim.Similarity
+import graft.text.{CorpusOps, TextOps}
+import graft.sim.{KMeans, Similarity}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -21,12 +21,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
       Algorithms.queries ++ Louvain.queries ++ TextOps.queries ++
-      Similarity.queries ++ StreamOps.queries
+      CorpusOps.queries ++ Similarity.queries ++ KMeans.queries ++
+      StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
-      Algorithms.oracleSql ++ TextOps.oracleSql ++ Similarity.oracleSql ++
-      StreamOps.oracleSql
+      Algorithms.oracleSql ++ TextOps.oracleSql ++ CorpusOps.oracleSql ++
+      Similarity.oracleSql ++ KMeans.oracleSql ++ StreamOps.oracleSql
 }

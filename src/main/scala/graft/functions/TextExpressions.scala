@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -106,4 +107,103 @@ case class CharGrams(child: Expression)
 object CharGrams {
   def apply(c: Column): Column =
     ColumnBridge.column(CharGrams(ColumnBridge.expression(c)))
+}
+
+/** Distinct n-word shingles of a space-separated string
+  * (first-occurrence order): words = split(s, ' ') with trailing
+  * empties kept (mirroring Spark `split`), shingle = `n` consecutive
+  * words re-joined with ' '. Empty array for strings of fewer than
+  * `n` words. Single JVM loop per row — the HOF formulation
+  * (`transform(sequence(...), i -> array_join(slice(ws, i, n), ' '))`)
+  * pays an interpreted lambda eval per position. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (words.length < n)
+      return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i + n <= words.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  def apply(c: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))
+}
+
+/** Per-document repetition counters in one pass — the in-row half of
+  * Gopher-style repetition quality filters (duplicate-word /
+  * duplicate-n-gram fractions), so corpus-scale repetition scoring is
+  * pure column math with ZERO shuffle. words = split(s, ' ') with
+  * trailing empties kept. Output struct:
+  * (n_words, n_distinct_words, top_word_count, n_bigrams,
+  * n_distinct_bigrams) — counts only; consumers derive fractions, so
+  * the values stay integer-exact for the oracle compare. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct_words", IntegerType, nullable = false),
+    StructField("top_word_count", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("n_distinct_bigrams", IntegerType, nullable = false)))
+
+  override def prettyName: String = "graft_repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    val wordCounts = new java.util.HashMap[String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < words.length) {
+      val c = wordCounts.merge(words(i), 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    val bigrams = new java.util.HashSet[String]()
+    i = 0
+    while (i + 2 <= words.length) {
+      bigrams.add(words(i) + " " + words(i + 1))
+      i += 1
+    }
+    val nBigrams = math.max(words.length - 1, 0)
+    InternalRow(words.length, wordCounts.size, top, nBigrams, bigrams.size)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  def apply(c: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(c)))
 }

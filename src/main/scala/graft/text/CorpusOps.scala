@@ -1,0 +1,188 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{RepetitionStats, WordShingles}
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingest and dedup: repetition-based quality filtering
+  * (Gopher-style duplicate-word / duplicate-n-gram fractions),
+  * benchmark decontamination (n-gram-shingle overlap against an eval
+  * set), and deterministic stratified sampling.
+  *
+  * Scale design:
+  *  - repetition counters are IN-ROW (single-loop
+  *    [[graft.functions.RepetitionStats]] expression) — corpus-scale
+  *    quality scoring is a projection, zero shuffle;
+  *  - decontamination broadcasts the benchmark shingle set (eval
+  *    suites are ≪ corpus by construction) and streams the corpus
+  *    once; the corpus side never shuffles doc text, only matched
+  *    shingles enter the aggregation;
+  *  - sampling is a pure filter on md5(doc_id) — deterministic,
+  *    repartition-free, and rerunnable with identical output on any
+  *    cluster layout (the property a Bernoulli `sample()` lacks).
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------- q45
+  /** Gopher-style repetition metrics per document: duplicate-word
+    * fraction, top-word fraction, duplicate-bigram fraction, plus the
+    * filter verdict at thresholds calibrated to split this corpus
+    * (median dup_word_frac ≈ 0.54, top_word_frac ≈ 0.09,
+    * dup_bigram_frac ≈ 0.03). All counters come from one in-row pass;
+    * fractions are derived afterwards so the oracle compares
+    * integer-exact numerators/denominators. */
+  def q45RepetitionScores(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .select(col("doc_id"), RepetitionStats(col("s")).as("st"))
+      .select(
+        col("doc_id"),
+        col("st.n_words").cast("long").as("n_words"),
+        round(lit(1.0) - col("st.n_distinct_words").cast("double")
+          / col("st.n_words").cast("double"), 6).as("dup_word_frac"),
+        round(col("st.top_word_count").cast("double")
+          / col("st.n_words").cast("double"), 6).as("top_word_frac"),
+        when(col("st.n_bigrams") > 0,
+          round(lit(1.0) - col("st.n_distinct_bigrams").cast("double")
+            / col("st.n_bigrams").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_bigram_frac"))
+      .withColumn("flagged",
+        col("dup_word_frac") > 0.6 || col("top_word_frac") > 0.13 ||
+          col("dup_bigram_frac") > 0.05)
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q46
+  /** Benchmark decontamination: word-8-gram shingle overlap between
+    * the corpus and a benchmark set (here: doc_id < [[BenchmarkCutoff]]
+    * as the stand-in eval suite). A corpus document sharing ANY
+    * shingle with the benchmark is reported with its overlap count and
+    * contaminated fraction — the n-gram-overlap decontamination step
+    * every LLM data pipeline runs before training. Shingles are
+    * distinct per doc (in-row [[graft.functions.WordShingles]]), so
+    * the per-doc hit count needs no DISTINCT aggregate. */
+  val BenchmarkCutoff = 50L
+  val ShingleWidth = 8
+
+  def q46Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextOps.docs(spark, dir)
+      .select(col("doc_id"),
+        WordShingles(col("s"), ShingleWidth).as("shingles"))
+    val bench = sh.filter(col("doc_id") < BenchmarkCutoff)
+      .select(explode(col("shingles")).as("gram")).distinct()
+    val corpus = sh.filter(col("doc_id") >= BenchmarkCutoff)
+      .select(col("doc_id"), size(col("shingles")).cast("long").as("n_shingles"),
+        explode(col("shingles")).as("gram"))
+    corpus.join(broadcast(bench), "gram")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q47
+  /** Deterministic stratified sampling: per-language keep rates, with
+    * the keep decision a pure function of doc_id (md5-derived uniform
+    * in [0,1)) — identical output on any cluster layout or rerun,
+    * unlike Bernoulli `sample()`. The rates downsample the majority
+    * language, the balance step every multilingual pipeline applies. */
+  val SampleRates: Seq[(String, Double)] =
+    Seq("en" -> 0.25, "de" -> 0.5, "es" -> 0.75, "fr" -> 0.5, "zh" -> 1.0)
+
+  def q47StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate = SampleRates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    graft.Tables(spark, dir).documents
+      .withColumn("u",
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("double") / 4294967296.0)
+      .filter(col("u") < rate)
+      .select(col("doc_id"), col("lang"), col("source"), round(col("u"), 6).as("u"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_repetition_scores" -> (q45RepetitionScores _),
+    "q46_decontamination" -> (q46Decontamination _),
+    "q47_stratified_sample" -> (q47StratifiedSample _),
+  )
+
+  // ------------------------------------------------------------ oracles
+
+  /** Word + bigram relations over the normalized text (DuckDB mirror
+    * of split(s, ' ') — string_split keeps empty fields the same
+    * way). */
+  private val wordCtes =
+    """w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+      |wu AS (SELECT doc_id, unnest(ws) AS word FROM w),
+      |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+      |       FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q45_repetition_scores" ->
+      s"""WITH ${TextOps.normCte},
+         |$wordCtes,
+         |wst AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         |         CAST(max(c) AS BIGINT) AS top_word_count
+         |  FROM (SELECT doc_id, word, count(*) AS c FROM wu GROUP BY 1, 2) z
+         |  GROUP BY 1),
+         |bst AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+         |  FROM bg GROUP BY 1),
+         |m AS (
+         |  SELECT w.doc_id, w.n_words,
+         |    round(1.0 - CAST(w.n_distinct_words AS DOUBLE)
+         |          / CAST(w.n_words AS DOUBLE), 6) AS dup_word_frac,
+         |    round(CAST(w.top_word_count AS DOUBLE)
+         |          / CAST(w.n_words AS DOUBLE), 6) AS top_word_frac,
+         |    CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+         |         THEN round(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE)
+         |                    / CAST(b.n_bigrams AS DOUBLE), 6)
+         |         ELSE 0.0 END AS dup_bigram_frac
+         |  FROM wst w LEFT JOIN bst b ON w.doc_id = b.doc_id)
+         |SELECT doc_id, n_words, dup_word_frac, top_word_frac, dup_bigram_frac,
+         |       (dup_word_frac > 0.6 OR top_word_frac > 0.13
+         |        OR dup_bigram_frac > 0.05) AS flagged
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q46_decontamination" ->
+      s"""WITH ${TextOps.normCte},
+         |w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+         |g AS (SELECT DISTINCT doc_id,
+         |        array_to_string(ws[i:i + ${ShingleWidth - 1}], ' ') AS gram
+         |      FROM w, unnest(generate_series(1,
+         |             greatest(len(ws) - ${ShingleWidth - 1}, 0))) AS t(i)),
+         |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+         |       FROM g GROUP BY 1),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < $BenchmarkCutoff),
+         |hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM g JOIN bench USING (gram)
+         |         WHERE g.doc_id >= $BenchmarkCutoff GROUP BY 1)
+         |SELECT h.doc_id, s.n_shingles, h.n_hits,
+         |       round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 6) AS contamination
+         |FROM hits h JOIN ns s ON h.doc_id = s.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
+
+    "q47_stratified_sample" -> {
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString("CASE lang ", " ", " ELSE 1.0 END")
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, source, md5(CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |u AS (
+         |  SELECT doc_id, lang, source,
+         |         CAST(${TextOps.hexToLongSql("hx", 1, 8)} AS DOUBLE)
+         |           / 4294967296.0 AS u
+         |  FROM h)
+         |SELECT doc_id, lang, source, round(u, 6) AS u FROM u
+         |WHERE u < $rateCase
+         |ORDER BY doc_id""".stripMargin
+    },
+  )
+}

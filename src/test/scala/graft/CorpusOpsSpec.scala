@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{RepetitionStats, WordShingles}
+import graft.text.CorpusOps
+
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomTexts(n: Int, seed: Long): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Seq("a", "bb", "ccc", "dd", "e", "spark", "data")
+    (0 until n).map { _ =>
+      (0 until rnd.nextInt(20)).map(_ => vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    } ++ Seq("", "one", "one two", "x x x x x x x x x x")
+  }
+
+  test("WordShingles == HOF slice/array_join formulation") {
+    val d = randomTexts(60, 3L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "s")
+    val custom = d.select(col("doc_id"), WordShingles(col("s"), 3).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val hof = d.selectExpr("doc_id",
+      """CASE WHEN size(split(s, ' ', -1)) >= 3
+        |THEN array_distinct(transform(
+        |  sequence(1, size(split(s, ' ', -1)) - 2),
+        |  i -> array_join(slice(split(s, ' ', -1), i, 3), ' ')))
+        |ELSE array() END AS g""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(custom == hof)
+  }
+
+  test("RepetitionStats == HOF word/bigram formulation") {
+    val d = randomTexts(60, 5L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "s")
+    val custom = d.select(col("doc_id"), RepetitionStats(col("s")).as("st"))
+      .selectExpr("doc_id", "st.n_words", "st.n_distinct_words",
+        "st.top_word_count", "st.n_bigrams", "st.n_distinct_bigrams")
+      .collect()
+      .map(r => r.getLong(0) -> (2 to 5).map(r.getInt).prepended(r.getInt(1)))
+      .toMap
+    val hof = d
+      .selectExpr("doc_id", "split(s, ' ', -1) AS ws")
+      .selectExpr("doc_id",
+        "cast(size(ws) AS int) AS n_words",
+        "cast(size(array_distinct(ws)) AS int) AS n_distinct_words",
+        "cast(array_max(transform(array_distinct(ws), w -> size(filter(ws, x -> x = w)))) AS int) AS top_word_count",
+        "cast(greatest(size(ws) - 1, 0) AS int) AS n_bigrams",
+        """cast(CASE WHEN size(ws) >= 2
+          |THEN size(array_distinct(transform(sequence(1, size(ws) - 1),
+          |  i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))))
+          |ELSE 0 END AS int) AS n_distinct_bigrams""".stripMargin)
+      .collect()
+      .map(r => r.getLong(0) -> (2 to 5).map(r.getInt).prepended(r.getInt(1)))
+      .toMap
+    assert(custom == hof)
+  }
+
+  test("q45 fractions are in [0,1] and the flag splits the corpus") {
+    val rows = CorpusOps.q45RepetitionScores(spark, sfDir()).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      Seq("dup_word_frac", "top_word_frac", "dup_bigram_frac").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v out of range")
+      }
+    }
+    val flagged = rows.count(_.getAs[Boolean]("flagged"))
+    assert(flagged > 0 && flagged < rows.length,
+      s"flag threshold degenerate: $flagged/${rows.length}")
+  }
+
+  test("q46 finds the planted near-duplicates of the benchmark slice") {
+    val rows = CorpusOps.q46Decontamination(spark, sfDir()).collect()
+    assert(rows.nonEmpty, "no contamination hits — planted dups missed")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_id") >= CorpusOps.BenchmarkCutoff)
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_shingles"))
+      val c = r.getAs[Double]("contamination")
+      assert(c > 0.0 && c <= 1.0)
+    }
+  }
+
+  test("q47 sampling is deterministic and respects per-lang rates") {
+    val a = CorpusOps.q47StratifiedSample(spark, sfDir()).collect()
+    val b = CorpusOps.q47StratifiedSample(spark, sfDir()).collect()
+    assert(a.toSeq == b.toSeq, "sample must be identical across runs")
+    val all = Tables(spark, sfDir()).documents
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    // zh keeps everything (rate 1.0); en is downsampled hardest (0.25)
+    assert(kept("zh") == all("zh"))
+    val enRate = kept.getOrElse("en", 0).toDouble / all("en")
+    val zhRate = kept("zh").toDouble / all("zh")
+    assert(enRate < zhRate)
+    assert(enRate > 0.05 && enRate < 0.5, s"en keep rate $enRate far from 0.25")
+  }
+}
