@@ -42,9 +42,10 @@ object KMeans {
   private def sqDist(e: Column, c: Column): Column =
     dot(e, e) + dot(c, c) - lit(2.0) * dot(e, c)
 
-  /** (vec_id, cell) after `iters` Lloyd iterations from the
-    * first-k-by-id init. */
-  def assignments(v: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Lloyd loop: (assignment aₜ, centroids cₜ₋₁ — the ones that
+    * produced it). Both are checkpointed; the caller owns their
+    * release. */
+  private def lloyd(v: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, "kmeans needs at least one assignment pass")
     var cent = v.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("cell"), col("e").as("c"))
@@ -73,6 +74,13 @@ object KMeans {
         Checkpoints.release(prevCent)
       }
     }
+    (assign, cent)
+  }
+
+  /** (vec_id, cell) after `iters` Lloyd iterations from the
+    * first-k-by-id init. */
+  def assignments(v: DataFrame, k: Int, iters: Int): DataFrame = {
+    val (assign, cent) = lloyd(v, k, iters)
     Checkpoints.release(cent)
     assign
   }
@@ -89,13 +97,51 @@ object KMeans {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q49
+  /** IVF ANN over the TRAINED quantizer — the full composition
+    * (train → index → probe → rerank) that q41's md5-direction cells
+    * stand in for: queries rank the learned centroids by squared
+    * distance, probe the best [[NProbe]] cells, and rerank only those
+    * cells' members with exact cosine. Per-query corpus work is
+    * ~nprobe/k of a scan over the cell-assigned index; the quantizer
+    * cost is amortized across every search that reuses it. */
+  val NProbe = 2
+  val NQueries = 5
+  val TopK = 5
+
+  def q49IvfTrainedSearch(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val (assign, cent) = lloyd(v, K, Iters)
+    val q = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_vec"), col("e").as("qe"))
+    val wp = Window.partitionBy("q_vec").orderBy(col("dist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("dist", sqDist(col("qe"), col("c")))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= NProbe)
+      .select(col("q_vec"), col("qe"), col("cell"))
+    val scored = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec"))
+      .join(v, "vec_id")
+      .select(col("q_vec"), col("vec_id").as("cand"),
+        Similarity.cosine(col("qe"), col("e")).as("sim"))
+    val wr = Window.partitionBy("q_vec").orderBy(col("sim").desc, col("cand").asc)
+    scored.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_vec"), col("cand"), round(col("sim"), 6).as("sim"),
+        col("rank"))
+      .orderBy("q_vec", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_kmeans" -> (q48Kmeans _),
+    "q49_sim_ann_ivf_trained" -> (q49IvfTrainedSearch _),
   )
 
   /** Unrolled Lloyd iterations as chained CTEs (exact mirror of
-    * [[assignments]]: a_t from c_(t-1), c_t from a_t). */
-  private def kmeansSql(k: Int, iters: Int): String = {
+    * [[lloyd]]: a_t from c_(t-1), c_t from a_t). Ends with a$iters and
+    * c${iters-1} available to the caller's final SELECT. */
+  private def lloydCtes(k: Int, iters: Int): String = {
     val steps = (1 to iters).map { t =>
       val cent = if (t < iters)
         s""",
@@ -117,22 +163,65 @@ object KMeans {
          |    FROM d$t) z
          |  WHERE rk = 1)$cent""".stripMargin
     }.mkString(",\n")
-    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+    s"""v AS (SELECT vec_id, embedding FROM embeddings),
        |vd AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
        |       embedding FROM v),
        |vv AS (SELECT vec_id, i,
        |       CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x FROM vd),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cell, i, x AS cx FROM vv
        |       WHERE vec_id < $k),
-       |$steps,
+       |$steps""".stripMargin
+  }
+
+  private def kmeansSql(k: Int, iters: Int): String =
+    s"""WITH ${lloydCtes(k, iters)},
        |sizes AS (SELECT cell, CAST(count(*) AS BIGINT) AS cluster_size
        |          FROM a$iters GROUP BY 1)
        |SELECT a.vec_id, a.cell, s.cluster_size
        |FROM a$iters a JOIN sizes s ON a.cell = s.cell
        |ORDER BY vec_id""".stripMargin
-  }
+
+  private def ivfTrainedSql(k: Int, iters: Int): String =
+    s"""WITH ${lloydCtes(k, iters)},
+       |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vv GROUP BY 1),
+       |qd AS (
+       |  SELECT v.vec_id AS q_vec, c.cell,
+       |         sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+       |  FROM vv v JOIN c${iters - 1} c ON v.i = c.i
+       |  WHERE v.vec_id < $NQueries GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT q_vec, cell FROM (
+       |    SELECT q_vec, cell,
+       |           row_number() OVER (PARTITION BY q_vec
+       |                              ORDER BY dist ASC, cell ASC) AS rk
+       |    FROM qd) z
+       |  WHERE rk <= $NProbe),
+       |cand AS (
+       |  SELECT p.q_vec, a.vec_id AS cand
+       |  FROM a$iters a JOIN probe p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_vec),
+       |dp AS (
+       |  SELECT c.q_vec, c.cand, sum(xq.x * xc.x) AS dp
+       |  FROM cand c
+       |  JOIN vv xq ON xq.vec_id = c.q_vec
+       |  JOIN vv xc ON xc.vec_id = c.cand AND xc.i = xq.i
+       |  GROUP BY 1, 2),
+       |sim AS (
+       |  SELECT d.q_vec, d.cand, d.dp / (nq.nrm * nc.nrm) AS sim
+       |  FROM dp d
+       |  JOIN nrm nq ON nq.vec_id = d.q_vec
+       |  JOIN nrm nc ON nc.vec_id = d.cand)
+       |SELECT q_vec, cand, round(sim, 6) AS sim, rank FROM (
+       |  SELECT q_vec, cand, sim,
+       |         CAST(row_number() OVER (PARTITION BY q_vec
+       |                                 ORDER BY sim DESC, cand ASC) AS BIGINT)
+       |           AS rank
+       |  FROM sim) z
+       |WHERE rank <= $TopK
+       |ORDER BY q_vec, rank""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q48_kmeans" -> kmeansSql(K, Iters),
+    "q49_sim_ann_ivf_trained" -> ivfTrainedSql(K, Iters),
   )
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.GraftFunctions.dot
-import graft.sim.KMeans
+import graft.sim.{KMeans, Similarity}
 
 class KMeansSpec extends SparkSpec {
 
@@ -48,5 +48,62 @@ class KMeansSpec extends SparkSpec {
     val a = KMeans.q48Kmeans(spark, sfDir()).collect().toSeq
     val b = KMeans.q48Kmeans(spark, sfDir()).collect().toSeq
     assert(a == b)
+  }
+
+  test("q49 reranks exactly within the probed cells") {
+    val v = vecs
+    val rows = KMeans.q49IvfTrainedSearch(spark, sfDir()).collect()
+    assert(rows.length == KMeans.NQueries * KMeans.TopK)
+
+    // per-query ranks are 1..TopK with non-increasing sim
+    rows.groupBy(_.getAs[Long]("q_vec")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to KMeans.TopK.toLong))
+      val sims = sorted.map(_.getAs[Double]("sim"))
+      sims.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo) }
+    }
+
+    // every reported sim is the exact cosine of (query, candidate)
+    import spark.implicits._
+    val reported = rows.map(r => (r.getAs[Long]("q_vec"),
+      r.getAs[Long]("cand"), r.getAs[Double]("sim"))).toSeq
+      .toDF("q_vec", "cand", "sim")
+    val exact = reported
+      .join(v.select(col("vec_id").as("q_vec"), col("e").as("qe")), "q_vec")
+      .join(v.select(col("vec_id").as("cand"), col("e").as("ce")), "cand")
+      .select(col("sim"),
+        round(Similarity.cosine(col("qe"), col("ce")), 6).as("want"))
+      .collect()
+    exact.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9))
+  }
+
+  test("q49 recall@5 vs brute force is reported and sane") {
+    val v = vecs
+    val ivf = KMeans.q49IvfTrainedSearch(spark, sfDir()).collect()
+      .groupBy(_.getAs[Long]("q_vec"))
+      .view.mapValues(_.map(_.getAs[Long]("cand")).toSet).toMap
+    // brute-force top-5 per query over the same candidate universe
+    val brute = v.filter(col("vec_id") < KMeans.NQueries)
+      .select(col("vec_id").as("q_vec"), col("e").as("qe"))
+      .crossJoin(v.select(col("vec_id").as("cand"), col("e").as("ce")))
+      .filter(col("cand") =!= col("q_vec"))
+      .select(col("q_vec"), col("cand"),
+        Similarity.cosine(col("qe"), col("ce")).as("sim"))
+      .collect()
+      .groupBy(_.getAs[Long]("q_vec"))
+      .view.mapValues(_.sortBy(r => (-r.getAs[Double]("sim"),
+        r.getAs[Long]("cand"))).take(KMeans.TopK)
+        .map(_.getAs[Long]("cand")).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      (ivf.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"q49 IVF recall@5 (nprobe=${KMeans.NProbe}/${KMeans.K}): $mean%.3f")
+    // near-random embeddings put no structure in the cells; nprobe/k of
+    // the corpus must still recover at least a probe-share of the truth
+    assert(mean >= KMeans.NProbe.toDouble / KMeans.K * 0.5,
+      f"recall collapsed: $mean%.3f")
   }
 }
