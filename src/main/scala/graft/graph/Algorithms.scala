@@ -114,6 +114,89 @@ object Algorithms {
     out
   }
 
+  // ---------------------------------------------------------------- q50
+  /** Single-source BFS distances as (node, dist), seed included at
+    * dist 0. Frontier keyed by node; superseded checkpoints released
+    * each round. */
+  private def bfsDist(edges: DataFrame, seed: DataFrame): DataFrame = {
+    var visited = seed.select(col("node"), lit(0L).as("dist")).pipe(Checkpoints.cut)
+    var frontier = visited
+    var d = 0L
+    var n = frontier.count()
+    while (n > 0) {
+      d += 1
+      val prevFrontier = frontier
+      frontier = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("v")), col("node") === col("v"), "left_anti")
+        .withColumn("dist", lit(d))
+        .pipe(Checkpoints.cut)
+      n = frontier.count()
+      if (n > 0) {
+        val prevVisited = visited
+        visited = visited.union(frontier).pipe(Checkpoints.cut)
+        Checkpoints.release(prevVisited)
+      }
+      if (!(prevFrontier eq visited)) Checkpoints.release(prevFrontier)
+    }
+    if (!(frontier eq visited)) Checkpoints.release(frontier)
+    visited
+  }
+
+  /** All shortest paths between two endpoints — the reference's
+    * `allShortestPaths((a)-[:DEPENDS_ON*]->(b)) RETURN paths`
+    * (documentation/queries.md:76-79), endpoints = node 0 and its
+    * farthest reachable node (max dist, then max id — deterministic at
+    * every scale factor instead of an SF-fragile literal).
+    *
+    * Scale shape: enumeration happens ONLY on the shortest-path DAG —
+    * forward BFS distances from a, backward BFS distances to b, keep
+    * edges with da(src) + 1 + db(dst) = L. Every DAG walk from a is a
+    * prefix of a shortest a→b path (no cycle guard, no wasted
+    * expansion, frontier size = number of shortest-path prefixes), so
+    * the cost is proportional to the answer, not to the graph. */
+  def q50AllShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = checkpointedEdges(Tables(spark, dir))
+    val da = bfsDist(e, Seq(0L).toDF("node"))
+    val tgt = da.filter(col("node") =!= 0L)
+      .orderBy(col("dist").desc, col("node").desc).limit(1)
+      .select(col("node"), col("dist").as("plen"))
+      .pipe(Checkpoints.cut)
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+    val db = bfsDist(rev, tgt.select("node"))
+    val dag = e
+      .join(da.select(col("node").as("src"), col("dist").as("ha")), "src")
+      .join(db.select(col("node").as("dst"), col("dist").as("hb")), "dst")
+      .crossJoin(broadcast(tgt.select(col("plen"))))
+      .filter(col("ha") + lit(1L) + col("hb") === col("plen"))
+      .select("src", "dst")
+      .pipe(Checkpoints.cut)
+    Checkpoints.release(da, db, e)
+    // walk the DAG: all maximal walks from the root end at the target
+    // at depth L simultaneously (da/db pin every step's distance)
+    var frontier = Seq((0L, Seq(0L))).toDF("leaf", "path").pipe(Checkpoints.cut)
+    var n = 1L
+    while (n > 0) {
+      val next = frontier.join(dag, col("leaf") === col("src"))
+        .select(col("dst").as("leaf"),
+          concat(col("path"), array(col("dst"))).as("path"))
+        .pipe(Checkpoints.cut)
+      n = next.count()
+      if (n > 0) { Checkpoints.release(frontier); frontier = next }
+      else Checkpoints.release(next)
+    }
+    Checkpoints.release(dag)
+    val out = frontier
+      .join(tgt.select(col("node").as("leaf")), Seq("leaf"), "left_semi")
+      .select(
+        expr("array_join(transform(path, x -> cast(x as string)), '->')")
+          .as("path_str"),
+        (size(col("path")) - 1).cast("long").as("hops"))
+      .orderBy("path_str")
+    out
+  }
+
   // ---------------------------------------------------------------- q12
   /** Directed transitive closure as (src, dst) reachable pairs —
     * semi-naive evaluation: only the frontier (newly discovered
@@ -365,6 +448,7 @@ object Algorithms {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_khop" -> (q11Khop _),
     "q19_dependency_chains" -> (q19DependencyChains _),
+    "q50_all_shortest_paths" -> (q50AllShortestPaths _),
     "q37_community_members" -> (q37CommunityMembers _),
     "q12_transitive_closure" -> (q12TransitiveClosure _),
     "q13_shortest_paths" -> (q13ShortestPaths _),
@@ -443,6 +527,45 @@ object Algorithms {
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_pagerank" -> pagerankSql(5),
+
+    // all shortest paths 0 → farthest node, enumerated on the
+    // shortest-path DAG exactly like the Spark side: forward/backward
+    // BFS dists bound which edges may appear in any shortest path, so
+    // the path recursion is acyclic and needs no depth bound
+    "q50_all_shortest_paths" ->
+      s"""WITH RECURSIVE $T,
+         |walk AS (
+         |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS d
+         |  UNION
+         |  SELECT t.dst, w.d + 1 FROM walk w
+         |  JOIN trade t ON t.src = w.node WHERE w.d < 25
+         |),
+         |da AS (SELECT node, min(d) AS dist FROM walk GROUP BY 1),
+         |tgt AS (SELECT node, dist AS plen FROM da WHERE node <> 0
+         |        ORDER BY dist DESC, node DESC LIMIT 1),
+         |rwalk AS (
+         |  SELECT node, CAST(0 AS BIGINT) AS d FROM tgt
+         |  UNION
+         |  SELECT t.src, w.d + 1 FROM rwalk w
+         |  JOIN trade t ON t.dst = w.node WHERE w.d < 25
+         |),
+         |db AS (SELECT node, min(d) AS dist FROM rwalk GROUP BY 1),
+         |dag AS (
+         |  SELECT t.src, t.dst FROM trade t
+         |  JOIN da ON da.node = t.src
+         |  JOIN db ON db.node = t.dst
+         |  WHERE da.dist + 1 + db.dist = (SELECT plen FROM tgt)
+         |),
+         |paths AS (
+         |  SELECT CAST(0 AS BIGINT) AS leaf, [CAST(0 AS BIGINT)] AS path
+         |  UNION ALL
+         |  SELECT g.dst, list_append(p.path, g.dst)
+         |  FROM paths p JOIN dag g ON g.src = p.leaf
+         |)
+         |SELECT array_to_string(p.path, '->') AS path_str,
+         |       CAST(len(p.path) - 1 AS BIGINT) AS hops
+         |FROM paths p JOIN tgt ON p.leaf = tgt.node
+         |ORDER BY path_str""".stripMargin,
 
     "q19_dependency_chains" ->
       s"""WITH RECURSIVE $T,

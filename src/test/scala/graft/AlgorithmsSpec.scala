@@ -110,6 +110,36 @@ class AlgorithmsSpec extends SparkSpec {
     assert(paths == Set("1->2", "1->5", "1->2->3"))
   }
 
+  test("q50 equals a driver-side brute-force all-shortest-paths") {
+    // trade graph is ≤75 edges — recompute the exact answer in Scala
+    val es = TradeGraph.edges(Tables(spark, sfDir())).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // BFS dists from 0
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    var frontier = Seq(0L)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Nil))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = d)
+    }
+    val reach = dist.toSeq.filter(_._1 != 0L)
+    assume(reach.nonEmpty)
+    val (tgt, plen) = reach.maxBy { case (n, d) => (d, n) }
+    // enumerate all length-plen paths 0→tgt
+    def extend(paths: Seq[Seq[Long]]): Seq[Seq[Long]] =
+      paths.flatMap(p => adj.getOrElse(p.last, Nil).map(p :+ _))
+    var ps: Seq[Seq[Long]] = Seq(Seq(0L))
+    (1L to plen).foreach(_ => ps = extend(ps))
+    val want = ps.filter(_.last == tgt).map(_.mkString("->")).toSet
+    val got = Algorithms.q50AllShortestPaths(spark, sfDir())
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.map(_._1).toSet == want)
+    assert(got.forall(_._2 == plen))
+  }
+
   test("reliable checkpoint dir is honored when configured") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
     spark.conf.set(Checkpoints.ConfKey, dir.toString)
