@@ -220,8 +220,11 @@ object TextOps {
     * q21 near-dup pairs become undirected edges, connected components
     * assign every document (pairless docs stay singletons) a cluster
     * labeled by its minimum member id. Blocking bounds the edge set,
-    * the iterative CC bounds the propagation — no step is quadratic
-    * in the corpus. */
+    * and the iterative CC runs ONLY over documents that appear in some
+    * pair — the corpus-sized singleton majority never enters the loop
+    * and is labeled by a single left join afterward. No step is
+    * quadratic in the corpus, and the per-iteration work is
+    * proportional to the dup graph, not the corpus. */
   def q44NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val sig = Checkpoints.cut(laneSigs(d, 2))
@@ -229,11 +232,17 @@ object TextOps {
     val pairs = Checkpoints.cut(
       jaccardVerified(d, sig.select("doc_id", "nn"), cand, 0.5)
         .select(col("a"), col("b")))
+    Checkpoints.release(sig, cand)
     val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
       .toDF("src", "dst")
-    val nodes = d.select(col("doc_id").as("node"))
-    graft.graph.Algorithms.connectedComponents(nodes, und)
-      .select(col("node").as("doc_id"), col("component").as("cluster"))
+    val paired = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node"))).distinct()
+    val comp = graft.graph.Algorithms.connectedComponents(paired, und)
+    d.select(col("doc_id"))
+      .join(comp.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
   }
 
