@@ -210,11 +210,28 @@ object Similarity {
       .orderBy("q_vec", "rank")
   }
 
+  // ---------------------------------------------------------------- q53
+  /** Symmetric int8 quantization report per embedding — the compression
+    * step an ANN index applies before serving (4× memory cut on the
+    * rerank corpus). Scale = max|x|/127 per vector; the output digests
+    * the quantized vector with integer-exact sums (zeroed dims, Σq,
+    * Σq²) from ONE in-row loop ([[graft.functions.Int8QuantStats]]) —
+    * a pure projection, zero shuffle, and the oracle compares integers
+    * instead of float-summation-order-sensitive reconstruction error. */
+  def q53QuantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    vecs(spark, dir)
+      .select(col("vec_id"), graft.functions.Int8QuantStats(col("e")).as("st"))
+      .select(col("vec_id"),
+        round(col("st.max_abs") / 127.0, 6).as("scale"),
+        col("st.n_zero"), col("st.qsum"), col("st.qnorm2"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_sim_topk" -> (q24SimTopk _),
     "q25_sim_ann_lsh" -> (q25SimAnnLsh _),
     "q26_embedding_neardup" -> (q26EmbeddingNeardup _),
     "q41_sim_ann_ivf" -> (q41SimAnnIvf _),
+    "q53_quantize_int8" -> (q53QuantizeInt8 _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -260,6 +277,21 @@ object Similarity {
       |  FROM dots JOIN nrm na ON na.vec_id = av JOIN nrm nb ON nb.vec_id = bv)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q53_quantize_int8" ->
+      s"""WITH $vecCtes,
+         |m AS (SELECT vec_id, max(abs(x)) AS max_abs FROM vv GROUP BY 1),
+         |q AS (SELECT vv.vec_id,
+         |    CASE WHEN m.max_abs = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(floor(vv.x / (m.max_abs / 127.0) + 0.5) AS BIGINT)
+         |    END AS qv
+         |  FROM vv JOIN m USING (vec_id))
+         |SELECT m.vec_id, round(m.max_abs / 127.0, 6) AS scale,
+         |       CAST(sum(CASE WHEN q.qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         |       CAST(sum(q.qv) AS BIGINT) AS qsum,
+         |       CAST(sum(q.qv * q.qv) AS BIGINT) AS qnorm2
+         |FROM m JOIN q ON q.vec_id = m.vec_id
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
     "q24_sim_topk" ->
       s"""WITH $vecCtes,
          |cand AS (SELECT q.vec_id AS av, c.vec_id AS bv

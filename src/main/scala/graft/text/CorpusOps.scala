@@ -103,10 +103,34 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q52
+  /** Corpus report: per-language doc counts, exact-dup excess, token
+    * and character volume, mean quality — the summary table a curation
+    * pipeline publishes after every stage. One corpus pass of in-row
+    * per-doc metrics, then a single groupBy(lang); the distinct-
+    * fingerprint count is a hash aggregate over (lang, fp) partials,
+    * never a collected set. */
+  def q52CorpusStats(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityFrame(TextOps.docs(spark, dir))
+      .select(col("lang"), col("nw"),
+        length(col("s")).cast("long").as("chars"),
+        md5(col("s")).as("fp"), col("quality"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        sum(col("nw")).as("total_words"),
+        sum(col("chars")).as("total_chars"),
+        round(avg(col("quality")), 6).as("avg_quality"))
+      .select(col("lang"), col("n_docs"), col("n_unique"),
+        (col("n_docs") - col("n_unique")).as("n_exact_dups"),
+        col("total_words"), col("total_chars"), col("avg_quality"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition_scores" -> (q45RepetitionScores _),
     "q46_decontamination" -> (q46Decontamination _),
     "q47_stratified_sample" -> (q47StratifiedSample _),
+    "q52_corpus_stats" -> (q52CorpusStats _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -167,6 +191,33 @@ object CorpusOps {
          |       round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 6) AS contamination
          |FROM hits h JOIN ns s ON h.doc_id = s.doc_id
          |ORDER BY h.doc_id""".stripMargin,
+
+    "q52_corpus_stats" -> {
+      val en = TextOps.langLexicon.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH ${TextOps.normCte},
+         |n2 AS (SELECT n.doc_id, n.s, d.lang FROM n
+         |       JOIN documents d USING (doc_id)),
+         |f AS (SELECT doc_id, lang, s,
+         |    CAST(len(string_split(s, ' ')) AS BIGINT) AS nw,
+         |    CAST(length(s) - length(regexp_replace(s, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(s) AS pr,
+         |    CAST(len(list_filter(string_split(s, ' '),
+         |        w -> list_contains([$en], w))) AS BIGINT) AS m
+         |  FROM n2),
+         |sel AS (SELECT lang, md5(s) AS fp, nw,
+         |    CAST(length(s) AS BIGINT) AS chars,
+         |    0.3 * least(1.0, CAST(nw AS DOUBLE) / 100.0)
+         |      + 0.3 * (1.0 - pr) + 0.4 * (CAST(m AS DOUBLE) / nw) AS q
+         |  FROM f)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         |       CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups,
+         |       CAST(sum(nw) AS BIGINT) AS total_words,
+         |       CAST(sum(chars) AS BIGINT) AS total_chars,
+         |       round(avg(q), 6) AS avg_quality
+         |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q47_stratified_sample" -> {
       val rateCase = SampleRates

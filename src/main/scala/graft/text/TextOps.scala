@@ -281,12 +281,14 @@ object TextOps {
   }
 
   // ---------------------------------------------------------------- q28
-  /** Quality scoring: length / punctuation / stopword-ratio features
-    * combined into one score — pure column math, fully codegen'd. */
-  def q28QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-doc quality features over the normalized docs frame (keeps
+    * every input column): word count, punctuation ratio, stopword
+    * ratio, combined quality — pure column math, fully codegen'd.
+    * Shared by q28 and the q52 corpus report so the formula can't
+    * drift between the per-doc and aggregate views. */
+  private[graft] def qualityFrame(d: DataFrame): DataFrame = {
     val en = langLexicon.toMap.apply("en").map(w => s"'$w'").mkString(", ")
-    docs(spark, dir)
-      .withColumn("words", split(col("s"), " "))
+    d.withColumn("words", split(col("s"), " "))
       .withColumn("nw", size(col("words")).cast("long"))
       .withColumn("pr",
         (length(col("s")) - length(regexp_replace(col("s"), "[^a-z0-9 ]", "")))
@@ -297,12 +299,17 @@ object TextOps {
       .withColumn("quality",
         lit(0.3) * least(lit(1.0), col("nw").cast("double") / 100.0) +
           lit(0.3) * (lit(1.0) - col("pr")) + lit(0.4) * col("sr"))
+  }
+
+  /** Quality scoring: length / punctuation / stopword-ratio features
+    * combined into one score. */
+  def q28QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(docs(spark, dir))
       .select(col("doc_id"), col("nw").as("n_words"),
         round(col("pr"), 6).as("punct_ratio"),
         round(col("sr"), 6).as("stop_ratio"),
         round(col("quality"), 6).as("quality"))
       .orderBy("doc_id")
-  }
 
   // ---------------------------------------------------------------- q29
   /** Token counting: whitespace tokens + a BPE-ish regex tokenizer

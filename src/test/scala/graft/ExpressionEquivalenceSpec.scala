@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{CharGrams, MinhashSignature, SimhashSignature}
+import graft.functions.{CharGrams, Int8QuantStats, MinhashSignature, SimhashSignature}
 
 /** Randomized equivalence tests pinning the custom single-loop
   * Catalyst expressions to the HOF formulations they replaced — the
@@ -73,6 +73,35 @@ class ExpressionEquivalenceSpec extends SparkSpec {
          |    (acc, j) -> acc + if(element_at(c, j + 1) > 0,
          |      shiftleft(cast(1 as bigint), j), cast(0 as bigint)))), 1) AS sig""".stripMargin)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(custom == hof)
+  }
+
+  test("Int8QuantStats == HOF max/floor formulation") {
+    val rnd = new scala.util.Random(17L)
+    val vecs = (0 until 40).map { i =>
+      val n = if (i < 3) i else 1 + rnd.nextInt(80) // incl. empty + 1-dim
+      (i.toLong, (0 until n).map(_ =>
+        math.rint((rnd.nextDouble() * 4 - 2) * 1e6) / 1e6).toArray)
+    } :+ (99L, Array(0.0, 0.0, 0.0)) // zero vector → all-zero quant
+    val d = vecs.toDF("vec_id", "e")
+    val custom = d.select(col("vec_id"), Int8QuantStats(col("e")).as("st"))
+      .selectExpr("vec_id", "st.max_abs", "st.n_zero", "st.qsum", "st.qnorm2")
+      .collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    val hof = d.selectExpr("vec_id",
+      "aggregate(e, cast(0 as double), (m, x) -> greatest(m, abs(x))) AS max_abs")
+      .join(d, "vec_id")
+      .selectExpr("vec_id", "max_abs",
+        """if(max_abs = 0d, transform(e, x -> cast(0 as bigint)),
+          |   transform(e, x -> cast(floor(x / (max_abs / 127d) + 0.5) as bigint))) AS q""".stripMargin)
+      .selectExpr("vec_id", "max_abs",
+        "cast(size(filter(q, x -> x = 0)) as bigint) AS n_zero",
+        "coalesce(aggregate(q, cast(0 as bigint), (a, x) -> a + x), 0L) AS qsum",
+        "coalesce(aggregate(q, cast(0 as bigint), (a, x) -> a + x * x), 0L) AS qnorm2")
+      .collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
     assert(custom == hof)
   }
 
