@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Data-lake sinks — the write side of the engine. The reference
+  * persists entities idempotently (Neo4jClient.ts upsert/MERGE
+  * semantics, src/Neo4jClient.ts); the lake equivalents are
+  * partition-scoped overwrite (re-running a job converges instead of
+  * appending duplicates) and bucketed tables (pre-shuffled layout so
+  * repeated fact-fact joins skip the exchange entirely).
+  *
+  * Scale notes:
+  *  - dynamic partition overwrite rewrites ONLY the partitions present
+  *    in the incoming DataFrame — a day's backfill touches that day's
+  *    directories, never the historical 100 TB;
+  *  - bucketing pays one write-time shuffle to delete the read-time
+  *    shuffle from every subsequent join/aggregation on the bucket
+  *    key — the break-even is one repeated join, and module-dependency
+  *    graphs are joined on module id constantly;
+  *  - both writers take the session's parallelism; nothing repartitions
+  *    to hard-coded counts.
+  */
+object ParquetSink {
+
+  val OverwriteModeKey = "spark.sql.sources.partitionOverwriteMode"
+
+  /** Idempotent partitioned write: with dynamic partition overwrite,
+    * only partitions present in `df` are replaced — rerunning the same
+    * job yields byte-identical content instead of duplicate rows, and
+    * untouched partitions survive. */
+  def writeIdempotent(df: DataFrame, path: String, partitionCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption(OverwriteModeKey)
+    spark.conf.set(OverwriteModeKey, "dynamic")
+    try df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set(OverwriteModeKey, v)
+      case None => spark.conf.unset(OverwriteModeKey)
+    }
+  }
+
+  /** Bucketed + sorted table write: both sides of a future equi-join
+    * bucketed by the key join with ZERO exchange (verified by spec on
+    * the executed plan). */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+}

@@ -108,6 +108,32 @@ object Streaming {
       dimKey: String): DataFrame =
     events.join(broadcast(dim), col(streamKey) === col(dimKey), "left")
 
+  /** S5: exact dedup of an at-least-once event stream —
+    * `dropDuplicatesWithinWatermark` keys the state store by event_id
+    * and expires entries once the watermark passes, so state is
+    * bounded by the watermark horizon (duplicates in real delivery
+    * systems arrive close together), not by stream history. The batch
+    * analog is q20's exact dedup. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** S6: windowed stream-stream join — each left event matched to
+    * right events of the same user within the next hour. Both sides
+    * watermarked so the state store can evict: left rows retire when
+    * the right watermark passes their join horizon and vice versa —
+    * the only stream-stream join shape whose state is bounded at
+    * 100 TB/day event volume. */
+  def streamStreamJoin(left: DataFrame, right: DataFrame): DataFrame =
+    left.withWatermark("ts", "1 hour").as("l")
+      .join(
+        right.withWatermark("ts", "1 hour").as("r"),
+        expr("""l.user_id = r.user_id AND
+               |r.ts >= l.ts AND r.ts <= l.ts + interval 1 hour""".stripMargin))
+      .select(col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col("l.user_id").as("user_id"))
+
   /** S4: distinct users per tumbling hour on a stream — the
     * fixed-state path: approx_count_distinct keeps one HLL sketch per
     * window in the state store regardless of user cardinality (the

@@ -117,6 +117,49 @@ class StreamingSpec extends SparkSpec {
     assert(st3.sessionId == 3L)
   }
 
+  test("stream dedup drops redelivered event ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Streaming.Event]
+    // event 2 redelivered twice (identical and with a drifted ts) —
+    // at-least-once delivery; event 99 drives the watermark forward
+    ms.addData(sample)
+    ms.addData(Seq(
+      Streaming.Event(2L, ts(10), 7L, "view", 2.0),
+      Streaming.Event(2L, ts(11), 7L, "view", 2.0),
+      Streaming.Event(99L, ts(600), 9L, "view", 0.0)))
+    val q = Streaming.dedupStream(ms.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id"))
+    assert(ids.length == ids.distinct.length, "duplicate event_id survived")
+    assert(ids.count(_ == 2L) == 1)
+    assert(sample.map(_.event_id).toSet.subsetOf(ids.toSet))
+  }
+
+  test("stream-stream join matches right events within the hour horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Streaming.Event]
+    val clicks = MemoryStream[Streaming.Event]
+    views.addData(Seq(
+      Streaming.Event(1L, ts(0), 7L, "view", 1.0),
+      Streaming.Event(2L, ts(5), 8L, "view", 1.0)))
+    clicks.addData(Seq(
+      Streaming.Event(10L, ts(30), 7L, "click", 1.0),  // within horizon
+      Streaming.Event(11L, ts(120), 7L, "click", 1.0), // past the hour
+      Streaming.Event(12L, ts(20), 9L, "click", 1.0))) // other user
+    // watermark-driving sentinels on both sides
+    views.addData(Seq(Streaming.Event(98L, ts(600), 5L, "view", 0.0)))
+    clicks.addData(Seq(Streaming.Event(99L, ts(600), 6L, "click", 0.0)))
+    val q = Streaming.streamStreamJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("ssjoin").collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"))).toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("stream-static enrichment keeps stream rows and adds dim columns") {
     val dim = Seq((7L, "gold"), (8L, "basic")).toDF("uid", "tier")
     val out = Streaming.enrich(sample.toDF(), dim, "user_id", "uid")
