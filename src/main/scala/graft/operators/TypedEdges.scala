@@ -99,10 +99,35 @@ object TypedEdges {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------- q54
+  /** Schema meta-graph — the reference's `CALL apoc.meta.graph()`
+    * (documentation/queries.md:3): one row per (src_label, edge_type,
+    * dst_label) relation in the data model with its edge count. Each
+    * relation is a single partial-agg count (HOSTED_ON dedups the
+    * (module, host) pair with a two-level agg first); the union is
+    * |schema| rows, driver-safe at any corpus size. */
+  def q54MetaGraph(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val owns = t.orders.agg(count(lit(1)).as("n_edges"))
+      .select(lit("GitUser").as("src_label"), lit("OWNS").as("edge_type"),
+        lit("GitRepo").as("dst_label"), col("n_edges"))
+    val deps = depEdges(t)
+      .groupBy("edge_type").agg(count(lit(1)).as("n_edges"))
+      .select(lit("GitRepo").as("src_label"), col("edge_type"),
+        lit("NodeModule").as("dst_label"), col("n_edges"))
+    val hosted = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+      .agg(count(lit(1)).as("n_edges"))
+      .select(lit("NodeModule").as("src_label"),
+        lit("HOSTED_ON").as("edge_type"),
+        lit("GitRepo").as("dst_label"), col("n_edges"))
+    owns.unionByName(deps).unionByName(hosted).orderBy("edge_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_top_dev_dependencies" -> (q34TopDevDependencies _),
     "q35_self_dev_loops" -> (q35SelfDevLoops _),
     "q36_depended_breakdown" -> (q36DependedBreakdown _),
+    "q54_meta_graph" -> (q54MetaGraph _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -137,5 +162,21 @@ object TypedEdges {
          |FROM agg a JOIN part p ON a.module = p.p_partkey
          |ORDER BY n_total DESC, p_partkey ASC
          |LIMIT 10""".stripMargin,
+
+    "q54_meta_graph" ->
+      s"""WITH $depEdgesSql
+         |SELECT * FROM (
+         |  SELECT 'GitUser' AS src_label, 'OWNS' AS edge_type,
+         |         'GitRepo' AS dst_label, CAST(count(*) AS BIGINT) AS n_edges
+         |  FROM orders
+         |  UNION ALL
+         |  SELECT 'GitRepo', edge_type, 'NodeModule',
+         |         CAST(count(*) AS BIGINT)
+         |  FROM e GROUP BY edge_type
+         |  UNION ALL
+         |  SELECT 'NodeModule', 'HOSTED_ON', 'GitRepo',
+         |         CAST(count(*) AS BIGINT)
+         |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+         |) ORDER BY edge_type""".stripMargin,
   )
 }

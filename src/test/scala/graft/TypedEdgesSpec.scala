@@ -35,4 +35,24 @@ class TypedEdgesSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(once == twice)
   }
+
+  test("meta graph lists every schema relation with consistent counts") {
+    val t = Tables(spark, sfDir())
+    val rows = TypedEdges.q54MetaGraph(spark, sfDir()).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toList
+    assert(rows.map(_._2).toSet ==
+      TypeNames ++ Set("OWNS", "HOSTED_ON"))
+    val byType = rows.map(r => r._2 -> r._4).toMap
+    assert(byType("OWNS") == t.orders.count())
+    assert(TypeNames.map(byType).sum == t.lineitem.count())
+    assert(byType("HOSTED_ON") ==
+      t.lineitem.select("l_partkey", "l_suppkey").distinct().count())
+    // labels follow the data-model mapping
+    assert(rows.forall {
+      case (_, "OWNS", dst, _) => dst == "GitRepo"
+      case (_, "HOSTED_ON", dst, _) => dst == "GitRepo"
+      case (_, _, dst, _) => dst == "NodeModule"
+    })
+  }
 }
