@@ -2,18 +2,23 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.GraftFunctions
 
-/** Session extensions: registers graft's custom Catalyst expressions
-  * at session build time — set
+/** Session extensions: registers graft's full custom-expression
+  * family at session build time — set
   * `spark.sql.extensions=graft.GraftExtensions` on the cluster so SQL
-  * users get `graft_dot` without touching the Column API. (On an
-  * already-built session use `GraftFunctions.register` instead.) */
+  * users get `graft_dot`, `graft_minhash_signature`, `graft_simhash`,
+  * `graft_grams`, `graft_word_shingles`, `graft_repetition_stats` and
+  * `graft_int8_quant_stats` without touching the Column API. (On an
+  * already-built session use `GraftFunctions.register` instead — same
+  * list, shared via `GraftFunctions.sqlFunctions`.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    GraftFunctions.sqlFunctions.foreach { case (name, cls, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
 }

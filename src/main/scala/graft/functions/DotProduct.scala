@@ -81,11 +81,40 @@ object GraftFunctions {
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  private def foldInt(e: Expression): Int = {
+    require(e.foldable, "integer argument must be a literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
+  /** The full SQL surface of graft's custom expressions: (name,
+    * implementing class, builder). Shared by [[register]] and
+    * [[graft.GraftExtensions]] so the temp-function and
+    * session-extension paths can never diverge. */
+  private[graft] val sqlFunctions:
+      Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", classOf[DotProduct],
+      e => DotProduct(e(0), e(1))),
+    ("graft_minhash_signature", classOf[MinhashSignature],
+      e => MinhashSignature(e(0), foldInt(e(1)))),
+    ("graft_simhash", classOf[SimhashSignature],
+      e => SimhashSignature(e(0))),
+    ("graft_grams", classOf[CharGrams],
+      e => CharGrams(e(0))),
+    ("graft_word_shingles", classOf[WordShingles],
+      e => WordShingles(e(0), foldInt(e(1)))),
+    ("graft_repetition_stats", classOf[RepetitionStats],
+      e => RepetitionStats(e(0))),
+    ("graft_int8_quant_stats", classOf[Int8QuantStats],
+      e => Int8QuantStats(e(0))),
+  )
+
   /** Register graft's custom expressions as SQL functions on an
     * existing session (`SELECT graft_dot(a, b) ...`). For cluster
     * deployments set `spark.sql.extensions=graft.GraftExtensions`
     * instead — same registrations, applied at session build. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    org.apache.spark.sql.graft.FunctionRegistrar.registerTemp(
-      spark, "graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
+    sqlFunctions.foreach { case (name, _, builder) =>
+      org.apache.spark.sql.graft.FunctionRegistrar.registerTemp(
+        spark, name, builder)
+    }
 }

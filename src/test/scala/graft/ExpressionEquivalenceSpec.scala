@@ -105,6 +105,27 @@ class ExpressionEquivalenceSpec extends SparkSpec {
     assert(custom == hof)
   }
 
+  test("every custom expression is callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |  graft_minhash_signature('abcdef', 1).nn AS mh_nn,
+        |  graft_simhash('a b c') AS sh,
+        |  size(graft_grams('abcdef')) AS ng,
+        |  size(graft_word_shingles('a b c d', 2)) AS nsh,
+        |  graft_repetition_stats('a a b').n_words AS nw,
+        |  graft_int8_quant_stats(array(1.0d, -2.0d)).qnorm2 AS qn
+        |""".stripMargin).first()
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(1) == 2)   // grams of 'abcdef': 2 distinct 5-grams
+    assert(!r.isNullAt(2))
+    assert(r.getInt(3) == 2)
+    assert(r.getInt(4) == 3)   // 'a b','b c','c d'
+    assert(r.getInt(5) == 3)
+    assert(r.getLong(6) == 127L * 127 + 64L * 64) // q = [64, -127]
+  }
+
   test("CharGrams == array_distinct/transform formulation") {
     val d = randomTexts(60, 13L).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "s")
