@@ -51,6 +51,28 @@ class PlanAuditSpec extends SparkSpec {
       "no whole-stage codegen stages in the executed plan")
   }
 
+  test("q45/q53: in-row scoring plans shuffle only for the output sort") {
+    for (df <- Seq(
+        graft.text.CorpusOps.q45RepetitionScores(spark, sfDir()),
+        graft.sim.Similarity.q53QuantizeInt8(spark, sfDir()))) {
+      val p = plan(df)
+      // corpus-scale scoring must be a pure projection: the single
+      // allowed exchange is the rangepartitioning of the final ORDER BY
+      // (count detail headers "(n) Exchange" — one per plan node)
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+      assert(exchanges <= 1, s"in-row op shuffles data:\n$p")
+      assert(!p.contains("hashpartitioning"),
+        s"in-row op hash-shuffles the corpus:\n$p")
+    }
+  }
+
+  test("q46: benchmark shingles broadcast; corpus never shuffles text") {
+    val p = plan(graft.text.CorpusOps.q46Decontamination(spark, sfDir()))
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q26: candidate generation is an equi join on the band key") {
     val df = Similarity.q26EmbeddingNeardup(spark, sfDir())
     val p = plan(df)
