@@ -126,11 +126,73 @@ object CorpusOps {
         col("total_words"), col("total_chars"), col("avg_quality"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q55
+  /** Sequence packing — the "concatenate and cut every L tokens" step
+    * that turns variable-length documents into fixed-length training
+    * examples. Distributed form: documents are sharded by
+    * hash(doc_id) % [[PackShards]]; within a shard the token stream is
+    * laid out in doc_id order by a running-cumsum window, and every
+    * doc reports its [start_off, end_off) in the shard stream plus the
+    * bins it spans. Shards pack independently (window partitioned by
+    * shard — parallelism = shard count, raise it with the corpus);
+    * inside a shard the layout is a single linear window pass. All
+    * outputs are integers — engine-exact. */
+  val PackShards = 16
+  val PackSeqLen = 512L
+
+  def q55SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    TextOps.docs(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+        size(split(col("s"), " ")).cast("long").as("nt"))
+      .withColumn("end_off", sum(col("nt")).over(w))
+      .withColumn("start_off", col("end_off") - col("nt"))
+      .select(col("doc_id"), col("shard"), col("nt"),
+        col("start_off"), col("end_off"),
+        floor(col("start_off") / PackSeqLen).as("first_bin"),
+        (floor((col("end_off") - 1) / PackSeqLen)
+          - floor(col("start_off") / PackSeqLen) + 1).as("n_bins"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q56
+  /** Vocabulary build: global word counts, top-[[VocabK]] by
+    * (count desc, word asc), with each entry's cumulative corpus
+    * coverage — the frequency table a tokenizer trainer starts from.
+    * The heavy work is one partial-agg wordcount; ranking and the
+    * running coverage operate on K rows only. */
+  val VocabK = 50
+
+  def q56VocabBuild(spark: SparkSession, dir: String): DataFrame = {
+    val counts = TextOps.docs(spark, dir)
+      .select(explode(split(col("s"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top = counts
+      .orderBy(col("cnt").desc, col("word").asc).limit(VocabK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("word").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("word").asc)).cast("long"))
+      .withColumn("coverage",
+        round(sum(col("cnt")).over(w).cast("double") / col("total"), 6))
+      .select(col("rank"), col("word"), col("cnt"), col("coverage"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition_scores" -> (q45RepetitionScores _),
     "q46_decontamination" -> (q46Decontamination _),
     "q47_stratified_sample" -> (q47StratifiedSample _),
     "q52_corpus_stats" -> (q52CorpusStats _),
+    "q55_sequence_packing" -> (q55SequencePacking _),
+    "q56_vocab_build" -> (q56VocabBuild _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -218,6 +280,37 @@ object CorpusOps {
          |       round(avg(q), 6) AS avg_quality
          |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q55_sequence_packing" ->
+      s"""WITH ${TextOps.normCte},
+         |d AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |        CAST(len(string_split(s, ' ')) AS BIGINT) AS nt FROM n),
+         |o AS (SELECT doc_id, shard, nt,
+         |        CAST(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id
+         |                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |          AS end_off
+         |      FROM d)
+         |SELECT doc_id, shard, nt, end_off - nt AS start_off, end_off,
+         |       (end_off - nt) // $PackSeqLen AS first_bin,
+         |       ((end_off - 1) // $PackSeqLen)
+         |         - ((end_off - nt) // $PackSeqLen) + 1 AS n_bins
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q56_vocab_build" ->
+      s"""WITH ${TextOps.normCte},
+         |wcount AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(s, ' ')) AS word FROM n)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM wcount),
+         |top AS (SELECT word, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS BIGINT)
+         |      AS rank
+         |  FROM wcount ORDER BY cnt DESC, word ASC LIMIT $VocabK)
+         |SELECT t.rank, t.word, t.cnt,
+         |       round(CAST(sum(t.cnt) OVER (ORDER BY t.rank
+         |                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |             / tot.total, 6) AS coverage
+         |FROM top t, tot ORDER BY rank""".stripMargin,
 
     "q47_stratified_sample" -> {
       val rateCase = SampleRates

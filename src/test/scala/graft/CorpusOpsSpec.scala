@@ -97,4 +97,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(enRate < zhRate)
     assert(enRate > 0.05 && enRate < 0.5, s"en keep rate $enRate far from 0.25")
   }
+
+  test("q55 packing tiles each shard's token stream without gaps") {
+    val rows = CorpusOps.q55SequencePacking(spark, sfDir()).collect()
+    val n = Tables(spark, sfDir()).documents.count()
+    assert(rows.length == n, "every document packed")
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var off = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("start_off") == off, "gap or overlap in stream")
+        assert(r.getAs[Long]("end_off") ==
+          off + r.getAs[Long]("nt"))
+        off = r.getAs[Long]("end_off")
+      }
+    }
+    // bin spans follow from offsets
+    rows.foreach { r =>
+      val L = CorpusOps.PackSeqLen
+      assert(r.getAs[Long]("first_bin") == r.getAs[Long]("start_off") / L)
+      assert(r.getAs[Long]("n_bins") ==
+        (r.getAs[Long]("end_off") - 1) / L - r.getAs[Long]("start_off") / L + 1)
+    }
+  }
+
+  test("q56 vocab ranks by count with monotone coverage ending < 1") {
+    val rows = CorpusOps.q56VocabBuild(spark, sfDir()).collect()
+    assert(rows.length == CorpusOps.VocabK || rows.nonEmpty)
+    val cnts = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cnt"))
+    cnts.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo) }
+    val cov = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("coverage"))
+    cov.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
+    assert(cov.last <= 1.0 && cov.head > 0.0)
+  }
 }
