@@ -126,6 +126,28 @@ object CorpusOps {
         col("total_words"), col("total_chars"), col("avg_quality"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q51
+  /** Per-language best-of selection: the top-[[TopPerLang]] documents
+    * of every language by quality score — the "keep the best N per
+    * stratum" curation step (the group-wise companion of q47's rate
+    * sampling). One window rank per language partition; ties break on
+    * doc_id so the selection is engine-stable. */
+  val TopPerLang = 5
+
+  def q51TopQualityPerLang(spark: SparkSession, dir: String): DataFrame = {
+    // rank on the 6dp-rounded score (like q43) so the tie-break is
+    // engine-stable even if raw doubles differ in the last ulp
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    TextOps.qualityFrame(TextOps.docs(spark, dir))
+      .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopPerLang)
+      .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+      .orderBy("lang", "rank")
+  }
+
   // ---------------------------------------------------------------- q55
   /** Sequence packing — the "concatenate and cut every L tokens" step
     * that turns variable-length documents into fixed-length training
@@ -190,6 +212,7 @@ object CorpusOps {
     "q45_repetition_scores" -> (q45RepetitionScores _),
     "q46_decontamination" -> (q46Decontamination _),
     "q47_stratified_sample" -> (q47StratifiedSample _),
+    "q51_top_quality_per_lang" -> (q51TopQualityPerLang _),
     "q52_corpus_stats" -> (q52CorpusStats _),
     "q55_sequence_packing" -> (q55SequencePacking _),
     "q56_vocab_build" -> (q56VocabBuild _),
@@ -253,6 +276,32 @@ object CorpusOps {
          |       round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 6) AS contamination
          |FROM hits h JOIN ns s ON h.doc_id = s.doc_id
          |ORDER BY h.doc_id""".stripMargin,
+
+    "q51_top_quality_per_lang" -> {
+      val en = TextOps.langLexicon.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH ${TextOps.normCte},
+         |n2 AS (SELECT n.doc_id, n.s, d.lang FROM n
+         |       JOIN documents d USING (doc_id)),
+         |f AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(s, ' ')) AS BIGINT) AS nw,
+         |    CAST(length(s) - length(regexp_replace(s, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(s) AS pr,
+         |    CAST(len(list_filter(string_split(s, ' '),
+         |        w -> list_contains([$en], w))) AS BIGINT) AS m
+         |  FROM n2),
+         |q AS (SELECT doc_id, lang,
+         |    round(0.3 * least(1.0, CAST(nw AS DOUBLE) / 100.0)
+         |          + 0.3 * (1.0 - pr)
+         |          + 0.4 * (CAST(m AS DOUBLE) / nw), 6) AS quality
+         |  FROM f),
+         |r AS (SELECT lang, doc_id, quality,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |        ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM q)
+         |SELECT lang, rank, doc_id, quality FROM r
+         |WHERE rank <= $TopPerLang ORDER BY lang, rank""".stripMargin
+    },
 
     "q52_corpus_stats" -> {
       val en = TextOps.langLexicon.toMap.apply("en")
