@@ -208,6 +208,58 @@ object CorpusOps {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- q57
+  /** The curation pipeline END TO END with per-document accountability:
+    * every document reports its fate — 'benchmark' (held-out eval
+    * slice), 'repetition' (q45 flags), 'contaminated' (q46 shingle
+    * overlap), 'exact_dup' (q43 keep-best loser), 'sampled_out' (q47
+    * rates) or 'kept' — applying the stages in pipeline order, so the
+    * output is the audit table a data team ships with a training set.
+    * Stage semantics are the individual operators' (shared frames, not
+    * copies); the whole composition is hash-verified against one
+    * DuckDB mirror. Near-dup clustering (q44) is independently
+    * verified and omitted here to keep the oracle tractable.
+    *
+    * Scale shape: in-row metrics + one broadcast (benchmark shingles)
+    * + one window over the alive subset keyed by fingerprint — no
+    * stage is quadratic, every stage is a projection/filter over the
+    * previous. */
+  def q57CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir)
+    val rep = q45RepetitionScores(spark, dir).select("doc_id", "flagged")
+    val hits = q46Decontamination(spark, dir).select(col("doc_id"), col("n_hits"))
+    val rate = SampleRates.foldLeft(lit(1.0)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc)
+    }
+    val base = d.select(col("doc_id"), col("lang"), md5(col("s")).as("fp"))
+      .join(TextOps.qualityFrame(d)
+        .select(col("doc_id"), round(col("quality"), 6).as("quality")), "doc_id")
+      .join(rep, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .withColumn("flagged", coalesce(col("flagged"), lit(false)))
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("u",
+        expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
+          .cast("double") / 4294967296.0)
+    val aliveCond = col("doc_id") >= BenchmarkCutoff &&
+      !col("flagged") && col("n_hits") === 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy(col("quality").desc, col("doc_id").asc)
+    val ranked = base.filter(aliveCond)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("rn"))
+    base.join(ranked, Seq("doc_id"), "left")
+      .withColumn("fate",
+        when(col("doc_id") < BenchmarkCutoff, "benchmark")
+          .when(col("flagged"), "repetition")
+          .when(col("n_hits") > 0, "contaminated")
+          .when(col("rn") > 1, "exact_dup")
+          .when(col("u") >= rate, "sampled_out")
+          .otherwise("kept"))
+      .select(col("doc_id"), col("lang"), col("fate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition_scores" -> (q45RepetitionScores _),
     "q46_decontamination" -> (q46Decontamination _),
@@ -216,6 +268,7 @@ object CorpusOps {
     "q52_corpus_stats" -> (q52CorpusStats _),
     "q55_sequence_packing" -> (q55SequencePacking _),
     "q56_vocab_build" -> (q56VocabBuild _),
+    "q57_curation_pipeline" -> (q57CurationPipeline _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -360,6 +413,78 @@ object CorpusOps {
          |                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
          |             / tot.total, 6) AS coverage
          |FROM top t, tot ORDER BY rank""".stripMargin,
+
+    "q57_curation_pipeline" -> {
+      val en = TextOps.langLexicon.toMap.apply("en")
+        .map(w => s"'$w'").mkString(", ")
+      val rateCase = SampleRates
+        .map { case (l, r) => s"WHEN '$l' THEN $r" }
+        .mkString("CASE b.lang ", " ", " ELSE 1.0 END")
+      s"""WITH ${TextOps.normCte},
+         |$wordCtes,
+         |wst AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         |         CAST(max(c) AS BIGINT) AS top_word_count
+         |  FROM (SELECT doc_id, word, count(*) AS c FROM wu GROUP BY 1, 2) z
+         |  GROUP BY 1),
+         |bst AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(count(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+         |  FROM bg GROUP BY 1),
+         |rep AS (
+         |  SELECT w.doc_id,
+         |    (round(1.0 - CAST(w.n_distinct_words AS DOUBLE) / w.n_words, 6) > 0.6
+         |     OR round(CAST(w.top_word_count AS DOUBLE) / w.n_words, 6) > 0.13
+         |     OR (CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+         |              THEN round(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE)
+         |                         / b.n_bigrams, 6)
+         |              ELSE 0.0 END) > 0.05) AS flagged
+         |  FROM wst w LEFT JOIN bst b ON w.doc_id = b.doc_id),
+         |g AS (SELECT DISTINCT doc_id,
+         |        array_to_string(ws[i:i + ${ShingleWidth - 1}], ' ') AS gram
+         |      FROM w, unnest(generate_series(1,
+         |             greatest(len(ws) - ${ShingleWidth - 1}, 0))) AS t(i)),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < $BenchmarkCutoff),
+         |hits AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |         FROM g JOIN bench USING (gram)
+         |         WHERE g.doc_id >= $BenchmarkCutoff GROUP BY 1),
+         |f AS (SELECT doc_id,
+         |    CAST(len(string_split(s, ' ')) AS BIGINT) AS nw,
+         |    CAST(length(s) - length(regexp_replace(s, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |      / length(s) AS pr,
+         |    CAST(len(list_filter(string_split(s, ' '),
+         |        w -> list_contains([$en], w))) AS BIGINT) AS m
+         |  FROM n),
+         |base AS (
+         |  SELECT n.doc_id, d.lang, md5(n.s) AS fp,
+         |    round(0.3 * least(1.0, CAST(f.nw AS DOUBLE) / 100.0)
+         |          + 0.3 * (1.0 - f.pr)
+         |          + 0.4 * (CAST(f.m AS DOUBLE) / f.nw), 6) AS quality,
+         |    r.flagged, COALESCE(h.n_hits, 0) AS n_hits,
+         |    CAST(${TextOps.hexToLongSql(
+                  "md5(CAST(n.doc_id AS VARCHAR))", 1, 8)} AS DOUBLE)
+         |      / 4294967296.0 AS u
+         |  FROM n JOIN documents d USING (doc_id)
+         |  JOIN f ON f.doc_id = n.doc_id
+         |  JOIN rep r ON r.doc_id = n.doc_id
+         |  LEFT JOIN hits h ON h.doc_id = n.doc_id),
+         |rn AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY fp
+         |        ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS rn
+         |  FROM base
+         |  WHERE doc_id >= $BenchmarkCutoff AND NOT flagged AND n_hits = 0)
+         |SELECT b.doc_id, b.lang,
+         |  CASE WHEN b.doc_id < $BenchmarkCutoff THEN 'benchmark'
+         |       WHEN b.flagged THEN 'repetition'
+         |       WHEN b.n_hits > 0 THEN 'contaminated'
+         |       WHEN r.rn > 1 THEN 'exact_dup'
+         |       WHEN b.u >= $rateCase THEN 'sampled_out'
+         |       ELSE 'kept' END AS fate
+         |FROM base b LEFT JOIN rn r ON r.doc_id = b.doc_id
+         |ORDER BY b.doc_id""".stripMargin
+    },
 
     "q47_stratified_sample" -> {
       val rateCase = SampleRates

@@ -121,6 +121,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q57 assigns every document exactly one consistent fate") {
+    val rows = CorpusOps.q57CurationPipeline(spark, sfDir()).collect()
+    val n = Tables(spark, sfDir()).documents.count()
+    assert(rows.length == n, "pipeline must account for every doc")
+    val fates = Set("benchmark", "repetition", "contaminated",
+      "exact_dup", "sampled_out", "kept")
+    assert(rows.map(_.getAs[String]("fate")).toSet.subsetOf(fates))
+    // the eval slice is exactly the benchmark fate
+    rows.foreach { r =>
+      val isBench = r.getAs[Long]("doc_id") < CorpusOps.BenchmarkCutoff
+      assert(isBench == (r.getAs[String]("fate") == "benchmark"))
+    }
+    // stage order: kept docs survive q45 and q46 individually
+    val keptIds = rows.filter(_.getAs[String]("fate") == "kept")
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.nonEmpty, "pipeline killed the whole corpus")
+    val flagged = CorpusOps.q45RepetitionScores(spark, sfDir())
+      .filter(col("flagged")).collect().map(_.getAs[Long]("doc_id")).toSet
+    val contaminated = CorpusOps.q46Decontamination(spark, sfDir())
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert((keptIds & flagged).isEmpty)
+    assert((keptIds & contaminated).isEmpty)
+  }
+
   test("q56 vocab ranks by count with monotone coverage ending < 1") {
     val rows = CorpusOps.q56VocabBuild(spark, sfDir()).collect()
     assert(rows.length == CorpusOps.VocabK || rows.nonEmpty)
