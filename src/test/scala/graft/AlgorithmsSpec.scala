@@ -91,6 +91,73 @@ class AlgorithmsSpec extends SparkSpec {
     assert(Louvain.modularity(e, lv) >= Louvain.modularity(e, rand))
   }
 
+  test("weighted local move follows edge weights (the level-2 contract)") {
+    val ns = Seq(1L, 2L).toDF("node")
+    // heavy self-loops, light link: communities must stay separate
+    val separate = Seq((1L, 1L, 10.0), (2L, 2L, 10.0), (1L, 2L, 1.0))
+      .toDF("src", "dst", "weight")
+    val a = Louvain.louvain(ns, separate)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a(1L) != a(2L), "heavy self-loops must keep super-nodes apart")
+    // light self-loops, heavy link: merging wins
+    val merge = Seq((1L, 1L, 0.5), (2L, 2L, 0.5), (1L, 2L, 10.0))
+      .toDF("src", "dst", "weight")
+    val b = Louvain.louvain(ns, merge)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(1L) == b(2L), "heavy link must merge super-nodes")
+  }
+
+  test("contraction preserves modularity exactly") {
+    val ns = (1L to 6L).toDF("node")
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("src", "dst")
+    val l1 = Louvain.louvain(ns, es)
+    val ctr = Louvain.contract(es, l1)
+    // singleton partition of the contracted graph == l1 on the original
+    val superSingleton = l1.select(col("community")).distinct()
+      .select(col("community").as("node"), col("community"))
+    val q1 = Louvain.modularity(es, l1)
+    val q2 = Louvain.modularity(ctr, superSingleton)
+    assert(math.abs(q1 - q2) < 1e-12, s"contraction drifted Q: $q1 vs $q2")
+  }
+
+  test("two-level louvain never decreases modularity and stays a partition") {
+    // path of 8 nodes: parity-limited local moves stop at small groups,
+    // contraction lets pairs merge further
+    val ns = (1L to 8L).toDF("node")
+    val es = (1L to 7L).map(i => (i, i + 1)).toDF("src", "dst")
+    val l1 = Louvain.louvain(ns, es)
+    val l2 = Louvain.louvainTwoLevel(ns, es)
+    val q1 = Louvain.modularity(es, l1)
+    val q2 = Louvain.modularity(es, l2)
+    info(f"path graph: one-level Q=$q1%.4f two-level Q=$q2%.4f")
+    assert(q2 >= q1 - 1e-12)
+    assert(l2.select("node").distinct().count() == 8)
+    // ring C12: single-node moves stall at small arcs; contraction
+    // merges arcs (optimum groups 3-4 consecutive nodes, Q ≈ 0.4167)
+    val rn = (0L to 11L).toDF("node")
+    val re = (0L to 11L).map(i => (i, (i + 1) % 12)).toDF("src", "dst")
+    val r1 = Louvain.louvain(rn, re)
+    val r2 = Louvain.louvainTwoLevel(rn, re)
+    val rq1 = Louvain.modularity(re, r1)
+    val rq2 = Louvain.modularity(re, r2)
+    info(f"ring graph: one-level Q=$rq1%.4f two-level Q=$rq2%.4f")
+    assert(rq2 >= rq1 - 1e-12)
+    // trade graph instance (q58 vs q38)
+    val e = TradeGraph.edges(Tables(spark, sfDir()))
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+    val a38 = Louvain.q38Louvain(spark, sfDir())
+    val a58 = Louvain.q58LouvainMultilevel(spark, sfDir())
+    val t1 = Louvain.modularity(e, a38)
+    val t2 = Louvain.modularity(e, a58)
+    info(f"trade graph: one-level Q=$t1%.4f two-level Q=$t2%.4f")
+    assert(t2 >= t1 - 1e-12)
+    // determinism
+    val again = Louvain.q58LouvainMultilevel(spark, sfDir()).collect().toSeq
+    assert(again == a58.collect().toSeq)
+  }
+
   test("source-set shortest paths equals the all-pairs slice") {
     val es = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 5L)).toDF("src", "dst")
     val all = Algorithms.shortestPaths(es)
