@@ -197,6 +197,54 @@ object Algorithms {
     out
   }
 
+  // ---------------------------------------------------------------- q59
+  /** Path-multiplicity vs distinct-reach breakdown per direct
+    * dependency of the root — the reference's numOfDeps /
+    * numOfDistinctDeps table (documentation/queries.md:279-334, incl.
+    * the "why does jest appear so often" analysis): for each 1-hop dep
+    * d, the number of cycle-free dependency paths d→*x (1..k steps)
+    * counts multiplicity, while distinct endpoints count unique
+    * sub-dependencies — the gap between the two is how often a module
+    * is reached through many routes. Same bounded cycle-guarded
+    * frontier as q19, keyed by first hop; counts aggregate per first
+    * hop, so only (first, leaf) pairs leave the loop. */
+  def q59SubdepPathCounts(spark: SparkSession, dir: String): DataFrame = {
+    val e = checkpointedEdges(Tables(spark, dir))
+    val spent = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var frontier = e.filter(col("src") === 0L)
+      .select(col("dst").as("first"), col("dst").as("leaf"),
+        array(lit(0L), col("dst")).as("path"))
+      .pipe(Checkpoints.cut)
+    spent += frontier
+    var acc: DataFrame = null
+    for (_ <- 1 to 4) {
+      frontier = frontier
+        .join(e.select(col("src").as("m"), col("dst").as("d")),
+          col("leaf") === col("m"))
+        .filter(!array_contains(col("path"), col("d")))
+        .select(col("first"), col("d").as("leaf"),
+          concat(col("path"), array(col("d"))).as("path"))
+        .pipe(Checkpoints.cut)
+      spent += frontier
+      val out = frontier.select("first", "leaf")
+      acc = if (acc == null) out else acc.union(out)
+    }
+    val pairs = Checkpoints.cut(acc)
+    // materialize the first-hop list before releasing e — the final
+    // join reads it lazily, and a released localCheckpoint is gone
+    val firsts = Checkpoints.cut(
+      e.filter(col("src") === 0L).select(col("dst").as("first")).distinct())
+    Checkpoints.release(spent.toSeq :+ e: _*)
+    val counts = pairs.groupBy("first")
+      .agg(count(lit(1)).as("n_paths"), countDistinct(col("leaf")).as("n_distinct"))
+    firsts
+      .join(counts, Seq("first"), "left")
+      .select(col("first").as("dep"),
+        coalesce(col("n_paths"), lit(0L)).as("n_paths"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"))
+      .orderBy(col("n_paths").desc, col("dep").asc)
+  }
+
   // ---------------------------------------------------------------- q12
   /** Directed transitive closure as (src, dst) reachable pairs —
     * semi-naive evaluation: only the frontier (newly discovered
@@ -449,6 +497,7 @@ object Algorithms {
     "q11_khop" -> (q11Khop _),
     "q19_dependency_chains" -> (q19DependencyChains _),
     "q50_all_shortest_paths" -> (q50AllShortestPaths _),
+    "q59_subdep_path_counts" -> (q59SubdepPathCounts _),
     "q37_community_members" -> (q37CommunityMembers _),
     "q12_transitive_closure" -> (q12TransitiveClosure _),
     "q13_shortest_paths" -> (q13ShortestPaths _),
@@ -527,6 +576,28 @@ object Algorithms {
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_pagerank" -> pagerankSql(5),
+
+    "q59_subdep_path_counts" ->
+      s"""WITH RECURSIVE $T,
+         |p AS (
+         |  SELECT t.dst AS first, t.dst AS leaf,
+         |         [CAST(0 AS BIGINT), t.dst] AS path, CAST(0 AS BIGINT) AS depth
+         |  FROM trade t WHERE t.src = 0
+         |  UNION ALL
+         |  SELECT p.first, t.dst, list_append(p.path, t.dst), p.depth + 1
+         |  FROM p JOIN trade t ON t.src = p.leaf
+         |  WHERE p.depth < 4 AND NOT list_contains(p.path, t.dst)
+         |),
+         |x AS (SELECT first, leaf FROM p WHERE depth >= 1),
+         |c AS (SELECT first, CAST(count(*) AS BIGINT) AS np,
+         |             CAST(count(DISTINCT leaf) AS BIGINT) AS nd
+         |      FROM x GROUP BY 1)
+         |SELECT f.first AS dep,
+         |       CAST(COALESCE(c.np, 0) AS BIGINT) AS n_paths,
+         |       CAST(COALESCE(c.nd, 0) AS BIGINT) AS n_distinct
+         |FROM (SELECT DISTINCT dst AS first FROM trade WHERE src = 0) f
+         |LEFT JOIN c USING (first)
+         |ORDER BY n_paths DESC, dep ASC""".stripMargin,
 
     // all shortest paths 0 → farthest node, enumerated on the
     // shortest-path DAG exactly like the Spark side: forward/backward

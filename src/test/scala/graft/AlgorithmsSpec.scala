@@ -177,6 +177,29 @@ class AlgorithmsSpec extends SparkSpec {
     assert(paths == Set("1->2", "1->5", "1->2->3"))
   }
 
+  test("q59 path counts equal a driver-side guarded enumeration") {
+    val es = TradeGraph.edges(Tables(spark, sfDir())).select("src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    // enumerate cycle-free paths 0 -> first -> ... up to 4 tail steps
+    def walk(first: Long): (Long, Long) = {
+      var tails = Seq(Seq(0L, first))
+      val ends = Seq.newBuilder[Long]
+      for (_ <- 1 to 4) {
+        tails = tails.flatMap(p =>
+          adj.getOrElse(p.last, Nil).filterNot(p.contains).map(p :+ _))
+        ends ++= tails.map(_.last)
+      }
+      val all = ends.result()
+      (all.size.toLong, all.distinct.size.toLong)
+    }
+    val want = adj.getOrElse(0L, Nil).distinct
+      .map(f => f -> walk(f)).toMap
+    val got = Algorithms.q59SubdepPathCounts(spark, sfDir()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("q50 equals a driver-side brute-force all-shortest-paths") {
     // trade graph is ≤75 edges — recompute the exact answer in Scala
     val es = TradeGraph.edges(Tables(spark, sfDir())).select("src", "dst")
