@@ -112,4 +112,24 @@ object PackageJsonSource {
       .filter(col("login").isNotNull)
       .dropDuplicates("login", "repo")
       .withColumn("edge_type", lit("OWNS"))
+
+  /** The reference's teardown sequence — "delete relationships, then
+    * nodes" (documentation/queries.md:245-251) — as pure functional
+    * anti-joins: edges of the dropped types disappear first, then any
+    * module that is neither declared by a manifest nor referenced by a
+    * surviving edge. Nothing mutates in place; persist the survivors
+    * with [[ParquetSink.writeIdempotent]] and the rewrite converges on
+    * rerun, which is the lake form of Neo4j's transactional DELETE.
+    * Both steps are semi/anti joins on natural keys — shuffle-safe at
+    * manifest-dump scale, no driver-side entity lists. */
+  def cascadeDelete(e: GraphEntities, dropTypes: Set[String]): GraphEntities = {
+    val keptEdges = e.edges
+      .filter(!col("edge_type").isin(dropTypes.toSeq: _*))
+    val referenced = keptEdges.select(col("src_module").as("name"))
+      .union(keptEdges.select(col("dst_module").as("name")))
+    val declared = e.modules.filter(col("version").isNotNull).select("name")
+    val keptModules = e.modules.join(
+      referenced.union(declared).distinct(), Seq("name"), "left_semi")
+    e.copy(modules = keptModules, edges = keptEdges)
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.sources.PackageJsonSource
 
 class PackageJsonSourceSpec extends SparkSpec {
@@ -41,6 +42,30 @@ class PackageJsonSourceSpec extends SparkSpec {
     val owns = PackageJsonSource.ownsEdges(manifests).collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(owns == Set(("ada", "alpha"), ("ada", "gamma"), ("bob", "beta")))
+  }
+
+  test("cascade delete drops edge types first, then orphaned modules") {
+    val e = PackageJsonSource.entities(manifests)
+    val before = e.modules.count()
+    // drop dev+peer: modules only reachable through those edges vanish
+    val after = PackageJsonSource.cascadeDelete(e,
+      Set("DEV_DEPENDS_ON", "PEER_DEPENDS_ON"))
+    assert(after.edges.select("edge_type").distinct()
+      .collect().map(_.getString(0)).toSet == Set("DEPENDS_ON"))
+    // declared modules always survive (they exist as manifests)
+    val declared = e.modules.filter(col("version").isNotNull).count()
+    assert(after.modules.count() >= declared)
+    assert(after.modules.count() <= before)
+    // no surviving edge may reference a deleted module
+    val dangling = after.edges
+      .join(after.modules.select(col("name").as("dst_module")),
+        Seq("dst_module"), "left_anti").count()
+    assert(dangling == 0, "edge references a deleted module")
+    // dropping every type leaves exactly the declared modules
+    val bare = PackageJsonSource.cascadeDelete(e,
+      Set("DEPENDS_ON", "DEV_DEPENDS_ON", "PEER_DEPENDS_ON"))
+    assert(bare.edges.count() == 0)
+    assert(bare.modules.count() == declared)
   }
 
   test("lenient read quarantines malformed manifest lines") {
