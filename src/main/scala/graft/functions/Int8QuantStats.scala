@@ -33,12 +33,18 @@ case class Int8QuantStats(child: Expression)
 
   override def prettyName: String = "graft_int8_quant_stats"
 
+  // A null ELEMENT nulls the whole result (matching what the HOF
+  // aggregate/transform formulation would do) instead of silently
+  // reading a 0 — so the output is nullable even over non-null arrays.
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
     var maxAbs = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i)) return null
       val a = math.abs(xs.getDouble(i))
       if (a > maxAbs) maxAbs = a
       i += 1

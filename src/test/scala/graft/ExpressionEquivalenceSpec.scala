@@ -103,6 +103,13 @@ class ExpressionEquivalenceSpec extends SparkSpec {
       .map(r => (r.getLong(0), (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
     assert(custom == hof)
+    // a null element nulls the result (as the HOF chain would),
+    // never a silent 0-read — and the output schema declares it
+    val withNull = Seq((0L, Seq[java.lang.Double](1.0, null, 3.0)))
+      .toDF("vec_id", "e")
+      .select(Int8QuantStats(col("e")).as("st"))
+    assert(withNull.schema("st").nullable)
+    assert(withNull.first().isNullAt(0))
   }
 
   test("every custom expression is callable from SQL after registration") {
