@@ -260,6 +260,29 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q60
+  /** Token-length distribution per language (mean + exact p10/p50/
+    * p90/p99) — the length profile used to pick packing lengths and
+    * truncation cutoffs. Exact `percentile` here because the oracle
+    * demands bit-parity (Spark's exact percentile and DuckDB's
+    * quantile_cont share the (n-1)·p linear interpolation); at
+    * 100 TB swap in `approx_percentile` — same plan shape, fixed-size
+    * sketch state instead of per-group buffers (the streaming S4
+    * HLL-vs-exact trade, for quantiles). */
+  def q60LengthProfile(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .select(col("lang"), size(split(col("s"), " ")).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("nt")), 6).as("mean_tokens"),
+        expr("percentile(nt, array(0.1D, 0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("lang"), col("n_docs"), col("mean_tokens"),
+        round(col("ps").getItem(0), 6).as("p10"),
+        round(col("ps").getItem(1), 6).as("p50"),
+        round(col("ps").getItem(2), 6).as("p90"),
+        round(col("ps").getItem(3), 6).as("p99"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition_scores" -> (q45RepetitionScores _),
     "q46_decontamination" -> (q46Decontamination _),
@@ -269,6 +292,7 @@ object CorpusOps {
     "q55_sequence_packing" -> (q55SequencePacking _),
     "q56_vocab_build" -> (q56VocabBuild _),
     "q57_curation_pipeline" -> (q57CurationPipeline _),
+    "q60_length_profile" -> (q60LengthProfile _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -413,6 +437,19 @@ object CorpusOps {
          |                ROWS UNBOUNDED PRECEDING) AS DOUBLE)
          |             / tot.total, 6) AS coverage
          |FROM top t, tot ORDER BY rank""".stripMargin,
+
+    "q60_length_profile" ->
+      s"""WITH ${TextOps.normCte},
+         |d AS (SELECT doc.lang,
+         |        CAST(len(string_split(n.s, ' ')) AS BIGINT) AS nt
+         |      FROM n JOIN documents doc USING (doc_id))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       round(avg(nt), 6) AS mean_tokens,
+         |       round(quantile_cont(nt, 0.1), 6) AS p10,
+         |       round(quantile_cont(nt, 0.5), 6) AS p50,
+         |       round(quantile_cont(nt, 0.9), 6) AS p90,
+         |       round(quantile_cont(nt, 0.99), 6) AS p99
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q57_curation_pipeline" -> {
       val en = TextOps.langLexicon.toMap.apply("en")
