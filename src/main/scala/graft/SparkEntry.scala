@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsofJoin, Relational, TypedEdges}
-import graft.graph.{Algorithms, Louvain}
+import graft.graph.{Algorithms, CoPurchase, Louvain}
 import graft.text.{CorpusOps, TextOps}
 import graft.sim.{KMeans, Similarity}
 import graft.streaming.StreamOps
@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
-      Algorithms.queries ++ Louvain.queries ++ TextOps.queries ++
+      Algorithms.queries ++ CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
       CorpusOps.queries ++ Similarity.queries ++ KMeans.queries ++
       StreamOps.queries
 
@@ -28,6 +28,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
-      Algorithms.oracleSql ++ TextOps.oracleSql ++ CorpusOps.oracleSql ++
+      Algorithms.oracleSql ++ CoPurchase.oracleSql ++ TextOps.oracleSql ++
+      CorpusOps.oracleSql ++
       Similarity.oracleSql ++ KMeans.oracleSql ++ StreamOps.oracleSql
 }

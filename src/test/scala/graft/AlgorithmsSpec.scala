@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.graph.{Algorithms, GraphxBridge, Louvain, TradeGraph}
+import graft.graph.{Algorithms, CoPurchase, GraphxBridge, Louvain, TradeGraph}
 
 class AlgorithmsSpec extends SparkSpec {
   import spark.implicits._
@@ -240,6 +240,27 @@ class AlgorithmsSpec extends SparkSpec {
       val entries = java.nio.file.Files.walk(dir).count()
       assert(entries > 1, "no reliable checkpoint data written under the dir")
     } finally spark.conf.unset(Checkpoints.ConfKey)
+  }
+
+  test("iterative algorithms run unchanged on the large co-purchase graph") {
+    val t = Tables(spark, sfDir())
+    val (nodes, e) = CoPurchase.graph(t)
+    val nNodes = nodes.count()
+    val nEdges = e.count()
+    // genuinely larger than the 25-node trade graph
+    assert(nNodes > 100 && nEdges > 1000,
+      s"co-purchase graph unexpectedly small: $nNodes nodes / $nEdges edges")
+    // CC: valid partition, labels are member min-ids
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val comp = Algorithms.connectedComponents(nodes, und)
+    assert(comp.count() == nNodes)
+    assert(comp.filter(col("component") > col("node")).count() == 0,
+      "component label must be the minimum member id")
+    // PageRank: mass conserved within the usual damping bound
+    val pr = Algorithms.pagerank(nodes, e, iters = 3)
+    val total = pr.agg(sum("r")).first().getDouble(0)
+    assert(total > 0.15 * nNodes && total < 1.05 * nNodes,
+      s"pagerank mass off: $total for $nNodes nodes")
   }
 
   test("trade graph: ≤3 out-edges per src, deterministic across runs") {
