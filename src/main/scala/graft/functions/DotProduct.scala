@@ -106,6 +106,10 @@ object GraftFunctions {
       e => RepetitionStats(e(0))),
     ("graft_int8_quant_stats", classOf[Int8QuantStats],
       e => Int8QuantStats(e(0))),
+    // aggregate: the analyzer wraps a returned AggregateFunction in
+    // an AggregateExpression, same as the built-in max/min builders
+    ("graft_topk", classOf[TopKAgg],
+      e => TopKAgg(e(0), foldInt(e(1)))),
   )
 
   /** Register graft's custom expressions as SQL functions on an

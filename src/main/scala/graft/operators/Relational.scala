@@ -161,7 +161,28 @@ object Relational {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------------------- q62
+  /** Per-nation top-5 order totals through the custom
+    * [[graft.functions.TopKAgg]] Catalyst aggregate — the partial-
+    * aggregating replacement for the window row_number pattern: a
+    * window shuffles and sorts every group's full row set, while the
+    * aggregate ships only k doubles per group per partition
+    * (map-side combine). */
+  def q62TopOrderTotals(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nation"),
+        col("o_totalprice").cast("double").as("p"))
+      .groupBy("nation")
+      .agg(graft.functions.TopKAgg.topk(col("p"), 5).as("tops"))
+      .select(col("nation"), posexplode(col("tops")).as(Seq("pos", "price")))
+      .select(col("nation"), (col("pos") + 1).cast("long").as("rank"),
+        round(col("price"), 2).as("price"))
+      .orderBy("nation", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_top_order_totals" -> (q62TopOrderTotals _),
     "q01_property_export" -> (q01PropertyExport _),
     "q42_edge_exists_pairs" -> (q42EdgeExistsPairs _),
     "q02_threshold_filter" -> (q02ThresholdFilter _),
@@ -178,6 +199,16 @@ object Relational {
   private val T = TradeGraph.sqlCte
 
   val oracleSql: Map[String, String] = Map(
+    "q62_top_order_totals" ->
+      """WITH j AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+        |                  CAST(o.o_totalprice AS DOUBLE) AS p
+        |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (SELECT nation, p,
+        |        row_number() OVER (PARTITION BY nation ORDER BY p DESC) AS rk
+        |      FROM j)
+        |SELECT nation, CAST(rk AS BIGINT) AS rank, round(p, 2) AS price
+        |FROM r WHERE rk <= 5 ORDER BY nation, rank""".stripMargin,
+
     "q42_edge_exists_pairs" ->
       s"""WITH $T, ${TradeGraph.sqlUndirectedCte},
          |ids AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation

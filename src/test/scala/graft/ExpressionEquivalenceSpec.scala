@@ -112,6 +112,31 @@ class ExpressionEquivalenceSpec extends SparkSpec {
     assert(withNull.first().isNullAt(0))
   }
 
+  test("TopKAgg == window top-k and partial-aggregates across partitions") {
+    val rnd = new scala.util.Random(23L)
+    val rows = (0 until 500).map(i =>
+      (i % 7, math.rint(rnd.nextDouble() * 1e8) / 100.0))
+    val d = rows.toDF("g", "v").repartition(11) // force map-side partials
+    val agg = d.groupBy("g")
+      .agg(graft.functions.TopKAgg.topk(col("v"), 3).as("tops"))
+    val custom = agg
+      .select(col("g"), posexplode(col("tops")).as(Seq("pos", "v")))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc)
+    val window = d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("g"), (col("rk") - 1).as("pos"), col("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(custom == window)
+    // the plan must partial-aggregate (map-side combine), not shuffle rows
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_topk"), s"aggregate missing from plan:\n$plan")
+    assert(plan.contains("partial_graft_topk"),
+      s"no partial (map-side) aggregation:\n$plan")
+  }
+
   test("every custom expression is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
@@ -131,6 +156,13 @@ class ExpressionEquivalenceSpec extends SparkSpec {
     assert(r.getInt(4) == 3)   // 'a b','b c','c d'
     assert(r.getInt(5) == 3)
     assert(r.getLong(6) == 127L * 127 + 64L * 64) // q = [64, -127]
+    // the aggregate registers too (used in GROUP BY context)
+    val tops = spark.sql(
+      """SELECT g, graft_topk(v, 2) AS t
+        |FROM VALUES (1, 5.0d), (1, 9.0d), (1, 7.0d), (2, 1.0d) AS tab(g, v)
+        |GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(tops(0).getSeq[Double](1) == Seq(9.0, 7.0))
+    assert(tops(1).getSeq[Double](1) == Seq(1.0))
   }
 
   test("CharGrams == array_distinct/transform formulation") {
