@@ -245,6 +245,47 @@ object Algorithms {
       .orderBy(col("n_paths").desc, col("dep").asc)
   }
 
+  // ---------------------------------------------------------------- q63
+  /** Per-node triangle counts on the undirected trade graph — the
+    * clustering-structure metric of the Neo4j graph-algorithms
+    * library the reference leans on for its analytics surface.
+    * Edges are canonically oriented (src < dst), so each triangle
+    * u<v<w is found exactly once by the wedge join
+    * (u,v)⋈(v,w)⋈(u,w) — two equi-joins, no enumeration of
+    * unordered pairs. At scale the standard hardening is to orient by
+    * (degree, id) instead of id so high-degree hubs sit on the build
+    * side of few wedges; the id orientation keeps the oracle mirror
+    * exact here. */
+  /** Core: per-node triangle counts given any edge list (direction
+    * and duplicates ignored — canonicalized internally). */
+  def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val und = Checkpoints.cut(edges
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.dst") === col("e2.src"))
+      .join(und.as("e3"),
+        col("e3.src") === col("e1.src") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val perNode = tri.select(col("u").as("node"))
+      .union(tri.select(col("v").as("node")))
+      .union(tri.select(col("w").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    nodes.select("node")
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .orderBy("node")
+    // und stays live for this lazy plan; Verify/Bench clear blocks
+    // per query
+  }
+
+  def q63TriangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    triangleCounts(TradeGraph.nodes(t).select("node"), TradeGraph.edges(t))
+  }
+
   // ---------------------------------------------------------------- q12
   /** Directed transitive closure as (src, dst) reachable pairs —
     * semi-naive evaluation: only the frontier (newly discovered
@@ -498,6 +539,7 @@ object Algorithms {
     "q19_dependency_chains" -> (q19DependencyChains _),
     "q50_all_shortest_paths" -> (q50AllShortestPaths _),
     "q59_subdep_path_counts" -> (q59SubdepPathCounts _),
+    "q63_triangle_counts" -> (q63TriangleCounts _),
     "q37_community_members" -> (q37CommunityMembers _),
     "q12_transitive_closure" -> (q12TransitiveClosure _),
     "q13_shortest_paths" -> (q13ShortestPaths _),
@@ -576,6 +618,27 @@ object Algorithms {
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_pagerank" -> pagerankSql(5),
+
+    "q63_triangle_counts" ->
+      s"""WITH $T,
+         |und AS (SELECT DISTINCT least(src, dst) AS src,
+         |               greatest(src, dst) AS dst
+         |        FROM trade WHERE src <> dst),
+         |tri AS (
+         |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |  FROM und e1
+         |  JOIN und e2 ON e1.dst = e2.src
+         |  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |         SELECT u AS node FROM tri
+         |         UNION ALL SELECT v FROM tri
+         |         UNION ALL SELECT w FROM tri) z
+         |       GROUP BY 1)
+         |SELECT CAST(n.n_nationkey AS BIGINT) AS node,
+         |       CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+         |FROM nation n
+         |LEFT JOIN pn ON pn.node = CAST(n.n_nationkey AS BIGINT)
+         |ORDER BY node""".stripMargin,
 
     "q59_subdep_path_counts" ->
       s"""WITH RECURSIVE $T,

@@ -242,6 +242,18 @@ class AlgorithmsSpec extends SparkSpec {
     } finally spark.conf.unset(Checkpoints.ConfKey)
   }
 
+  test("triangle counts match a known graph, orientation-insensitive") {
+    // triangles 1-2-3 and 3-4-5 sharing node 3, pendant 5-6; edges
+    // given in MIXED direction with a duplicate — must canonicalize
+    val ns = (1L to 6L).toDF("node")
+    val es = Seq((1L, 2L), (3L, 2L), (1L, 3L), (3L, 4L), (5L, 4L),
+      (3L, 5L), (5L, 6L), (2L, 1L)).toDF("src", "dst")
+    val got = Algorithms.triangleCounts(ns, es)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L,
+      5L -> 1L, 6L -> 0L))
+  }
+
   test("iterative algorithms run unchanged on the large co-purchase graph") {
     val t = Tables(spark, sfDir())
     val (nodes, e) = CoPurchase.graph(t)
