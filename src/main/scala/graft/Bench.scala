@@ -20,7 +20,12 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional comma-separated subset for local iteration, e.g.
+    // SPARK_GRAFT_BENCH_FILTER=q38_louvain,q58_louvain_multilevel
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => filter.forall(_.contains(n)))
     val warmDir = "/root/testdata/sf0.001"
     names.foreach { n =>
       try SparkEntry.queries(n)(spark, warmDir).count()

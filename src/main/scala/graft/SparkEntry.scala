@@ -28,7 +28,8 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
-      Algorithms.oracleSql ++ CoPurchase.oracleSql ++ TextOps.oracleSql ++
+      Algorithms.oracleSql ++ CoPurchase.oracleSql ++ Louvain.oracleSql ++
+      TextOps.oracleSql ++
       CorpusOps.oracleSql ++
       Similarity.oracleSql ++ KMeans.oracleSql ++ StreamOps.oracleSql
 }

@@ -61,32 +61,58 @@ object Louvain {
   }
 
   /** (src, dst, ew): normalize the optional `weight` column (absent →
-    * 1.0) so every consumer sees one shape. */
+    * 1.0) so every consumer sees one shape. Idempotent: an
+    * already-normalized frame passes through unchanged. */
   private def weighted(edges: DataFrame): DataFrame =
-    if (edges.columns.contains("weight"))
+    if (edges.columns.contains("ew"))
+      edges.select(col("src"), col("dst"), col("ew").cast("double").as("ew"))
+    else if (edges.columns.contains("weight"))
       edges.select(col("src"), col("dst"), col("weight").cast("double").as("ew"))
     else edges.select(col("src"), col("dst")).withColumn("ew", lit(1.0))
 
   /** Louvain local-move phase (semi-synchronous, deterministic):
-    * returns (node, community) of the best-modularity assignment seen
-    * within `iters` sweeps, starting from singleton communities.
-    * `edges` is undirected, one row per edge, optional `weight`.
+    * returns (node, community) of the best-modularity assignment among
+    * the `iters + 1` sweep results (singleton start included), with
+    * ties going to the earliest sweep. `edges` is undirected, one row
+    * per edge, optional `weight`.
     *
     * Default sweep budget: 3 full even+odd passes — local moves on
     * the test graphs stop producing changes by pass 3, and
     * semi-synchronous sweeps can limit-cycle (never two consecutive
     * stable sweeps), so a budget beats waiting for strict
     * convergence; the argmax-Q selection makes extra sweeps safe but
-    * not useful. */
+    * not useful.
+    *
+    * Action shape: ONE job per sweep (the assignment checkpoint) and
+    * ONE post-loop job that scores every sweep's Q together (tag-union
+    * of the iters+1 assignments → per-(sweep, community) aggregates →
+    * iters+1 driver scalars). Earlier versions ran a 3-join Q action
+    * every second sweep — at 6 sweeps that doubled the job count for a
+    * 25-node graph. The trade: all iters+1 assignments stay
+    * checkpointed until selection, i.e. O(iters · V) rows of (node,
+    * community) transient storage instead of O(V); at a billion nodes
+    * prefer a smaller `iters` over per-sweep eviction, which would
+    * reintroduce the per-sweep Q actions. */
   def louvain(nodes: DataFrame, edges: DataFrame, iters: Int = 6): DataFrame = {
     val e = weighted(edges).pipe(Checkpoints.cut)
+    val out = louvainOn(nodes, e, iters)
+    Checkpoints.release(e)
+    out
+  }
+
+  /** [[louvain]] over an already-normalized, already-materialized
+    * (src, dst, ew) edge list — callers that checkpoint the edges
+    * anyway ([[louvainTwoLevel]], q58's shared derivation) use this to
+    * avoid a second materialization of the same data. Does NOT release
+    * `e`. */
+  private def louvainOn(nodes: DataFrame, e: DataFrame, iters: Int): DataFrame = {
     val m = e.agg(sum(col("ew"))).first() match {
       case r if r.isNullAt(0) => 0.0
       case r => r.getDouble(0)
     }
     var assign = nodes.select(col("node"), col("node").as("community"))
       .pipe(Checkpoints.cut)
-    if (m == 0) { Checkpoints.release(e); return assign }
+    if (m == 0) return assign
     // both directions for scoring; self-loops excluded — they move
     // with the node, contributing equally to every candidate
     val und = e.filter(col("src") =!= col("dst"))
@@ -97,23 +123,7 @@ object Louvain {
       .union(e.select(col("dst").as("node"), col("ew")))
       .groupBy("node").agg(sum(col("ew")).as("deg"))
       .pipe(Checkpoints.cut)
-    // single-job Q evaluation with m and deg precomputed (modularity()
-    // would recount edges and re-aggregate degrees on every call)
-    def qOf(a: DataFrame): Double = {
-      val within = e
-        .join(a.select(col("node").as("src"), col("community").as("cs")), "src")
-        .join(a.select(col("node").as("dst"), col("community").as("cd")), "dst")
-        .filter(col("cs") === col("cd"))
-        .groupBy(col("cs").as("community")).agg(sum(col("ew")).as("lc"))
-      a.join(deg, Seq("node"), "left")
-        .groupBy("community").agg(sum(coalesce(col("deg"), lit(0.0))).as("dc"))
-        .join(within, Seq("community"), "left")
-        .select(sum(coalesce(col("lc"), lit(0.0)) / m
-          - pow(col("dc") / (2.0 * m), 2.0)).as("q"))
-        .first().getDouble(0)
-    }
-    var best = assign
-    var bestQ = qOf(assign)
+    val assigns = scala.collection.mutable.ArrayBuffer(assign)
     var sweep = 0
     while (sweep < iters) {
       sweep += 1
@@ -140,30 +150,55 @@ object Louvain {
           col("w") / m - col("deg") * col("dtot_x") / (2.0 * m * m))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("node").orderBy(col("score").desc, col("c").asc)
-      val prev = assign
       assign = scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select(col("node"),
           when(pmod(col("node"), lit(2)) === lit(sweep % 2), col("c"))
             .otherwise(col("community")).as("community"))
         .pipe(Checkpoints.cut)
-      // score once per full even+odd pass — the argmax-Q selection
-      // both absorbs semi-synchronous limit cycles and replaces a
-      // convergence test (which a cycle would never satisfy); one
-      // driver scalar per pass is the only loop traffic
-      if (sweep % 2 == 0 || sweep == iters) {
-        val q = qOf(assign)
-        if (q > bestQ) {
-          bestQ = q
-          if (!(best eq prev)) Checkpoints.release(best)
-          best = assign
-        }
-      }
-      // free the superseded sweep unless it is still the best-Q holder
-      if (!(prev eq best)) Checkpoints.release(prev)
+      assigns += assign
     }
-    Checkpoints.release(e, adj, deg)
-    if (!(assign eq best)) Checkpoints.release(assign)
+    // one job: Q of every sweep's assignment at once. The argmax-Q
+    // selection absorbs semi-synchronous limit cycles and replaces a
+    // convergence test (which a cycle would never satisfy).
+    //
+    // The per-community Q terms are summed as DECIMAL(38,18), not
+    // DOUBLE: symmetric graphs produce DISTINCT partitions with
+    // EXACTLY equal Q, and a double sum's partial-agg order would
+    // break the earliest-sweep tie deterministically here but
+    // differently in the SQL mirror. Each term is a bit-identical
+    // double in both engines (integer-valued lc/dc/m, identical
+    // operand order, squaring by multiplication — pow() is libm-
+    // dependent); casting to decimal makes the SUM order-independent
+    // too, so selection is engine-exact.
+    val tagged = assigns.zipWithIndex
+      .map { case (a, s) => a.withColumn("s", lit(s)) }
+      .reduce(_.unionByName(_))
+    val within = e
+      .join(tagged.select(col("node").as("src"), col("community").as("cs"),
+        col("s")), Seq("src"))
+      .join(tagged.select(col("node").as("dst"), col("community").as("cd"),
+        col("s")), Seq("dst", "s"))
+      .filter(col("cs") === col("cd"))
+      .groupBy(col("s"), col("cs").as("community")).agg(sum(col("ew")).as("lc"))
+    val dc = tagged.join(deg, Seq("node"), "left")
+      .groupBy(col("s"), col("community"))
+      .agg(sum(coalesce(col("deg"), lit(0.0))).as("dc"))
+    val halfDc = col("dc") / (2.0 * m)
+    val qBySweep = dc.join(within, Seq("s", "community"), "left")
+      .groupBy("s")
+      .agg(sum((coalesce(col("lc"), lit(0.0)) / m - halfDc * halfDc)
+        .cast("decimal(38,18)")).as("q"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    var bestS = 0
+    var bestQ = qBySweep(0)
+    for (s <- 1 to iters)
+      if (qBySweep(s).compareTo(bestQ) > 0) { bestQ = qBySweep(s); bestS = s }
+    val best = assigns(bestS)
+    Checkpoints.release(adj, deg)
+    assigns.zipWithIndex
+      .foreach { case (a, s) => if (s != bestS) Checkpoints.release(a) }
     best
   }
 
@@ -185,10 +220,17 @@ object Louvain {
     * at the contracted singletons = level-1 partition). */
   def louvainTwoLevel(nodes: DataFrame, edges: DataFrame,
       iters: Int = 6): DataFrame = {
-    val l1 = louvain(nodes, edges, iters)
+    // one materialization of the level-1 edges feeds both the sweep
+    // and the contraction (weighted() is idempotent, so an already-
+    // normalized caller frame is not re-derived)
+    val e1 = weighted(edges).pipe(Checkpoints.cut)
+    val l1 = louvainOn(nodes, e1, iters)
     val superNodes = l1.select(col("community").as("node")).distinct()
-    val superEdges = contract(edges, l1).pipe(Checkpoints.cut)
-    val l2 = louvain(superNodes, superEdges, iters)
+    val superEdges = contract(e1, l1)
+      .select(col("src"), col("dst"), col("weight").as("ew"))
+      .pipe(Checkpoints.cut)
+    Checkpoints.release(e1)
+    val l2 = louvainOn(superNodes, superEdges, iters)
     Checkpoints.release(superEdges)
     val out = l1
       .join(l2.select(col("node").as("community"), col("community").as("c2")),
@@ -201,41 +243,190 @@ object Louvain {
   }
 
   /** q38: Louvain communities on the undirected trade graph —
-    * deterministic (semi-synchronous sweeps, argmax-Q), rows-only
-    * checked (modularity math is not ANSI-SQL-expressible without
-    * unrolling the sweep; quality is spec-asserted vs random/singleton
-    * partitions instead). */
+    * deterministic (semi-synchronous sweeps, argmax-Q with
+    * earliest-sweep ties), hash-checked against the unrolled-CTE
+    * DuckDB mirror ([[levelCtes]]); quality is additionally
+    * spec-asserted vs random/singleton partitions. */
   def q38Louvain(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    // one row per undirected edge, canonical direction only; cut the
-    // lineage so the lineitem-scale derivation runs once, not once per
-    // sweep job (louvain + modularity reference `edges` repeatedly)
-    val e = Checkpoints.cut(TradeGraph.edges(t)
+    // one row per undirected edge, canonical direction only; louvain
+    // checkpoints weighted(e) itself, so the lineitem-scale derivation
+    // runs exactly once — no outer cut needed for the single-level run
+    val e = TradeGraph.edges(t)
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
-      .distinct())
-    val best = louvain(TradeGraph.nodes(t).select("node"), e)
-    Checkpoints.release(e) // sweeps are eager; best is checkpointed
-    best.orderBy("node")
+      .distinct()
+    louvain(TradeGraph.nodes(t).select("node"), e).orderBy("node")
   }
 
   /** q58: the multi-level (real) Louvain on the same graph — phase 1
     * local moves, community contraction, phase 2 on the weighted
-    * super-graph, labels mapped back. Rows-only checked like q38;
-    * the Q(two-level) ≥ Q(one-level) invariant is spec-asserted. */
+    * super-graph, labels mapped back. Hash-checked against the
+    * two-level unrolled oracle; Q(two-level) ≥ Q(one-level) is
+    * spec-asserted. */
   def q58LouvainMultilevel(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val e = Checkpoints.cut(TradeGraph.edges(t)
+    // louvainTwoLevel materializes weighted(e) once and feeds both the
+    // level-1 sweep and the contraction from it — no outer cut needed
+    val e = TradeGraph.edges(t)
       .select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
-      .distinct())
-    val out = louvainTwoLevel(TradeGraph.nodes(t).select("node"), e)
-    Checkpoints.release(e)
-    out.orderBy("node")
+      .distinct()
+    louvainTwoLevel(TradeGraph.nodes(t).select("node"), e).orderBy("node")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_louvain" -> (q38Louvain _),
     "q58_louvain_multilevel" -> (q58LouvainMultilevel _),
+  )
+
+  /** Sweep budget the oracle unrolls — must match [[louvain]]'s
+    * default `iters`. */
+  val OracleIters = 6
+
+  /** One Louvain level as chained DuckDB CTEs — the exact SQL mirror
+    * of [[louvain]]. Expects CTEs `${p}e` (src, dst, ew DOUBLE) and
+    * `${p}nodes` (node) to already exist; emits `${p}a0..aN` (one
+    * assignment per sweep, semi-synchronous parity gating), a Q CTE
+    * per assignment (same per-community term Spark sums), and
+    * `${p}f` = the earliest assignment achieving the max Q — the SQL
+    * equivalent of the strict-`>` fold over sweeps in [[louvain]].
+    *
+    * Float parity: every score/Q expression uses the same operand
+    * order and association as the Spark side ((2*m)*m precomputed,
+    * w/m − (deg·dtot_x)/(2m²), (dc/(2m))·(dc/(2m))), so each term is
+    * the same double in both engines, and the Q sum is DECIMAL(38,18)
+    * so it is order-independent — symmetric graphs really do produce
+    * distinct partitions with exactly equal Q, and the earliest-sweep
+    * tie must resolve identically in both engines. Holds for
+    * integer-valued weights (unit edges and their contractions);
+    * arbitrary float weights would make lc/dc themselves
+    * order-dependent. */
+  private def levelCtes(p: String, iters: Int): String = {
+    val m = s"(SELECT m FROM ${p}mm)"
+    val twoM = s"(SELECT 2 * m FROM ${p}mm)"
+    val twoM2 = s"(SELECT 2 * m * m FROM ${p}mm)"
+    val base =
+      s"""${p}mm AS MATERIALIZED (SELECT sum(ew) AS m FROM ${p}e),
+         |${p}adj AS MATERIALIZED (
+         |  SELECT src AS node, dst AS nbr, ew FROM ${p}e WHERE src <> dst
+         |  UNION ALL
+         |  SELECT dst AS node, src AS nbr, ew FROM ${p}e WHERE src <> dst),
+         |${p}deg AS MATERIALIZED (
+         |  SELECT node, sum(ew) AS deg FROM (
+         |    SELECT src AS node, ew FROM ${p}e
+         |    UNION ALL SELECT dst AS node, ew FROM ${p}e) z
+         |  GROUP BY 1),
+         |${p}a0 AS MATERIALIZED (SELECT node, node AS community FROM ${p}nodes)""".stripMargin
+    val sweeps = (1 to iters).map { t =>
+      s"""${p}tot$t AS MATERIALIZED (
+         |  SELECT a.community, sum(COALESCE(d.deg, 0)) AS dtot
+         |  FROM ${p}a${t - 1} a LEFT JOIN ${p}deg d ON d.node = a.node
+         |  GROUP BY 1),
+         |${p}cand$t AS MATERIALIZED (
+         |  SELECT node, c, max(w) AS w FROM (
+         |    SELECT j.node, a.community AS c, sum(j.ew) AS w
+         |    FROM ${p}adj j JOIN ${p}a${t - 1} a ON a.node = j.nbr
+         |    GROUP BY 1, 2
+         |    UNION ALL
+         |    SELECT node, community AS c, CAST(0 AS DOUBLE) AS w
+         |    FROM ${p}a${t - 1}) z
+         |  GROUP BY 1, 2),
+         |${p}sc$t AS MATERIALIZED (
+         |  SELECT cd.node, cd.c, a.community,
+         |         cd.w / $m
+         |         - COALESCE(d.deg, 0)
+         |           * (CASE WHEN cd.c = a.community
+         |              THEN t.dtot - COALESCE(d.deg, 0) ELSE t.dtot END)
+         |           / $twoM2 AS score
+         |  FROM ${p}cand$t cd
+         |  JOIN ${p}a${t - 1} a ON a.node = cd.node
+         |  LEFT JOIN ${p}deg d ON d.node = cd.node
+         |  JOIN ${p}tot$t t ON t.community = cd.c),
+         |${p}a$t AS MATERIALIZED (
+         |  SELECT node,
+         |         CASE WHEN node % 2 = ${t % 2} THEN c
+         |              ELSE community END AS community
+         |  FROM (
+         |    SELECT node, c, community,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY score DESC, c ASC) AS rk
+         |    FROM ${p}sc$t) z
+         |  WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val qs = (0 to iters).map { t =>
+      s"""${p}wq$t AS MATERIALIZED (
+         |  SELECT x.community, sum(e.ew) AS lc
+         |  FROM ${p}e e
+         |  JOIN ${p}a$t x ON x.node = e.src
+         |  JOIN ${p}a$t y ON y.node = e.dst
+         |  WHERE x.community = y.community
+         |  GROUP BY 1),
+         |${p}dq$t AS MATERIALIZED (
+         |  SELECT a.community, sum(COALESCE(d.deg, 0)) AS dc
+         |  FROM ${p}a$t a LEFT JOIN ${p}deg d ON d.node = a.node
+         |  GROUP BY 1),
+         |${p}q$t AS MATERIALIZED (
+         |  SELECT CAST($t AS BIGINT) AS s,
+         |         sum(CAST(COALESCE(w.lc, 0) / $m
+         |             - (d.dc / $twoM) * (d.dc / $twoM)
+         |             AS DECIMAL(38, 18))) AS q
+         |  FROM ${p}dq$t d LEFT JOIN ${p}wq$t w USING (community))""".stripMargin
+    }.mkString(",\n")
+    val allA = (0 to iters)
+      .map(t => s"    SELECT node, community, CAST($t AS BIGINT) AS s FROM ${p}a$t")
+      .mkString("\n    UNION ALL\n")
+    val allQ = (0 to iters).map(t => s"  SELECT s, q FROM ${p}q$t")
+      .mkString("\n  UNION ALL\n")
+    s"""$base,
+       |$sweeps,
+       |$qs,
+       |${p}qs AS MATERIALIZED (
+       |$allQ),
+       |${p}win AS MATERIALIZED (SELECT s FROM ${p}qs ORDER BY q DESC, s ASC LIMIT 1),
+       |${p}f AS MATERIALIZED (
+       |  SELECT node, community FROM (
+       |$allA) z
+       |  WHERE s = (SELECT s FROM ${p}win))""".stripMargin
+  }
+
+  private val T = TradeGraph.sqlCte
+
+  /** Shared q38/q58 preamble: canonical undirected trade edges with
+    * unit weight (mirror of the [[q38Louvain]] edge derivation +
+    * [[weighted]]). */
+  private val edgeCtes: String =
+    s"""und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src,
+       |               greatest(src, dst) AS dst FROM trade),
+       |e AS MATERIALIZED (SELECT src, dst, CAST(1 AS DOUBLE) AS ew FROM und),
+       |nodes AS MATERIALIZED (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q38_louvain" ->
+      s"""WITH $T,
+         |$edgeCtes,
+         |${levelCtes("", OracleIters)}
+         |SELECT node, community FROM f ORDER BY node""".stripMargin,
+
+    // level 2 = the same sweep machinery over the contracted weighted
+    // graph (intra-community weight → self-loop, inter sums; mirror of
+    // Louvain.contract), then labels map back through level 1
+    "q58_louvain_multilevel" ->
+      s"""WITH $T,
+         |$edgeCtes,
+         |${levelCtes("", OracleIters)},
+         |bnodes AS MATERIALIZED (SELECT DISTINCT community AS node FROM f),
+         |be AS MATERIALIZED (
+         |  SELECT least(x.community, y.community) AS src,
+         |         greatest(x.community, y.community) AS dst,
+         |         sum(e.ew) AS ew
+         |  FROM e
+         |  JOIN f x ON x.node = e.src
+         |  JOIN f y ON y.node = e.dst
+         |  GROUP BY 1, 2),
+         |${levelCtes("b", OracleIters)}
+         |SELECT l1.node AS node, bf.community AS community
+         |FROM f l1 JOIN bf ON bf.node = l1.community
+         |ORDER BY l1.node""".stripMargin,
   )
 }
