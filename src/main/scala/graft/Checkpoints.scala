@@ -25,14 +25,24 @@ object Checkpoints {
     val spark = df.sparkSession
     spark.conf.getOption(ConfKey) match {
       case Some(dir) if dir.nonEmpty =>
-        val existing = spark.sparkContext.getCheckpointDir
-        // setCheckpointDir appends a UUID; match on the parent prefix.
-        if (existing.exists(e => !e.startsWith(dir))) {
-          log.warn(s"$ConfKey=$dir overrides existing checkpoint dir " +
-            s"${existing.get}; resetting to $dir")
-          spark.sparkContext.setCheckpointDir(dir)
-        } else if (existing.isEmpty) {
-          spark.sparkContext.setCheckpointDir(dir)
+        val sc = spark.sparkContext
+        // setCheckpointDir stores a fully-qualified URI (scheme added,
+        // UUID subdir appended), so raw-string prefix matching against
+        // the conf value misfires on scheme-less paths and on sibling
+        // dirs sharing a prefix (/a/b vs /a/bc). Qualify the conf path
+        // the same way and compare the UUID dir's PARENT component.
+        val confPath = new org.apache.hadoop.fs.Path(dir)
+        val qualified = confPath
+          .getFileSystem(sc.hadoopConfiguration).makeQualified(confPath)
+        val existing = sc.getCheckpointDir
+        val matches = existing.exists { e =>
+          new org.apache.hadoop.fs.Path(e).getParent == qualified
+        }
+        if (!matches) {
+          existing.foreach(e => log.warn(
+            s"$ConfKey=$dir overrides existing checkpoint dir $e; " +
+              s"resetting to $qualified"))
+          sc.setCheckpointDir(dir)
         }
         df.checkpoint()
       case _ => df.localCheckpoint()
@@ -45,13 +55,22 @@ object Checkpoints {
     * lifetime of the session — at cluster scale that is a memory leak
     * proportional to iterations × frontier size, and even locally the
     * accumulated deserialized blocks degrade GC across a long session.
-    * Safe on aliased/released inputs: unpersist is idempotent. */
+    * Safe on aliased/released inputs: unpersist is idempotent.
+    *
+    * Only the frame's OWN checkpoint (the plan root) is freed: a frame
+    * merely derived from a checkpoint does not own its ancestor's
+    * blocks, and unpersisting every LogicalRDD reachable in the plan
+    * would silently free still-needed ancestors (for localCheckpoint,
+    * destroying the only copy). Passing a derived frame is a no-op
+    * with a warning — release the cut frame itself instead. */
   def release(dfs: DataFrame*): Unit =
     dfs.filter(_ != null).foreach { df =>
-      df.queryExecution.analyzed.foreach {
+      df.queryExecution.analyzed match {
         case lr: org.apache.spark.sql.execution.LogicalRDD =>
           lr.rdd.unpersist(blocking = false)
-        case _ => ()
+        case other => log.warn(
+          s"release() called on a non-checkpoint plan root " +
+            s"(${other.nodeName}); nothing freed — pass the cut frame")
       }
     }
 

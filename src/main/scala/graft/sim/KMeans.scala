@@ -77,6 +77,13 @@ object KMeans {
     (assign, cent)
   }
 
+  /** (final assignment, the centroids that produced it) — for the
+    * assignment-margin spec, which asserts every runner-up distance
+    * clears the winner by far more than float accumulation noise.
+    * The caller owns the release of both frames. */
+  private[graft] def model(v: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) =
+    lloyd(v, k, iters)
+
   /** (vec_id, cell) after `iters` Lloyd iterations from the
     * first-k-by-id init. */
   def assignments(v: DataFrame, k: Int, iters: Int): DataFrame = {
@@ -140,7 +147,14 @@ object KMeans {
 
   /** Unrolled Lloyd iterations as chained CTEs (exact mirror of
     * [[lloyd]]: a_t from c_(t-1), c_t from a_t). Ends with a$iters and
-    * c${iters-1} available to the caller's final SELECT. */
+    * c${iters-1} available to the caller's final SELECT.
+    *
+    * The distance uses the SAME |x|² + |c|² − 2·x·c expansion as
+    * [[sqDist]] — not sum((x−c)²), which rounds differently and could
+    * flip a near-tied argmin as data grows. Residual risk is only
+    * per-sum accumulation order (~1 ulp); the assignment-margin spec
+    * in KMeansSpec asserts every runner-up distance clears that by a
+    * wide factor. */
   private def lloydCtes(k: Int, iters: Int): String = {
     val steps = (1 to iters).map { t =>
       val cent = if (t < iters)
@@ -152,7 +166,8 @@ object KMeans {
       else ""
       s"""d$t AS (
          |  SELECT v.vec_id, c.cell,
-         |         sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+         |         sum(v.x * v.x) + sum(c.cx * c.cx)
+         |           - 2 * sum(v.x * c.cx) AS dist
          |  FROM vv v JOIN c${t - 1} c ON v.i = c.i
          |  GROUP BY 1, 2),
          |a$t AS (
@@ -186,7 +201,8 @@ object KMeans {
        |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vv GROUP BY 1),
        |qd AS (
        |  SELECT v.vec_id AS q_vec, c.cell,
-       |         sum((v.x - c.cx) * (v.x - c.cx)) AS dist
+       |         sum(v.x * v.x) + sum(c.cx * c.cx)
+       |           - 2 * sum(v.x * c.cx) AS dist
        |  FROM vv v JOIN c${iters - 1} c ON v.i = c.i
        |  WHERE v.vec_id < $NQueries GROUP BY 1, 2),
        |probe AS (

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import graft.functions.{RepetitionStats, WordShingles}
-import graft.text.CorpusOps
+import graft.text.{CorpusOps, TextOps}
 
 class CorpusOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -147,7 +147,13 @@ class CorpusOpsSpec extends SparkSpec {
 
   test("q56 vocab ranks by count with monotone coverage ending < 1") {
     val rows = CorpusOps.q56VocabBuild(spark, sfDir()).collect()
-    assert(rows.length == CorpusOps.VocabK || rows.nonEmpty)
+    // exact row count: K entries, or every distinct word if fewer exist
+    val distinctWords = TextOps.docs(spark, sfDir())
+      .select(explode(split(col("s"), " ")).as("word"))
+      .select("word").distinct().count()
+    assert(rows.length == math.min(CorpusOps.VocabK.toLong, distinctWords),
+      s"vocab truncated: ${rows.length} of " +
+        s"min($distinctWords, ${CorpusOps.VocabK})")
     val cnts = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("cnt"))
     cnts.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo) }
     val cov = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("coverage"))

@@ -50,6 +50,35 @@ class KMeansSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("final-assignment margins dwarf float accumulation noise") {
+    // the Spark side computes |x|²+|c|²−2xc and the DuckDB oracle now
+    // mirrors that expansion; the residual cross-engine risk is per-sum
+    // accumulation order (~1 ulp relative). A near-tied (winner,
+    // runner-up) centroid pair could then flip the row_number argmin —
+    // so assert every vector's runner-up distance clears the winner by
+    // a margin orders of magnitude above ulp noise.
+    val v = vecs
+    val (assign, cent) = KMeans.model(v, KMeans.K, KMeans.Iters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)
+    val m = v.crossJoin(broadcast(cent))
+      .withColumn("dist", dot(col("e"), col("e")) + dot(col("c"), col("c"))
+        - lit(2.0) * dot(col("e"), col("c")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .groupBy("vec_id")
+      .agg((max(col("dist")) - min(col("dist"))).as("margin"),
+        max(col("dist")).as("scale"))
+      .agg(min(col("margin") / (col("scale") + lit(1.0))).as("rel"),
+        min(col("margin")).as("abs"))
+      .first()
+    Checkpoints.release(assign, cent)
+    info(f"min runner-up margin: abs ${m.getDouble(1)}%.3e, " +
+      f"rel ${m.getDouble(0)}%.3e")
+    assert(m.getDouble(0) > 1e-9,
+      f"assignment margin ${m.getDouble(0)}%.3e is within float noise")
+  }
+
   test("q49 reranks exactly within the probed cells") {
     val v = vecs
     val rows = KMeans.q49IvfTrainedSearch(spark, sfDir()).collect()
