@@ -249,21 +249,43 @@ object Algorithms {
   /** Per-node triangle counts on the undirected trade graph — the
     * clustering-structure metric of the Neo4j graph-algorithms
     * library the reference leans on for its analytics surface.
-    * Edges are canonically oriented (src < dst), so each triangle
-    * u<v<w is found exactly once by the wedge join
-    * (u,v)⋈(v,w)⋈(u,w) — two equi-joins, no enumeration of
-    * unordered pairs. At scale the standard hardening is to orient by
-    * (degree, id) instead of id so high-degree hubs sit on the build
-    * side of few wedges; the id orientation keeps the oracle mirror
-    * exact here. */
+    * Edges are oriented by the total order (degree, id) — the
+    * standard hub hardening: each triangle a≺b≺c is found exactly
+    * once by the wedge join (a,b)⋈(b,c)⋈(a,c), and a hub's edges
+    * almost all point INTO it (its neighbors are ≺-smaller), so the
+    * wedge count through any node is |in|·|out| with out-degree
+    * bounded ~O(√m) — total wedges O(m^1.5) on ANY degree
+    * distribution, where the naive id orientation explodes on a node
+    * with high in- AND out-degree. Per-node counts are orientation-
+    * invariant, and the orientation is deterministic, so the DuckDB
+    * oracle mirrors it in plain SQL. */
+  /** (degree, id)-oriented simple edge list: duplicates/direction
+    * collapsed, each edge pointing from its (degree, id)-smaller
+    * endpoint (degree = simple undirected degree). Exposed for the
+    * skew spec, which asserts the wedge bound this orientation
+    * guarantees. */
+  private[graft] def orientEdges(edges: DataFrame): DataFrame = {
+    val pairs = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = pairs.select(col("a").as("n"))
+      .union(pairs.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val fwd = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    pairs
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), Seq("b"))
+      .select(when(fwd, col("a")).otherwise(col("b")).as("src"),
+        when(fwd, col("b")).otherwise(col("a")).as("dst"))
+  }
+
   /** Core: per-node triangle counts given any edge list (direction
     * and duplicates ignored — canonicalized internally). */
   def triangleCounts(nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val und = Checkpoints.cut(edges
-      .select(least(col("src"), col("dst")).as("src"),
-        greatest(col("src"), col("dst")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct())
+    val und = Checkpoints.cut(orientEdges(edges))
     val tri = und.as("e1")
       .join(und.as("e2"), col("e1.dst") === col("e2.src"))
       .join(und.as("e3"),
@@ -369,12 +391,17 @@ object Algorithms {
     visited.orderBy("src", "dst")
   }
 
-  /** q13: the all-pairs instance (every node a source) — fine for the
-    * trade graph; use [[shortestPaths]] with a source set on large
-    * graphs. */
+  /** q13: BFS from a BOUNDED source set (node ≡ 0 mod 5 — a fixed,
+    * deterministic 20% id sample), so the frontier and the result stay
+    * proportional to |sources|·V at any graph size. The all-pairs
+    * instance remains opt-in via `shortestPaths(e, None)` — it emits
+    * O(V²) rows and is only sane on small graphs. */
   def q13ShortestPaths(spark: SparkSession, dir: String): DataFrame = {
-    val e = checkpointedEdges(Tables(spark, dir))
-    val out = shortestPaths(e) // eager loop
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val sources = TradeGraph.nodes(t).select("node")
+      .filter(pmod(col("node"), lit(5L)) === 0L)
+    val out = shortestPaths(e, Some(sources)) // eager loop
     Checkpoints.release(e)
     out
   }
@@ -619,11 +646,24 @@ object Algorithms {
 
     "q14_pagerank" -> pagerankSql(5),
 
+    // same (degree, id) orientation as [[orientEdges]] — per-node
+    // counts are orientation-invariant, but mirroring the plan keeps
+    // the oracle an exact transcript of what runs
     "q63_triangle_counts" ->
       s"""WITH $T,
-         |und AS (SELECT DISTINCT least(src, dst) AS src,
-         |               greatest(src, dst) AS dst
-         |        FROM trade WHERE src <> dst),
+         |pairs AS (SELECT DISTINCT least(src, dst) AS a,
+         |                 greatest(src, dst) AS b
+         |          FROM trade WHERE src <> dst),
+         |dg AS (SELECT n, count(*) AS d FROM (
+         |         SELECT a AS n FROM pairs
+         |         UNION ALL SELECT b FROM pairs) z GROUP BY 1),
+         |und AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+         |               THEN p.a ELSE p.b END AS src,
+         |               CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+         |               THEN p.b ELSE p.a END AS dst
+         |        FROM pairs p
+         |        JOIN dg da ON da.n = p.a
+         |        JOIN dg db ON db.n = p.b),
          |tri AS (
          |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
          |  FROM und e1

@@ -254,6 +254,33 @@ class AlgorithmsSpec extends SparkSpec {
       5L -> 1L, 6L -> 0L))
   }
 
+  test("degree orientation keeps wedges bounded on a skewed star") {
+    // a relay hub the id orientation mishandles: 40 low-id spokes point
+    // at node 100, node 100 points at 40 high-id spokes. Canonical
+    // (src < dst) orientation leaves the hub with in=40 AND out=40 →
+    // 1600 wedges through it (for 0 triangles); (degree, id) makes the
+    // hub ≺-largest, so every edge points INTO it and no wedge opens.
+    val es = ((1L to 40L).map(i => (i, 100L)) ++
+      (101L to 140L).map(j => (100L, j))).toDF("src", "dst")
+    val oriented = Algorithms.orientEdges(es)
+    assert(oriented.filter(col("dst") === 100L).count() == 80L,
+      "every hub edge must point into the hub")
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.dst") === col("e2.src")).count()
+    assert(wedges == 0L, s"skewed star opened $wedges wedges")
+    // id orientation on the same graph: the count the hardening avoids
+    val canonical = es
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst")).distinct()
+    val naive = canonical.as("e1")
+      .join(canonical.as("e2"), col("e1.dst") === col("e2.src")).count()
+    assert(naive == 1600L, s"fixture lost its skew: $naive")
+    // and the counts on it are still right (all zero)
+    val ns = ((1L to 40L) ++ (100L to 140L)).toDF("node")
+    assert(Algorithms.triangleCounts(ns, es)
+      .filter(col("n_triangles") =!= 0L).count() == 0L)
+  }
+
   test("iterative algorithms run unchanged on the large co-purchase graph") {
     val t = Tables(spark, sfDir())
     val (nodes, e) = CoPurchase.graph(t)
