@@ -475,21 +475,149 @@ object Algorithms {
   }
 
   // ---------------------------------------------------------------- q16
-  /** Strongly connected components: scc(v) = min{u : v→*u and u→*v},
-    * from the directed closure joined with its own transpose. */
-  def q16Scc(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val e = checkpointedEdges(t)
+  /** SCC labels (label = min member id) with NO transitive-closure
+    * materialization — the forward-min coloring algorithm. Each outer
+    * round over the live subgraph:
+    *  1. color(v) = min live id that reaches v — directed min-label
+    *     propagation to fixpoint (the CC loop's shape);
+    *  2. each color root r (color(r) = r) backward-propagates within
+    *     its color class; the reached set is EXACTLY SCC(r): members
+    *     all have color r and reach r, and every node on a v→*r path
+    *     is itself mutually reachable with r, so the class-restricted
+    *     backward BFS can never under- or over-mark;
+    *  3. marked SCCs are emitted (label = color = provably the min
+    *     member id) and removed from the live subgraph — removing a
+    *     whole SCC never severs another SCC's internal paths, because
+    *     any intermediate node of an intra-SCC path belongs to that
+    *     SCC.
+    * State per round is O(V) labels — the closure's O(V²) pair set
+    * never exists. Rounds = root "generations": worst case a chain of
+    * SCCs unlocked one per round (ascending-id path graph), typically
+    * a handful; for adversarial chains GraphxBridge.scc is the
+    * pointer-jumping alternative (agreement spec in
+    * GraphxBridgeSpec). */
+  def sccLabels(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    var remaining = nodes.select("node").pipe(Checkpoints.cut)
+    var live = edges.select("src", "dst").distinct()
+      .filter(col("src") =!= col("dst")).pipe(Checkpoints.cut)
+    var done: DataFrame = null
+    var nLeft = remaining.count()
+    while (nLeft > 0) {
+      // 1. forward min-color fixpoint
+      var color = remaining.select(col("node"), col("node").as("color"))
+        .pipe(Checkpoints.cut)
+      var changed = 1L
+      while (changed > 0) {
+        val viaPred = live
+          .join(color.select(col("node").as("src"), col("color")), Seq("src"))
+          .groupBy(col("dst").as("node")).agg(min(col("color")).as("nc"))
+        val next = color
+          .join(viaPred.select(col("node").as("vn"), col("nc")),
+            col("node") === col("vn"), "left")
+          .select(col("node"),
+            least(col("color"), coalesce(col("nc"), col("color"))).as("color"))
+          .pipe(Checkpoints.cut)
+        changed = next
+          .join(color.select(col("node").as("pn"), col("color").as("pc")),
+            next("node") === col("pn"))
+          .filter(col("color") =!= col("pc")).count()
+        Checkpoints.release(color)
+        color = next
+      }
+      // 2. backward BFS from roots, restricted to each root's class
+      val classEdges = live
+        .join(color.select(col("node").as("src"), col("color").as("cs")),
+          Seq("src"))
+        .join(color.select(col("node").as("dst"), col("color").as("cd")),
+          Seq("dst"))
+        .filter(col("cs") === col("cd"))
+        .select("src", "dst").pipe(Checkpoints.cut)
+      var mark = color.filter(col("node") === col("color")).select("node")
+        .pipe(Checkpoints.cut)
+      var frontier = mark
+      var n = frontier.count()
+      while (n > 0) {
+        val prevFrontier = frontier
+        frontier = classEdges
+          .join(frontier.select(col("node").as("dst")), Seq("dst"), "left_semi")
+          .select(col("src").as("node")).distinct()
+          .join(mark, Seq("node"), "left_anti")
+          .pipe(Checkpoints.cut)
+        n = frontier.count()
+        if (n > 0) {
+          val prevMark = mark
+          mark = mark.union(frontier).pipe(Checkpoints.cut)
+          Checkpoints.release(prevMark)
+        }
+        if (!(prevFrontier eq mark)) Checkpoints.release(prevFrontier)
+      }
+      if (!(frontier eq mark)) Checkpoints.release(frontier)
+      // 3. emit the root SCCs, shrink the live subgraph
+      val emitted = mark.join(color, Seq("node"))
+        .select(col("node"), col("color").as("scc")).pipe(Checkpoints.cut)
+      if (done == null) done = emitted
+      else {
+        val prevDone = done
+        done = done.union(emitted).pipe(Checkpoints.cut)
+        Checkpoints.release(prevDone, emitted)
+      }
+      val prevRemaining = remaining
+      remaining = remaining.join(mark, Seq("node"), "left_anti")
+        .pipe(Checkpoints.cut)
+      val prevLive = live
+      live = live
+        .join(mark.select(col("node").as("src")), Seq("src"), "left_anti")
+        .join(mark.select(col("node").as("dst")), Seq("dst"), "left_anti")
+        .select("src", "dst").pipe(Checkpoints.cut)
+      Checkpoints.release(prevRemaining, prevLive, classEdges, mark, color)
+      nLeft = remaining.count()
+    }
+    Checkpoints.release(remaining, live)
+    done
+  }
+
+  /** The closure-based formulation scc(v) = min{u : v→*u and u→*v} —
+    * materializes the O(V²) reachability pair set, so it is only the
+    * AGREEMENT REFERENCE for [[sccLabels]] in the spec, not a query
+    * path. */
+  private[graft] def sccViaClosure(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").distinct().pipe(Checkpoints.cut)
     val reach = transitiveClosure(e) // eager fixpoint
     Checkpoints.release(e)
     val mutual = reach.as("f")
       .join(reach.as("b"),
         col("f.src") === col("b.dst") && col("f.dst") === col("b.src"))
       .select(col("f.src").as("node"), col("f.dst").as("peer"))
-    val withSelf = TradeGraph.nodes(t)
-      .select(col("node"), col("node").as("peer"))
+    val withSelf = nodes.select(col("node"), col("node").as("peer"))
       .union(mutual)
-    withSelf.groupBy("node").agg(min(col("peer")).as("scc")).orderBy("node")
+    withSelf.groupBy("node").agg(min(col("peer")).as("scc"))
+  }
+
+  def q16Scc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val out = sccLabels(TradeGraph.nodes(t).select("node"), e)
+    Checkpoints.release(e)
+    out.orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q65
+  /** The reference's step-2 SCC report (documentation/
+    * queries.md:137-141): partitions ranked by member count with
+    * alphabetized member names — the size-ranked listing it always
+    * pairs with the algorithm run. Rank-and-collect is safe because
+    * partition count ≪ corpus; the heavy work is [[sccLabels]]. */
+  def q65SccTopPartitions(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val s = sccLabels(TradeGraph.nodes(t).select("node"), e)
+    Checkpoints.release(e)
+    s.join(TradeGraph.nodes(t), Seq("node"))
+      .groupBy("scc")
+      .agg(count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("members"))
+      .orderBy(col("n_members").desc, col("scc").asc)
+      .limit(10)
   }
 
   // ---------------------------------------------------------------- q17
@@ -573,6 +701,7 @@ object Algorithms {
     "q14_pagerank" -> (q14Pagerank _),
     "q15_connected_components" -> (q15ConnectedComponents _),
     "q16_scc" -> (q16Scc _),
+    "q65_scc_top_partitions" -> (q65SccTopPartitions _),
     "q17_preferential_attachment" -> (q17PreferentialAttachment _),
     "q18_subdep_counts" -> (q18SubdepCounts _),
   )
@@ -630,13 +759,16 @@ object Algorithms {
          |  ON c.src = CAST(n.n_nationkey AS BIGINT)
          |ORDER BY node""".stripMargin,
 
-    // recursion bound = |nations| (25): an upper bound on any simple
-    // path length, so the oracle can never drop long-diameter pairs
-    // the Spark BFS would find at a different scale factor
+    // seed restricted to the same node % 5 = 0 source set as the
+    // Spark entry; recursion bound = |nations| (25): an upper bound on
+    // any simple path length, so the oracle can never drop
+    // long-diameter pairs the Spark BFS would find at a different
+    // scale factor
     "q13_shortest_paths" ->
       s"""WITH RECURSIVE $T,
          |sp AS (
          |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM trade
+         |  WHERE src % 5 = 0
          |  UNION
          |  SELECT s.src, t.dst, s.hops + 1 FROM sp s
          |  JOIN trade t ON t.src = s.dst WHERE s.hops < 25
@@ -801,6 +933,30 @@ object Algorithms {
          |)
          |SELECT node, CAST(min(peer) AS BIGINT) AS scc
          |FROM mutual GROUP BY node ORDER BY node""".stripMargin,
+
+    "q65_scc_top_partitions" ->
+      s"""WITH RECURSIVE $T,
+         |reach AS (
+         |  SELECT src, dst FROM trade
+         |  UNION
+         |  SELECT r.src, t.dst FROM reach r JOIN trade t ON t.src = r.dst
+         |),
+         |mutual AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |         CAST(n_nationkey AS BIGINT) AS peer
+         |  FROM nation
+         |  UNION
+         |  SELECT f.src AS node, f.dst AS peer FROM reach f
+         |  JOIN reach b ON f.src = b.dst AND f.dst = b.src
+         |),
+         |s AS (SELECT node, CAST(min(peer) AS BIGINT) AS scc
+         |      FROM mutual GROUP BY node)
+         |SELECT s.scc, CAST(count(*) AS BIGINT) AS n_members,
+         |       string_agg(n.n_name, ',' ORDER BY n.n_name) AS members
+         |FROM s JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = s.node
+         |GROUP BY 1
+         |ORDER BY n_members DESC, scc ASC
+         |LIMIT 10""".stripMargin,
 
     "q17_preferential_attachment" ->
       s"""WITH $T,

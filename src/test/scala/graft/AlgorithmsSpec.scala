@@ -254,6 +254,34 @@ class AlgorithmsSpec extends SparkSpec {
       5L -> 1L, 6L -> 0L))
   }
 
+  test("sccLabels agrees with the closure reference, no closure built") {
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc")).sortBy(_._1).toSeq
+    // the trade graph itself
+    val t = Tables(spark, sfDir())
+    val ns = TradeGraph.nodes(t).select("node")
+    val es = TradeGraph.edges(t)
+    assert(labels(Algorithms.sccLabels(ns, es)) ==
+      labels(Algorithms.sccViaClosure(ns, es)))
+    // random digraph with planted cycles and cross edges
+    val rnd = new scala.util.Random(7)
+    val n = 40L
+    val planted = Seq((3L, 11L), (11L, 27L), (27L, 3L), // 3-cycle
+      (30L, 31L), (31L, 30L)) // 2-cycle
+    val random = (1 to 120).map(_ => (rnd.nextLong(n), rnd.nextLong(n)))
+    val rn = (0L until n).toDF("node")
+    val re = (planted ++ random).toDF("src", "dst")
+    assert(labels(Algorithms.sccLabels(rn, re)) ==
+      labels(Algorithms.sccViaClosure(rn, re)))
+    // the worst case for round count: an ascending-id chain of
+    // singleton SCCs (one root unlocked per round) — must still
+    // terminate and label each node itself
+    val cn = (0L to 5L).toDF("node")
+    val ce = (0L until 5L).map(i => (i, i + 1)).toDF("src", "dst")
+    assert(labels(Algorithms.sccLabels(cn, ce)) ==
+      (0L to 5L).map(i => i -> i))
+  }
+
   test("degree orientation keeps wedges bounded on a skewed star") {
     // a relay hub the id orientation mishandles: 40 low-id spokes point
     // at node 100, node 100 points at 40 high-id spokes. Canonical
