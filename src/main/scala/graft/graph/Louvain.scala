@@ -275,9 +275,32 @@ object Louvain {
     louvainTwoLevel(TradeGraph.nodes(t).select("node"), e).orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q64
+  /** The reference's step-2 Louvain report (documentation/
+    * queries.md:93-98): communities ranked by member count, each with
+    * its alphabetized member names — the "communities with most
+    * members" listing it always pairs with the algorithm run. Safe to
+    * rank and collect because community count ≪ corpus; the heavy
+    * work is the sweep itself. */
+  def q64LouvainTopCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = TradeGraph.edges(t)
+      .select(least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+    louvain(TradeGraph.nodes(t).select("node"), e)
+      .join(TradeGraph.nodes(t), Seq("node"))
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_members"),
+        array_join(array_sort(collect_list(col("n_name"))), ",").as("members"))
+      .orderBy(col("n_members").desc, col("community").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q38_louvain" -> (q38Louvain _),
     "q58_louvain_multilevel" -> (q58LouvainMultilevel _),
+    "q64_louvain_top_communities" -> (q64LouvainTopCommunities _),
   )
 
   /** Sweep budget the oracle unrolls — must match [[louvain]]'s
@@ -428,5 +451,16 @@ object Louvain {
          |SELECT l1.node AS node, bf.community AS community
          |FROM f l1 JOIN bf ON bf.node = l1.community
          |ORDER BY l1.node""".stripMargin,
+
+    "q64_louvain_top_communities" ->
+      s"""WITH $T,
+         |$edgeCtes,
+         |${levelCtes("", OracleIters)}
+         |SELECT f.community, CAST(count(*) AS BIGINT) AS n_members,
+         |       string_agg(n.n_name, ',' ORDER BY n.n_name) AS members
+         |FROM f JOIN nation n ON CAST(n.n_nationkey AS BIGINT) = f.node
+         |GROUP BY 1
+         |ORDER BY n_members DESC, community ASC
+         |LIMIT 10""".stripMargin,
   )
 }

@@ -152,33 +152,55 @@ object CorpusOps {
   /** Sequence packing — the "concatenate and cut every L tokens" step
     * that turns variable-length documents into fixed-length training
     * examples. Distributed form: documents are sharded by
-    * hash(doc_id) % [[PackShards]]; within a shard the token stream is
-    * laid out in doc_id order by a running-cumsum window, and every
-    * doc reports its [start_off, end_off) in the shard stream plus the
-    * bins it spans. Shards pack independently (window partitioned by
-    * shard — parallelism = shard count, raise it with the corpus);
-    * inside a shard the layout is a single linear window pass. All
-    * outputs are integers — engine-exact. */
-  val PackShards = 16
+    * doc_id % shards; within a shard the token stream is laid out in
+    * doc_id order by a running-cumsum window, and every doc reports
+    * its [start_off, end_off) in the shard stream plus the bins it
+    * spans. Shards pack independently (window partitioned by shard —
+    * parallelism = shard count); inside a shard the layout is a
+    * single linear window pass. All outputs are integers —
+    * engine-exact.
+    *
+    * The shard count is the scale knob: [[packSequences]] defaults it
+    * from [[PackShardsConf]] (falling back to the session's shuffle
+    * partitions), so packing parallelism — and the per-task sort —
+    * scales with the cluster instead of a hard constant. The
+    * oracle-checked q55 entry pins [[OraclePackShards]] explicitly,
+    * because the DuckDB mirror is a static transcript and the shard
+    * assignment changes the layout. */
+  val PackShardsConf = "spark.graft.pack.shards"
+  val OraclePackShards = 16
   val PackSeqLen = 512L
 
-  def q55SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+  /** Effective shard count: [[PackShardsConf]] if set, else the
+    * session's shuffle partitions. */
+  def packShards(spark: SparkSession): Int =
+    spark.conf.getOption(PackShardsConf).map(_.trim.toInt)
+      .getOrElse(spark.sessionState.conf.numShufflePartitions)
+
+  /** Pack `docs` (doc_id, s) into `shards` independent token streams;
+    * `shards` defaults from the session conf via [[packShards]]. */
+  def packSequences(docs: DataFrame, shards: Int,
+      seqLen: Long = PackSeqLen): DataFrame = {
+    require(shards >= 1, "packing needs at least one shard")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    TextOps.docs(spark, dir)
+    docs
       .select(col("doc_id"),
-        pmod(col("doc_id"), lit(PackShards.toLong)).as("shard"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
         size(split(col("s"), " ")).cast("long").as("nt"))
       .withColumn("end_off", sum(col("nt")).over(w))
       .withColumn("start_off", col("end_off") - col("nt"))
       .select(col("doc_id"), col("shard"), col("nt"),
         col("start_off"), col("end_off"),
-        floor(col("start_off") / PackSeqLen).as("first_bin"),
-        (floor((col("end_off") - 1) / PackSeqLen)
-          - floor(col("start_off") / PackSeqLen) + 1).as("n_bins"))
+        floor(col("start_off") / seqLen).as("first_bin"),
+        (floor((col("end_off") - 1) / seqLen)
+          - floor(col("start_off") / seqLen) + 1).as("n_bins"))
       .orderBy("doc_id")
   }
+
+  def q55SequencePacking(spark: SparkSession, dir: String): DataFrame =
+    packSequences(TextOps.docs(spark, dir), OraclePackShards)
 
   // ---------------------------------------------------------------- q56
   /** Vocabulary build: global word counts, top-[[VocabK]] by
@@ -409,7 +431,7 @@ object CorpusOps {
 
     "q55_sequence_packing" ->
       s"""WITH ${TextOps.normCte},
-         |d AS (SELECT doc_id, doc_id % $PackShards AS shard,
+         |d AS (SELECT doc_id, doc_id % $OraclePackShards AS shard,
          |        CAST(len(string_split(s, ' ')) AS BIGINT) AS nt FROM n),
          |o AS (SELECT doc_id, shard, nt,
          |        CAST(sum(nt) OVER (PARTITION BY shard ORDER BY doc_id

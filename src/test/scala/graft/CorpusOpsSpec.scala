@@ -121,6 +121,31 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("pack shard count scales from conf, default = shuffle partitions") {
+    assert(CorpusOps.packShards(spark) ==
+      spark.sessionState.conf.numShufflePartitions)
+    spark.conf.set(CorpusOps.PackShardsConf, "7")
+    try assert(CorpusOps.packShards(spark) == 7)
+    finally spark.conf.unset(CorpusOps.PackShardsConf)
+    // a different shard count re-keys the layout but packs the same
+    // stream: per-shard tiling still gapless, same per-doc token counts
+    val docs = TextOps.docs(spark, sfDir())
+    val rows = CorpusOps.packSequences(docs, 7).collect()
+    assert(rows.map(_.getAs[Long]("shard")).distinct.forall(s => s >= 0 && s < 7))
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("doc_id"))
+      var off = 0L
+      for (r <- sorted) {
+        assert(r.getAs[Long]("start_off") == off)
+        off = r.getAs[Long]("end_off")
+      }
+    }
+    val nt7 = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nt")).toMap
+    val nt16 = CorpusOps.q55SequencePacking(spark, sfDir()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nt")).toMap
+    assert(nt7 == nt16, "shard count must not change what gets packed")
+  }
+
   test("q57 assigns every document exactly one consistent fate") {
     val rows = CorpusOps.q57CurationPipeline(spark, sfDir()).collect()
     val n = Tables(spark, sfDir()).documents.count()
