@@ -110,6 +110,8 @@ object GraftFunctions {
     // an AggregateExpression, same as the built-in max/min builders
     ("graft_topk", classOf[TopKAgg],
       e => TopKAgg(e(0), foldInt(e(1)))),
+    ("graft_topk_keyed", classOf[TopKKeyedAgg],
+      e => TopKKeyedAgg(e(0), e(1), foldInt(e(2)))),
   )
 
   /** Register graft's custom expressions as SQL functions on an

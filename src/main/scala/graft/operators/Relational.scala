@@ -162,22 +162,27 @@ object Relational {
   }
 
   // ---------------------------------------------------------------- q62
-  /** Per-nation top-5 order totals through the custom
-    * [[graft.functions.TopKAgg]] Catalyst aggregate — the partial-
-    * aggregating replacement for the window row_number pattern: a
-    * window shuffles and sorts every group's full row set, while the
-    * aggregate ships only k doubles per group per partition
-    * (map-side combine). */
+  /** Per-nation top-5 order totals through the custom KEYED
+    * [[graft.functions.TopKKeyedAgg]] Catalyst aggregate — the
+    * partial-aggregating replacement for the window row_number
+    * pattern: a window shuffles and sorts every group's full row set,
+    * while the aggregate ships only k (total, order-id) pairs per
+    * group per partition (map-side combine). The payload makes the
+    * answer actionable: WHICH orders won, not just the winning
+    * totals. Tie order (total desc, orderkey asc) matches the
+    * oracle's window exactly. */
   def q62TopOrderTotals(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.orders.join(t.customer, col("o_custkey") === col("c_custkey"))
       .select(col("c_nationkey").cast("long").as("nation"),
+        col("o_orderkey").cast("long").as("okey"),
         col("o_totalprice").cast("double").as("p"))
       .groupBy("nation")
-      .agg(graft.functions.TopKAgg.topk(col("p"), 5).as("tops"))
-      .select(col("nation"), posexplode(col("tops")).as(Seq("pos", "price")))
+      .agg(graft.functions.TopKAgg.topkKeyed(col("p"), col("okey"), 5)
+        .as("tops"))
+      .select(col("nation"), posexplode(col("tops")).as(Seq("pos", "t")))
       .select(col("nation"), (col("pos") + 1).cast("long").as("rank"),
-        round(col("price"), 2).as("price"))
+        col("t.id").as("o_orderkey"), round(col("t.v"), 2).as("price"))
       .orderBy("nation", "rank")
   }
 
@@ -201,12 +206,15 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q62_top_order_totals" ->
       """WITH j AS (SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+        |                  CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
         |                  CAST(o.o_totalprice AS DOUBLE) AS p
         |           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
-        |r AS (SELECT nation, p,
-        |        row_number() OVER (PARTITION BY nation ORDER BY p DESC) AS rk
+        |r AS (SELECT nation, o_orderkey, p,
+        |        row_number() OVER (PARTITION BY nation
+        |                           ORDER BY p DESC, o_orderkey ASC) AS rk
         |      FROM j)
-        |SELECT nation, CAST(rk AS BIGINT) AS rank, round(p, 2) AS price
+        |SELECT nation, CAST(rk AS BIGINT) AS rank, o_orderkey,
+        |       round(p, 2) AS price
         |FROM r WHERE rk <= 5 ORDER BY nation, rank""".stripMargin,
 
     "q42_edge_exists_pairs" ->

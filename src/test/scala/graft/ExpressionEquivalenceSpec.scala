@@ -137,6 +137,33 @@ class ExpressionEquivalenceSpec extends SparkSpec {
       s"no partial (map-side) aggregation:\n$plan")
   }
 
+  test("TopKKeyedAgg == keyed window top-k, ties to the smaller id") {
+    val rnd = new scala.util.Random(29L)
+    // duplicate values on purpose so the id tie-break is exercised
+    val rows = (0 until 400).map(i =>
+      (i % 5, (rnd.nextInt(40) * 10).toDouble, i.toLong))
+    val d = rows.toDF("g", "v", "id").repartition(11)
+    val agg = d.groupBy("g")
+      .agg(graft.functions.TopKAgg.topkKeyed(col("v"), col("id"), 4).as("tops"))
+    val custom = agg
+      .select(col("g"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("g"), col("pos"), col("t.v"), col("t.id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val window = d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 4)
+      .select(col("g"), (col("rk") - 1).as("pos"), col("v"), col("id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(custom == window)
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk_keyed"),
+      s"no partial (map-side) aggregation:\n$plan")
+  }
+
   test("every custom expression is callable from SQL after registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
