@@ -330,6 +330,34 @@ class AlgorithmsSpec extends SparkSpec {
       s"pagerank mass off: $total for $nNodes nodes")
   }
 
+  test("pagerank movement contracts geometrically on the co-purchase graph") {
+    // the reference runs 100 iterations at damping 0.85
+    // (documentation/queries.md:180-182); the evidence that a budget
+    // OR a tolerance both work is geometric contraction of the L1
+    // movement, at asymptotic rate ≈ the damping factor
+    val t = Tables(spark, sfDir())
+    val (nodes, e) = CoPurchase.graph(t)
+    val (_, deltas) = Algorithms.pagerankWithDeltas(nodes, e, 20)
+    assert(deltas.length == 20)
+    deltas.sliding(2).foreach { case List(a, b) =>
+      assert(b <= a * 0.9 + 1e-12, s"movement rose: $a -> $b in $deltas")
+    }
+    assert(deltas.last <= deltas.head * math.pow(0.9, 19),
+      s"contraction slower than geometric: $deltas")
+    // and the tolerance-based stop fires once the target is reached
+    // (trade graph: small, so the ~log(tol)/log(0.85) iterations stay
+    // cheap in the suite)
+    val tn = TradeGraph.nodes(t).select("node")
+    val te = TradeGraph.edges(t)
+    val n = tn.count()
+    val (ranks, iters, residual) =
+      Algorithms.pagerankConverged(tn, te, tol = 1e-4 * n)
+    assert(residual <= 1e-4 * n)
+    assert(iters > 5 && iters < 100,
+      s"tolerance stop fired implausibly ($iters iters)")
+    assert(ranks.count() == n)
+  }
+
   test("trade graph: ≤3 out-edges per src, deterministic across runs") {
     val t = Tables(spark, sfDir())
     val e1 = TradeGraph.edges(t).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
