@@ -114,6 +114,25 @@ object Algorithms {
     out
   }
 
+  // ---------------------------------------------------------------- q66
+  /** Longest dependency chains from the root — the longest-path
+    * analytic the reference links the Neo4j KB workaround for
+    * (documentation/queries.md:79): every maximal-depth simple chain
+    * within the bounded cycle-guarded enumeration, i.e. q19's walk
+    * followed by a scalar max and a broadcast filter. Longest-path is
+    * NP-hard unbounded; the depth bound is the declared contract, as
+    * in the reference's workaround. */
+  def q66LongestChains(spark: SparkSession, dir: String): DataFrame = {
+    val e = checkpointedEdges(Tables(spark, dir))
+    val chains = dependencyChains(e, 0L, 4) // eager: ends on a cut union
+    Checkpoints.release(e)
+    val maxd = chains.agg(max(col("depth")).as("maxd"))
+    chains.crossJoin(broadcast(maxd))
+      .filter(col("depth") === col("maxd"))
+      .select("path_str", "depth")
+      .orderBy("path_str")
+  }
+
   // ---------------------------------------------------------------- q50
   /** Single-source BFS distances as (node, dist), seed included at
     * dist 0. Frontier keyed by node; superseded checkpoints released
@@ -750,6 +769,7 @@ object Algorithms {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q11_khop" -> (q11Khop _),
     "q19_dependency_chains" -> (q19DependencyChains _),
+    "q66_longest_chains" -> (q66LongestChains _),
     "q50_all_shortest_paths" -> (q50AllShortestPaths _),
     "q59_subdep_path_counts" -> (q59SubdepPathCounts _),
     "q63_triangle_counts" -> (q63TriangleCounts _),
@@ -943,6 +963,22 @@ object Algorithms {
          |)
          |SELECT array_to_string(path, '->') AS path_str, depth
          |FROM p WHERE depth >= 1 ORDER BY depth, path_str""".stripMargin,
+
+    "q66_longest_chains" ->
+      s"""WITH RECURSIVE $T,
+         |p AS (
+         |  SELECT CAST(0 AS BIGINT) AS leaf, [CAST(0 AS BIGINT)] AS path,
+         |         CAST(0 AS BIGINT) AS depth
+         |  UNION ALL
+         |  SELECT t.dst, list_append(p.path, t.dst), p.depth + 1
+         |  FROM p JOIN trade t ON t.src = p.leaf
+         |  WHERE p.depth < 4 AND NOT list_contains(p.path, t.dst)
+         |),
+         |x AS (SELECT array_to_string(path, '->') AS path_str, depth
+         |      FROM p WHERE depth >= 1)
+         |SELECT path_str, depth FROM x
+         |WHERE depth = (SELECT max(depth) FROM x)
+         |ORDER BY path_str""".stripMargin,
 
     "q37_community_members" ->
       s"""WITH RECURSIVE $T, $U,

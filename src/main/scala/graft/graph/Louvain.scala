@@ -217,9 +217,16 @@ object Louvain {
   /** Full two-level Louvain: local moves, contract, local moves on the
     * weighted community graph, map back. Q(two-level) ≥ Q(one-level)
     * by construction (contraction preserves Q; level 2's argmax starts
-    * at the contracted singletons = level-1 partition). */
+    * at the contracted singletons = level-1 partition — sweep 0 is
+    * always a candidate, at ANY level-2 sweep budget).
+    *
+    * Level 2 defaults to a SMALLER sweep budget ([[OracleItersL2]]):
+    * the contracted graph has |communities| ≪ |V| nodes, local moves
+    * there settle in fewer sweeps, and each sweep is a fixed-cost
+    * driver action — on small graphs the action count, not the data,
+    * is the wall-clock. */
   def louvainTwoLevel(nodes: DataFrame, edges: DataFrame,
-      iters: Int = 6): DataFrame = {
+      iters: Int = 6, itersL2: Int = OracleItersL2): DataFrame = {
     // one materialization of the level-1 edges feeds both the sweep
     // and the contraction (weighted() is idempotent, so an already-
     // normalized caller frame is not re-derived)
@@ -230,7 +237,7 @@ object Louvain {
       .select(col("src"), col("dst"), col("weight").as("ew"))
       .pipe(Checkpoints.cut)
     Checkpoints.release(e1)
-    val l2 = louvainOn(superNodes, superEdges, iters)
+    val l2 = louvainOn(superNodes, superEdges, itersL2)
     Checkpoints.release(superEdges)
     val out = l1
       .join(l2.select(col("node").as("community"), col("community").as("c2")),
@@ -306,6 +313,11 @@ object Louvain {
   /** Sweep budget the oracle unrolls — must match [[louvain]]'s
     * default `iters`. */
   val OracleIters = 6
+
+  /** Level-2 sweep budget (and its oracle unroll) — smaller than
+    * level 1's because the contracted graph is |communities| nodes
+    * and each sweep is a fixed-cost action. */
+  val OracleItersL2 = 4
 
   /** One Louvain level as chained DuckDB CTEs — the exact SQL mirror
     * of [[louvain]]. Expects CTEs `${p}e` (src, dst, ew DOUBLE) and
@@ -447,7 +459,7 @@ object Louvain {
          |  JOIN f x ON x.node = e.src
          |  JOIN f y ON y.node = e.dst
          |  GROUP BY 1, 2),
-         |${levelCtes("b", OracleIters)}
+         |${levelCtes("b", OracleItersL2)}
          |SELECT l1.node AS node, bf.community AS community
          |FROM f l1 JOIN bf ON bf.node = l1.community
          |ORDER BY l1.node""".stripMargin,
