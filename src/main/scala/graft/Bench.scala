@@ -39,8 +39,15 @@ object Bench {
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       // queries are independent: drop checkpoint/cache blocks so one
-      // query's residue never inflates the GC cost of the next
+      // query's residue never inflates the GC cost of the next. The
+      // explicit gc (outside the timed window) matters on a large
+      // heap: Spark's ContextCleaner only reclaims broadcast/shuffle
+      // state when references are collected, and with tens of GiB of
+      // headroom no natural GC happens across 60+ queries — the
+      // accumulated state showed up as ~2x inflation on late queries
+      // vs the same queries run solo.
       Checkpoints.releaseAll(spark)
+      System.gc()
       (name, dt, ok)
     }
     val qs = results.map { case (k, v, ok) =>

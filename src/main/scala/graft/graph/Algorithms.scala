@@ -425,6 +425,63 @@ object Algorithms {
     out
   }
 
+  // ---------------------------------------------------------------- q67
+  /** Single-source WEIGHTED shortest paths (min total edge weight) —
+    * the weighted companion of q13, matching the Neo4j
+    * `shortestPath`-with-cost surface the reference's algorithms
+    * library exposes. Frontier Bellman-Ford: each round relaxes only
+    * edges out of nodes whose tentative cost just improved, so settled
+    * regions stop generating work; positive weights bound rounds by
+    * the longest simple path. Costs are integers (lineitem counts) —
+    * engine-exact. The oracle mirrors the fixpoint, not the schedule:
+    * min-cost is unique, so an unrolled |V|-step relaxation reaches
+    * the same values regardless of iteration strategy. */
+  def weightedShortestPaths(edges: DataFrame, root: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("cnt").cast("long").as("w"))
+    var dist = Seq((root, 0L)).toDF("node", "cost").pipe(Checkpoints.cut)
+    var frontier = dist
+    var n = 1L
+    while (n > 0) {
+      val relaxed = frontier
+        .join(e, frontier("node") === e("src"))
+        .groupBy(col("dst").as("cand"))
+        .agg(min(col("cost") + col("w")).as("nc"))
+      val prevDist = dist
+      val prevFrontier = frontier
+      // improvements only: new node, or strictly cheaper cost
+      frontier = relaxed
+        .join(dist.select(col("node"), col("cost").as("oc")),
+          col("cand") === col("node"), "left")
+        .filter(col("oc").isNull || col("nc") < col("oc"))
+        .select(col("cand").as("node"), col("nc").as("cost"))
+        .pipe(Checkpoints.cut)
+      n = frontier.count()
+      if (n > 0) {
+        dist = dist
+          .join(frontier.select(col("node").as("fn"), col("cost").as("fc")),
+            col("node") === col("fn"), "full")
+          .select(coalesce(col("node"), col("fn")).as("node"),
+            least(coalesce(col("cost"), col("fc")),
+              coalesce(col("fc"), col("cost"))).as("cost"))
+          .pipe(Checkpoints.cut)
+        Checkpoints.release(prevDist)
+      }
+      if (!(prevFrontier eq dist)) Checkpoints.release(prevFrontier)
+    }
+    if (!(frontier eq dist)) Checkpoints.release(frontier)
+    dist
+  }
+
+  def q67WeightedShortestPaths(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = TradeGraph.edges(t).pipe(Checkpoints.cut)
+    val out = weightedShortestPaths(e, 0L) // eager loop
+    Checkpoints.release(e)
+    out.orderBy("node")
+  }
+
   // ---------------------------------------------------------------- q14
   /** PageRank, GraphX semantics (r₀=1; r ← 0.15 + 0.85·Σ_in r/outdeg),
     * fixed 5 iterations, output rounded to 6dp. Join-agg per
@@ -770,6 +827,7 @@ object Algorithms {
     "q11_khop" -> (q11Khop _),
     "q19_dependency_chains" -> (q19DependencyChains _),
     "q66_longest_chains" -> (q66LongestChains _),
+    "q67_weighted_shortest_paths" -> (q67WeightedShortestPaths _),
     "q50_all_shortest_paths" -> (q50AllShortestPaths _),
     "q59_subdep_path_counts" -> (q59SubdepPathCounts _),
     "q63_triangle_counts" -> (q63TriangleCounts _),
@@ -786,6 +844,32 @@ object Algorithms {
 
   private val T = TradeGraph.sqlCte
   private val U = TradeGraph.sqlUndirectedCte
+
+  /** Unrolled Bellman-Ford relaxation d0..dN — the q67 oracle. N =
+    * |V|−1 = 24 relaxation steps reach the unique min-cost fixpoint
+    * for any 25-node graph with positive weights, matching the Spark
+    * frontier iteration's converged values (schedule-independent). */
+  private def weightedSpSql(steps: Int): String = {
+    // every CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    // reference, and d(t-1) appears twice per step — unmaterialized,
+    // the 24-step unroll re-expands the whole chain (and the 4-table
+    // trade derivation) exponentially
+    val ctes = (1 to steps).map { t =>
+      s"""d$t AS MATERIALIZED (
+         |  SELECT node, min(cost) AS cost FROM (
+         |    SELECT node, cost FROM d${t - 1}
+         |    UNION ALL
+         |    SELECT t.dst AS node, d.cost + t.cnt AS cost
+         |    FROM d${t - 1} d JOIN te t ON t.src = d.node) z
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $T,
+       |te AS MATERIALIZED (SELECT src, dst, cnt FROM trade),
+       |d0 AS MATERIALIZED (
+       |  SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS cost),
+       |$ctes
+       |SELECT node, cost FROM d$steps ORDER BY node""".stripMargin
+  }
 
   /** Unrolled PageRank SQL: r0..rN as chained CTEs (exact mirror of
     * [[pagerank]]'s join-agg iteration). */
@@ -855,6 +939,8 @@ object Algorithms {
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_pagerank" -> pagerankSql(5),
+
+    "q67_weighted_shortest_paths" -> weightedSpSql(24),
 
     // same (degree, id) orientation as [[orientEdges]] — per-node
     // counts are orientation-invariant, but mirroring the plan keeps

@@ -254,6 +254,17 @@ class AlgorithmsSpec extends SparkSpec {
       5L -> 1L, 6L -> 0L))
   }
 
+  test("weighted shortest paths prefer cheap multi-hop routes") {
+    // direct 0->1 costs 10 but 0->2->1 costs 3; 3 is best reached
+    // through the improved node 1 (a relaxation that only fires after
+    // 1's cost drops — exercises the re-expansion of settled nodes)
+    val es = Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 2L),
+      (1L, 3L, 1L), (2L, 3L, 9L)).toDF("src", "dst", "cnt")
+    val d = Algorithms.weightedShortestPaths(es, 0L).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cost")).toMap
+    assert(d == Map(0L -> 0L, 1L -> 3L, 2L -> 1L, 3L -> 4L))
+  }
+
   test("sccLabels agrees with the closure reference, no closure built") {
     def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc")).sortBy(_._1).toSeq
