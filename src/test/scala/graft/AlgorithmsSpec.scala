@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.graph.{Algorithms, CoPurchase, GraphxBridge, Louvain, TradeGraph}
+import graft.graph.{Algorithms, CoPurchase, GraphxBridge, HyperBall, Louvain, TradeGraph}
 
 class AlgorithmsSpec extends SparkSpec {
   import spark.implicits._
@@ -252,6 +252,34 @@ class AlgorithmsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L,
       5L -> 1L, 6L -> 0L))
+  }
+
+  test("hyperball reach estimates track the exact closure counts") {
+    val t = Tables(spark, sfDir())
+    val ns = TradeGraph.nodes(t).select("node")
+    val es = TradeGraph.edges(t).select("src", "dst")
+    // exact forward reach INCLUDING self, from the closure
+    val closure = Algorithms.transitiveClosure(es)
+    val exact = ns.select(col("node").as("src"), col("node").as("dst"))
+      .union(closure.select("src", "dst")).distinct()
+      .groupBy("src").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Long]("src") -> r.getAs[Long]("n")).toMap
+    val est = HyperBall.reachEstimates(ns, es).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("est_reach")).toMap
+    assert(est.keySet == exact.keySet)
+    // deterministic md5 init → identical across runs
+    val est2 = HyperBall.reachEstimates(ns, es).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Double]("est_reach")).toMap
+    assert(est == est2)
+    // per-node relative error within a generous multiple of the m=64
+    // standard error (1.04/sqrt(64) ~ 13%); mean error much tighter
+    val errs = exact.map { case (n, ex) =>
+      math.abs(est(n) - ex) / ex.toDouble
+    }
+    errs.foreach(e => assert(e < 0.5, s"outlier error $e in $est vs $exact"))
+    val mean = errs.sum / errs.size
+    info(f"hyperball mean relative error (m=${HyperBall.M}): $mean%.3f")
+    assert(mean < 0.2, f"mean error too high: $mean%.3f")
   }
 
   test("weighted shortest paths prefer cheap multi-hop routes") {
