@@ -47,7 +47,13 @@ object Similarity {
 
   // ---------------------------------------------------------------- q24
   /** Brute-force cosine top-k: query vectors (vec_id < 5) broadcast
-    * against the corpus; rank by exact cosine, top 10. */
+    * against the corpus; exact cosine, top 10 per query via the keyed
+    * top-k AGGREGATE — the corpus streams once and only k (sim, cand)
+    * pairs per query per partition shuffle, where the window form
+    * shuffles and sorts every scored row. Ranking is on the raw
+    * doubles (identical in both engines: same dot-product
+    * accumulation order), rounding applies after selection, as in
+    * the oracle. */
   def q24SimTopk(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
     val q = v.filter(col("vec_id") < 5)
@@ -55,10 +61,13 @@ object Similarity {
     val scored = v.join(broadcast(q), col("vec_id") =!= col("q_vec"))
       .select(col("q_vec"), col("vec_id").as("cand"),
         cosine(col("qe"), col("e")).as("sim"))
-    val w = Window.partitionBy("q_vec").orderBy(col("sim").desc, col("cand").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
-      .select(col("q_vec"), col("cand"), round(col("sim"), 6).as("sim"), col("rank"))
+    scored.groupBy("q_vec")
+      .agg(graft.functions.TopKAgg.topkKeyed(col("sim"), col("cand"), 10)
+        .as("tops"))
+      .select(col("q_vec"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("q_vec"), col("t.id").as("cand"),
+        round(col("t.v"), 6).as("sim"),
+        (col("pos") + 1).cast("long").as("rank"))
       .orderBy("q_vec", "rank")
   }
 

@@ -136,15 +136,19 @@ object CorpusOps {
 
   def q51TopQualityPerLang(spark: SparkSession, dir: String): DataFrame = {
     // rank on the 6dp-rounded score (like q43) so the tie-break is
-    // engine-stable even if raw doubles differ in the last ulp
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang")
-      .orderBy(col("quality").desc, col("doc_id").asc)
+    // engine-stable even if raw doubles differ in the last ulp. The
+    // keyed top-k AGGREGATE replaces the window: only k (quality,
+    // doc_id) pairs per language per partition shuffle, instead of a
+    // full per-language shuffle+sort of the corpus; its
+    // (value desc, id asc) order is the oracle window's exactly.
     TextOps.qualityFrame(TextOps.docs(spark, dir))
       .select(col("doc_id"), col("lang"), round(col("quality"), 6).as("quality"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopPerLang)
-      .select(col("lang"), col("rank"), col("doc_id"), col("quality"))
+      .groupBy("lang")
+      .agg(graft.functions.TopKAgg.topkKeyed(
+        col("quality"), col("doc_id"), TopPerLang).as("tops"))
+      .select(col("lang"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"), col("t.v").as("quality"))
       .orderBy("lang", "rank")
   }
 
