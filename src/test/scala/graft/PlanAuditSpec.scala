@@ -51,6 +51,22 @@ class PlanAuditSpec extends SparkSpec {
       "no whole-stage codegen stages in the executed plan")
   }
 
+  test("q24/q51/q62: keyed top-k partial-aggregates, no window sort") {
+    // every former row_number() window call site now ships only k
+    // (value, id) pairs per group per partition — the executed plan
+    // must show the map-side partial and NO Window operator
+    for (df <- Seq(
+        Similarity.q24SimTopk(spark, sfDir()),
+        graft.text.CorpusOps.q51TopQualityPerLang(spark, sfDir()),
+        graft.operators.Relational.q62TopOrderTotals(spark, sfDir()))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("partial_graft_topk_keyed"),
+        s"no map-side partial top-k:\n$p")
+      assert(!p.contains("Window"), s"window survived the rewrite:\n$p")
+    }
+  }
+
   test("q45/q53: in-row scoring plans shuffle only for the output sort") {
     for (df <- Seq(
         graft.text.CorpusOps.q45RepetitionScores(spark, sfDir()),
