@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsofJoin, Relational, TypedEdges}
-import graft.graph.{Algorithms, CoPurchase, Louvain}
-import graft.text.{CorpusOps, TextOps}
+import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
+import graft.text.{CorpusOps, PolicyOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
 import graft.streaming.StreamOps
 
@@ -20,16 +20,19 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
-      Algorithms.queries ++ CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
-      CorpusOps.queries ++ Similarity.queries ++ KMeans.queries ++
+      Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
+      CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
+      CorpusOps.queries ++ PolicyOps.queries ++ TermOps.queries ++
+      Similarity.queries ++ KMeans.queries ++
       StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
-      Algorithms.oracleSql ++ CoPurchase.oracleSql ++ Louvain.oracleSql ++
+      Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
+      CoPurchase.oracleSql ++ Louvain.oracleSql ++
       TextOps.oracleSql ++
-      CorpusOps.oracleSql ++
+      CorpusOps.oracleSql ++ PolicyOps.oracleSql ++ TermOps.oracleSql ++
       Similarity.oracleSql ++ KMeans.oracleSql ++ StreamOps.oracleSql
 }

@@ -1,0 +1,259 @@
+package graft.graph
+
+import scala.util.chaining._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Checkpoints, Tables}
+
+/** Structural graph operators from the Neo4j graph-algorithms library
+  * surface the reference leans on for its analytics (reference:
+  * documentation/queries.md:82-175 — the community-detection /
+  * similarity family next to Louvain and SCC): k-core decomposition,
+  * deterministic label propagation, and neighbor-set node similarity.
+  *
+  * All three are DataFrame join-agg programs:
+  *  - k-core is an iterative peel — each round is one degree agg + one
+  *    semi-join over the LIVE subgraph, state is O(V) node labels, and
+  *    the loop condition reads a scalar count only;
+  *  - label propagation is a bounded synchronous sweep (one
+  *    neighbor-label agg + one argmax per iteration) with a total
+  *    (count desc, label asc) tie order, so the result is
+  *    deterministic and oracle-able — unlike classic LPA's random
+  *    tie-breaking (GraphxBridge.labelPropagation remains the RDD
+  *    alternative);
+  *  - node similarity joins out-neighbor sets ON THE SHARED NEIGHBOR
+  *    (never all pairs): cost is Σ_dst indeg(dst)², the standard
+  *    blocking for Jaccard over adjacency sets. On a corpus with hub
+  *    destinations, cap or sample per-dst fanout, or swap the exact
+  *    intersection for the MinHash signatures of
+  *    [[graft.functions.MinhashSignature]] — same banding math as the
+  *    text near-dup family.
+  */
+object Cores {
+
+  private def checkpointedEdges(t: Tables): DataFrame =
+    TradeGraph.edges(t).select("src", "dst").pipe(Checkpoints.cut)
+
+  /** Undirected simple neighbor relation (both directions, self-loops
+    * dropped) — degree semantics shared by k-core and LPA. */
+  private def simpleUndirected(t: Tables): DataFrame =
+    TradeGraph.undirectedEdges(t).filter(col("src") =!= col("dst"))
+
+  // ---------------------------------------------------------------- q68
+  /** k-core: the maximal subgraph in which every node has degree ≥ k
+    * (undirected, self-loops ignored). Iterative peel: drop nodes of
+    * degree < k, recompute degrees over the survivors, repeat to
+    * fixpoint — each round one agg + two semi-joins, O(V) state,
+    * rounds bounded by |removals|. Returns every node with its core
+    * membership and its degree INSIDE the core (0 outside). */
+  def kcore(nodes: DataFrame, undirected: DataFrame, k: Int): DataFrame = {
+    var live = nodes.select("node").pipe(Checkpoints.cut)
+    var nLive = live.count()
+    var removed = 1L
+    while (removed > 0 && nLive > 0) {
+      val deg = undirected
+        .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("dg"))
+      val prevLive = live
+      live = deg.filter(col("dg") >= k).select("node").pipe(Checkpoints.cut)
+      val n = live.count()
+      removed = nLive - n
+      nLive = n
+      Checkpoints.release(prevLive)
+    }
+    val coreDeg = undirected
+      .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("core_deg"))
+    nodes.select("node")
+      .join(live.withColumn("in_core", lit(true)), Seq("node"), "left")
+      .join(coreDeg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("in_core"), lit(false)).as("in_core"),
+        coalesce(col("core_deg"), lit(0L)).as("core_deg"))
+      .orderBy("node")
+    // live stays referenced by this lazy plan; Verify/Bench clear
+    // blocks per query
+  }
+
+  val CoreK = 2
+
+  def q68Kcore(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val u = simpleUndirected(t).pipe(Checkpoints.cut)
+    kcore(TradeGraph.nodes(t).select("node"), u, CoreK)
+  }
+
+  // ---------------------------------------------------------------- q69
+  /** Deterministic label propagation: synchronous sweeps, label(v) ←
+    * the most frequent label among v's neighbors with ties to the
+    * SMALLEST label (isolated nodes keep their label). The total tie
+    * order makes the fixed-budget sweep reproducible on any engine —
+    * the property classic random-tie LPA lacks — so the whole run is
+    * hash-checkable; GraphX LabelPropagation is the RDD alternative
+    * when determinism doesn't matter. Each sweep is one neighbor agg
+    * + one per-node argmax (window over the (node, label) counts,
+    * |labels per node| ≤ degree). */
+  def labelPropagation(nodes: DataFrame, undirected: DataFrame,
+      iters: Int): DataFrame = {
+    var lab = nodes.select(col("node"), col("node").as("label"))
+      .pipe(Checkpoints.cut)
+    val w = Window.partitionBy("node")
+      .orderBy(col("c").desc, col("label").asc)
+    for (_ <- 1 to iters) {
+      val counts = undirected
+        .join(lab.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val pick = counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("node").as("pn"), col("label").as("pl"))
+      val prev = lab
+      lab = prev.join(pick, col("node") === col("pn"), "left")
+        .select(col("node"), coalesce(col("pl"), col("label")).as("label"))
+        .pipe(Checkpoints.cut)
+      Checkpoints.release(prev)
+    }
+    lab
+  }
+
+  val LpaIters = 4
+
+  def q69LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val u = simpleUndirected(t).pipe(Checkpoints.cut)
+    val out = labelPropagation(TradeGraph.nodes(t).select("node"), u, LpaIters)
+    Checkpoints.release(u)
+    out.orderBy("node")
+  }
+
+  // ---------------------------------------------------------------- q70
+  /** Node similarity (Neo4j GDS nodeSimilarity surface): Jaccard over
+    * OUT-neighbor sets for every node pair sharing at least one
+    * neighbor, top-[[NodeSimTopK]] by (jaccard desc, u asc, v asc).
+    * The pair join is keyed by the shared neighbor — candidate
+    * generation is blocked exactly like the text near-dup family,
+    * never an all-pairs product. */
+  val NodeSimTopK = 20
+
+  def nodeSimilarity(edges: DataFrame, topK: Int): DataFrame = {
+    val out = edges.select("src", "dst")
+    val deg = out.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val common = out.as("a")
+      .join(out.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("u"), col("b.src").as("v"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("common"),
+        (col("du") + col("dv") - col("common")).as("uni"))
+      .select(col("u"), col("v"), col("common"), col("uni"),
+        round(col("common").cast("double") / col("uni"), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
+      .limit(topK)
+  }
+
+  def q70NodeSimilarity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    nodeSimilarity(e, NodeSimTopK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_kcore" -> (q68Kcore _),
+    "q69_label_propagation" -> (q69LabelPropagation _),
+    "q70_node_similarity" -> (q70NodeSimilarity _),
+  )
+
+  private val T = TradeGraph.sqlCte
+  private val U = TradeGraph.sqlUndirectedCte
+
+  /** Unrolled peel rounds r0..rN — each non-fixpoint round removes at
+    * least one node, so N = |V| rounds reach the fixpoint on any
+    * 25-node graph. MATERIALIZED: DuckDB inlines plain CTEs and
+    * r(t-1) appears twice per round. */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    val ctes = (1 to rounds).map { t =>
+      s"""r$t AS MATERIALIZED (
+         |  SELECT r.node FROM r${t - 1} r
+         |  JOIN su u ON u.src = r.node
+         |  JOIN r${t - 1} r2 ON r2.node = u.dst
+         |  GROUP BY r.node HAVING count(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $T, $U,
+       |su AS MATERIALIZED (SELECT src, dst FROM undirected WHERE src <> dst),
+       |r0 AS MATERIALIZED (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |$ctes,
+       |cd AS (
+       |  SELECT r.node, CAST(count(*) AS BIGINT) AS core_deg
+       |  FROM r$rounds r
+       |  JOIN su u ON u.src = r.node
+       |  JOIN r$rounds r2 ON r2.node = u.dst
+       |  GROUP BY r.node)
+       |SELECT n.node, (c.node IS NOT NULL) AS in_core,
+       |       CAST(COALESCE(cd.core_deg, 0) AS BIGINT) AS core_deg
+       |FROM r0 n
+       |LEFT JOIN r$rounds c ON c.node = n.node
+       |LEFT JOIN cd ON cd.node = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
+  /** Unrolled synchronous sweeps l0..lN mirroring
+    * [[labelPropagation]]'s (count desc, label asc) argmax. */
+  private def lpaSql(iters: Int): String = {
+    val ctes = (1 to iters).map { t =>
+      s"""c$t AS (
+         |  SELECT u.dst AS node, l.label, count(*) AS c
+         |  FROM su u JOIN l${t - 1} l ON l.node = u.src
+         |  GROUP BY 1, 2),
+         |p$t AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY c DESC, label ASC) AS rk
+         |    FROM c$t) z
+         |  WHERE rk = 1),
+         |l$t AS MATERIALIZED (
+         |  SELECT l.node, COALESCE(p.label, l.label) AS label
+         |  FROM l${t - 1} l LEFT JOIN p$t p ON p.node = l.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $T, $U,
+       |su AS MATERIALIZED (SELECT src, dst FROM undirected WHERE src <> dst),
+       |l0 AS MATERIALIZED (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |         CAST(n_nationkey AS BIGINT) AS label
+       |  FROM nation),
+       |$ctes
+       |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q68_kcore" -> kcoreSql(CoreK, 25),
+
+    "q69_label_propagation" -> lpaSql(LpaIters),
+
+    "q70_node_similarity" ->
+      s"""WITH $T,
+         |o AS (SELECT src, dst FROM trade),
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+         |        FROM o GROUP BY 1),
+         |com AS (
+         |  SELECT a.src AS u, b.src AS v, CAST(count(*) AS BIGINT) AS common
+         |  FROM o a JOIN o b ON a.dst = b.dst AND a.src < b.src
+         |  GROUP BY 1, 2)
+         |SELECT c.u, c.v, c.common,
+         |       du.d + dv.d - c.common AS uni,
+         |       round(CAST(c.common AS DOUBLE)
+         |             / (du.d + dv.d - c.common), 6) AS jaccard
+         |FROM com c
+         |JOIN deg du ON du.node = c.u
+         |JOIN deg dv ON dv.node = c.v
+         |ORDER BY jaccard DESC, u ASC, v ASC
+         |LIMIT $NodeSimTopK""".stripMargin,
+  )
+}

@@ -103,4 +103,50 @@ object HyperBall {
     s.select(col("node"), round(estimate(col("regs")), 3).as("est_reach"))
       .orderBy("node")
   }
+
+  /** (node, est_harmonic): HyperBall's headline application —
+    * harmonic centrality estimated from the per-radius ball sizes,
+    * h(v) ≈ Σ_t (|B(v,t)| − |B(v,t−1)|)/t, the O(V·m)-state scale
+    * path for [[Centrality.q71HarmonicCentrality]]'s all-pairs exact
+    * form (Boldi & Vigna's original use case). Same per-iteration
+    * merge as [[propagate]], plus one estimate + accumulate
+    * projection per radius; the accumulator rides in the same frame
+    * as the sketch so each radius is one checkpointed pass. */
+  def harmonicEstimates(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    var state = nodes
+      .select(col("node"), initRegs(col("node")).as("regs"))
+      .withColumn("est", estimate(col("regs")))
+      .withColumn("harm", lit(0.0))
+      .pipe(Checkpoints.cut)
+    var changed = 1L
+    var t = 0L
+    while (changed > 0) {
+      t += 1
+      val fromSucc = edges
+        .join(state.select(col("node").as("dst"), col("regs")), Seq("dst"))
+        .select(col("src").as("node"), posexplode(col("regs")).as(Seq("i", "r")))
+      val own = state
+        .select(col("node"), posexplode(col("regs")).as(Seq("i", "r")))
+      val merged = own.unionByName(fromSucc)
+        .groupBy("node", "i").agg(max(col("r")).as("r"))
+        .groupBy("node")
+        .agg(array_sort(collect_list(struct(col("i"), col("r")))).as("p"))
+        .select(col("node"), expr("transform(p, q -> q.r)").as("regs"))
+      val next = state.select(col("node"), col("est"), col("harm"))
+        .join(merged, Seq("node"))
+        .withColumn("nest", estimate(col("regs")))
+        .select(col("node"), col("regs"), col("nest").as("est"),
+          (col("harm") + greatest(col("nest") - col("est"), lit(0.0)) / t)
+            .as("harm"))
+        .pipe(Checkpoints.cut)
+      changed = next
+        .join(state.select(col("node").as("pn"), col("regs").as("pr")),
+          col("node") === col("pn"))
+        .filter(col("regs") =!= col("pr")).count()
+      Checkpoints.release(state)
+      state = next
+    }
+    state.select(col("node"), round(col("harm"), 3).as("est_harmonic"))
+      .orderBy("node")
+  }
 }

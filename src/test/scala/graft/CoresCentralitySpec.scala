@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Algorithms, Centrality, Cores, HyperBall, TradeGraph}
+
+class CoresCentralitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- k-core
+  test("kcore: triangle survives k=2, pendant and isolated peel off") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val out = Cores.kcore(nodes, und, 2)
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((true, 2L)) && out(2L) == ((true, 2L)) && out(3L) == ((true, 2L)))
+    assert(out(4L) == ((false, 0L)) && out(5L) == ((false, 0L)))
+  }
+
+  test("kcore: a chain peels to nothing under k=2 (multi-round cascade)") {
+    val nodes = (1L to 6L).toDF("node")
+    val und = (1L to 5L).map(i => (i, i + 1))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val out = Cores.kcore(nodes, und, 2).collect()
+    assert(out.forall(r => !r.getBoolean(1)), "chain interior degrades as ends peel")
+  }
+
+  // ------------------------------------------- label propagation
+  /** In-memory mirror of the deterministic sync sweep: label(v) ← min
+    * label among the most frequent neighbor labels. */
+  private def lpaRef(nodes: Seq[Long], und: Seq[(Long, Long)], iters: Int)
+      : Map[Long, Long] = {
+    var lab = nodes.map(n => n -> n).toMap
+    val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (_ <- 1 to iters) {
+      val prev = lab
+      lab = nodes.map { v =>
+        val counts = nbrs.getOrElse(v, Nil).map(prev).groupBy(identity)
+          .view.mapValues(_.size).toMap
+        if (counts.isEmpty) v -> prev(v)
+        else {
+          val best = counts.values.max
+          v -> counts.filter(_._2 == best).keys.min
+        }
+      }.toMap
+    }
+    lab
+  }
+
+  test("label propagation matches the in-memory reference on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val ns = (0L until 30L).toSeq
+    val pairs = (for (_ <- 1 to 60) yield {
+      val a = rnd.nextInt(30).toLong; val b = rnd.nextInt(30).toLong
+      if (a < b) Some((a, b)) else if (b < a) Some((b, a)) else None
+    }).flatten.distinct
+    val und = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val got = Cores.labelPropagation(ns.toDF("node"),
+        und.toDF("src", "dst"), Cores.LpaIters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == lpaRef(ns, und, Cores.LpaIters))
+  }
+
+  test("label propagation is deterministic across runs") {
+    val t = Tables(spark, sfDir())
+    val u = TradeGraph.undirectedEdges(t).filter(col("src") =!= col("dst"))
+    val n = TradeGraph.nodes(t).select("node")
+    val a = Cores.labelPropagation(n, u, 4).collect().sortBy(_.getLong(0)).toSeq
+    val b = Cores.labelPropagation(n, u, 4).collect().sortBy(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------ node similarity
+  test("node similarity: exact jaccard over out-neighbor sets") {
+    val e = Seq((1L, 100L), (1L, 101L), (2L, 100L), (2L, 101L), (3L, 101L))
+      .toDF("src", "dst")
+    val rows = Cores.nodeSimilarity(e, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.toSeq == Seq(
+      (1L, 2L, 2L, 2L, 1.0),
+      (1L, 3L, 1L, 2L, 0.5),
+      (2L, 3L, 1L, 2L, 0.5)))
+  }
+
+  // ------------------------------------------------------- harmonic
+  test("harmonic centrality: hand-checked path graph") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val h = Centrality.harmonic(nodes, e)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(h(1L) == ((2L, 1.5)) && h(2L) == ((1L, 1.0)) && h(3L) == ((0L, 0.0)))
+  }
+
+  test("hyperball harmonic estimate tracks the exact values on the trade graph") {
+    val t = Tables(spark, sfDir())
+    val ns = TradeGraph.nodes(t).select("node")
+    val es = TradeGraph.edges(t).select("src", "dst")
+      .filter(col("src") =!= col("dst"))
+    val exact = Centrality.harmonic(ns, es)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val est = HyperBall.harmonicEstimates(ns, es)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val errs = exact.collect { case (n, x) if x > 0 =>
+      math.abs(est(n) - x) / x
+    }
+    val mean = errs.sum / errs.size
+    info(f"hyperball harmonic mean relative error (m=${HyperBall.M}): $mean%.3f")
+    assert(mean < 0.35, s"mean relative error $mean out of tolerance")
+    val est2 = HyperBall.harmonicEstimates(ns, es)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(est == est2, "sketches are deterministic")
+  }
+
+  // ------------------------------------------------ weighted pagerank
+  test("weighted pagerank with uniform weights equals unweighted pagerank") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val uw = e.map { case (s, d) => (s, d, 7L) }.toDF("src", "dst", "cnt")
+    val pr = Algorithms.pagerank(nodes, e.toDF("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wpr = Centrality.weightedPagerank(nodes, uw, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == wpr.keySet)
+    pr.foreach { case (n, r) => assert(math.abs(r - wpr(n)) < 1e-9, s"node $n") }
+  }
+
+  test("weighted pagerank: heavier edges carry more rank") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 1L)).toDF("src", "dst", "cnt")
+    val wpr = Centrality.weightedPagerank(nodes, e, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wpr(2L) > wpr(3L))
+  }
+}

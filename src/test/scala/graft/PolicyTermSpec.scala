@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{PolicyOps, TermOps}
+
+class PolicyTermSpec extends SparkSpec {
+  import spark.implicits._
+
+  // docs arrive normalized (lowercase, collapsed whitespace) — the
+  // fixtures mirror TextOps.docs' contract
+  private def frame(rows: (Long, String)*) = rows.toDF("doc_id", "s")
+
+  test("policy report finds planted emails, IPs, phones and blocklist terms") {
+    val d = frame(
+      1L -> "contact bob@example.com or call 555-123-4567 now",
+      2L -> "server at 192.168.0.1 and 10.0.0.2 is slow slow dup",
+      3L -> "a perfectly clean document")
+    val out = PolicyOps.policyReport(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(6)))).toMap
+    assert(out(1L) == ((0L, 1L, 0L, 1L, true)))
+    assert(out(2L) == ((3L, 0L, 2L, 0L, true)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, false)))
+  }
+
+  test("redaction fingerprint equals md5 of the hand-redacted text") {
+    val d = frame(1L -> "mail bob@example.com about the dup at 10.0.0.2")
+    val fp = PolicyOps.policyReport(d).collect().head.getString(5)
+    val expected = "mail <email> about the <term> at <ip>"
+    val want = spark.range(1).select(md5(lit(expected))).collect().head.getString(0)
+    assert(fp == want)
+  }
+
+  test("blocklist matches whole words only") {
+    val d = frame(1L -> "duplicate slowly backups") // substrings, not words
+    val r = PolicyOps.policyReport(d).collect().head
+    assert(r.getLong(1) == 0L && !r.getBoolean(6))
+  }
+
+  test("tfidf: corpus-wide terms score zero, distinctive terms rank first") {
+    val d = frame(1L -> "a b", 2L -> "a c")
+    val rows = TermOps.tfidfTopTerms(d, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+    // 'a' is in every doc → idf = ln(1) = 0; the distinctive term wins
+    assert(rows.toSeq == Seq(
+      (1L, 1L, "b", math.BigDecimal(math.log(2)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (1L, 2L, "a", 0.0),
+      (2L, 1L, "c", math.BigDecimal(math.log(2)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 2L, "a", 0.0)))
+  }
+
+  test("unigram logprob: hand-computed NLL on a two-doc corpus") {
+    val d = frame(1L -> "a b", 2L -> "a c")
+    val out = TermOps.unigramLogprob(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // tokens: a=2, b=1, c=1, total=4
+    val nll1 = (math.log(4.0 / 2) + math.log(4.0 / 1)) / 2
+    assert(out(1L)._1 == 2L)
+    assert(math.abs(out(1L)._2 - nll1) < 1e-6)
+    assert(out(1L)._2 == out(2L)._2, "symmetric docs score identically")
+  }
+
+  test("rare-vocabulary documents score higher NLL than common-vocabulary ones") {
+    val d = frame(
+      1L -> "x x x x x x x x",
+      2L -> "q w e r t y u i")
+    val out = TermOps.unigramLogprob(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) > out(1L))
+  }
+}
