@@ -89,9 +89,114 @@ object Centrality {
       .orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q76
+  /** Betweenness centrality — Brandes' algorithm as a DataFrame
+    * program, all sources advanced SIMULTANEOUSLY with state keyed by
+    * (source, node):
+    *  1. forward BFS counts σ(s,v) = number of shortest s→v paths —
+    *     every shortest-path predecessor of a depth-d node sits at
+    *     depth d−1, so one groupBy(s, v) sum per level is exact;
+    *  2. the shortest-path DAG joins each (s,u) to its successors one
+    *     level deeper;
+    *  3. backward accumulation per level (deepest first):
+    *     δ(s,u) = Σ_w σ(s,u)/σ(s,w) · (1 + δ(s,w)) — Brandes'
+    *     pair-dependency recurrence, never a path enumeration;
+    *  4. betweenness(v) = Σ_s δ(s,v), v ≠ s.
+    * Driver loops are bounded by the diameter (forward) + max depth
+    * (backward); every step is a join+agg keyed by (s, v).
+    *
+    * The source set is the scale control (exactly q13's contract):
+    * exact betweenness keys O(|sources|·V) state — all-sources is the
+    * oracle-able small-graph entry, pivot SAMPLING (Brandes-Pich) is
+    * the 100 TB deployment: pass a sampled source set and the same
+    * plan estimates betweenness unbiased at O(|pivots|·V).
+    *
+    * The DuckDB oracle is algorithm-INDEPENDENT evidence: it
+    * enumerates every shortest path over the per-source DAG and sums
+    * interior-node fractions σ_st(v)/σ_st directly. */
+  def betweenness(nodes: DataFrame, edges: DataFrame,
+      sources: Option[DataFrame] = None): DataFrame = {
+    val e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .distinct().pipe(Checkpoints.cut)
+    val srcs = sources.getOrElse(nodes).select(col("node").as("s"))
+    // forward: (s, v, d, sigma)
+    var visited = srcs
+      .select(col("s"), col("s").as("v"), lit(0L).as("d"), lit(1L).as("sigma"))
+      .pipe(Checkpoints.cut)
+    var frontier = visited
+    var depth = 0L
+    var n = frontier.count()
+    while (n > 0) {
+      depth += 1
+      val prevFrontier = frontier
+      frontier = frontier.join(e, frontier("v") === e("src"))
+        .groupBy(frontier("s"), e("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), lit(depth).as("d"), col("sigma"))
+        .join(visited.select(col("s").as("s2"), col("v").as("v2")),
+          col("s") === col("s2") && col("v") === col("v2"), "left_anti")
+        .pipe(Checkpoints.cut)
+      n = frontier.count()
+      if (n > 0) {
+        val prevVisited = visited
+        visited = visited.union(frontier).pipe(Checkpoints.cut)
+        Checkpoints.release(prevVisited)
+      }
+      if (!(prevFrontier eq visited)) Checkpoints.release(prevFrontier)
+    }
+    if (!(frontier eq visited)) Checkpoints.release(frontier)
+    // shortest-path DAG: (s, u at d, w at d+1, sigu, sigw)
+    val dag = visited.as("a").join(e, col("a.v") === e("src"))
+      .join(visited.as("b"),
+        col("b.s") === col("a.s") && col("b.v") === e("dst") &&
+          col("b.d") === col("a.d") + 1)
+      .select(col("a.s").as("s"), col("a.v").as("u"), col("b.v").as("w"),
+        col("a.d").as("du"), col("a.sigma").as("sigu"), col("b.sigma").as("sigw"))
+      .pipe(Checkpoints.cut)
+    val maxd = visited.agg(max(col("d"))).first().getLong(0)
+    // backward: δ per (s, v), deepest level first
+    var deltaAll = visited.filter(col("d") === maxd)
+      .select(col("s"), col("v"), lit(0.0).as("delta"))
+      .pipe(Checkpoints.cut)
+    var dep = maxd - 1
+    while (dep >= 0) {
+      val contrib = dag.filter(col("du") === dep)
+        .join(deltaAll.select(col("s").as("ds"), col("v").as("dw"), col("delta")),
+          col("s") === col("ds") && col("w") === col("dw"))
+        .groupBy(col("s"), col("u"))
+        .agg(sum(col("sigu").cast("double") / col("sigw")
+          * (lit(1.0) + col("delta"))).as("nd"))
+      val level = visited.filter(col("d") === dep)
+        .select(col("s"), col("v"))
+        .join(contrib.select(col("s").as("cs"), col("u"), col("nd")),
+          col("s") === col("cs") && col("v") === col("u"), "left")
+        .select(col("s"), col("v"), coalesce(col("nd"), lit(0.0)).as("delta"))
+      val prevDelta = deltaAll
+      deltaAll = deltaAll.union(level).pipe(Checkpoints.cut)
+      Checkpoints.release(prevDelta)
+      dep -= 1
+    }
+    val bc = deltaAll.filter(col("v") =!= col("s"))
+      .groupBy(col("v").as("node"))
+      .agg(sum(col("delta")).as("b"))
+    val out = nodes.select("node")
+      .join(bc, Seq("node"), "left")
+      .select(col("node"), round(coalesce(col("b"), lit(0.0)), 6).as("betweenness"))
+      .orderBy("node")
+    Checkpoints.release(e, dag, visited)
+    out
+    // deltaAll backs the lazy result; Verify/Bench clear blocks
+  }
+
+  def q76Betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    betweenness(TradeGraph.nodes(t), TradeGraph.edges(t))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_harmonic_centrality" -> (q71HarmonicCentrality _),
     "q72_weighted_pagerank" -> (q72WeightedPagerank _),
+    "q76_betweenness" -> (q76Betweenness _),
   )
 
   private val T = TradeGraph.sqlCte
@@ -145,5 +250,48 @@ object Centrality {
          |ORDER BY node""".stripMargin,
 
     "q72_weighted_pagerank" -> weightedPagerankSql(WprIters),
+
+    // algorithm-independent mirror: enumerate every shortest path on
+    // the per-source BFS DAG (acyclic — depth strictly increases, no
+    // cycle guard needed), then betweenness(v) = Σ_{s≠t} σ_st(v)/σ_st
+    // summed from interior-node counts — where the Spark side runs
+    // Brandes' recurrence and never materializes a path
+    "q76_betweenness" ->
+      s"""WITH RECURSIVE $T,
+         |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+         |sp AS (
+         |  SELECT node AS s, node AS v, CAST(0 AS BIGINT) AS d FROM nodes
+         |  UNION
+         |  SELECT sp.s, t.dst, sp.d + 1 FROM sp
+         |  JOIN trade t ON t.src = sp.v WHERE sp.d < 25
+         |),
+         |dist AS (SELECT s, v, min(d) AS d FROM sp GROUP BY 1, 2),
+         |dag AS (
+         |  SELECT du.s, t.src AS u, t.dst AS w
+         |  FROM trade t
+         |  JOIN dist du ON du.v = t.src
+         |  JOIN dist dv ON dv.s = du.s AND dv.v = t.dst
+         |  WHERE dv.d = du.d + 1
+         |),
+         |walks AS (
+         |  SELECT node AS s, node AS leaf, [node] AS path FROM nodes
+         |  UNION ALL
+         |  SELECT wk.s, g.w, list_append(wk.path, g.w)
+         |  FROM walks wk JOIN dag g ON g.s = wk.s AND g.u = wk.leaf
+         |),
+         |pairs AS (SELECT s, leaf AS t, path FROM walks WHERE s <> leaf),
+         |sig AS (SELECT s, t, CAST(count(*) AS BIGINT) AS sigma
+         |        FROM pairs GROUP BY 1, 2),
+         |thr AS (
+         |  SELECT p.s, p.t, x.v, CAST(count(*) AS BIGINT) AS c
+         |  FROM pairs p, unnest(p.path[2:len(p.path) - 1]) AS x(v)
+         |  GROUP BY 1, 2, 3),
+         |bc AS (
+         |  SELECT thr.v AS node, sum(CAST(thr.c AS DOUBLE) / sig.sigma) AS b
+         |  FROM thr JOIN sig ON sig.s = thr.s AND sig.t = thr.t
+         |  GROUP BY 1)
+         |SELECT n.node, round(COALESCE(bc.b, 0.0), 6) AS betweenness
+         |FROM nodes n LEFT JOIN bc ON bc.node = n.node
+         |ORDER BY n.node""".stripMargin,
   )
 }

@@ -112,6 +112,34 @@ class CoresCentralitySpec extends SparkSpec {
     assert(est == est2, "sketches are deterministic")
   }
 
+  // ------------------------------------------------ betweenness
+  test("betweenness: interior node of a path carries the one pair") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val bc = Centrality.betweenness(nodes, e)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
+  }
+
+  test("betweenness: diamond splits the dependency across equal paths") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val bc = Centrality.betweenness(nodes, e)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bc == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0))
+  }
+
+  test("betweenness: pivot sampling sums only the chosen sources' dependencies") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val fromLeaf = Centrality.betweenness(nodes, e, Some(Seq(3L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fromLeaf.values.forall(_ == 0.0))
+    val fromRoot = Centrality.betweenness(nodes, e, Some(Seq(1L).toDF("node")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fromRoot == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
+  }
+
   // ------------------------------------------------ weighted pagerank
   test("weighted pagerank with uniform weights equals unweighted pagerank") {
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
