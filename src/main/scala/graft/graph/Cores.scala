@@ -163,10 +163,67 @@ object Cores {
     nodeSimilarity(e, NodeSimTopK)
   }
 
+  // ---------------------------------------------------------------- q78
+  /** Deterministic random walks — the node2vec/DeepWalk-style corpus
+    * sampler that turns a graph into sequence training data. One walk
+    * of [[WalkLen]] steps starts at every node; the step function is
+    * PURE: next = neighbors(v) ranked by id, picked at index
+    * md5(v:step) mod outdeg — re-runnable with identical output on
+    * any cluster layout (the q47 sampling discipline applied to graph
+    * walks). Dead ends stop the walk (carry-forward left join).
+    * Walks may legitimately revisit nodes — no cycle guard, state is
+    * one (start, leaf, path) row per walk, each step one left join
+    * keyed by leaf. At 100 TB: neighbor ranking is a per-src window
+    * bounded by out-degree, walk state shuffles on the leaf key, and
+    * more walks per node = more start rows, never wider state. */
+  val WalkLen = 4
+
+  private def stepHash(leaf: org.apache.spark.sql.Column, t: Int) =
+    conv(substring(md5(concat(leaf.cast("string"), lit(s":$t"))), 1, 8), 16, 10)
+      .cast("long")
+
+  def randomWalks(nodes: DataFrame, edges: DataFrame, len: Int): DataFrame = {
+    val w = Window.partitionBy("src").orderBy("dst")
+    val nb = edges.select("src", "dst").distinct()
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("d", count(lit(1)).over(Window.partitionBy("src")).cast("long"))
+      .pipe(Checkpoints.cut)
+    var cur = nodes.select(col("node").as("start"), col("node").as("leaf"),
+      array(col("node")).as("path")).pipe(Checkpoints.cut)
+    for (t <- 1 to len) {
+      val prev = cur
+      cur = prev.join(nb,
+          col("leaf") === nb("src") &&
+            nb("rk") === pmod(stepHash(col("leaf"), t), nb("d")) + 1,
+          "left")
+        .select(col("start"),
+          coalesce(nb("dst"), col("leaf")).as("leaf"),
+          when(nb("dst").isNull, col("path"))
+            .otherwise(concat(col("path"), array(nb("dst")))).as("path"))
+        .pipe(Checkpoints.cut)
+      Checkpoints.release(prev)
+    }
+    Checkpoints.release(nb)
+    cur.select(col("start"),
+      expr("array_join(transform(path, x -> cast(x as string)), '->')")
+        .as("path_str"),
+      (size(col("path")) - 1).cast("long").as("steps"))
+      .orderBy("start")
+  }
+
+  def q78RandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val out = randomWalks(TradeGraph.nodes(t).select("node"), e, WalkLen)
+    Checkpoints.release(e)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_kcore" -> (q68Kcore _),
     "q69_label_propagation" -> (q69LabelPropagation _),
     "q70_node_similarity" -> (q70NodeSimilarity _),
+    "q78_random_walks" -> (q78RandomWalks _),
   )
 
   private val T = TradeGraph.sqlCte
@@ -232,8 +289,42 @@ object Cores {
        |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
   }
 
+  /** Unrolled walk steps w0..wN — same md5 step function
+    * ([[graft.text.TextOps.hexToLongSql]] mirrors Spark's conv),
+    * dead-end carry-forward as a LEFT JOIN per step. */
+  private def walksSql(len: Int): String = {
+    val ctes = (1 to len).map { t =>
+      val h = graft.text.TextOps.hexToLongSql(
+        s"md5(CAST(w.leaf AS VARCHAR) || ':$t')", 1, 8)
+      s"""w$t AS MATERIALIZED (
+         |  SELECT w.start, COALESCE(n.dst, w.leaf) AS leaf,
+         |         CASE WHEN n.dst IS NULL THEN w.path
+         |              ELSE list_append(w.path, n.dst) END AS path
+         |  FROM w${t - 1} w LEFT JOIN nb n
+         |    ON n.src = w.leaf AND n.rk = ($h) % n.d + 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $T,
+       |nb AS MATERIALIZED (
+       |  SELECT src, dst,
+       |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
+       |              AS BIGINT) AS rk,
+       |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS d
+       |  FROM (SELECT DISTINCT src, dst FROM trade) z),
+       |w0 AS MATERIALIZED (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS start,
+       |         CAST(n_nationkey AS BIGINT) AS leaf,
+       |         [CAST(n_nationkey AS BIGINT)] AS path
+       |  FROM nation),
+       |$ctes
+       |SELECT start, array_to_string(path, '->') AS path_str,
+       |       CAST(len(path) - 1 AS BIGINT) AS steps
+       |FROM w$len ORDER BY start""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q68_kcore" -> kcoreSql(CoreK, 25),
+
+    "q78_random_walks" -> walksSql(WalkLen),
 
     "q69_label_propagation" -> lpaSql(LpaIters),
 

@@ -374,7 +374,7 @@ object TextOps {
 
   /** DuckDB hex→BIGINT: positional nibble sum over `len` hex chars of
     * `hexExpr` starting at 1-based `start` (mirror of Spark's conv). */
-  private[text] def hexToLongSql(hexExpr: String, start: Int, len: Int): String =
+  private[graft] def hexToLongSql(hexExpr: String, start: Int, len: Int): String =
     (0 until len).map { p =>
       val mult = math.pow(16, len - 1 - p).toLong
       s"(strpos('0123456789abcdef', substr($hexExpr, ${start + p}, 1)) - 1) * CAST($mult AS BIGINT)"

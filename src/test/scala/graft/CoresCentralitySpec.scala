@@ -112,6 +112,29 @@ class CoresCentralitySpec extends SparkSpec {
     assert(est == est2, "sketches are deterministic")
   }
 
+  // ------------------------------------------------ random walks
+  test("random walks: deterministic md5 step choice, dead ends stop the walk") {
+    val nodes = Seq(0L, 1L, 2L, 3L).toDF("node")
+    val e = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst") // star, leaves dead-end
+    val out = Cores.randomWalks(nodes, e, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // JVM-side mirror of the step function: md5("0:1") first 8 hex % 3
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("0:1".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val pick = java.lang.Long.parseLong(hex.take(8), 16) % 3 + 1 // rank among (1,2,3)
+    assert(out(0L) == ((s"0->$pick", 1L)), "one step then a dead end")
+    assert(out(1L) == (("1", 0L)) && out(3L) == (("3", 0L)))
+  }
+
+  test("random walks revisit nodes on cycles and are reproducible") {
+    val nodes = Seq(1L, 2L).toDF("node")
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val a = Cores.randomWalks(nodes, e, 4).collect().map(_.toSeq).toSeq
+    assert(a.map(_(1)).toSet == Set("1->2->1->2->1", "2->1->2->1->2"))
+    val b = Cores.randomWalks(nodes, e, 4).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   // ------------------------------------------------ betweenness
   test("betweenness: interior node of a path carries the one pair") {
     val nodes = Seq(1L, 2L, 3L).toDF("node")

@@ -96,4 +96,31 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation degenerated to an all-pairs join:\n$p")
   }
+
+  test("q73: policy filtering is a pure projection — no data shuffle") {
+    val p = plan(graft.text.PolicyOps.q73PolicyFilter(spark, sfDir()))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"policy scan shuffles data:\n$p") // ORDER BY only
+    assert(!p.contains("hashpartitioning"),
+      s"policy scan hash-shuffles the corpus:\n$p")
+  }
+
+  test("q74/q75: term dictionary joins broadcast, corpus never cartesian") {
+    for (df <- Seq(
+        graft.text.TermOps.q74TfidfTerms(spark, sfDir()),
+        graft.text.TermOps.q75UnigramLogprob(spark, sfDir()))) {
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"),
+        s"term dictionary side not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"corpus cartesian-joined:\n$p")
+    }
+  }
+
+  test("q70: node-similarity pairs come from a shared-neighbor equi join") {
+    val p = plan(graft.graph.Cores.q70NodeSimilarity(spark, sfDir()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pair generation degenerated to an all-pairs join:\n$p")
+  }
 }
