@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsofJoin, JsonOps, RangeJoin, Relational, TypedEdges}
+import graft.operators.{AsofJoin, EventOps, JsonOps, RangeJoin, Relational, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
 import graft.text.{CorpusOps, PolicyOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
@@ -20,7 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
-      RangeJoin.queries ++ JsonOps.queries ++
+      RangeJoin.queries ++ JsonOps.queries ++ EventOps.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
       CorpusOps.queries ++ PolicyOps.queries ++ TermOps.queries ++
@@ -31,7 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
-      RangeJoin.oracleSql ++ JsonOps.oracleSql ++
+      RangeJoin.oracleSql ++ JsonOps.oracleSql ++ EventOps.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
       CoPurchase.oracleSql ++ Louvain.oracleSql ++
       TextOps.oracleSql ++

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch event analytics over the events stream — the product-facing
+  * query family (funnels, retention cohorts, hopping windows) that
+  * complements the streaming operators in graft.streaming: same
+  * table, pure DataFrame plans, each a classic large-scale pattern.
+  *
+  * Scale shape:
+  *  - the funnel is K-1 stage joins keyed by user (each stage's
+  *    frame is one conditional min agg — partial-agg friendly,
+  *    monotonically shrinking);
+  *  - retention is two aggs (first-seen day, active days) + one join
+  *    keyed by user, output |cohorts|·|offsets| rows;
+  *  - hopping windows explode each event into size/hop overlapping
+  *    windows (a bounded constant, 6 here) then one partial-agg
+  *    groupBy — exactly how Spark's own `window(size, slide)`
+  *    expands, mirrored explicitly so the oracle can state it. */
+object EventOps {
+
+  private val DayUs = 86400000000L
+  private val HourUs = 3600000000L
+
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+      col("user_id"), col("event_type"), col("ts_us"))
+
+  // ---------------------------------------------------------------- q80
+  /** Ordered funnel view → click → purchase: a user reaches stage k
+    * at the EARLIEST event of that type strictly after their stage
+    * k−1 time. Reports users reaching each stage and the exact total
+    * latency from stage 1 (integer µs — engine-exact). */
+  val FunnelStages = Seq("view", "click", "purchase")
+
+  def funnel(e: DataFrame): DataFrame = {
+    val s1 = e.filter(col("event_type") === FunnelStages.head)
+      .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+    var stages = List(("stage1_" + FunnelStages.head, s1.withColumn("t", col("t1"))))
+    for ((tp, i) <- FunnelStages.tail.zipWithIndex) {
+      val prev = stages.head._2
+      val s = e.filter(col("event_type") === tp)
+        .join(prev.select(col("user_id"), col("t1"), col("t").as("tprev")), "user_id")
+        .filter(col("ts_us") > col("tprev"))
+        .groupBy("user_id", "t1").agg(min(col("ts_us")).as("t"))
+      stages = (s"stage${i + 2}_$tp", s) :: stages
+    }
+    stages.reverse.map { case (name, s) =>
+      s.agg(count(lit(1)).as("n_users"),
+        coalesce(sum(col("t") - col("t1")), lit(0L)).as("total_latency_us"))
+        .select(lit(name).as("stage"), col("n_users"), col("total_latency_us"))
+    }.reduce(_.unionByName(_)).orderBy("stage")
+  }
+
+  // ---------------------------------------------------------------- q81
+  /** Retention cohorts: cohort = a user's first active day; for every
+    * (cohort day, day offset) the number of cohort users active
+    * again that day — the DAU-retention triangle. */
+  def retention(e: DataFrame): DataFrame = {
+    val days = e
+      .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  // ---------------------------------------------------------------- q82
+  /** Hopping-window counts (size 6 h, hop 1 h): every event lands in
+    * size/hop = 6 overlapping windows; explode + one partial-agg
+    * groupBy per window start — the batch statement of Spark's
+    * `window(ts, '6 hours', '1 hour')` expansion. */
+  val HopWindows = 6L // size / hop
+
+  def hoppingWindow(e: DataFrame): DataFrame =
+    e
+      .withColumn("b", expr(s"ts_us div $HourUs"))
+      .withColumn("w", explode(sequence(
+        greatest(col("b") - lit(HopWindows - 1), lit(0L)), col("b"))))
+      .groupBy(col("w").as("window_start_hour"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_start_hour")
+
+  def q80Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnel(ev(spark, dir))
+
+  def q81Retention(spark: SparkSession, dir: String): DataFrame =
+    retention(ev(spark, dir))
+
+  def q82HoppingWindow(spark: SparkSession, dir: String): DataFrame =
+    hoppingWindow(ev(spark, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_funnel" -> (q80Funnel _),
+    "q81_retention" -> (q81Retention _),
+    "q82_hopping_window" -> (q82HoppingWindow _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q80_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+         |           FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+         |       WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, s1.t1, min(e.ts_us) AS t FROM e
+         |       JOIN s1 ON s1.user_id = e.user_id
+         |       WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+         |       GROUP BY 1, 2),
+         |s3 AS (SELECT e.user_id, s2.t1, min(e.ts_us) AS t FROM e
+         |       JOIN s2 ON s2.user_id = e.user_id
+         |       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t
+         |       GROUP BY 1, 2)
+         |SELECT 'stage1_view' AS stage,
+         |       CAST(count(*) AS BIGINT) AS n_users,
+         |       CAST(0 AS BIGINT) AS total_latency_us FROM s1
+         |UNION ALL
+         |SELECT 'stage2_click', CAST(count(*) AS BIGINT),
+         |       CAST(COALESCE(sum(t - t1), 0) AS BIGINT) FROM s2
+         |UNION ALL
+         |SELECT 'stage3_purchase', CAST(count(*) AS BIGINT),
+         |       CAST(COALESCE(sum(t - t1), 0) AS BIGINT) FROM s3
+         |ORDER BY stage""".stripMargin,
+
+    "q81_retention" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT user_id, epoch_us(ts) // $DayUs AS day
+         |  FROM events),
+         |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+         |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+         |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         |FROM e JOIN c USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q82_hopping_window" ->
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) // $HourUs AS b FROM events),
+         |x AS (
+         |  SELECT e.user_id, w AS window_start_hour
+         |  FROM e, unnest(generate_series(
+         |    greatest(e.b - ${HopWindows - 1}, 0), e.b)) AS t(w))
+         |SELECT window_start_hour,
+         |       CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.EventOps
+
+class EventOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val H = 3600000000L // µs per hour
+  private val D = 86400000000L
+
+  test("funnel: stages require strictly increasing times per user") {
+    // user 1: clean view→click→purchase; user 2: click precedes the
+    // first view, so stage 2 must use the LATER click; no purchase
+    // after it → drops at stage 3
+    val e = Seq(
+      (1L, "view", 1L * H), (1L, "click", 2L * H), (1L, "purchase", 3L * H),
+      (2L, "click", 1L * H), (2L, "view", 2L * H), (2L, "click", 5L * H),
+      (2L, "purchase", 4L * H))
+      .toDF("user_id", "event_type", "ts_us")
+    val out = EventOps.funnel(e).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("stage1_view") == ((2L, 0L)))
+    assert(out("stage2_click") == ((2L, (1L + 3L) * H)))
+    assert(out("stage3_purchase") == ((1L, 2L * H)))
+  }
+
+  test("retention: cohort day is first-seen, offsets count returning users") {
+    val e = Seq(
+      (1L, "view", 0L * D), (1L, "view", 1L * D + 5L), (1L, "click", 3L * D),
+      (2L, "view", 1L * D), (2L, "view", 1L * D + 7L), (2L, "click", 2L * D))
+      .toDF("user_id", "event_type", "ts_us")
+    val out = EventOps.retention(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 1L),
+      (1L, 0L, 1L), (1L, 1L, 1L)))
+  }
+
+  test("hopping windows: an event lands in size/hop windows, clamped at zero") {
+    val e = Seq((1L, "view", 2L * H + 5L)).toDF("user_id", "event_type", "ts_us")
+    val out = EventOps.hoppingWindow(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 1L), (2L, 1L, 1L)))
+    val late = Seq((1L, "view", 10L * H)).toDF("user_id", "event_type", "ts_us")
+    assert(EventOps.hoppingWindow(late).collect()
+      .map(_.getLong(0)).toSeq == (5L to 10L).toSeq)
+  }
+}
