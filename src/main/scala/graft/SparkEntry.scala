@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsofJoin, EventOps, JsonOps, RangeJoin, Relational, TypedEdges}
+import graft.operators.{AsofJoin, EventOps, JsonOps, Profile, RangeJoin, Relational, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
 import graft.text.{CorpusOps, PolicyOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
       RangeJoin.queries ++ JsonOps.queries ++ EventOps.queries ++
+      Profile.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
       CorpusOps.queries ++ PolicyOps.queries ++ TermOps.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
       RangeJoin.oracleSql ++ JsonOps.oracleSql ++ EventOps.oracleSql ++
+      Profile.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
       CoPurchase.oracleSql ++ Louvain.oracleSql ++
       TextOps.oracleSql ++

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Table profiling — the "describe this dataset" utility every
+  * pipeline runs before trusting an input: per-column null counts
+  * and exact distinct cardinalities in ONE pass over the table.
+  *
+  * Scale shape: a single wide aggregate computes every column's
+  * counters together (the N exact distincts share one Expand +
+  * two-level hash agg — one scan, no per-column re-reads), then the
+  * row-per-column shape is an in-row posexplode of the collected
+  * struct. At 100 TB swap `countDistinct` for
+  * `approx_count_distinct` — same plan, fixed HLL sketch state per
+  * column instead of distinct-value partials (the q60/S4 trade). */
+object Profile {
+
+  /** One profile row per column of `df`: (col_name, n_rows, n_nulls,
+    * n_distinct). */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +:
+        cols.flatMap { c =>
+          Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+            countDistinct(col(c)).as(s"__dist_$c"))
+        }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val packed = wide.select(col("n_rows"),
+      array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(s"__nulls_$c").as("n_nulls"),
+          col(s"__dist_$c").as("n_distinct"))): _*).as("p"))
+    packed
+      .select(col("n_rows"), explode(col("p")).as("c"))
+      .select(col("c.col_name").as("col_name"), col("n_rows"),
+        col("c.n_nulls").as("n_nulls"), col("c.n_distinct").as("n_distinct"))
+      .orderBy("col_name")
+  }
+
+  val OrdersCols: Seq[String] = Seq(
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority")
+
+  def q83TableProfile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables(spark, dir).orders, OrdersCols)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_table_profile" -> (q83TableProfile _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q83_table_profile" -> OrdersCols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |       CAST(count(*) AS BIGINT) AS n_rows,
+         |       CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+         |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+  )
+}
