@@ -10,15 +10,19 @@ import graft.functions.GraftFunctions
   * `spark.sql.extensions=graft.GraftExtensions` on the cluster so SQL
   * users get `graft_dot`, `graft_minhash_signature`, `graft_simhash`,
   * `graft_grams`, `graft_word_shingles`, `graft_repetition_stats` and
-  * `graft_int8_quant_stats` without touching the Column API. (On an
-  * already-built session use `GraftFunctions.register` instead — same
-  * list, shared via `GraftFunctions.sqlFunctions`.) */
+  * `graft_int8_quant_stats` without touching the Column API — plus
+  * the [[graft.plans.RangeJoinRewrite]] optimizer rule, which turns
+  * naive interval theta joins into bucketized equi-joins. (On an
+  * already-built session use `GraftFunctions.register` and
+  * `spark.experimental.extraOptimizations` instead.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.sqlFunctions.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }

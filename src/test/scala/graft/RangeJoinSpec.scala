@@ -58,6 +58,53 @@ class RangeJoinSpec extends SparkSpec {
       s"range join fell back to a nested loop: $nodes")
   }
 
+  test("RangeJoinRewrite: a naive BETWEEN join plans as an equi-join under the rule") {
+    val rnd = new scala.util.Random(13)
+    val points = (1 to 200).map { i =>
+      (i.toLong, rnd.nextLong(200L * 3600) * 1000000L)
+    }.toDF("pid", "ts_us")
+    val intervals = (1 to 30).map { i =>
+      val start = rnd.nextLong(150L * 3600) * 1000000L
+      (i.toLong, start, start + (1 + rnd.nextInt(20)).toLong * 3600 * 1000000L)
+    }.toDF("iid", "start_us", "end_us")
+    def naive() = points.join(intervals,
+      col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+    val want = naive().select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ graft.plans.RangeJoinRewrite
+    try {
+      val rewritten = naive()
+      val got = rewritten.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want, "rewrite must not change the join's result")
+      def collectNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+        p match {
+          case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+          case other => Seq(other.nodeName) ++
+            other.children.flatMap(collectNodes) ++
+            other.subqueries.flatMap(collectNodes)
+        }
+      val nodes = collectNodes(rewritten.queryExecution.executedPlan)
+      assert(!nodes.exists(n => n.contains("BroadcastNestedLoopJoin") ||
+        n.contains("CartesianProduct")),
+        s"rule did not eliminate the nested loop: $nodes")
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("RangeJoinRewrite leaves non-matching joins alone") {
+    val a = Seq((1L, 2L)).toDF("k", "v")
+    val b = Seq((1L, 3L)).toDF("k2", "w")
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before :+ graft.plans.RangeJoinRewrite
+    try {
+      // equi join: untouched semantics and result
+      assert(a.join(b, col("k") === col("k2")).count() == 1)
+      // one-sided inequality: not the pattern, must stay a working BNLJ
+      assert(a.join(b, col("v") < col("w")).count() == 1)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("q77 campaign attribution: all campaigns reported, events attributed") {
     val out = RangeJoin.q77RangeJoin(spark, sfDir()).collect()
     assert(out.length == RangeJoin.Campaigns)
