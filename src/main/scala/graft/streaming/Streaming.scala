@@ -39,6 +39,23 @@ object Streaming {
           .as("bucket"),
         col("event_type"), col("n"), col("total"))
 
+  /** S7: hopping (sliding) windows — the streaming form of
+    * operators.EventOps.hoppingWindow (q82): `window(6h, 1h)` expands
+    * each event into size/hop = 6 overlapping windows exactly like
+    * the batch explode; watermark + append emit each window once it
+    * can no longer change. (Distinct aggregations are unsupported in
+    * streaming append mode, so the streaming form reports event
+    * counts; the batch q82 adds n_users.) */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "6 hours", "1 hour"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        floor(unix_millis(col("window.start")) / lit(3600000.0)).cast("long")
+          .as("window_start_hour"),
+        col("n_events"))
+
   /** One session-fold transition: nEvents=0 means "no open session,
     * sessionId is the last used id" — a fresh event therefore starts
     * session sessionId+1, keeping ids monotone across idle-timeout

@@ -49,6 +49,27 @@ class StreamingSpec extends SparkSpec {
     assert(want.subsetOf(got))
   }
 
+  test("streaming hopping windows match the batch explode on closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Streaming.Event]
+    ms.addData(sample)
+    // sentinel far in the future closes every sample window
+    ms.addData(Seq(Streaming.Event(99L, ts(6000), 9L, "view", 0.0)))
+    val q = Streaming.hoppingCounts(ms.toDF())
+      .writeStream.format("memory").queryName("hop")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("hop").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = graft.operators.EventOps.hoppingWindow(
+        sample.toDF().select(col("user_id"), col("event_type"),
+          (unix_millis(col("ts")) * 1000L).as("ts_us")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    want.foreach { case (h, n) =>
+      assert(got.get(h).contains(n), s"window $h: got ${got.get(h)}, want $n")
+    }
+  }
+
   test("stateful sessionization emits gap-closed sessions") {
     implicit val s = spark
     implicit val sqlCtx = spark.sqlContext
