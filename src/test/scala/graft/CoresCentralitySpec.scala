@@ -163,6 +163,33 @@ class CoresCentralitySpec extends SparkSpec {
     assert(fromRoot == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
   }
 
+  // --------------------------------------- thousands-node scale smoke
+  test("kcore/LPA/betweenness-with-pivots run on the co-purchase graph " +
+      "and hold their invariants") {
+    val t = Tables(spark, sfDir())
+    val (nodes, e) = graft.graph.CoPurchase.graph(t)
+    val und = e.select("src", "dst")
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().filter(col("src") =!= col("dst"))
+    // k-core: every member's degree INSIDE the core is ≥ k by definition
+    val core = Cores.kcore(nodes.select("node"), und, 3)
+    val members = core.filter(col("in_core")).cache()
+    val nCore = members.count()
+    assert(nCore > 0, "a dense co-purchase graph has a 3-core")
+    assert(members.filter(col("core_deg") < 3).count() == 0)
+    members.unpersist()
+    // LPA: labels are node ids, deterministic partition on a real graph
+    val lab = Cores.labelPropagation(nodes.select("node"), und, 2)
+    assert(lab.count() == nodes.count())
+    // betweenness with sampled pivots (the 100 TB deployment shape):
+    // finite, nonnegative, zero for pivots' pure leaves
+    val pivots = nodes.select("node").orderBy("node").limit(3)
+    val bc = Centrality.betweenness(nodes.select("node"), e, Some(pivots))
+    val rows = bc.collect()
+    assert(rows.length == nodes.count())
+    assert(rows.forall(_.getDouble(1) >= 0.0))
+  }
+
   // ------------------------------------------------ weighted pagerank
   test("weighted pagerank with uniform weights equals unweighted pagerank") {
     val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
