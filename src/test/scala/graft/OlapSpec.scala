@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Olap
+
+class OlapSpec extends SparkSpec {
+
+  test("rollup: levels nest exactly — nations sum to regions, regions to the grand total") {
+    val rows = Olap.q84Rollup(spark, sfDir()).collect()
+    val grand = rows.filter(_.getLong(2) == 3L)
+    assert(grand.length == 1)
+    val regions = rows.filter(_.getLong(2) == 1L)
+    val nations = rows.filter(_.getLong(2) == 0L)
+    assert(regions.map(_.getLong(3)).sum == grand.head.getLong(3))
+    assert(nations.map(_.getLong(3)).sum == grand.head.getLong(3))
+    // per-region: its nations' order counts add up
+    regions.foreach { r =>
+      val mine = nations.filter(_.getString(0) == r.getString(0))
+      assert(mine.map(_.getLong(3)).sum == r.getLong(3), s"region ${r.getString(0)}")
+    }
+  }
+
+  test("moving window: seq is dense per customer, last3 is bounded by cum") {
+    val rows = Olap.q85MovingWindow(spark, sfDir()).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(3)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    assert(rows.forall(r => r.getDouble(5) <= r.getDouble(4) + 1e-9))
+    // a customer's cumulative spend is nondecreasing in seq
+    byCust.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(3)).map(_.getDouble(4))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => b >= a - 1e-9 })
+    }
+  }
+
+  test("pivot: per-user type counts add back to the user's event total") {
+    val rows = Olap.q86Pivot(spark, sfDir()).collect()
+    val totals = Tables(spark, sfDir()).events
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val sum = (1 to 5).map(r.getLong).sum
+      assert(sum == totals(r.getLong(0)), s"user ${r.getLong(0)}")
+    }
+    assert(rows.length == totals.size)
+  }
+}
