@@ -161,6 +161,52 @@ object TextOps {
       .orderBy("a", "b")
   }
 
+  // ---------------------------------------------------------------- q87
+  /** INCREMENTAL dedup — the daily-ingest shape: dedup a NEW BATCH
+    * against the EXISTING corpus without re-pairing the corpus with
+    * itself. Exact dups by fingerprint anti-check, near-dups by the
+    * q22 minhash banding with candidates restricted to
+    * (batch × corpus) band collisions — corpus-internal pairs never
+    * generate, so each increment costs O(batch) band rows + the
+    * verification of its own candidates, not O(corpus²). Batch docs
+    * report fate (exact_dup / near_dup / kept) and the smallest
+    * matching corpus doc. Here "corpus" = doc_id < [[IncrementalCutoff]],
+    * a deterministic stand-in for yesterday's snapshot. */
+  val IncrementalCutoff = 250L
+
+  def incrementalDedup(d: DataFrame, isCorpus: org.apache.spark.sql.Column)
+      : DataFrame = {
+    val fp = d.select(col("doc_id"), md5(col("s")).as("fp"), isCorpus.as("old"))
+    val exact = fp.filter(!col("old")).as("b")
+      .join(fp.filter(col("old")).as("c"), col("b.fp") === col("c.fp"))
+      .groupBy(col("b.doc_id").as("doc_id"))
+      .agg(min(col("c.doc_id")).as("exact_id"))
+    val sig = Checkpoints.cut(laneSigs(d, 1))
+    val bands = bandRelation(sig, 2, 4)
+      .join(fp.select(col("doc_id"), col("old")), "doc_id")
+    val cand = Checkpoints.cut(bands.filter(!col("old")).as("x")
+      .join(bands.filter(col("old")).as("y"),
+        col("x.j") === col("y.j") && col("x.k") === col("y.k"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct())
+    val near = jaccardVerified(d, sig.select("doc_id", "nn"), cand, 0.5)
+      .groupBy(col("a").as("doc_id")).agg(min(col("b")).as("near_id"))
+    d.filter(!isCorpus).select("doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, "exact_dup")
+          .when(col("near_id").isNotNull, "near_dup")
+          .otherwise("kept").as("fate"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+      .orderBy("doc_id")
+  }
+
+  def q87IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    incrementalDedup(d, col("doc_id") < IncrementalCutoff)
+  }
+
   // ---------------------------------------------------------------- q23
   /** SimHash: 60-bit signature from per-word md5 bits (frequency
     * weighted), computed shuffle-free via aggregate/zip_with; pairs
@@ -365,6 +411,7 @@ object TextOps {
     "q28_quality_score" -> (q28QualityScore _),
     "q43_dedup_keep_best" -> (q43DedupKeepBest _),
     "q44_neardup_clusters" -> (q44NeardupClusters _),
+    "q87_incremental_dedup" -> (q87IncrementalDedup _),
     "q29_token_count" -> (q29TokenCount _),
     "q30_fingerprint" -> (q30Fingerprint _),
     "q31_multimodal_meta" -> (q31MultimodalMeta _),
@@ -471,6 +518,38 @@ object TextOps {
          |JOIN sz sb ON sb.doc_id = i.b
          |WHERE CAST(i.c AS DOUBLE) / (sa.nn + sb.nn - i.c) >= 0.5
          |ORDER BY a, b""".stripMargin,
+
+    "q87_incremental_dedup" ->
+      s"""WITH $gramCtes,
+         |${laneSigSql(1, 2, 4)},
+         |fp AS (SELECT doc_id, md5(s) AS fp FROM n),
+         |exact AS (
+         |  SELECT b.doc_id, min(c.doc_id) AS eb
+         |  FROM fp b JOIN fp c ON b.fp = c.fp AND c.doc_id < $IncrementalCutoff
+         |  WHERE b.doc_id >= $IncrementalCutoff GROUP BY 1),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |  FROM bands x JOIN bands y ON x.j = y.j AND x.k = y.k
+         |  WHERE x.doc_id >= $IncrementalCutoff
+         |    AND y.doc_id < $IncrementalCutoff),
+         |${jaccardTailSql("")},
+         |near AS (
+         |  SELECT i.a AS doc_id, min(i.b) AS nb
+         |  FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.a
+         |  JOIN sz sb ON sb.doc_id = i.b
+         |  WHERE CAST(i.c AS DOUBLE) / (sa.nn + sb.nn - i.c) >= 0.5
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |       CASE WHEN e.eb IS NOT NULL THEN 'exact_dup'
+         |            WHEN nr.nb IS NOT NULL THEN 'near_dup'
+         |            ELSE 'kept' END AS fate,
+         |       CAST(COALESCE(e.eb, nr.nb, -1) AS BIGINT) AS match_id
+         |FROM n d
+         |LEFT JOIN exact e ON e.doc_id = d.doc_id
+         |LEFT JOIN near nr ON nr.doc_id = d.doc_id
+         |WHERE d.doc_id >= $IncrementalCutoff
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q23_dedup_simhash" ->
       s"""WITH $simhashSqlCtes,

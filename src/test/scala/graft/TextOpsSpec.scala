@@ -96,4 +96,32 @@ class TextOpsSpec extends SparkSpec {
       assert(h >= 0L && h < 2147483647L)
     }
   }
+
+  test("incremental dedup: exact matches are textual, kept docs truly new") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (10L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (11L, "a totally fresh document nothing matches"),
+      (12L, "one two three four five six seven")) // exact dup of 2
+      .toDF("doc_id", "s")
+    val out = TextOps.incrementalDedup(d, col("doc_id") < 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(10L) == (("exact_dup", 1L)))
+    assert(out(12L) == (("exact_dup", 2L)))
+    assert(out(11L) == (("kept", -1L)))
+    assert(!out.contains(1L) && !out.contains(2L), "corpus docs are not reported")
+  }
+
+  test("incremental dedup: near-dup of a corpus doc is flagged with its match") {
+    // append-only edit of a long template: jaccard ~0.98 to doc 1
+    // (well inside the 2x4 banding's deterministic catch range), no
+    // exact match
+    val base = (1 to 100).map(i => s"word$i").mkString(" ")
+    val edited = base + " trailing addition"
+    val d = Seq((1L, base), (10L, edited)).toDF("doc_id", "s")
+    val out = TextOps.incrementalDedup(d, col("doc_id") < 10L)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(10L) == (("near_dup", 1L)))
+  }
 }
