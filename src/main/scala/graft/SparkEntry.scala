@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsofJoin, EventOps, JsonOps, Olap, Profile, RangeJoin, Relational, TypedEdges}
+import graft.operators.{AsofJoin, Association, EventOps, JsonOps, Olap, Profile, RangeJoin, Relational, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
 import graft.text.{CorpusOps, PolicyOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
@@ -21,7 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
       RangeJoin.queries ++ JsonOps.queries ++ EventOps.queries ++
-      Profile.queries ++ Olap.queries ++
+      Profile.queries ++ Olap.queries ++ Association.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
       CorpusOps.queries ++ PolicyOps.queries ++ TermOps.queries ++
@@ -33,7 +33,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
       RangeJoin.oracleSql ++ JsonOps.oracleSql ++ EventOps.oracleSql ++
-      Profile.oracleSql ++ Olap.oracleSql ++
+      Profile.oracleSql ++ Olap.oracleSql ++ Association.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
       CoPurchase.oracleSql ++ Louvain.oracleSql ++
       TextOps.oracleSql ++

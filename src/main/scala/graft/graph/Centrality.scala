@@ -193,10 +193,39 @@ object Centrality {
     betweenness(TradeGraph.nodes(t), TradeGraph.edges(t))
   }
 
+  // ---------------------------------------------------------------- q88
+  /** Eccentricity profile: ecc(v) = max forward distance from v (0
+    * when nothing is reachable), plus the reachable count — the
+    * per-node form whose max is the graph's diameter and whose min
+    * (over reaching nodes) is its radius. Same all-pairs BFS input as
+    * [[harmonic]] ([[HyperBall]] per-radius sketches estimate it at
+    * 100 TB: ecc ≈ the radius where |B(v,t)| stops growing). */
+  def eccentricity(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").filter(col("src") =!= col("dst"))
+      .pipe(Checkpoints.cut)
+    val sp = Algorithms.shortestPaths(e, None) // eager loop
+    Checkpoints.release(e)
+    val agg = sp.filter(col("src") =!= col("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("n_reachable"), max(col("hops")).as("ecc"))
+    nodes.select("node")
+      .join(agg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_reachable"), lit(0L)).as("n_reachable"),
+        coalesce(col("ecc"), lit(0L)).as("ecc"))
+      .orderBy("node")
+  }
+
+  def q88Eccentricity(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    eccentricity(TradeGraph.nodes(t), TradeGraph.edges(t))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q71_harmonic_centrality" -> (q71HarmonicCentrality _),
     "q72_weighted_pagerank" -> (q72WeightedPagerank _),
     "q76_betweenness" -> (q76Betweenness _),
+    "q88_eccentricity" -> (q88Eccentricity _),
   )
 
   private val T = TradeGraph.sqlCte
@@ -250,6 +279,28 @@ object Centrality {
          |ORDER BY node""".stripMargin,
 
     "q72_weighted_pagerank" -> weightedPagerankSql(WprIters),
+
+    // self-loops excluded from the walk exactly like the Spark side
+    "q88_eccentricity" ->
+      s"""WITH RECURSIVE $T,
+         |te AS (SELECT src, dst FROM trade WHERE src <> dst),
+         |sp AS (
+         |  SELECT src, dst, CAST(1 AS BIGINT) AS hops FROM te
+         |  UNION
+         |  SELECT s.src, t.dst, s.hops + 1 FROM sp s
+         |  JOIN te t ON t.src = s.dst WHERE s.hops < 25
+         |),
+         |d AS (SELECT src, dst, min(hops) AS hops FROM sp GROUP BY 1, 2),
+         |a AS (
+         |  SELECT src AS node, CAST(count(*) AS BIGINT) AS n_reachable,
+         |         CAST(max(hops) AS BIGINT) AS ecc
+         |  FROM d WHERE src <> dst GROUP BY 1)
+         |SELECT CAST(n.n_nationkey AS BIGINT) AS node,
+         |       CAST(COALESCE(a.n_reachable, 0) AS BIGINT) AS n_reachable,
+         |       CAST(COALESCE(a.ecc, 0) AS BIGINT) AS ecc
+         |FROM nation n
+         |LEFT JOIN a ON a.node = CAST(n.n_nationkey AS BIGINT)
+         |ORDER BY node""".stripMargin,
 
     // algorithm-independent mirror: enumerate every shortest path on
     // the per-source BFS DAG (acyclic — depth strictly increases, no

@@ -92,6 +92,14 @@ class CoresCentralitySpec extends SparkSpec {
     assert(h(1L) == ((2L, 1.5)) && h(2L) == ((1L, 1.0)) && h(3L) == ((0L, 0.0)))
   }
 
+  test("eccentricity: max distance per node on a hand-checked path") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val out = Centrality.eccentricity(nodes, e)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((2L, 2L)) && out(2L) == ((1L, 1L)) && out(3L) == ((0L, 0L)))
+  }
+
   test("hyperball harmonic estimate tracks the exact values on the trade graph") {
     val t = Tables(spark, sfDir())
     val ns = TradeGraph.nodes(t).select("node")
