@@ -22,6 +22,7 @@ object SparkEntry {
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
       RangeJoin.queries ++ JsonOps.queries ++ EventOps.queries ++
       Profile.queries ++ Olap.queries ++ Association.queries ++
+      graft.multimodal.Multimodal.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
       CorpusOps.queries ++ PolicyOps.queries ++ TermOps.queries ++
@@ -34,6 +35,7 @@ object SparkEntry {
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
       RangeJoin.oracleSql ++ JsonOps.oracleSql ++ EventOps.oracleSql ++
       Profile.oracleSql ++ Olap.oracleSql ++ Association.oracleSql ++
+      graft.multimodal.Multimodal.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
       CoPurchase.oracleSql ++ Louvain.oracleSql ++
       TextOps.oracleSql ++

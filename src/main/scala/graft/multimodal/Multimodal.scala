@@ -73,6 +73,103 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------- q90
+  /** The decode → frame-sample → feature-extract path END TO END as an
+    * oracle-checked query: binary payloads through the partition-
+    * batched codec (every other frame kept, 16-pixel resize), then
+    * [[extractFeatures]] flattened to scalar columns. The stub codec
+    * is md5-deterministic, so the DuckDB mirror recomputes the same
+    * pixels from the digest hex and the same feature math — the whole
+    * multimodal pipeline (not just q31's metadata) hash-verifies.
+    * Float contract: pixel sums stay EXACT in double (float-derived
+    * 24-bit mantissas, ≤16 terms — order-free); the squared-deviation
+    * sum and the mean are rounded 6dp like every float surface. */
+  val FramePixels = 16
+  val FrameSampleEvery = 2
+
+  def q90MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), col("text").cast("binary").as("data"),
+        col("source").as("format"))
+      .as[MediaRecord]
+    val frames = decodeFrames(media, FramePixels, FrameSampleEvery)
+    val cols = Seq(col("doc_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      col("features").getItem(2).cast("long").as("width"),
+      col("features").getItem(3).cast("long").as("height"),
+      round(col("features").getItem(0), 6).as("mean_px"),
+      round(col("features").getItem(1), 6).as("std_px")) ++
+      (0 until 8).map(b => col("features").getItem(4 + b).as(s"h$b"))
+    extractFeatures(frames.toDF())
+      .select(cols: _*)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_multimodal_features" -> (q90MultimodalFeatures _),
+  )
+
+  /** DuckDB nibble value of hex char at 1-based position `pos`. */
+  private def nib(pos: String) =
+    s"(strpos('0123456789abcdef', substr(m.h, $pos, 1)) - 1)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q90_multimodal_features" -> {
+      val hexToLong = graft.text.TextOps.hexToLongSql _
+      s"""WITH m AS (
+         |  SELECT doc_id, md5(text) AS h,
+         |         ${hexToLong("md5(text)", 1, 4)} % 512 + 1 AS width,
+         |         ${hexToLong("md5(text)", 5, 4)} % 512 + 1 AS height,
+         |         ${hexToLong("md5(text)", 9, 2)} % 16 + 1 AS n_frames
+         |  FROM documents),
+         |bytes AS (
+         |  SELECT m.doc_id, tj.j,
+         |         ${nib("2 * tj.j + 1")} * 16 + ${nib("2 * tj.j + 2")} AS bv
+         |  FROM m, unnest(generate_series(0, 15)) AS tj(j)),
+         |frames AS (
+         |  SELECT m.doc_id, tf.f AS frame_idx, m.width, m.height
+         |  FROM m, unnest(generate_series(0, 15)) AS tf(f)
+         |  WHERE tf.f < m.n_frames AND tf.f % $FrameSampleEvery = 0),
+         |px AS (
+         |  SELECT fr.doc_id, fr.frame_idx,
+         |         CAST(CAST(b.bv AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE) AS p
+         |  FROM frames fr
+         |  CROSS JOIN unnest(generate_series(0, ${FramePixels - 1})) AS ti(i)
+         |  JOIN bytes b ON b.doc_id = fr.doc_id
+         |    AND b.j = (fr.frame_idx + ti.i) % 16),
+         |mn AS (
+         |  SELECT doc_id, frame_idx, sum(p) / $FramePixels AS mean_px
+         |  FROM px GROUP BY 1, 2),
+         |sd AS (
+         |  SELECT px.doc_id, px.frame_idx,
+         |         round(sqrt(sum((px.p - mn.mean_px) * (px.p - mn.mean_px))
+         |                    / $FramePixels), 6) AS std_px
+         |  FROM px JOIN mn USING (doc_id, frame_idx)
+         |  GROUP BY px.doc_id, px.frame_idx, mn.mean_px),
+         |hist AS (
+         |  SELECT doc_id, frame_idx,
+         |         CAST(least(floor(p * 8), 7) AS INT) AS bin
+         |  FROM px),
+         |hr AS (
+         |  SELECT doc_id, frame_idx,
+         |${(0 until 8).map(b =>
+            s"         count(*) FILTER (bin = $b) / CAST($FramePixels AS DOUBLE) AS h$b")
+            .mkString(",\n")}
+         |  FROM hist GROUP BY 1, 2)
+         |SELECT f.doc_id, CAST(f.frame_idx AS BIGINT) AS frame_idx,
+         |       CAST(f.width AS BIGINT) AS width,
+         |       CAST(f.height AS BIGINT) AS height,
+         |       round(mn.mean_px, 6) AS mean_px, sd.std_px,
+         |       ${(0 until 8).map(b => s"hr.h$b").mkString(", ")}
+         |FROM frames f
+         |JOIN mn USING (doc_id, frame_idx)
+         |JOIN sd USING (doc_id, frame_idx)
+         |JOIN hr USING (doc_id, frame_idx)
+         |ORDER BY doc_id, frame_idx""".stripMargin
+    },
+  )
+
   /** Feature extraction over decoded frames — genuine math (NOT part
     * of the stub): pixel mean, standard deviation, dimensions, and an
     * 8-bin intensity histogram as one fixed-width `array<double>`.

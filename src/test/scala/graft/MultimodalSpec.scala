@@ -74,4 +74,17 @@ class MultimodalSpec extends SparkSpec {
       assert(fs.map(_.frame_idx).max.toLong + 1 == n)
     }
   }
+
+  test("q90: frame sampling keeps ceil(n_frames/2) per doc, histograms sum to 1") {
+    val feat = graft.multimodal.Multimodal
+      .q90MultimodalFeatures(spark, sfDir()).collect()
+    val metaFrames = graft.text.TextOps.q31MultimodalMeta(spark, sfDir())
+      .collect().map(r => (r.getLong(4) + 1) / 2).sum // ceil(n/2)
+    assert(feat.length.toLong == metaFrames)
+    feat.take(50).foreach { r =>
+      val hsum = (6 until 14).map(r.getDouble).sum
+      assert(math.abs(hsum - 1.0) < 1e-9, "histogram bins must sum to 1")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
 }
