@@ -86,6 +86,43 @@ object EventOps {
         countDistinct(col("user_id")).as("n_users"))
       .orderBy("window_start_hour")
 
+  // ---------------------------------------------------------------- q92
+  /** Trailing-window anomaly detection on the event stream: hourly
+    * volumes scored against the previous [[AnomalyTrail]] hours'
+    * mean/σ — the ops-monitoring z-score sweep. Engine-exact by
+    * construction: the window aggregates are INTEGER moments (Σc,
+    * Σc², n — exact at any accumulation order), mean/σ/z derive from
+    * them in one fixed expression order, and the flag reads the
+    * 6dp-rounded z. Warmup hours (fewer than [[AnomalyMinHours]]
+    * trailing points) score 0. */
+  val AnomalyTrail = 24
+  val AnomalyMinHours = 12
+  val AnomalyZ = 3.0
+
+  def anomalies(e: DataFrame): DataFrame = {
+    val hourly = e.groupBy(expr(s"ts_us div $HourUs").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("hour").rowsBetween(-AnomalyTrail, -1)
+    hourly
+      .withColumn("n", count(col("cnt")).over(w))
+      .withColumn("s1", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("variance",
+        col("s2").cast("double") / col("n") - col("mean") * col("mean"))
+      .withColumn("z",
+        when(col("n") >= AnomalyMinHours && col("variance") > 0,
+          round((col("cnt") - col("mean")) / sqrt(col("variance")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("hour"), col("cnt").as("n_events"), col("z"),
+        (abs(col("z")) > AnomalyZ).as("flagged"))
+      .orderBy("hour")
+  }
+
+  def q92Anomalies(spark: SparkSession, dir: String): DataFrame =
+    anomalies(ev(spark, dir))
+
   def q80Funnel(spark: SparkSession, dir: String): DataFrame =
     funnel(ev(spark, dir))
 
@@ -99,6 +136,7 @@ object EventOps {
     "q80_funnel" -> (q80Funnel _),
     "q81_retention" -> (q81Retention _),
     "q82_hopping_window" -> (q82HoppingWindow _),
+    "q92_anomalies" -> (q92Anomalies _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -135,6 +173,32 @@ object EventOps {
          |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
          |FROM e JOIN c USING (user_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q92_anomalies" ->
+      s"""WITH hourly AS (
+         |  SELECT epoch_us(ts) // $HourUs AS hour,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1),
+         |m AS (
+         |  SELECT hour, cnt,
+         |    count(cnt) OVER tw AS n,
+         |    sum(cnt) OVER tw AS s1,
+         |    sum(cnt * cnt) OVER tw AS s2
+         |  FROM hourly
+         |  WINDOW tw AS (ORDER BY hour
+         |                ROWS BETWEEN $AnomalyTrail PRECEDING AND 1 PRECEDING)),
+         |z AS (
+         |  SELECT hour, cnt,
+         |    CASE WHEN n >= $AnomalyMinHours
+         |              AND CAST(s2 AS DOUBLE) / n
+         |                  - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+         |         THEN round((cnt - CAST(s1 AS DOUBLE) / n)
+         |              / sqrt(CAST(s2 AS DOUBLE) / n
+         |                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 6)
+         |         ELSE 0.0 END AS z
+         |  FROM m)
+         |SELECT hour, cnt AS n_events, z, abs(z) > $AnomalyZ AS flagged
+         |FROM z ORDER BY hour""".stripMargin,
 
     "q82_hopping_window" ->
       s"""WITH e AS (

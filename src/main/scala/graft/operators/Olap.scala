@@ -76,10 +76,34 @@ object Olap {
     }.orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q91
+  /** Customer-LTV deciles: total spend per customer, `ntile(10)` over
+    * the global spend order, then per-decile population and revenue —
+    * the segmentation report behind "top decile drives X% of
+    * revenue". The global ntile is a single total-order window: at
+    * 100 TB swap in `approx_percentile`-derived cut points + a
+    * broadcast bucket join (same output, no total sort); here the
+    * exact form is the oracle-able entry. */
+  def q91SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val spend = t.orders
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("spend").desc, col("cust").asc)
+    spend.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_orders")).as("n_orders"),
+        sum(col("spend")).cast("double").as("revenue"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_rollup" -> (q84Rollup _),
     "q85_moving_window" -> (q85MovingWindow _),
     "q86_pivot" -> (q86Pivot _),
+    "q91_spend_deciles" -> (q91SpendDeciles _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -107,6 +131,22 @@ object Olap {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, seq""".stripMargin,
+
+    "q91_spend_deciles" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS cust,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |d AS (
+        |  SELECT cust, spend, n_orders,
+        |         CAST(ntile(10) OVER (ORDER BY spend DESC, cust ASC)
+        |              AS BIGINT) AS decile
+        |  FROM s)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |       CAST(sum(spend) AS DOUBLE) AS revenue
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q86_pivot" ->
       """SELECT user_id,

@@ -35,6 +35,21 @@ class EventOpsSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 1L, 1L)))
   }
 
+  test("anomalies: a spike after a steady trail is flagged, warmup scores zero") {
+    // hours 0..23 alternate 9/11 events (mean 10, variance 1); hour 24
+    // spikes to 100 → z = 90
+    val rows = (0 until 24).flatMap { h =>
+      val n = if (h % 2 == 0) 9 else 11
+      (0 until n).map(i => (1L, "view", h * H + i * 1000L))
+    } ++ (0 until 100).map(i => (1L, "view", 24 * H + i * 1000L))
+    val out = EventOps.anomalies(rows.toDF("user_id", "event_type", "ts_us"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(24L) == ((100L, 90.0, true)))
+    (0L to 11L).foreach(h => assert(out(h)._2 == 0.0, s"warmup hour $h"))
+    assert(out(12L)._2 == -1.0 && !out(12L)._3)
+  }
+
   test("hopping windows: an event lands in size/hop windows, clamped at zero") {
     val e = Seq((1L, "view", 2L * H + 5L)).toDF("user_id", "event_type", "ts_us")
     val out = EventOps.hoppingWindow(e).collect()

@@ -33,6 +33,16 @@ class OlapSpec extends SparkSpec {
     }
   }
 
+  test("spend deciles: near-equal populations, nonincreasing average spend") {
+    val rows = Olap.q91SpendDeciles(spark, sfDir()).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile keeps buckets within 1")
+    val avg = rows.map(r => r.getDouble(3) / r.getLong(1))
+    assert(avg.zip(avg.tail).forall { case (a, b) => a >= b - 1e-6 },
+      "top deciles must out-spend lower ones")
+  }
+
   test("pivot: per-user type counts add back to the user's event total") {
     val rows = Olap.q86Pivot(spark, sfDir()).collect()
     val totals = Tables(spark, sfDir()).events
