@@ -369,6 +369,21 @@ class AlgorithmsSpec extends SparkSpec {
       s"pagerank mass off: $total for $nNodes nodes")
   }
 
+  test("louvain scales to the co-purchase graph and finds real structure") {
+    val t = Tables(spark, sfDir())
+    val (nodes, e) = CoPurchase.graph(t)
+    val und = e.select(least(col("src"), col("dst")).as("src"),
+      greatest(col("src"), col("dst")).as("dst")).distinct()
+    val part = Louvain.louvain(nodes.select("node"), und, iters = 4)
+    assert(part.count() == nodes.count(), "every node labeled exactly once")
+    val q = Louvain.modularity(und, part)
+    val singletons = nodes.select(col("node"), col("node").as("community"))
+    val qSingle = Louvain.modularity(und, singletons)
+    assert(q > qSingle + 1e-6,
+      s"louvain Q $q must beat the singleton baseline $qSingle")
+    assert(q > 0.0, s"a clustered basket graph has positive modularity, got $q")
+  }
+
   test("pagerank movement contracts geometrically on the co-purchase graph") {
     // the reference runs 100 iterations at damping 0.85
     // (documentation/queries.md:180-182); the evidence that a budget
