@@ -86,6 +86,11 @@ object GraftFunctions {
     e.eval().asInstanceOf[Number].intValue
   }
 
+  private def foldDouble(e: Expression): Double = {
+    require(e.foldable, "double argument must be a literal")
+    e.eval().asInstanceOf[Number].doubleValue
+  }
+
   /** The full SQL surface of graft's custom expressions: (name,
     * implementing class, builder). Shared by [[register]] and
     * [[graft.GraftExtensions]] so the temp-function and
@@ -106,6 +111,8 @@ object GraftFunctions {
       e => RepetitionStats(e(0))),
     ("graft_int8_quant_stats", classOf[Int8QuantStats],
       e => Int8QuantStats(e(0))),
+    ("graft_hll_estimate", classOf[HllEstimate],
+      e => HllEstimate(e(0), foldDouble(e(1)))),
     // aggregate: the analyzer wraps a returned AggregateFunction in
     // an AggregateExpression, same as the built-in max/min builders
     ("graft_topk", classOf[TopKAgg],

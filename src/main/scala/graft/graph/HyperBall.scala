@@ -86,8 +86,19 @@ object HyperBall {
   }
 
   /** HLL estimate from a register array, with the standard
-    * small-range linear-counting correction. */
-  def estimate(regs: Column): Column = {
+    * small-range linear-counting correction — the codegen'd
+    * [[graft.functions.HllEstimate]] single-loop expression
+    * (evaluated per node per radius in [[harmonicEstimates]]; the HOF
+    * formulation below is its spec-pinned reference). */
+  def estimate(regs: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.functions.HllEstimate(
+        org.apache.spark.sql.graft.ColumnBridge.expression(regs), Alpha))
+
+  /** The original HOF formulation of [[estimate]] — interpreted
+    * (CodegenFallback) but definitionally transparent; the
+    * equivalence spec pins the codegen expression to it. */
+  private[graft] def estimateHof(regs: Column): Column = {
     val raw = lit(Alpha * M * M) /
       aggregate(regs, lit(0.0d), (acc, r) => acc + pow(lit(2.0), -r.cast("double")))
     val zeros = size(filter(regs, r => r === 0))
