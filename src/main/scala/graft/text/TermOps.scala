@@ -12,8 +12,9 @@ import org.apache.spark.sql.expressions.Window
   * the cheap stand-in for the KenLM perplexity filter).
   *
   * Scale shape: both are wordcount-family plans — explode to
-  * (doc, word), partial-agg counts, one join keyed by word (term
-  * dictionary ≪ corpus → broadcast), then a per-doc agg or a window
+  * (doc, word), partial-agg counts, one join keyed by word (left to
+  * AQE — a corpus vocabulary is not small by construction), then a
+  * per-doc agg or a window
   * over per-doc term lists whose width is bounded by document length.
   * No collected sets, no driver loops; the float steps (ln, avg) are
   * rounded to 6dp under the same contract as PageRank/quality.
@@ -34,7 +35,11 @@ object TermOps {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("word").asc)
-    tf.join(broadcast(df), "word")
+    // the term dictionary is NOT broadcast-hinted: a corpus vocabulary
+    // grows with the data (Zipf tail) — the word-keyed shuffle join is
+    // the scale-safe default and AQE still broadcast-converts it when
+    // the dictionary actually is small
+    tf.join(df, "word")
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -59,7 +64,7 @@ object TermOps {
       explode(split(col("s"), " ")).as("word"))
     val freq = words.groupBy("word").agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
-    words.join(broadcast(freq), "word")
+    words.join(freq, "word") // word-keyed shuffle join; see q74's note
       .crossJoin(broadcast(total))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),

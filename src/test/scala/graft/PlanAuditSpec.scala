@@ -105,13 +105,15 @@ class PlanAuditSpec extends SparkSpec {
       s"policy scan hash-shuffles the corpus:\n$p")
   }
 
-  test("q74/q75: term dictionary joins broadcast, corpus never cartesian") {
+  test("q74/q75: scalar totals broadcast, corpus never cartesian, no vocab hint") {
     for (df <- Seq(
         graft.text.TermOps.q74TfidfTerms(spark, sfDir()),
         graft.text.TermOps.q75UnigramLogprob(spark, sfDir()))) {
       val p = plan(df)
-      assert(p.contains("BroadcastHashJoin"),
-        s"term dictionary side not broadcast:\n$p")
+      // the one-row totals ARE broadcast; the vocabulary join is left
+      // to AQE (hinting a corpus-sized dictionary would OOM at scale)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"scalar side not broadcast:\n$p")
       assert(!p.contains("CartesianProduct"),
         s"corpus cartesian-joined:\n$p")
     }
