@@ -51,8 +51,29 @@ object CoPurchase {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q94
+  /** Degree distribution of the co-purchase graph: how many nodes
+    * have each degree (isolated parts included at degree 0) — the
+    * structural profile (power-law check, hub census) read before
+    * choosing skew strategies for the graph algorithms. Two partial
+    * aggs: per-node degree, then nodes per degree — output height =
+    * |distinct degrees| at any scale. */
+  def q94DegreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = edges(t)
+    val deg = e.select(col("src").as("p"))
+      .union(e.select(col("dst").as("p")))
+      .groupBy("p").agg(count(lit(1)).as("degree"))
+    t.part.select(col("p_partkey").cast("long").as("p"))
+      .join(deg, Seq("p"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_copurchase_degree" -> (q61CopurchaseDegree _),
+    "q94_degree_distribution" -> (q94DegreeDistribution _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -68,5 +89,19 @@ object CoPurchase {
         |FROM d JOIN part pt ON pt.p_partkey = d.p
         |ORDER BY partners DESC, p_partkey ASC
         |LIMIT 20""".stripMargin,
+
+    "q94_degree_distribution" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o,
+        |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS src, b.p AS dst
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |d AS (SELECT p, CAST(count(*) AS BIGINT) AS degree FROM
+        |        (SELECT src AS p FROM e UNION ALL SELECT dst FROM e)
+        |      GROUP BY 1)
+        |SELECT COALESCE(d.degree, 0) AS degree,
+        |       CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM part pt
+        |LEFT JOIN d ON d.p = CAST(pt.p_partkey AS BIGINT)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -45,11 +45,52 @@ object Profile {
   def q83TableProfile(spark: SparkSession, dir: String): DataFrame =
     profile(Tables(spark, dir).orders, OrdersCols)
 
+  // ---------------------------------------------------------------- q93
+  /** Equal-width histogram of a numeric column (orders totalprice,
+    * [[HistBins]] bins over the observed [min, max]) — the value-
+    * distribution profile behind every data-quality dashboard. Two
+    * passes: one min/max scalar agg (broadcast as a single row), one
+    * partial-agg bucket count; bin index = least(floor((x−min)/w),
+    * bins−1) computed in the same expression order on both engines,
+    * so bucket boundaries are bit-identical. */
+  val HistBins = 10
+
+  def q93ValueHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.select(col("o_totalprice").as("x"))
+    val mm = o.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    o.crossJoin(broadcast(mm))
+      .withColumn("w", (col("hi") - col("lo")) / HistBins)
+      .withColumn("bin",
+        least(floor((col("x") - col("lo")) / col("w")), lit(HistBins - 1L))
+          .cast("long"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("x")), 2).as("bin_min"),
+        round(max(col("x")), 2).as("bin_max"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_table_profile" -> (q83TableProfile _),
+    "q93_value_histogram" -> (q93ValueHistogram _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q93_value_histogram" ->
+      s"""WITH mm AS (
+         |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         |  FROM orders),
+         |b AS (
+         |  SELECT o.o_totalprice AS x,
+         |         CAST(least(floor((o.o_totalprice - mm.lo)
+         |                          / ((mm.hi - mm.lo) / $HistBins)),
+         |                    ${HistBins - 1}) AS BIGINT) AS bin
+         |  FROM orders o, mm)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |       round(min(x), 2) AS bin_min,
+         |       round(max(x), 2) AS bin_max
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q83_table_profile" -> OrdersCols.map { c =>
       s"""SELECT '$c' AS col_name,
          |       CAST(count(*) AS BIGINT) AS n_rows,

@@ -171,6 +171,17 @@ class CoresCentralitySpec extends SparkSpec {
     assert(fromRoot == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
   }
 
+  test("q94: degree histogram accounts for every node and every edge end") {
+    val t = Tables(spark, sfDir())
+    val dist = graft.graph.CoPurchase.q94DegreeDistribution(spark, sfDir())
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nParts = t.part.count()
+    assert(dist.map(_._2).sum == nParts, "every part appears exactly once")
+    val edgeEnds = dist.map { case (d, n) => d * n }.sum
+    val nEdges = graft.graph.CoPurchase.edges(t).count()
+    assert(edgeEnds == 2 * nEdges, "sum of degrees must be twice the edge count")
+  }
+
   // --------------------------------------- thousands-node scale smoke
   test("kcore/LPA/betweenness-with-pivots run on the co-purchase graph " +
       "and hold their invariants") {
