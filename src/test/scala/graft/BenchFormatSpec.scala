@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The harness keeps only the last ~2000 characters of Bench stdout
+  * (the per-round tail capture), and sbt appends its own ~100-char
+  * success footer after our output. The compact line is the one the
+  * driver parses, so its worst-case length over the REAL query set
+  * must stay well inside that window — this spec fails the build the
+  * moment the query count grows past the budget, instead of silently
+  * reverting to four rounds of `parsed: null`. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  private val names = SparkEntry.queries.keys.toSeq.sorted
+
+  test("compact keys (qNN prefixes) are unique over the real query set") {
+    val keys = names.map(_.takeWhile(_ != '_'))
+    assert(keys.distinct.length == keys.length,
+      "two query names share a qNN prefix — compact line would drop one")
+  }
+
+  test("compact line fits the tail window at worst-case widths") {
+    // worst realistic case: every query takes >100 s (6-char values)
+    // and none fail (failures shorten the map but grow `errors`).
+    val worst = names.map(n => (n, 123.456789, true))
+    val line = Bench.compactLine(worst, "/root/testdata/sf0.1")
+    assert(line.length <= 1800,
+      s"compact bench line is ${line.length} chars; the ~2000-char " +
+        "tail capture minus sbt footer leaves ~1900 — shrink the format")
+  }
+
+  test("compact and full lines agree on totals and error lists") {
+    val results = Seq(
+      ("q01_property_export", 1.23456789, true),
+      ("q38_louvain", 4.9999, true),
+      ("q94_degree_distribution", 0.1, false))
+    val compact = Bench.compactLine(results, "/x")
+    val full = Bench.fullLine(results, "/x")
+    assert(compact.contains(""""q38":5.0"""))
+    assert(compact.contains(""""q94":-1.0"""))
+    assert(compact.contains(""""errors":["q94_degree_distribution"]"""))
+    assert(full.contains(""""q38_louvain":4.9999"""))
+    assert(full.contains(""""errors":["q94_degree_distribution"]"""))
+    // both are the driver's schema: metric/value/unit/queries/errors/sf
+    Seq(compact, full).foreach { l =>
+      assert(l.startsWith("""{"metric":"total","value":"""))
+      assert(l.endsWith(""","sf":"/x"}"""))
+    }
+  }
+}
