@@ -123,6 +123,49 @@ object EventOps {
   def q92Anomalies(spark: SparkSession, dir: String): DataFrame =
     anomalies(ev(spark, dir))
 
+  // ---------------------------------------------------------------- q96
+  /** Time-series regularization: turn an irregular per-key daily
+    * series into a dense one. `actuals` is (k, d, n, vmax); the output
+    * materializes EVERY day in each key's [min(d), max(d)] span —
+    * missing days appear with n=0, is_gap=true, and `filled` carrying
+    * the last preceding observation forward (exact copy of an input
+    * double — no arithmetic, so fills hash identically in any engine).
+    *
+    * Scale shape: the span agg is one partial-aggregate pass; the grid
+    * explode emits |keys|·span rows distributed across whatever
+    * partitioning the spans had (never a driver-side range); the fill
+    * is ONE window shuffled by key and sorted within partitions only.
+    * A key whose span is pathologically long (years of daily rows) is
+    * still only thousands of rows — gap-fill output is bounded by
+    * keys × calendar, not by event volume. */
+  def gapFillDaily(actuals: DataFrame): DataFrame = {
+    val spans = actuals.groupBy("k").agg(min("d").as("d0"), max("d").as("d1"))
+    val grid = spans.select(col("k"),
+      explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("d")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    grid.join(actuals, Seq("k", "d"), "left")
+      .select(col("k"), col("d"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("vmax"), ignoreNulls = true).over(w).as("filled"),
+        col("n").isNull.as("is_gap"))
+  }
+
+  /** q96: dense daily per-event-type series — event counts with gap
+    * days at zero and the daily max value forward-filled across gaps. */
+  def q96GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events.select(col("event_type").as("k"),
+      expr(s"ts_us div $DayUs").as("d"), col("value"))
+    val actuals = e.groupBy("k", "d")
+      .agg(count(lit(1)).as("n"), max(col("value")).as("vmax"))
+    gapFillDaily(actuals)
+      .select(col("k").as("event_type"), col("d").as("day"),
+        col("n").as("n_events"), col("filled").as("filled_max"),
+        col("is_gap"))
+      .orderBy("event_type", "day")
+  }
+
   def q80Funnel(spark: SparkSession, dir: String): DataFrame =
     funnel(ev(spark, dir))
 
@@ -137,6 +180,7 @@ object EventOps {
     "q81_retention" -> (q81Retention _),
     "q82_hopping_window" -> (q82HoppingWindow _),
     "q92_anomalies" -> (q92Anomalies _),
+    "q96_gap_fill" -> (q96GapFill _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -199,6 +243,23 @@ object EventOps {
          |  FROM m)
          |SELECT hour, cnt AS n_events, z, abs(z) > $AnomalyZ AS flagged
          |FROM z ORDER BY hour""".stripMargin,
+
+    "q96_gap_fill" ->
+      s"""WITH e AS (SELECT event_type AS k, epoch_us(ts) // $DayUs AS d,
+         |                  "value" AS v FROM events),
+         |a AS (SELECT k, d, CAST(count(*) AS BIGINT) AS n, max(v) AS vmax
+         |      FROM e GROUP BY 1, 2),
+         |s AS (SELECT k, min(d) AS d0, max(d) AS d1 FROM a GROUP BY 1),
+         |g AS (SELECT k, unnest(generate_series(d0, d1)) AS d FROM s)
+         |SELECT g.k AS event_type, g.d AS day,
+         |       CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+         |       last_value(a.vmax IGNORE NULLS)
+         |         OVER (PARTITION BY g.k ORDER BY g.d
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS filled_max,
+         |       a.n IS NULL AS is_gap
+         |FROM g LEFT JOIN a ON g.k = a.k AND g.d = a.d
+         |ORDER BY 1, 2""".stripMargin,
 
     "q82_hopping_window" ->
       s"""WITH e AS (

@@ -99,11 +99,33 @@ object Olap {
       .orderBy("decile")
   }
 
+  // ---------------------------------------------------------------- q95
+  /** Full CUBE over (status, priority): all four grouping sets —
+    * per-cell, per-status, per-priority, grand total — in ONE pass
+    * (Expand before the hash agg, like the rollup; the expansion
+    * factor is the fixed grouping-set count, never data-dependent).
+    * The grouping bitmask distinguishes levels; money stays decimal
+    * inside the sum. */
+  def q95Cube(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast("decimal(18,2)").as("p"))
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg((grouping(col("o_orderstatus")) * 2
+          + grouping(col("o_orderpriority"))).cast("long").as("lvl"),
+        count(lit(1)).as("n_orders"),
+        sum(col("p")).cast("double").as("revenue"))
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("lvl"),
+        col("n_orders"), col("revenue"))
+      .orderBy(col("lvl"), col("o_orderstatus"), col("o_orderpriority"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_rollup" -> (q84Rollup _),
     "q85_moving_window" -> (q85MovingWindow _),
     "q86_pivot" -> (q86Pivot _),
     "q91_spend_deciles" -> (q91SpendDeciles _),
+    "q95_cube" -> (q95Cube _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -147,6 +169,17 @@ object Olap {
         |       CAST(sum(n_orders) AS BIGINT) AS n_orders,
         |       CAST(sum(spend) AS DOUBLE) AS revenue
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q95_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+        |            AS BIGINT) AS lvl,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY lvl, o_orderstatus, o_orderpriority""".stripMargin,
 
     "q86_pivot" ->
       """SELECT user_id,

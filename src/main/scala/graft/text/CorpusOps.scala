@@ -309,6 +309,43 @@ object CorpusOps {
         round(col("ps").getItem(3), 6).as("p99"))
       .orderBy("lang")
 
+  // ---------------------------------------------------------------- q97
+  /** Token-budget data mixing — "take N tokens per stratum": docs are
+    * ranked inside each language by an md5-derived order (a
+    * deterministic uniform shuffle, same convention as q47's sampler),
+    * the running token sum accumulates in that order, and docs are
+    * kept while the cumulative count stays within the budget — the
+    * greedy prefix, so the selection is maximal: the next doc in order
+    * would overflow (spec-asserted). All outputs are integers —
+    * engine-exact.
+    *
+    * Scale shape: one in-row projection (token count + hash) and ONE
+    * per-stratum ordered window. A window partitioned by language
+    * sorts each stratum on a single task — fine while strata ≪ corpus
+    * (the regime here), but at 100 TB per-stratum token budgeting
+    * should shard WITHIN the stratum exactly like [[packSequences]]
+    * (budget/shards per (lang, shard) stream) so the sort
+    * parallelizes; same pattern, one extra key. */
+  val MixBudget = 2000L
+
+  def q97TokenBudgetMix(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetMix(TextOps.docs(spark, dir), MixBudget)
+
+  /** The reusable form over any (doc_id, lang, s) frame. */
+  def tokenBudgetMix(docs: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(split(col("s"), " ")).cast("long").as("nt"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .withColumn("cum_nt", sum(col("nt")).over(w))
+      .filter(col("cum_nt") <= budget)
+      .select(col("doc_id"), col("lang"), col("nt"), col("cum_nt"))
+      .orderBy("lang", "cum_nt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition_scores" -> (q45RepetitionScores _),
     "q46_decontamination" -> (q46Decontamination _),
@@ -319,6 +356,7 @@ object CorpusOps {
     "q56_vocab_build" -> (q56VocabBuild _),
     "q57_curation_pipeline" -> (q57CurationPipeline _),
     "q60_length_profile" -> (q60LengthProfile _),
+    "q97_token_budget_mix" -> (q97TokenBudgetMix _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -565,5 +603,22 @@ object CorpusOps {
          |WHERE u < $rateCase
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q97_token_budget_mix" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(string_split(
+         |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+         |      AS BIGINT) AS nt,
+         |    md5(CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, nt,
+         |    CAST(sum(nt) OVER (PARTITION BY lang ORDER BY hx, doc_id
+         |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_nt
+         |  FROM t)
+         |SELECT doc_id, lang, nt, cum_nt FROM c
+         |WHERE cum_nt <= $MixBudget
+         |ORDER BY lang, cum_nt""".stripMargin,
   )
 }

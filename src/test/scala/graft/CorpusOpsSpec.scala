@@ -185,4 +185,38 @@ class CorpusOpsSpec extends SparkSpec {
     cov.sliding(2).foreach { case Array(a, b) => assert(b >= a) }
     assert(cov.last <= 1.0 && cov.head > 0.0)
   }
+
+  test("q97 keeps the maximal within-budget prefix of every stratum") {
+    import org.apache.spark.sql.functions._
+    val kept = CorpusOps.q97TokenBudgetMix(spark, sfDir()).collect()
+    assert(kept.nonEmpty)
+    val byLang = kept.groupBy(_.getAs[String]("lang"))
+    // the full md5-ordered ranking, recomputed independently
+    val all = graft.text.TextOps.docs(spark, sfDir())
+      .select(col("doc_id"), col("lang"),
+        size(split(col("s"), " ")).cast("long").as("nt"),
+        md5(col("doc_id").cast("string")).as("hx"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("hx"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("nt")))
+      .groupBy(_._1).map { case (l, rs) =>
+        l -> rs.sortBy(r => (r._2, r._3)).map(r => (r._3, r._4))
+      }
+    all.foreach { case (lang, ranked) =>
+      val keptIds = byLang.get(lang).toSeq.flatten
+        .map(_.getAs[Long]("doc_id")).toSet
+      val total = byLang.get(lang).toSeq.flatten
+        .map(_.getAs[Long]("nt")).sum
+      assert(total <= CorpusOps.MixBudget, s"$lang over budget")
+      // kept = exactly the ranking's prefix, and the next doc overflows
+      val prefix = ranked
+        .scanLeft((0L, 0L)) { case ((_, c), (id, nt)) => (id, c + nt) }
+        .drop(1)
+      val expect = prefix.takeWhile(_._2 <= CorpusOps.MixBudget)
+      assert(keptIds == expect.map(_._1).toSet, s"$lang not the prefix")
+      prefix.drop(expect.length).headOption.foreach { case (_, c) =>
+        assert(c > CorpusOps.MixBudget, s"$lang selection not maximal")
+      }
+    }
+  }
 }

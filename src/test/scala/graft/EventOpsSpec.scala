@@ -59,4 +59,25 @@ class EventOpsSpec extends SparkSpec {
     assert(EventOps.hoppingWindow(late).collect()
       .map(_.getLong(0)).toSeq == (5L to 10L).toSeq)
   }
+
+  test("gap fill: spans tile densely, gaps carry the last value forward") {
+    // key "a": days 10, 13, 14 observed (gap 11-12); key "b": single
+    // day (no gaps, span of one). The sf testdata is gap-free at small
+    // SFs, so the gap path is exercised here.
+    val actuals = Seq(
+      ("a", 10L, 3L, 1.5), ("a", 13L, 1L, 9.25), ("a", 14L, 2L, 4.0),
+      ("b", 7L, 5L, 2.5))
+      .toDF("k", "d", "n", "vmax")
+    val out = EventOps.gapFillDaily(actuals).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.keySet == ((10L to 14L).map(("a", _)) :+ (("b", 7L))).toSet,
+      "every day of each key's span, and nothing outside it")
+    assert(out(("a", 10L)) == ((3L, 1.5, false)))
+    assert(out(("a", 11L)) == ((0L, 1.5, true)), "gap fills from day 10")
+    assert(out(("a", 12L)) == ((0L, 1.5, true)))
+    assert(out(("a", 13L)) == ((1L, 9.25, false)), "observation overrides fill")
+    assert(out(("a", 14L)) == ((2L, 4.0, false)))
+    assert(out(("b", 7L)) == ((5L, 2.5, false)))
+  }
 }

@@ -54,4 +54,25 @@ class OlapSpec extends SparkSpec {
     }
     assert(rows.length == totals.size)
   }
+
+  test("cube: every grouping set present, margins sum to the grand total") {
+    val rows = Olap.q95Cube(spark, sfDir()).collect()
+    val byLvl = rows.groupBy(_.getLong(2))
+    assert(byLvl.keySet == Set(0L, 1L, 2L, 3L))
+    val grand = byLvl(3L)
+    assert(grand.length == 1)
+    val n = grand.head.getLong(3)
+    // both one-dimensional margins and the cells sum to the total
+    Seq(0L, 1L, 2L).foreach { lvl =>
+      assert(byLvl(lvl).map(_.getLong(3)).sum == n, s"lvl $lvl")
+    }
+    // cell count can never exceed |status margin| × |priority margin|
+    // (lvl 1 = status kept, lvl 2 = priority kept)
+    assert(byLvl(0L).length <= byLvl(1L).length * byLvl(2L).length)
+    // per-status margin equals the sum of its cells
+    byLvl(1L).foreach { m =>
+      val cells = byLvl(0L).filter(_.getString(0) == m.getString(0))
+      assert(cells.map(_.getLong(3)).sum == m.getLong(3))
+    }
+  }
 }

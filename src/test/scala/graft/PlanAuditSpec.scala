@@ -125,4 +125,25 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"pair generation degenerated to an all-pairs join:\n$p")
   }
+
+  test("q95: cube is ONE Expand + hash agg pass, no per-level rescan") {
+    val p = plan(graft.operators.Olap.q95Cube(spark, sfDir()))
+    // formatted explain lists each operator once as a "(N) Name" header
+    assert("\\(\\d+\\) Expand".r.findAllIn(p).length == 1,
+      s"expected exactly one Expand (single-pass grouping sets):\n$p")
+    assert(!p.contains("Union"),
+      s"grouping sets must not expand to a per-level Union of scans:\n$p")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length == 1,
+      s"orders must be scanned once:\n$p")
+  }
+
+  test("q96: gap fill joins grid and actuals by key — never all-pairs") {
+    val p = plan(graft.operators.EventOps.q96GapFill(spark, sfDir()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"grid/actuals join degenerated to all-pairs:\n$p")
+    // exactly one ordered window: the forward fill
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length == 1,
+      s"expected exactly one Window (the per-key fill):\n$p")
+  }
 }
