@@ -271,7 +271,7 @@ object TextOps {
     * and is labeled by a single left join afterward. No step is
     * quadratic in the corpus, and the per-iteration work is
     * proportional to the dup graph, not the corpus. */
-  def q44NeardupClusters(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def neardupClusters(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
     val sig = Checkpoints.cut(laneSigs(d, 2))
     val cand = Checkpoints.cut(candidates(bandRelation(sig, 3, 5)).distinct())
@@ -289,8 +289,33 @@ object TextOps {
         Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster"))
-      .orderBy("doc_id")
   }
+
+  def q44NeardupClusters(spark: SparkSession, dir: String): DataFrame =
+    neardupClusters(spark, dir).orderBy("doc_id")
+
+  // ---------------------------------------------------------------- q98
+  /** Leakage-safe train/eval split: the split decision is a pure
+    * function of the NEAR-DUP CLUSTER id, not the document id — two
+    * documents that are near-duplicates of each other can never land
+    * on opposite sides of the split, the train/eval contamination a
+    * doc-level hash split silently permits. The md5-uniform is q47's
+    * sampler convention applied to the cluster label; rate
+    * [[SplitEvalRate]] of CLUSTERS (not docs) goes to eval.
+    * Deterministic, integer/string-exact, rerun-stable.
+    *
+    * Scale shape: everything beyond q44's clustering is one in-row
+    * projection — no extra shuffle, no per-split pass. */
+  val SplitEvalRate = 0.1
+
+  def q98LeakSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    neardupClusters(spark, dir)
+      .withColumn("u",
+        expr("conv(substring(md5(cast(cluster as string)), 1, 8), 16, 10)")
+          .cast("double") / 4294967296.0)
+      .select(col("doc_id"), col("cluster"),
+        when(col("u") < SplitEvalRate, "eval").otherwise("train").as("split"))
+      .orderBy("doc_id")
 
   // ---------------------------------------------------------------- q27
   /** Language ID: stopword-hit-ratio argmax over a fixed per-language
@@ -411,6 +436,7 @@ object TextOps {
     "q28_quality_score" -> (q28QualityScore _),
     "q43_dedup_keep_best" -> (q43DedupKeepBest _),
     "q44_neardup_clusters" -> (q44NeardupClusters _),
+    "q98_leak_safe_split" -> (q98LeakSafeSplit _),
     "q87_incremental_dedup" -> (q87IncrementalDedup _),
     "q29_token_count" -> (q29TokenCount _),
     "q30_fingerprint" -> (q30Fingerprint _),
@@ -612,6 +638,34 @@ object TextOps {
          |)
          |SELECT node AS doc_id, CAST(min(peer) AS BIGINT) AS cluster
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q98_leak_safe_split" ->
+      s"""WITH RECURSIVE $gramCtes,
+         |${laneSigSql(2, 3, 5)},
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bands x
+         |         JOIN bands y ON x.j = y.j AND x.k = y.k AND x.doc_id < y.doc_id),
+         |${jaccardTailSql("")},
+         |pairs AS (SELECT i.a, i.b
+         |  FROM inter i
+         |  JOIN sz sa ON sa.doc_id = i.a
+         |  JOIN sz sb ON sb.doc_id = i.b
+         |  WHERE CAST(i.c AS DOUBLE) / (sa.nn + sb.nn - i.c) >= 0.5),
+         |und AS (SELECT a AS src, b AS dst FROM pairs
+         |        UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS peer FROM n
+         |  UNION
+         |  SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.peer
+         |),
+         |cl AS (SELECT node AS doc_id, CAST(min(peer) AS BIGINT) AS cluster
+         |       FROM reach GROUP BY 1),
+         |hx AS (SELECT doc_id, cluster,
+         |              md5(CAST(cluster AS VARCHAR)) AS h FROM cl)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN CAST(${hexToLongSql("h", 1, 8)} AS DOUBLE)
+         |            / 4294967296.0 < $SplitEvalRate
+         |       THEN 'eval' ELSE 'train' END AS split
+         |FROM hx ORDER BY doc_id""".stripMargin,
 
     "q27_lang_id" -> {
       val langsValues = langLexicon.map { case (lang, sw) =>

@@ -124,4 +124,21 @@ class TextOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
     assert(out(10L) == (("near_dup", 1L)))
   }
+
+  test("q98 split is cluster-atomic: near-dups can never straddle train/eval") {
+    val rows = TextOps.q98LeakSafeSplit(spark, sfDir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // one split per cluster — the leakage guarantee
+    rows.groupBy(_._2).foreach { case (c, rs) =>
+      assert(rs.map(_._3).distinct.length == 1, s"cluster $c straddles splits")
+    }
+    // split agrees with q44's clustering doc-for-doc
+    val clusters = TextOps.q44NeardupClusters(spark, sfDir()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (d, c, _) => assert(clusters(d) == c) }
+    // the fixed md5 assignment yields both sides at this SF
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(bySplit.keySet == Set("train", "eval"), s"splits: $bySplit")
+    assert(bySplit("train") > bySplit("eval"), "eval rate is the minority")
+  }
 }
