@@ -146,4 +146,11 @@ class PlanAuditSpec extends SparkSpec {
     assert("\\(\\d+\\) Window".r.findAllIn(p).length == 1,
       s"expected exactly one Window (the per-key fill):\n$p")
   }
+
+  test("q99: prefix-filtered set-sim join never degenerates to all-pairs") {
+    val p = plan(graft.operators.SetSimJoin.q99SetsimJoin(spark, sfDir()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate/verify joins went all-pairs:\n$p")
+  }
 }
