@@ -24,19 +24,36 @@ import graft.{Checkpoints, Tables}
   * join is keyed by prefix token — the rarest tokens by construction,
   * the opposite of the hot keys a naive token join explodes on; the
   * verify join ships only candidate pairs' tokens (bounded per item).
-  * The token relation is checkpointed once and reused by all three
-  * passes (freq, rank, verify); Verify/Bench reclaim it via their
-  * end-of-query releaseAll, keeping the in-query plan DAG shared. */
+  * The per-item token-array relation stays an UN-materialized
+  * projection of the item scan so its statistics survive — see the
+  * note in [[setSimJoin]] on why checkpointing it would force the
+  * verify joins to sort-merge. */
 object SetSimJoin {
 
   val Theta = 0.6
 
   /** All pairs (a < b) of `items` (id, name) with distinct-token
-    * jaccard ≥ theta, exact. */
+    * jaccard ≥ theta, exact.
+    *
+    * Verification is IN-ROW: the candidate pair joins the id→token-
+    * array map twice (a per-item relation — rows = items, not tokens —
+    * that AQE broadcasts when it fits) and the intersection size is
+    * `array_intersect` over the two small arrays. The alternative —
+    * exploding candidates against the token relation and counting
+    * matches — shuffles |candidates|·|shared tokens| rows; with
+    * millions of candidates that re-shuffle dwarfs the verify compute,
+    * while the in-row form adds ZERO verify shuffle. */
   def setSimJoin(items: DataFrame, theta: Double): DataFrame = {
-    val tok = Checkpoints.cut(items.select(col("id"),
-      explode(array_distinct(split(col("name"), " "))).as("w")))
-    val sz = tok.groupBy("id").agg(count(lit(1)).as("nn"))
+    // deliberately NOT checkpointed: the relation is a cheap projection
+    // of the item scan, and cutting it would erase the source stats —
+    // AQE then can't see that the verify-join build side fits a
+    // broadcast and falls back to sort-merge over the (much larger)
+    // candidate set. With stats intact the plan adapts: broadcast at
+    // dimension-sized |items|, shuffle join at corpus scale.
+    val lists = items.select(col("id"),
+      array_distinct(split(col("name"), " ")).as("ws"))
+    val tok = lists.select(col("id"), explode(col("ws")).as("w"))
+    val sz = lists.select(col("id"), size(col("ws")).cast("long").as("nn"))
     val f = tok.groupBy("w").agg(count(lit(1)).as("cf"))
     val rankW = Window.partitionBy("id").orderBy(col("cf"), col("w"))
     val pre = tok.join(f, Seq("w"))
@@ -45,19 +62,39 @@ object SetSimJoin {
       .filter(col("r") <=
         col("nn") - ceil(lit(theta) * col("nn")).cast("long") + 1)
       .select("id", "w")
+    // candidates are NOT deduplicated before verification: a pair is
+    // re-generated once per shared prefix token (≤ prefix length), and
+    // a distinct here shuffles the full candidate stream through a
+    // partial aggregation that dedups almost nothing (measured 40% of
+    // the query's wall time at sf0.1: 18M pairs, ~85% already unique).
+    // Verification is in-row, so duplicates cost only their own
+    // arithmetic; the distinct runs AFTER the θ filter, over the far
+    // smaller surviving-pair set, where identical rows collapse.
+    // The self-join EXPLODES: inputs are |items|·prefix rows but the
+    // output is the candidate-pair stream, orders of magnitude larger.
+    // AQE sizes the join's stage by its tiny INPUTS (coalescing them
+    // to ~one partition), which would run the join AND the whole
+    // in-row verify single-task — measured 21 of q99's 34 s at sf0.1.
+    // Re-spreading the pair stream across the session's shuffle
+    // partitions costs one narrow-row shuffle and restores full
+    // verify parallelism; the knob scales with the cluster (same
+    // convention as CorpusOps.packShards), not a hard constant.
     val cand = pre.as("x").join(pre.as("y"),
         col("x.w") === col("y.w") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .repartition(items.sparkSession.sessionState.conf.numShufflePartitions,
+        col("a"), col("b"))
     val jac: Column =
       col("c").cast("double") / (col("na") + col("nb") - col("c"))
     cand
-      .join(tok.select(col("id").as("a"), col("w")), Seq("a"))
-      .join(tok.select(col("id").as("b"), col("w")), Seq("b", "w"))
-      .groupBy("a", "b").agg(count(lit(1)).as("c"))
-      .join(sz.select(col("id").as("a"), col("nn").as("na")), Seq("a"))
-      .join(sz.select(col("id").as("b"), col("nn").as("nb")), Seq("b"))
+      .join(lists.select(col("id").as("a"), col("ws").as("wa")), Seq("a"))
+      .join(lists.select(col("id").as("b"), col("ws").as("wb")), Seq("b"))
+      .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("na", size(col("wa")).cast("long"))
+      .withColumn("nb", size(col("wb")).cast("long"))
       .filter(jac >= theta)
       .select(col("a"), col("b"), round(jac, 6).as("jac"))
+      .distinct()
       .orderBy("a", "b")
   }
 
