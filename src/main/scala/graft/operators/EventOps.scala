@@ -152,6 +152,37 @@ object EventOps {
         col("n").isNull.as("is_gap"))
   }
 
+  // ---------------------------------------------------------------- q101
+  /** Event-transition matrix (first-order Markov view of user
+    * journeys): for each consecutive event pair within a user's
+    * timeline, the transition count and the row-normalized
+    * probability P(next | current) — the base table behind next-event
+    * prediction and journey-drop-off analysis.
+    *
+    * Scale shape: ONE per-user ordered window (lead) builds the
+    * consecutive pairs — shuffle keyed by user, sort within
+    * partitions only — then a partial-agg count per (src, dst) and a
+    * per-src normalizing window over the |types|² matrix (bounded,
+    * never event-scale). The probability is one integer-ratio
+    * division rounded to 6dp — engine-exact. */
+  def transitions(e: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val pairs = e
+      .withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src_type"), col("dst").as("dst_type"))
+      .agg(count(lit(1)).as("n"))
+    val norm = org.apache.spark.sql.expressions.Window.partitionBy("src_type")
+    pairs
+      .withColumn("prob", round(col("n") / sum(col("n")).over(norm), 6))
+      .orderBy("src_type", "dst_type")
+  }
+
+  def q101Transitions(spark: SparkSession, dir: String): DataFrame =
+    transitions(Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us")))
+
   /** q96: dense daily per-event-type series — event counts with gap
     * days at zero and the daily max value forward-filled across gaps. */
   def q96GapFill(spark: SparkSession, dir: String): DataFrame = {
@@ -181,6 +212,7 @@ object EventOps {
     "q82_hopping_window" -> (q82HoppingWindow _),
     "q92_anomalies" -> (q92Anomalies _),
     "q96_gap_fill" -> (q96GapFill _),
+    "q101_transitions" -> (q101Transitions _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -260,6 +292,20 @@ object EventOps {
          |       a.n IS NULL AS is_gap
          |FROM g LEFT JOIN a ON g.k = a.k AND g.d = a.d
          |ORDER BY 1, 2""".stripMargin,
+
+    "q101_transitions" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |                  epoch_us(ts) AS ts_us FROM events),
+         |p AS (
+         |  SELECT event_type AS src_type,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts_us, event_id) AS dst_type
+         |  FROM e),
+         |c AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+         |      FROM p WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT src_type, dst_type, n,
+         |       round(n / sum(n) OVER (PARTITION BY src_type), 6) AS prob
+         |FROM c ORDER BY 1, 2""".stripMargin,
 
     "q82_hopping_window" ->
       s"""WITH e AS (

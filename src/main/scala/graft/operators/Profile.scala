@@ -70,9 +70,41 @@ object Profile {
       .orderBy("bin")
   }
 
+  // ---------------------------------------------------------------- q102
+  /** Join-key skew profile: the measurement a shuffle plan needs
+    * BEFORE choosing salting/broadcast/AQE-skew strategies (the
+    * sources.SkewJoin utility's companion — measure, then salt). For
+    * a prospective join key, reports the top-[[SkewTopK]] hottest
+    * keys with their share of all rows and their multiple of the
+    * mean key frequency. One partial-agg pass builds per-key counts;
+    * the scalar totals broadcast as a single row; only the top-k
+    * window runs on the (already aggregated) key relation. A hot-key
+    * multiple ≫ 1 is the signal that key needs salting at scale. */
+  val SkewTopK = 10
+
+  def skewProfile(rows: DataFrame, key: String): DataFrame = {
+    val cnts = rows.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
+    val tot = cnts.agg(sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("key").asc)
+    cnts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= SkewTopK)
+      .crossJoin(broadcast(tot))
+      .select(col("rank"), col("key"), col("cnt"),
+        round(col("cnt") / col("n_rows"), 6).as("share"),
+        round(col("cnt") * col("n_keys") / col("n_rows"), 6).as("x_mean"))
+      .orderBy("rank")
+  }
+
+  def q102SkewProfile(spark: SparkSession, dir: String): DataFrame =
+    skewProfile(Tables(spark, dir).lineitem
+      .select(col("l_partkey").cast("long").as("k")), "k")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_table_profile" -> (q83TableProfile _),
     "q93_value_histogram" -> (q93ValueHistogram _),
+    "q102_skew_profile" -> (q102SkewProfile _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -98,5 +130,22 @@ object Profile {
          |       CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct
          |FROM orders""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    "q102_skew_profile" ->
+      s"""WITH c AS (
+         |  SELECT CAST(l_partkey AS BIGINT) AS key,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |             CAST(count(*) AS BIGINT) AS n_keys FROM c),
+         |r AS (SELECT key, cnt,
+         |             CAST(row_number() OVER (ORDER BY cnt DESC, key ASC)
+         |                  AS BIGINT) AS rank
+         |      FROM c)
+         |SELECT r.rank, r.key, r.cnt,
+         |       round(r.cnt / t.n_rows, 6) AS share,
+         |       round(r.cnt * t.n_keys / t.n_rows, 6) AS x_mean
+         |FROM r, t WHERE r.rank <= $SkewTopK
+         |ORDER BY r.rank""".stripMargin,
   )
 }

@@ -60,6 +60,28 @@ class EventOpsSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq == (5L to 10L).toSeq)
   }
 
+  test("transitions: consecutive pairs per user, probabilities row-normalize") {
+    // user 1: view→click→view→click ; user 2: view→purchase
+    // pairs: view→click ×2, click→view ×1, view→purchase ×1
+    val e = Seq(
+      (1L, 1L, "view", 1L * H), (2L, 1L, "click", 2L * H),
+      (3L, 1L, "view", 3L * H), (4L, 1L, "click", 4L * H),
+      (5L, 2L, "view", 1L * H), (6L, 2L, "purchase", 2L * H))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = EventOps.transitions(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((2L, 0.666667)),
+      ("view", "purchase") -> ((1L, 0.333333)),
+      ("click", "view") -> ((1L, 1.0))))
+    // probabilities row-normalize exactly
+    out.keys.groupBy(_._1).foreach { case (src, ks) =>
+      val s = ks.map(out(_)._2).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"$src rows sum to $s")
+    }
+  }
+
   test("gap fill: spans tile densely, gaps carry the last value forward") {
     // key "a": days 10, 13, 14 observed (gap 11-12); key "b": single
     // day (no gaps, span of one). The sf testdata is gap-free at small

@@ -39,4 +39,29 @@ class ProfileSpec extends SparkSpec {
     assert(out("o_orderstatus")._3 <= 3)
     assert(out.values.forall(_._2 == 0L), "TPC-H columns are non-null")
   }
+
+  test("skew profile: ranked hot keys with exact shares and multiples") {
+    import org.apache.spark.sql.functions._
+    val rows = Profile.q102SkewProfile(spark, sfDir()).collect()
+    assert(rows.nonEmpty && rows.length <= Profile.SkewTopK)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq,
+      "ranks are dense from 1")
+    val cnts = rows.map(_.getLong(2))
+    cnts.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo); case _ => }
+    // the rank-1 key really is the hottest, verified independently
+    val li = Tables(spark, sfDir()).lineitem
+      .groupBy(col("l_partkey").cast("long").as("k"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val maxC = li.map(_._2).max
+    val expectTop = li.filter(_._2 == maxC).map(_._1).min
+    assert(rows.head.getLong(1) == expectTop && rows.head.getLong(2) == maxC)
+    // shares and multiples are consistent with the full relation
+    val n = li.map(_._2).sum.toDouble
+    val d = li.length.toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / n) < 1e-6)
+      assert(math.abs(r.getDouble(4) - r.getLong(2) * d / n) < 1e-5)
+    }
+  }
 }
