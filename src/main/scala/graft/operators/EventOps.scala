@@ -183,6 +183,38 @@ object EventOps {
     transitions(Tables(spark, dir).events
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us")))
 
+  // ---------------------------------------------------------------- q103
+  /** SCD2 interval build — the slowly-changing-dimension shape every
+    * warehouse derives from a change stream: per user, consecutive
+    * repeats of the same state compress away, and each surviving
+    * state change becomes a validity interval [valid_from, valid_to)
+    * ending at the next change (open — NULL — for the current state).
+    *
+    * Scale shape: TWO passes over the same per-user ordered window
+    * partitioning (lag to mark changes, lead over survivors for the
+    * interval end) — Spark plans both sorts on one shuffle of the
+    * user key; no self-join, no event-scale intermediate beyond the
+    * input itself. Integer timestamps — engine-exact. */
+  def scd2Intervals(e: DataFrame): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val changes = e
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+    val byUserChanges = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(byUserChanges))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from")
+  }
+
+  def q103Scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Intervals(Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts_us")))
+
   /** q96: dense daily per-event-type series — event counts with gap
     * days at zero and the daily max value forward-filled across gaps. */
   def q96GapFill(spark: SparkSession, dir: String): DataFrame = {
@@ -213,6 +245,7 @@ object EventOps {
     "q92_anomalies" -> (q92Anomalies _),
     "q96_gap_fill" -> (q96GapFill _),
     "q101_transitions" -> (q101Transitions _),
+    "q103_scd2" -> (q103Scd2 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -306,6 +339,23 @@ object EventOps {
          |SELECT src_type, dst_type, n,
          |       round(n / sum(n) OVER (PARTITION BY src_type), 6) AS prob
          |FROM c ORDER BY 1, 2""".stripMargin,
+
+    "q103_scd2" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |                  epoch_us(ts) AS ts_us FROM events),
+         |m AS (
+         |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+         |                                  ORDER BY ts_us, event_id) AS prev
+         |  FROM e),
+         |c AS (SELECT * FROM m
+         |      WHERE prev IS NULL OR prev <> event_type)
+         |SELECT user_id, event_type AS state, ts_us AS valid_from,
+         |       lead(ts_us) OVER (PARTITION BY user_id
+         |                         ORDER BY ts_us, event_id) AS valid_to,
+         |       lead(ts_us) OVER (PARTITION BY user_id
+         |                         ORDER BY ts_us, event_id) IS NULL
+         |         AS is_current
+         |FROM c ORDER BY user_id, valid_from""".stripMargin,
 
     "q82_hopping_window" ->
       s"""WITH e AS (

@@ -82,6 +82,31 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2: consecutive repeats compress, intervals tile each user's timeline") {
+    // user 1: view view click view  → intervals view[1,3) click[3,4) view[4,∞)
+    // user 2: click                 → click[5,∞)
+    val e = Seq(
+      (1L, 1L, "view", 1L * H), (2L, 1L, "view", 2L * H),
+      (3L, 1L, "click", 3L * H), (4L, 1L, "view", 4L * H),
+      (5L, 2L, "click", 5L * H))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = EventOps.scd2Intervals(e).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, "view", 1L * H, 3L * H, false),
+      (1L, "click", 3L * H, 4L * H, false),
+      (1L, "view", 4L * H, -1L, true),
+      (2L, "click", 5L * H, -1L, true)))
+    // intervals tile: each valid_to equals the next valid_from
+    out.groupBy(_._1).values.foreach { iv =>
+      iv.sortBy(_._3).sliding(2).foreach {
+        case Array(a, b) => assert(a._4 == b._3, "intervals must tile")
+        case _ =>
+      }
+    }
+  }
+
   test("gap fill: spans tile densely, gaps carry the last value forward") {
     // key "a": days 10, 13, 14 observed (gap 11-12); key "b": single
     // day (no gaps, span of one). The sf testdata is gap-free at small
