@@ -71,9 +71,58 @@ object CoPurchase {
       .orderBy("degree")
   }
 
+  // ---------------------------------------------------------------- q104
+  /** Repeat-co-purchase edges: pairs co-purchased in at least
+    * `minSupport` DISTINCT orders. The support threshold is both the
+    * noise filter (a single co-occurrence is coincidence; repeats are
+    * signal — exactly q89's min-support logic as a graph) and the
+    * tractability knob for super-linear algorithms: the full pair
+    * graph densifies with scale (1.2M edges at sf0.1) while the
+    * repeat graph tracks true association (≈3.5k edges at every SF
+    * here). One partial-agg count per pair, then the filter. */
+  def repeatEdges(t: Tables, minSupport: Long): DataFrame = {
+    val li = t.lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+      .agg(count(lit(1)).as("m"))
+      .filter(col("m") >= minSupport)
+      .select("src", "dst")
+  }
+
+  /** Top-20 parts by triangle count on the repeat-co-purchase graph —
+    * q63's (degree, id)-oriented wedge algorithm oracle-checked on a
+    * derived thousands-of-edges graph instead of the 25-node trade
+    * graph. EXACT triangles on the UNthresholded sf0.1 graph are
+    * measured at ~90 s (1.2M edges → O(m^1.5) wedges); the support
+    * threshold is the documented scale answer, not a shortcut: count
+    * clustering among repeat associations, never among coincidences.
+    * Only the per-node aggregate is ranked; the rank is a limit-then-
+    * number over 20 rows, never a full sort. */
+  val TriTopK = 20
+  val TriMinSupport = 2L
+
+  def q104CopurchaseTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val tc = Algorithms.triangleCounts(
+        t.part.select(col("p_partkey").cast("long").as("node")),
+        repeatEdges(t, TriMinSupport))
+      .filter(col("n_triangles") > 0)
+      .orderBy(col("n_triangles").desc, col("node").asc)
+      .limit(TriTopK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_triangles").desc, col("node").asc)
+    tc.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("node"), col("n_triangles"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_copurchase_degree" -> (q61CopurchaseDegree _),
     "q94_degree_distribution" -> (q94DegreeDistribution _),
+    "q104_copurchase_triangles" -> (q104CopurchaseTriangles _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -103,5 +152,36 @@ object CoPurchase {
         |FROM part pt
         |LEFT JOIN d ON d.p = CAST(pt.p_partkey AS BIGINT)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q104_copurchase_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o,
+        |              CAST(l_partkey AS BIGINT) AS p FROM lineitem),
+        |pairs AS (SELECT a.p AS a, b.p AS b
+        |          FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dg AS (SELECT n, count(*) AS d FROM (
+        |         SELECT a AS n FROM pairs
+        |         UNION ALL SELECT b FROM pairs) z GROUP BY 1),
+        |und AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+        |               THEN p.a ELSE p.b END AS src,
+        |               CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+        |               THEN p.b ELSE p.a END AS dst
+        |        FROM pairs p
+        |        JOIN dg da ON da.n = p.a
+        |        JOIN dg db ON db.n = p.b),
+        |tri AS (
+        |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+        |  FROM und e1
+        |  JOIN und e2 ON e1.dst = e2.src
+        |  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+        |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        |         SELECT u AS node FROM tri
+        |         UNION ALL SELECT v FROM tri
+        |         UNION ALL SELECT w FROM tri) z
+        |       GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY n_triangles DESC, node ASC)
+        |            AS BIGINT) AS rank,
+        |       node, n_triangles
+        |FROM pn ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin,
   )
 }

@@ -420,4 +420,19 @@ class AlgorithmsSpec extends SparkSpec {
     val outdeg = e1.groupBy(_._1).map(_._2.size)
     assert(outdeg.forall(_ <= 3))
   }
+
+  test("q104 ranks agree with the full per-node triangle relation") {
+    val t = Tables(spark, sfDir())
+    val full = Algorithms.triangleCounts(
+        t.part.selectExpr("cast(p_partkey as long) as node"),
+        graft.graph.CoPurchase.repeatEdges(
+          t, graft.graph.CoPurchase.TriMinSupport)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).filter(_._2 > 0)
+    val expect = full.sortBy { case (n, c) => (-c, n) }
+      .take(graft.graph.CoPurchase.TriTopK)
+    val got = graft.graph.CoPurchase.q104CopurchaseTriangles(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq, "ranks dense from 1")
+    assert(got.map(g => (g._2, g._3)).toSeq == expect.toSeq)
+  }
 }
