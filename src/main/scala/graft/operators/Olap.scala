@@ -120,12 +120,70 @@ object Olap {
       .orderBy(col("lvl"), col("o_orderstatus"), col("o_orderpriority"))
   }
 
+  // ---------------------------------------------------------------- q106
+  /** RFM segmentation — recency / frequency / monetary quintiles per
+    * customer, then the segment report (population + revenue per RFM
+    * cell): the classic customer-base decomposition. One partial agg
+    * per customer, three ntile windows over the customer relation
+    * (already aggregated — never order-scale), deterministic
+    * tie-breaks on the customer key, and a final cell rollup. The
+    * q91 caveat applies to the global windows at 100 TB: swap exact
+    * ntile for approx-percentile cut points + a broadcast bucket
+    * join. */
+  def q106RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables(spark, dir).orders
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val r = Window.orderBy(col("last_order").desc, col("cust").asc)
+    val f = Window.orderBy(col("freq").desc, col("cust").asc)
+    val m = Window.orderBy(col("spend").desc, col("cust").asc)
+    per
+      .withColumn("r", ntile(5).over(r).cast("long"))
+      .withColumn("f", ntile(5).over(f).cast("long"))
+      .withColumn("m", ntile(5).over(m).cast("long"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("revenue"))
+      .orderBy("r", "f", "m")
+  }
+
+  // ---------------------------------------------------------------- q107
+  /** Cohort revenue curve: customers grouped by first-order month,
+    * each cohort's revenue tracked by months-since-acquisition,
+    * cumulatively — the LTV-over-time report behind payback-period
+    * decisions. Two aggs keyed by customer/cohort plus ONE ordered
+    * window per cohort over the bounded (cohorts × offsets) grid;
+    * decimal-exact money, truncated-month arithmetic integer-exact. */
+  def q107CohortRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.select(col("o_custkey").as("cust"),
+      date_trunc("month", col("o_orderdate")).cast("date").as("mon"),
+      col("o_totalprice").cast("decimal(18,2)").as("p"))
+    val cohort = o.groupBy("cust").agg(min(col("mon")).as("cohort_month"))
+    val cells = o.join(cohort, Seq("cust"))
+      .groupBy(col("cohort_month"),
+        months_between(col("mon"), col("cohort_month")).cast("long")
+          .as("month_offset"))
+      .agg(sum(col("p")).as("rev"))
+    val w = Window.partitionBy("cohort_month").orderBy("month_offset")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells
+      .select(date_format(col("cohort_month"), "yyyy-MM").as("cohort_month"),
+        col("month_offset"),
+        col("rev").cast("double").as("revenue"),
+        sum(col("rev")).over(w).cast("double").as("cum_revenue"))
+      .orderBy("cohort_month", "month_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_rollup" -> (q84Rollup _),
     "q85_moving_window" -> (q85MovingWindow _),
     "q86_pivot" -> (q86Pivot _),
     "q91_spend_deciles" -> (q91SpendDeciles _),
     "q95_cube" -> (q95Cube _),
+    "q106_rfm_segments" -> (q106RfmSegments _),
+    "q107_cohort_revenue" -> (q107CohortRevenue _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -180,6 +238,45 @@ object Olap {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY lvl, o_orderstatus, o_orderpriority""".stripMargin,
+
+
+    "q106_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey AS cust, max(o_orderdate) AS last_order,
+        |         CAST(count(*) AS BIGINT) AS freq,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |sc AS (
+        |  SELECT cust, spend,
+        |    CAST(ntile(5) OVER (ORDER BY last_order DESC, cust ASC) AS BIGINT) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY freq DESC, cust ASC) AS BIGINT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY spend DESC, cust ASC) AS BIGINT) AS m
+        |  FROM per)
+        |SELECT r, f, m, CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(spend) AS DOUBLE) AS revenue
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q107_cohort_revenue" ->
+      """WITH o AS (
+        |  SELECT o_custkey AS cust,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |c AS (SELECT cust, min(mon) AS cohort_month FROM o GROUP BY 1),
+        |cells AS (
+        |  SELECT c.cohort_month,
+        |         CAST(datediff('month', c.cohort_month, o.mon) AS BIGINT)
+        |           AS month_offset,
+        |         sum(o.p) AS rev
+        |  FROM o JOIN c ON c.cust = o.cust
+        |  GROUP BY 1, 2)
+        |SELECT strftime(cohort_month, '%Y-%m') AS cohort_month, month_offset,
+        |       CAST(rev AS DOUBLE) AS revenue,
+        |       CAST(sum(rev) OVER (PARTITION BY cohort_month
+        |                           ORDER BY month_offset
+        |                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         AS cum_revenue
+        |FROM cells ORDER BY 1, 2""".stripMargin,
 
     "q86_pivot" ->
       """SELECT user_id,

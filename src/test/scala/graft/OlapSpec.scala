@@ -55,6 +55,39 @@ class OlapSpec extends SparkSpec {
     assert(rows.length == totals.size)
   }
 
+  test("rfm: quintile marginals balance, revenue reconciles with deciles") {
+    val rows = Olap.q106RfmSegments(spark, sfDir()).collect()
+    val n = rows.map(_.getLong(3)).sum
+    // each score dimension partitions all customers into 5 near-equal bins
+    Seq(0, 1, 2).foreach { dim =>
+      val byScore = rows.groupBy(_.getLong(dim))
+        .view.mapValues(_.map(_.getLong(3)).sum)
+      assert(byScore.keySet == (1L to 5L).toSet, s"dim $dim missing scores")
+      assert(byScore.values.max - byScore.values.min <= 1, s"dim $dim skewed")
+    }
+    // total revenue equals the decile report's total (same money, 2 cuts)
+    val deciles = Olap.q91SpendDeciles(spark, sfDir()).collect()
+    assert(math.abs(rows.map(_.getDouble(4)).sum -
+      deciles.map(_.getDouble(3)).sum) < 1e-4)
+    assert(deciles.map(_.getLong(1)).sum == n)
+  }
+
+  test("cohort revenue: offset 0 everywhere, cumulative never decreases") {
+    val rows = Olap.q107CohortRevenue(spark, sfDir()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.head._2 == 0L, s"cohort $c lacks offset 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._4 >= a._4 - 1e-9, s"cohort $c cum decreases")
+        case _ =>
+      }
+      assert(math.abs(sorted.last._4 - rs.map(_._3).sum) < 1e-4,
+        s"cohort $c cum != sum of cells")
+    }
+  }
+
   test("cube: every grouping set present, margins sum to the grand total") {
     val rows = Olap.q95Cube(spark, sfDir()).collect()
     val byLvl = rows.groupBy(_.getLong(2))
