@@ -101,10 +101,33 @@ object Profile {
     skewProfile(Tables(spark, dir).lineitem
       .select(col("l_partkey").cast("long").as("k")), "k")
 
+  // ---------------------------------------------------------------- q105
+  /** Equi-DEPTH histogram (equal-population buckets) — the histogram
+    * shape query optimizers actually keep, complementing q93's
+    * equal-width bins: ntile splits the value order into
+    * [[HistBins]] near-equal buckets, each reported with its
+    * population and value range. Deterministic tie-break on the row
+    * key. The exact global ntile is the oracle-able form; at 100 TB
+    * the same report derives from `approx_percentile` cut points
+    * without the total sort (q91's documented swap). */
+  def q105EquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders
+      .select(col("o_totalprice").as("x"), col("o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").asc, col("o_orderkey").asc)
+    o.withColumn("bucket", ntile(HistBins).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("x")), 2).as("lo"),
+        round(max(col("x")), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_table_profile" -> (q83TableProfile _),
     "q93_value_histogram" -> (q93ValueHistogram _),
     "q102_skew_profile" -> (q102SkewProfile _),
+    "q105_equidepth_histogram" -> (q105EquidepthHistogram _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -147,5 +170,16 @@ object Profile {
          |       round(r.cnt * t.n_keys / t.n_rows, 6) AS x_mean
          |FROM r, t WHERE r.rank <= $SkewTopK
          |ORDER BY r.rank""".stripMargin,
+
+    "q105_equidepth_histogram" ->
+      s"""WITH b AS (
+         |  SELECT o_totalprice AS x,
+         |         CAST(ntile($HistBins) OVER (ORDER BY o_totalprice ASC,
+         |                                     o_orderkey ASC) AS BIGINT)
+         |           AS bucket
+         |  FROM orders)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+         |       round(min(x), 2) AS lo, round(max(x), 2) AS hi
+         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -40,6 +40,20 @@ class ProfileSpec extends SparkSpec {
     assert(out.values.forall(_._2 == 0L), "TPC-H columns are non-null")
   }
 
+  test("equi-depth histogram: near-equal populations, ordered disjoint ranges") {
+    val rows = Profile.q105EquidepthHistogram(spark, sfDir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to Profile.HistBins).toSeq)
+    val ns = rows.map(_._2)
+    assert(ns.max - ns.min <= 1, "ntile buckets must be near-equal")
+    assert(ns.sum == Tables(spark, sfDir()).orders.count())
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3 + 1e-9, "ranges must ascend")
+      case _ =>
+    }
+    rows.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+  }
+
   test("skew profile: ranked hot keys with exact shares and multiples") {
     import org.apache.spark.sql.functions._
     val rows = Profile.q102SkewProfile(spark, sfDir()).collect()
