@@ -176,6 +176,45 @@ object Olap {
       .orderBy("cohort_month", "month_offset")
   }
 
+  // ---------------------------------------------------------------- q108
+  /** TPC-H Q5 (local supplier volume) — the canonical multi-way
+    * analytical join, run through the engine as-is: six tables, a
+    * region filter and a date range both pushed to their scans,
+    * nation/region broadcast, customer/supplier AQE-sized, and the
+    * one genuinely fact-scale shuffle (lineitem⋈orders). The revenue
+    * term rounds each line's double product to 4dp and sums as
+    * DECIMAL, so the aggregate is accumulation-order-free and
+    * engine-exact (the library's money convention). */
+  val Q5Region = "ASIA"
+  val Q5Year = "1995"
+
+  def q108TpchQ5(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .select(col("l_orderkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast("decimal(18,4)").as("rev"))
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit(s"$Q5Year-01-01").cast("date") &&
+            col("o_orderdate") < lit(s"${Q5Year.toInt + 1}-01-01").cast("date"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(t.nation
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region
+          .filter(col("r_name") === Q5Region).select(col("r_regionkey"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_rollup" -> (q84Rollup _),
     "q85_moving_window" -> (q85MovingWindow _),
@@ -184,6 +223,7 @@ object Olap {
     "q95_cube" -> (q95Cube _),
     "q106_rfm_segments" -> (q106RfmSegments _),
     "q107_cohort_revenue" -> (q107CohortRevenue _),
+    "q108_tpch_q5" -> (q108TpchQ5 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -277,6 +317,20 @@ object Olap {
         |                           ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         AS cum_revenue
         |FROM cells ORDER BY 1, 2""".stripMargin,
+
+
+    "q108_tpch_q5" ->
+      s"""SELECT n.n_name,
+         |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM customer c, orders o, lineitem l, supplier s, nation n, region r
+         |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+         |  AND l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+         |  AND s.s_nationkey = n.n_nationkey AND n.n_regionkey = r.r_regionkey
+         |  AND r.r_name = '$Q5Region'
+         |  AND o.o_orderdate >= DATE '$Q5Year-01-01'
+         |  AND o.o_orderdate < DATE '${Q5Year.toInt + 1}-01-01'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
 
     "q86_pivot" ->
       """SELECT user_id,

@@ -147,6 +147,15 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one Window (the per-key fill):\n$p")
   }
 
+  test("q108: TPC-H Q5 pushes both filters to scans and broadcasts dims") {
+    val p = plan(graft.operators.Olap.q108TpchQ5(spark, sfDir()))
+    assert(p.contains("PushedFilters") && p.contains("o_orderdate"),
+      s"date range not pushed to the orders scan:\n$p")
+    assert(p.contains("r_name"), s"region filter missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in Q5:\n$p")
+  }
+
   test("q99: prefix-filtered set-sim join never degenerates to all-pairs") {
     val p = plan(graft.operators.SetSimJoin.q99SetsimJoin(spark, sfDir()))
     assert(!p.contains("CartesianProduct") &&
