@@ -1,7 +1,7 @@
 package graft.graph
 
 import scala.util.chaining._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Checkpoints, Tables}
 
@@ -501,16 +501,57 @@ object Algorithms {
   }
 
   /** One damped rank update (the loop body of [[pagerank]]),
-    * checkpointed. */
+    * checkpointed. `reset` is the per-node teleport mass — a constant
+    * 0.15 for global PageRank, source-indicator·0.15 for the
+    * personalized variant (it may reference the grouping key
+    * `node`). */
   private def prStep(nodes: DataFrame, edges: DataFrame,
-      outdeg: DataFrame, ranks: DataFrame): DataFrame =
+      outdeg: DataFrame, ranks: DataFrame,
+      reset: Column = lit(0.15)): DataFrame =
     nodes.select(col("node"))
       .join(edges.select(col("src"), col("dst")), col("dst") === col("node"), "left")
       .join(ranks.select(col("node").as("rn"), col("r")), col("rn") === col("src"), "left")
       .join(outdeg, col("od_node") === col("src"), "left")
       .groupBy(col("node"))
-      .agg((lit(0.15) + lit(0.85) * coalesce(sum(col("r") / col("od")), lit(0.0))).as("r"))
+      .agg((reset + lit(0.85) * coalesce(sum(col("r") / col("od")), lit(0.0))).as("r"))
       .pipe(Checkpoints.cut)
+
+  /** Personalized PageRank: teleport mass flows only to the source
+    * set, so rank measures proximity-weighted reachability FROM the
+    * sources — the recommendation/expansion primitive (Neo4j GDS
+    * exposes it beside global PageRank). Same join-agg body and
+    * checkpoint discipline as [[pagerank]]; only the reset column
+    * differs, and a node unreachable from every source holds rank
+    * exactly 0 at every iteration (spec-asserted). */
+  def personalizedPagerank(nodes: DataFrame, edges: DataFrame,
+      isSource: Column, iters: Int): DataFrame = {
+    val outdeg = edges.groupBy(col("src").as("od_node"))
+      .agg(count(lit(1)).as("od")).pipe(Checkpoints.cut)
+    var ranks = nodes
+      .select(col("node"), when(isSource, lit(1.0)).otherwise(lit(0.0)).as("r"))
+      .pipe(Checkpoints.cut)
+    val reset = when(isSource, lit(0.15)).otherwise(lit(0.0))
+    for (_ <- 1 to iters) {
+      val prev = ranks
+      ranks = prStep(nodes, edges, outdeg, prev, reset)
+      Checkpoints.release(prev)
+    }
+    Checkpoints.release(outdeg)
+    ranks
+  }
+
+  /** q109: PPR from the q13 source convention (node ≡ 0 mod 5),
+    * 5 iterations, 6dp. */
+  def q109PersonalizedPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val out = personalizedPagerank(TradeGraph.nodes(t).select("node"), e,
+        pmod(col("node"), lit(5L)) === lit(0L), 5)
+      .select(col("node"), round(col("r"), 6).as("ppr"))
+      .orderBy("node")
+    Checkpoints.release(e)
+    out
+  }
 
   /** PageRank to a TOLERANCE instead of a fixed budget — the scale
     * control for the reference's 100-iteration usage
@@ -835,6 +876,7 @@ object Algorithms {
     "q12_transitive_closure" -> (q12TransitiveClosure _),
     "q13_shortest_paths" -> (q13ShortestPaths _),
     "q14_pagerank" -> (q14Pagerank _),
+    "q109_personalized_pagerank" -> (q109PersonalizedPagerank _),
     "q15_connected_components" -> (q15ConnectedComponents _),
     "q16_scc" -> (q16Scc _),
     "q65_scc_top_partitions" -> (q65SccTopPartitions _),
@@ -894,6 +936,32 @@ object Algorithms {
        |SELECT node, round(r, 6) AS pagerank FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** [[pagerankSql]] with the teleport restricted to the q13 source
+    * set — the q109 mirror (same float-op order, engine-exact). */
+  private def pprSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CASE WHEN n.node % 5 = 0 THEN 0.15 ELSE 0.0 END
+         |           + 0.85 * COALESCE(SUM(p.r / o.od), 0.0) AS r
+         |  FROM nodes n
+         |  LEFT JOIN trade t ON t.dst = n.node
+         |  LEFT JOIN r${i - 1} p ON p.node = t.src
+         |  LEFT JOIN outdeg o ON o.node = t.src
+         |  GROUP BY n.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $T,
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |outdeg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS od
+       |           FROM trade GROUP BY 1),
+       |r0 AS (SELECT node,
+       |         CASE WHEN node % 5 = 0 THEN CAST(1.0 AS DOUBLE)
+       |              ELSE CAST(0.0 AS DOUBLE) END AS r FROM nodes),
+       |$steps
+       |SELECT node, round(r, 6) AS ppr FROM r$iters ORDER BY node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q11_khop" ->
       s"""WITH RECURSIVE $T,
@@ -939,6 +1007,7 @@ object Algorithms {
          |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q14_pagerank" -> pagerankSql(5),
+    "q109_personalized_pagerank" -> pprSql(5),
 
     "q67_weighted_shortest_paths" -> weightedSpSql(24),
 

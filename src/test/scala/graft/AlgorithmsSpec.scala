@@ -421,6 +421,24 @@ class AlgorithmsSpec extends SparkSpec {
     assert(outdeg.forall(_ <= 3))
   }
 
+  test("personalized pagerank: mass stays inside the source-reachable set") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 0→1→2 reachable from source 0; 3→4 is a separate component
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("node")
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val r = Algorithms.personalizedPagerank(nodes, edges,
+        col("node") === 0L, 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(3L) == 0.0 && r(4L) == 0.0, "unreachable nodes must hold 0")
+    assert(r(0L) >= 0.15, "the source keeps at least its teleport mass")
+    assert(r(1L) > r(2L), "mass decays with distance from the source")
+    // global pagerank gives every node nonzero rank — the variants differ
+    val g = Algorithms.pagerank(nodes, edges, 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(g(3L) > 0.0 && g(4L) > 0.0)
+  }
+
   test("q104 ranks agree with the full per-node triangle relation") {
     val t = Tables(spark, sfDir())
     val full = Algorithms.triangleCounts(
