@@ -346,6 +346,33 @@ object CorpusOps {
       .orderBy("lang", "cum_nt")
   }
 
+  // ---------------------------------------------------------------- q110
+  /** Word collocations: the top-[[CollocK]] adjacent-word bigrams by
+    * raw occurrence — the corpus statistic behind tokenizer-merge
+    * candidates and boilerplate discovery, complementing q56's
+    * unigram vocabulary. Bigrams are built IN-ROW (one transform over
+    * the word array — no per-word explode-then-self-join), so the
+    * only shuffle is the partial-agg count; the rank is a
+    * limit-then-number over [[CollocK]] rows. */
+  val CollocK = 20
+
+  def q110Collocations(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir)
+      .withColumn("words", split(col("s"), " "))
+      .filter(size(col("words")) >= 2)
+    val top = d
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1), " +
+          "i -> concat(words[i-1], ' ', words[i]))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc).limit(CollocK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("bigram").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("bigram"), col("n"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition_scores" -> (q45RepetitionScores _),
     "q46_decontamination" -> (q46Decontamination _),
@@ -357,6 +384,7 @@ object CorpusOps {
     "q57_curation_pipeline" -> (q57CurationPipeline _),
     "q60_length_profile" -> (q60LengthProfile _),
     "q97_token_budget_mix" -> (q97TokenBudgetMix _),
+    "q110_collocations" -> (q110Collocations _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -603,6 +631,20 @@ object CorpusOps {
          |WHERE u < $rateCase
          |ORDER BY doc_id""".stripMargin
     },
+
+
+    "q110_collocations" ->
+      s"""WITH ${TextOps.normCte},
+         |w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+         |bg AS (SELECT ws[i] || ' ' || ws[i + 1] AS bigram
+         |       FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0)))
+         |              AS t(i)),
+         |c AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n
+         |      FROM bg GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram ASC)
+         |            AS BIGINT) AS rank,
+         |       bigram, n
+         |FROM c ORDER BY n DESC, bigram ASC LIMIT $CollocK""".stripMargin,
 
     "q97_token_budget_mix" ->
       s"""WITH t AS (

@@ -186,6 +186,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cov.last <= 1.0 && cov.head > 0.0)
   }
 
+  test("q110 collocation counts match a hand count of the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = CorpusOps.q110Collocations(spark, sfDir()).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.length == CorpusOps.CollocK)
+    assert(rows.map(_._1).toSeq == (1L to CorpusOps.CollocK).toSeq)
+    val ns = rows.map(_._3)
+    ns.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo); case _ => }
+    // recount the top bigram by brute force over the normalized docs
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    graft.text.TextOps.docs(spark, sfDir()).select(col("s")).collect()
+      .foreach { r =>
+        val ws = r.getString(0).split(" ")
+        ws.sliding(2).foreach { case Array(a, b) =>
+          val k = s"$a $b"; counts(k) = counts.getOrElse(k, 0L) + 1
+        case _ => }
+      }
+    val bruteTop = counts.toSeq.sortBy { case (b, n) => (-n, b) }
+      .take(CorpusOps.CollocK)
+    assert(rows.map(r => (r._2, r._3)).toSeq == bruteTop)
+  }
+
   test("q97 keeps the maximal within-budget prefix of every stratum") {
     import org.apache.spark.sql.functions._
     val kept = CorpusOps.q97TokenBudgetMix(spark, sfDir()).collect()
