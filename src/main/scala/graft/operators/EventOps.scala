@@ -201,10 +201,8 @@ object EventOps {
     val changes = e
       .withColumn("prev", lag(col("event_type"), 1).over(byUser))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
-    val byUserChanges = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id").orderBy("ts_us", "event_id")
     changes
-      .withColumn("valid_to", lead(col("ts_us"), 1).over(byUserChanges))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(byUser))
       .select(col("user_id"), col("event_type").as("state"),
         col("ts_us").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))

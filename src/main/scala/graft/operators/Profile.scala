@@ -83,7 +83,12 @@ object Profile {
   val SkewTopK = 10
 
   def skewProfile(rows: DataFrame, key: String): DataFrame = {
-    val cnts = rows.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt"))
+    // per-key counts feed BOTH the scalar totals and the top-k path;
+    // materialized once so the fact table is scanned and aggregated
+    // once, not twice (broadcast below is explicit, so the cut's
+    // stats erasure is harmless)
+    val cnts = graft.Checkpoints.cut(
+      rows.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt")))
     val tot = cnts.agg(sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"))
     val w = org.apache.spark.sql.expressions.Window

@@ -58,13 +58,17 @@ object Skyline {
   def skyline(rows: DataFrame): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val cands = rows
+    // the candidate set is materialized once: the dominance anti-join
+    // references it on BOTH sides, and without the cut the broadcast
+    // and streamed evaluations would each re-run phase 1 (the full
+    // scan + sort + local scan — the query's dominant cost)
+    val cands = graft.Checkpoints.cut(rows
       .select(col("id").cast("long").as("id"), col("x").cast("double").as("x"),
         col("y").cast("double").as("y"))
       .as[SkyRow]
       .sortWithinPartitions(col("x").asc, col("y").desc)
       .mapPartitions(localSkyline _)
-      .toDF()
+      .toDF())
     cands.as("a").join(cands.as("b"),
         col("b.x") <= col("a.x") && col("b.y") >= col("a.y") &&
           (col("b.x") < col("a.x") || col("b.y") > col("a.y")),

@@ -95,9 +95,7 @@ object CorpusOps {
       when(col("lang") === l, lit(r)).otherwise(acc)
     }
     graft.Tables(spark, dir).documents
-      .withColumn("u",
-        expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
-          .cast("double") / 4294967296.0)
+      .withColumn("u", TextOps.md5Uniform(col("doc_id")))
       .filter(col("u") < rate)
       .select(col("doc_id"), col("lang"), col("source"), round(col("u"), 6).as("u"))
       .orderBy("doc_id")
@@ -264,9 +262,7 @@ object CorpusOps {
       .join(hits, Seq("doc_id"), "left")
       .withColumn("flagged", coalesce(col("flagged"), lit(false)))
       .na.fill(0L, Seq("n_hits"))
-      .withColumn("u",
-        expr("conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)")
-          .cast("double") / 4294967296.0)
+      .withColumn("u", TextOps.md5Uniform(col("doc_id")))
     val aliveCond = col("doc_id") >= BenchmarkCutoff &&
       !col("flagged") && col("n_hits") === 0
     val w = org.apache.spark.sql.expressions.Window

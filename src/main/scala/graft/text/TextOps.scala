@@ -310,9 +310,7 @@ object TextOps {
 
   def q98LeakSafeSplit(spark: SparkSession, dir: String): DataFrame =
     neardupClusters(spark, dir)
-      .withColumn("u",
-        expr("conv(substring(md5(cast(cluster as string)), 1, 8), 16, 10)")
-          .cast("double") / 4294967296.0)
+      .withColumn("u", md5Uniform(col("cluster")))
       .select(col("doc_id"), col("cluster"),
         when(col("u") < SplitEvalRate, "eval").otherwise("train").as("split"))
       .orderBy("doc_id")
@@ -447,6 +445,15 @@ object TextOps {
 
   /** DuckDB hex→BIGINT: positional nibble sum over `len` hex chars of
     * `hexExpr` starting at 1-based `start` (mirror of Spark's conv). */
+  /** md5-derived uniform in [0,1) from any key column — the library's
+    * ONE deterministic sampler (q47 stratified rates, q57's fate, q98's
+    * cluster-atomic split). Every consumer and every SQL mirror must
+    * track this exact shape (first 8 hex chars / 2^32); centralizing
+    * the Scala side keeps the copies from drifting. */
+  private[graft] def md5Uniform(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
   private[graft] def hexToLongSql(hexExpr: String, start: Int, len: Int): String =
     (0 until len).map { p =>
       val mult = math.pow(16, len - 1 - p).toLong

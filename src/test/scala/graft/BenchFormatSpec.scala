@@ -20,13 +20,17 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("compact line fits the tail window at worst-case widths") {
-    // worst realistic case: every query takes >100 s (6-char values)
-    // and none fail (failures shorten the map but grow `errors`).
-    val worst = names.map(n => (n, 123.456789, true))
-    val line = Bench.compactLine(worst, "/root/testdata/sf0.1")
-    assert(line.length <= 1800,
-      s"compact bench line is ${line.length} chars; the ~2000-char " +
-        "tail capture minus sbt footer leaves ~1900 — shrink the format")
+    // worst cases both ways: every query slow (6-char values, none
+    // fail), and every query FAILING (the errors array at its widest
+    // — the systemic-regression case where the report matters most)
+    val slow = names.map(n => (n, 123.456789, true))
+    val allFail = names.map(n => (n, 0.0, false))
+    Seq(slow, allFail).foreach { results =>
+      val line = Bench.compactLine(results, "/root/testdata/sf0.1")
+      assert(line.length <= 1800,
+        s"compact bench line is ${line.length} chars; the ~2000-char " +
+          "tail capture minus sbt footer leaves ~1900 — shrink the format")
+    }
   }
 
   test("compact and full lines agree on totals and error lists") {
@@ -37,8 +41,9 @@ class BenchFormatSpec extends AnyFunSuite {
     val compact = Bench.compactLine(results, "/x")
     val full = Bench.fullLine(results, "/x")
     assert(compact.contains(""""q38":5.0"""))
-    assert(compact.contains(""""q94":-1.0"""))
-    assert(compact.contains(""""errors":["q94_degree_distribution"]"""))
+    // failed queries live only in errors (qNN form), never in the map
+    assert(!compact.contains(""""q94":"""))
+    assert(compact.contains(""""errors":["q94"]"""))
     assert(full.contains(""""q38_louvain":4.9999"""))
     assert(full.contains(""""errors":["q94_degree_distribution"]"""))
     // both are the driver's schema: metric/value/unit/queries/errors/sf
