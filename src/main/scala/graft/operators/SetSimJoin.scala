@@ -61,7 +61,7 @@ object SetSimJoin {
       .join(sz, Seq("id"))
       .filter(col("r") <=
         col("nn") - ceil(lit(theta) * col("nn")).cast("long") + 1)
-      .select("id", "w")
+      .select("id", "w", "r", "nn")
     // candidates are NOT deduplicated before verification: a pair is
     // re-generated once per shared prefix token (≤ prefix length), and
     // a distinct here shuffles the full candidate stream through a
@@ -79,9 +79,26 @@ object SetSimJoin {
     // partitions costs one narrow-row shuffle and restores full
     // verify parallelism; the knob scales with the cluster (same
     // convention as CorpusOps.packShards), not a hard constant.
+    // PPJoin position filter, applied per GENERATION ROW before the
+    // verify joins: a pair found at prefix positions (rx, ry) can
+    // share at most 1 + min(na−rx, nb−ry) tokens, while jac ≥ θ
+    // forces at least ⌈θ/(1+θ)·(na+nb)⌉ shared. Rows failing the
+    // bound drop — Spark-side only, results provably unchanged: the
+    // generation at a true pair's MINIMAL shared token has the
+    // smallest (rx, ry) and therefore the LOOSEST bound, and for that
+    // row the bound is a valid overlap ceiling (all shared tokens sit
+    // at ranks ≥ rx in A and ≥ ry in B), so it always survives.
+    // Non-minimal duplicate generations may drop — pruning the dup
+    // verify work too. The brute-force-equality spec guards this.
+    val alpha = ceil(lit(theta / (1 + theta)) * (col("na") + col("nb")))
     val cand = pre.as("x").join(pre.as("y"),
         col("x.w") === col("y.w") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        col("x.r").as("rx"), col("y.r").as("ry"),
+        col("x.nn").as("na"), col("y.nn").as("nb"))
+      .filter(lit(1) + least(col("na") - col("rx"), col("nb") - col("ry"))
+        >= alpha)
+      .select("a", "b")
       .repartition(items.sparkSession.sessionState.conf.numShufflePartitions,
         col("a"), col("b"))
     val jac: Column =
