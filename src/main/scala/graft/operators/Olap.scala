@@ -215,6 +215,34 @@ object Olap {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  // ---------------------------------------------------------------- q111
+  /** Supplier market concentration per nation — the Herfindahl index
+    * (Σ share², 1.0 = monopoly) over each nation's supplier lineitem
+    * volume: the concentration report behind sourcing-risk reviews.
+    * Engine-exact by construction: HHI = Σcnt² / (Σcnt)², so the sum
+    * is over INTEGERS (order-free) and the only float op is the final
+    * division (the denominator squares in double — a BIGINT square
+    * would overflow at 100 TB volumes, identically in both engines'
+    * worst way). Two partial-agg passes; the supplier dim broadcasts. */
+  def q111SupplierHhi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val sc = t.lineitem.select(col("l_suppkey"))
+      .join(broadcast(t.supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
+      .agg(count(lit(1)).as("cnt"))
+    sc.groupBy("nk")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("cnt")).as("n_lines"),
+        sum(col("cnt") * col("cnt")).as("sumsq"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("nk") === col("n_nationkey"))
+      .select(col("n_name"), col("n_suppliers"), col("n_lines"),
+        round(col("sumsq").cast("double")
+          / (col("n_lines").cast("double") * col("n_lines")), 6).as("hhi"))
+      .orderBy(col("hhi").desc, col("n_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q84_rollup" -> (q84Rollup _),
     "q85_moving_window" -> (q85MovingWindow _),
@@ -224,6 +252,7 @@ object Olap {
     "q106_rfm_segments" -> (q106RfmSegments _),
     "q107_cohort_revenue" -> (q107CohortRevenue _),
     "q108_tpch_q5" -> (q108TpchQ5 _),
+    "q111_supplier_hhi" -> (q111SupplierHhi _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -341,5 +370,20 @@ object Olap {
         |       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q111_supplier_hhi" ->
+      """WITH sc AS (
+        |  SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2)
+        |SELECT n.n_name,
+        |       CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       CAST(sum(cnt) AS BIGINT) AS n_lines,
+        |       round(CAST(sum(cnt * cnt) AS DOUBLE)
+        |             / (CAST(sum(cnt) AS DOUBLE) * sum(cnt)), 6) AS hhi
+        |FROM sc JOIN nation n ON sc.nk = n.n_nationkey
+        |GROUP BY n.n_name
+        |ORDER BY hhi DESC, n.n_name ASC""".stripMargin,
   )
 }

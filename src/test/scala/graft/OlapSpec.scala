@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Olap
+import org.apache.spark.sql.functions.col
 
 class OlapSpec extends SparkSpec {
 
@@ -86,6 +87,24 @@ class OlapSpec extends SparkSpec {
       assert(math.abs(sorted.last._4 - rs.map(_._3).sum) < 1e-4,
         s"cohort $c cum != sum of cells")
     }
+  }
+
+  test("supplier hhi: bounded by [1/n, 1], reconciles with lineitem volume") {
+    val rows = Olap.q111SupplierHhi(spark, sfDir()).collect()
+    val t = Tables(spark, sfDir())
+    // one row per nation that has at least one supplier with lineitem volume
+    val expected = t.lineitem.select("l_suppkey")
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .select("s_nationkey").distinct().count()
+    assert(rows.length == expected)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val hhi = r.getDouble(3)
+      // Σ share² is minimized at perfect equality (1/n), maximized at 1
+      assert(hhi >= 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-9, r.getString(0))
+    }
+    // every lineitem is attributed to exactly one nation
+    assert(rows.map(_.getLong(2)).sum == t.lineitem.count())
   }
 
   test("cube: every grouping set present, margins sum to the grand total") {
