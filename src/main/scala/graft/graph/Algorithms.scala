@@ -2,6 +2,7 @@ package graft.graph
 
 import scala.util.chaining._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Checkpoints, Tables}
 
@@ -864,7 +865,121 @@ object Algorithms {
       .orderBy("component")
   }
 
+  // ---------------------------------------------------------------- q112
+  /** Label propagation — the OTHER standard community detector beside
+    * Louvain (the reference's community-detection use,
+    * documentation/queries.md:82-98; Neo4j GDS ships both). Each
+    * sweep, a node adopts the most frequent label among its
+    * neighbors, ties broken toward the SMALLEST label; isolated nodes
+    * keep their own. Two determinism hardenings make a fixed sweep
+    * budget hash-reproducible in ANSI SQL: the total (count desc,
+    * label asc) tie order, and SEMI-synchronous parity gating — only
+    * nodes with `node % 2 == sweep % 2` update each sweep, which
+    * kills synchronous LPA's classic two-node label oscillation
+    * (the same gating [[Louvain]] uses). All-integer ops, so the
+    * unrolled-CTE oracle is exact at any scale factor.
+    *
+    * Scale: per sweep one shuffle keyed by edge target (the label
+    * count) and one argmax window over the AGGREGATED (node, label)
+    * relation — bounded by the live label diversity per node, never
+    * raw-edge-scale rows through a window. */
+  def labelPropagation(nodes: DataFrame, undirected: DataFrame,
+      sweeps: Int): DataFrame = {
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .pipe(Checkpoints.cut)
+    for (s <- 1 to sweeps) {
+      val prev = labels
+      val counts = undirected
+        .join(prev.select(col("node").as("nbr"), col("label")),
+          col("nbr") === col("dst"))
+        .groupBy(col("src"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("c").desc, col("label").asc)
+      val winner = counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src"), col("label").as("wlab"))
+      labels = prev
+        .join(winner, col("src") === col("node"), "left")
+        .select(col("node"),
+          when(col("node") % 2 === lit(s % 2),
+            coalesce(col("wlab"), col("label")))
+            .otherwise(col("label")).as("label"))
+        .pipe(Checkpoints.cut)
+      Checkpoints.release(prev)
+    }
+    labels
+  }
+
+  val LpaSweeps = 6
+
+  // ---------------------------------------------------------------- q113
+  /** HITS hubs & authorities (Kleinberg) — the centrality pair beside
+    * PageRank in the reference's "node rank" family
+    * (documentation/queries.md:55-64): authority = Σ hub over
+    * in-edges, hub = Σ authority over out-edges, alternating. Each
+    * half-step normalizes by the MAX score instead of the usual L2
+    * norm: max is accumulation-order-free (a float `sum` over all
+    * nodes would hash-drift between engines; a max cannot), so the
+    * unrolled-CTE oracle is engine-exact under the same 6dp rounding
+    * discipline as [[pagerank]]. Per half-step: one shuffle keyed by
+    * the edge endpoint + one scalar-max broadcast — the plan scales
+    * exactly like a PageRank iteration. */
+  def hits(nodes: DataFrame, edges: DataFrame,
+      iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    def half(scores: DataFrame, in: String, out: String,
+        from: String, to: String): DataFrame = {
+      val raw = nodes.select(col("node"))
+        .join(e, col(to) === col("node"), "left")
+        .join(scores.select(col("node").as("sn"), col(in)),
+          col("sn") === col(from), "left")
+        .groupBy(col("node"))
+        .agg(coalesce(sum(col(in)), lit(0.0)).as("raw"))
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(col("node"), (col("raw") / col("mx")).as(out))
+        .pipe(Checkpoints.cut)
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("hub"))
+      .pipe(Checkpoints.cut)
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val prevAuth = auth
+      auth = half(hub, "hub", "auth", "src", "dst")
+      if (prevAuth != null) Checkpoints.release(prevAuth)
+      val prevHub = hub
+      hub = half(auth, "auth", "hub", "dst", "src")
+      Checkpoints.release(prevHub)
+    }
+    val outDf = auth.join(hub, Seq("node"))
+    outDf
+  }
+
+  val HitsIters = 4
+
+  def q113Hits(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val out = hits(TradeGraph.nodes(t).select("node"), e, HitsIters)
+      .select(col("node"), round(col("hub"), 6).as("hub"),
+        round(col("auth"), 6).as("auth"))
+      .orderBy("node")
+    Checkpoints.release(e)
+    out
+  }
+
+  def q112LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val u = TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut)
+    val out = labelPropagation(TradeGraph.nodes(t).select("node"), u, LpaSweeps)
+    Checkpoints.release(u)
+    out.orderBy("node")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_label_propagation" -> (q112LabelPropagation _),
+    "q113_hits" -> (q113Hits _),
     "q11_khop" -> (q11Khop _),
     "q19_dependency_chains" -> (q19DependencyChains _),
     "q66_longest_chains" -> (q66LongestChains _),
@@ -962,7 +1077,79 @@ object Algorithms {
        |SELECT node, round(r, 6) AS ppr FROM r$iters ORDER BY node""".stripMargin
   }
 
+  /** Unrolled semi-synchronous LPA l0..lN — the q112 mirror. Every
+    * CTE MATERIALIZED: l(t−1) appears twice per step and DuckDB
+    * inlines plain CTEs, so an unmaterialized unroll re-expands the
+    * whole chain exponentially (same reason as [[weightedSpSql]]). */
+  private def lpaSql(sweeps: Int): String = {
+    val steps = (1 to sweeps).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT p.node,
+         |         CASE WHEN p.node % 2 = ${i % 2}
+         |              THEN COALESCE(w.lab, p.label) ELSE p.label
+         |         END AS label
+         |  FROM l${i - 1} p
+         |  LEFT JOIN (
+         |    SELECT src, lab FROM (
+         |      SELECT c.src, c.lab,
+         |             row_number() OVER (PARTITION BY c.src
+         |                                ORDER BY c.c DESC, c.lab ASC) AS rn
+         |      FROM (SELECT u.src, l.label AS lab,
+         |                   CAST(count(*) AS BIGINT) AS c
+         |            FROM und u JOIN l${i - 1} l ON l.node = u.dst
+         |            GROUP BY 1, 2) c) z
+         |    WHERE rn = 1) w ON w.src = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $T,
+       |$U,
+       |und AS MATERIALIZED (SELECT src, dst FROM undirected),
+       |l0 AS MATERIALIZED (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS node,
+       |         CAST(n_nationkey AS BIGINT) AS label FROM nation),
+       |$steps
+       |SELECT node, label FROM l$sweeps ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled HITS mirror: per half-step a raw-sum CTE + a
+    * max-normalized CTE (scalar subquery — DuckDB evaluates it once
+    * over the MATERIALIZED raw relation). Same float-op order as
+    * [[hits]]; only sums bounded by node degree, never a global
+    * float sum. */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).flatMap { i =>
+      Seq(
+        s"""a${i}r AS MATERIALIZED (
+           |  SELECT n.node, COALESCE(SUM(h.hub), 0.0) AS raw
+           |  FROM nodes n
+           |  LEFT JOIN trade t ON t.dst = n.node
+           |  LEFT JOIN h${i - 1} h ON h.node = t.src
+           |  GROUP BY n.node)""".stripMargin,
+        s"""a$i AS MATERIALIZED (
+           |  SELECT node, raw / (SELECT max(raw) FROM a${i}r) AS auth
+           |  FROM a${i}r)""".stripMargin,
+        s"""h${i}r AS MATERIALIZED (
+           |  SELECT n.node, COALESCE(SUM(a.auth), 0.0) AS raw
+           |  FROM nodes n
+           |  LEFT JOIN trade t ON t.src = n.node
+           |  LEFT JOIN a$i a ON a.node = t.dst
+           |  GROUP BY n.node)""".stripMargin,
+        s"""h$i AS MATERIALIZED (
+           |  SELECT node, raw / (SELECT max(raw) FROM h${i}r) AS hub
+           |  FROM h${i}r)""".stripMargin)
+    }.mkString(",\n")
+    s"""WITH $T,
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |h0 AS MATERIALIZED (
+       |  SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+       |$steps
+       |SELECT a.node, round(h.hub, 6) AS hub, round(a.auth, 6) AS auth
+       |FROM a$iters a JOIN h$iters h ON h.node = a.node
+       |ORDER BY a.node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q112_label_propagation" -> lpaSql(LpaSweeps),
+    "q113_hits" -> hitsSql(HitsIters),
     "q11_khop" ->
       s"""WITH RECURSIVE $T,
          |bfs AS (

@@ -28,6 +28,36 @@ class AlgorithmsSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 4L))
   }
 
+  test("label propagation: triangles collapse, pairs agree, isolates keep") {
+    // triangle {1,2,3}, pair {10,11}, isolated 20 — parity gating must
+    // converge the pair (synchronous LPA would oscillate it forever)
+    val ns = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val u = und.union(und.select(col("dst"), col("src")))
+    val lab = Algorithms.labelPropagation(ns, u, Algorithms.LpaSweeps)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab(1L) == lab(2L) && lab(2L) == lab(3L), "triangle unifies")
+    assert(lab(1L) == 1L, "ties break toward the smallest label")
+    assert(lab(10L) == lab(11L), "pair must converge, not oscillate")
+    assert(lab(20L) == 20L, "isolated node keeps its own label")
+  }
+
+  test("hits: sources have zero authority, sinks zero hub, max is 1") {
+    // 1→3, 2→3, 3→4: node 3 is the sole strong hub-and-authority mix,
+    // 1/2 are pure sources (auth 0), 4 is a pure sink (hub 0)
+    val ns = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val es = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val h = Algorithms.hits(ns, es, Algorithms.HitsIters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(h.values.forall { case (a, hb) =>
+      a >= 0.0 && a <= 1.0 && hb >= 0.0 && hb <= 1.0 })
+    assert(h(1L)._1 == 0.0 && h(2L)._1 == 0.0, "pure sources: auth 0")
+    assert(h(4L)._2 == 0.0, "pure sink: hub 0")
+    assert(h(3L)._1 == 1.0, "node 3 is the top authority")
+    assert(h.values.map(_._2).max == 1.0, "hub scores max-normalized")
+  }
+
   test("pagerank: no-in-edge nodes hold the base 0.15; iterates stably") {
     val pr = Algorithms.pagerank(nodes, edges, 5)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
