@@ -76,9 +76,62 @@ object TermOps {
   def q75UnigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramLogprob(TextOps.docs(spark, dir))
 
+  // ---------------------------------------------------------------- q114
+  /** Okapi BM25 retrieval: score every document against a fixed query
+    * term set and return the top-[[Bm25TopK]] — the classical lexical
+    * ranker behind corpus search and retrieval-based decontamination
+    * (find the training docs a benchmark query would surface).
+    * k1 = 1.2, b = 0.75, idf = ln((N − df + 0.5)/(df + 0.5) + 1) (the
+    * always-positive BM25+ form).
+    *
+    * Float contract: each term's contribution is rounded to 6dp and
+    * DECIMAL-summed (accumulation-order-free), the same money
+    * convention as q108; idf/avgdl mirror the oracle's expression
+    * order exactly. Scale shape: tf is one wordcount partial agg over
+    * ONLY the query terms (the `isin` prunes at the scan); the
+    * df/idf side is bounded by the literal query-term count, so the
+    * broadcast hint is by-construction safe; the per-doc length join
+    * is doc-keyed. Nothing touches the unbounded vocabulary. */
+  val Bm25Terms: Seq[String] = Seq("spark", "hash", "window", "merge")
+  val Bm25TopK = 20
+
+  def bm25(docs: DataFrame, terms: Seq[String], topK: Int): DataFrame = {
+    val words = docs.select(col("doc_id"),
+      explode(split(col("s"), " ")).as("word"))
+    val dl = docs.select(col("doc_id"),
+      size(split(col("s"), " ")).cast("long").as("dl"))
+    val sc = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val tf = words.filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(sc))
+      .select(col("word"),
+        log((col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)).as("idf"),
+        col("avgdl"))
+    tf.join(broadcast(idf), "word")
+      .join(dl, "doc_id")
+      .withColumn("contrib",
+        round(col("idf") * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))), 6)
+          .cast("decimal(18,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("contrib")).cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  def q114Bm25(spark: SparkSession, dir: String): DataFrame =
+    bm25(TextOps.docs(spark, dir), Bm25Terms, Bm25TopK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_tfidf_terms" -> (q74TfidfTerms _),
     "q75_unigram_logprob" -> (q75UnigramLogprob _),
+    "q114_bm25" -> (q114Bm25 _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -114,5 +167,36 @@ object TermOps {
          |FROM wu w JOIN freq f USING (word), tot
          |GROUP BY w.doc_id
          |ORDER BY w.doc_id""".stripMargin,
+
+    "q114_bm25" ->
+      s"""WITH ${TextOps.normCte},
+         |wu AS (SELECT doc_id, unnest(string_split(s, ' ')) AS word FROM n),
+         |dl AS (SELECT doc_id,
+         |              CAST(len(string_split(s, ' ')) AS BIGINT) AS dl
+         |       FROM n),
+         |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |       FROM dl),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |       FROM wu
+         |       WHERE word IN (${Bm25Terms.map("'" + _ + "'").mkString(", ")})
+         |       GROUP BY 1, 2),
+         |idf AS (SELECT word,
+         |               ln((sc.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+         |               sc.avgdl AS avgdl
+         |        FROM (SELECT word, CAST(count(*) AS BIGINT) AS df
+         |              FROM tf GROUP BY 1) d, sc),
+         |term AS (SELECT t.doc_id,
+         |                CAST(round(i.idf * (t.tf * 2.2)
+         |                  / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / i.avgdl)), 6)
+         |                  AS DECIMAL(18,6)) AS contrib
+         |         FROM tf t
+         |         JOIN idf i USING (word)
+         |         JOIN dl l ON l.doc_id = t.doc_id)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |       CAST(sum(contrib) AS DOUBLE) AS score
+         |FROM term GROUP BY 1
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT $Bm25TopK""".stripMargin,
   )
 }

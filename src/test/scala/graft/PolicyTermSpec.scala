@@ -52,6 +52,22 @@ class PolicyTermSpec extends SparkSpec {
       (2L, 2L, "a", 0.0)))
   }
 
+  test("bm25: tf monotone at equal length, termless docs absent") {
+    val d = frame(
+      1L -> "spark spark spark pad pad",
+      2L -> "spark pad pad pad pad",
+      3L -> "pad pad pad pad pad",
+      4L -> "spark hash window merge")
+    val rows = TermOps.bm25(d, TermOps.Bm25Terms, TermOps.Bm25TopK)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!rows.contains(3L), "doc without query terms never scores")
+    assert(rows(1L)._2 > rows(2L)._2,
+      "higher tf at equal length must outscore")
+    assert(rows(4L)._1 == 4L, "all four query terms matched")
+    assert(rows.values.forall(_._2 > 0.0), "BM25+ idf keeps scores positive")
+  }
+
   test("unigram logprob: hand-computed NLL on a two-doc corpus") {
     val d = frame(1L -> "a b", 2L -> "a c")
     val out = TermOps.unigramLogprob(d).collect()
