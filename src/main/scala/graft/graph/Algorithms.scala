@@ -969,6 +969,51 @@ object Algorithms {
     out
   }
 
+  // ---------------------------------------------------------------- q115
+  /** Link-prediction suite: common neighbors, Jaccard, Adamic-Adar
+    * for candidate pairs — the rest of the GDS link-prediction family
+    * beside q17's preferential attachment. Candidates are generated
+    * by WEDGE ENUMERATION (pairs sharing ≥1 neighbor, found by
+    * joining the undirected edge list on the shared endpoint) — the
+    * triangle-counting shape that scales as Σ deg(w)², never the
+    * O(V²) all-pairs cross join; pairs with no common neighbor score
+    * 0 on every metric and are correctly absent. Adamic-Adar's float
+    * sum Σ 1/ln(deg(w)) is rounded per-wedge and DECIMAL-summed
+    * (order-free, q108's money convention); a wedge center always has
+    * deg ≥ 2 so ln(deg) > 0. Top-20 by (jaccard, then pair). */
+  def linkPrediction(undirected: DataFrame, topK: Int): DataFrame = {
+    val u = undirected.select(col("src"), col("dst"))
+    val deg = u.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val wedge = u.select(col("src").as("w"), col("dst").as("u"))
+      .join(u.select(col("src").as("w2"), col("dst").as("v")),
+        col("w") === col("w2") && col("u") < col("v"))
+    val cn = wedge
+      .join(deg.select(col("node"), col("deg").as("wdeg")),
+        col("node") === col("w"))
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(round(lit(1.0) / log(col("wdeg")), 6)
+          .cast("decimal(18,6)")).cast("double").as("adamic_adar"))
+    cn.join(deg.select(col("node").as("un"), col("deg").as("du")),
+        col("un") === col("u"))
+      .join(deg.select(col("node").as("vn"), col("deg").as("dv")),
+        col("vn") === col("v"))
+      .select(col("u"), col("v"), col("cn"),
+        round(col("cn").cast("double")
+          / (col("du") + col("dv") - col("cn")), 6).as("jaccard"),
+        col("adamic_adar"))
+      .orderBy(col("jaccard").desc, col("u").asc, col("v").asc)
+      .limit(topK)
+  }
+
+  val LinkPredTopK = 20
+
+  def q115LinkPrediction(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    linkPrediction(TradeGraph.undirectedEdges(t), LinkPredTopK)
+  }
+
   def q112LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val u = TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut)
@@ -980,6 +1025,7 @@ object Algorithms {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_label_propagation" -> (q112LabelPropagation _),
     "q113_hits" -> (q113Hits _),
+    "q115_link_prediction" -> (q115LinkPrediction _),
     "q11_khop" -> (q11Khop _),
     "q19_dependency_chains" -> (q19DependencyChains _),
     "q66_longest_chains" -> (q66LongestChains _),
@@ -1150,6 +1196,31 @@ object Algorithms {
   val oracleSql: Map[String, String] = Map(
     "q112_label_propagation" -> lpaSql(LpaSweeps),
     "q113_hits" -> hitsSql(HitsIters),
+
+    "q115_link_prediction" ->
+      s"""WITH $T,
+         |$U,
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM undirected GROUP BY 1),
+         |wedge AS (
+         |  SELECT e1.src AS w, e1.dst AS u, e2.dst AS v
+         |  FROM undirected e1
+         |  JOIN undirected e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+         |cn AS (
+         |  SELECT wg.u, wg.v, CAST(count(*) AS BIGINT) AS cn,
+         |         CAST(sum(CAST(round(1.0 / ln(d.deg), 6)
+         |                       AS DECIMAL(18,6))) AS DOUBLE) AS adamic_adar
+         |  FROM wedge wg JOIN deg d ON d.node = wg.w
+         |  GROUP BY 1, 2)
+         |SELECT c.u, c.v, c.cn,
+         |       round(CAST(c.cn AS DOUBLE)
+         |             / (du.deg + dv.deg - c.cn), 6) AS jaccard,
+         |       c.adamic_adar
+         |FROM cn c
+         |JOIN deg du ON du.node = c.u
+         |JOIN deg dv ON dv.node = c.v
+         |ORDER BY jaccard DESC, u ASC, v ASC
+         |LIMIT $LinkPredTopK""".stripMargin,
     "q11_khop" ->
       s"""WITH RECURSIVE $T,
          |bfs AS (

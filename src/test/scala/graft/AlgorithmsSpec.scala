@@ -43,6 +43,22 @@ class AlgorithmsSpec extends SparkSpec {
     assert(lab(20L) == 20L, "isolated node keeps its own label")
   }
 
+  test("link prediction: 4-cycle diagonals score jaccard 1, hand AA") {
+    // square 1-2-3-4-1: only the diagonals share neighbors (both of
+    // them), adjacent pairs share none and must be absent
+    val und0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val und = und0.union(und0.select(col("dst"), col("src")))
+    val rows = Algorithms.linkPrediction(und, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(rows.keySet == Set((1L, 3L), (2L, 4L)))
+    val aa = 2 * BigDecimal(1.0 / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.values.foreach { case (cn, jac, adar) =>
+      assert(cn == 2L && jac == 1.0 && math.abs(adar - aa) < 1e-9)
+    }
+  }
+
   test("hits: sources have zero authority, sinks zero hub, max is 1") {
     // 1→3, 2→3, 3→4: node 3 is the sole strong hub-and-authority mix,
     // 1/2 are pure sources (auth 0), 4 is a pure sink (hub 0)
