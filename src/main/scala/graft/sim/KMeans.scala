@@ -140,9 +140,54 @@ object KMeans {
       .orderBy("q_vec", "rank")
   }
 
+  // ---------------------------------------------------------------- q116
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication over the embedding space. The trained k-means
+    * cells are the BLOCKING structure — exact cosine runs only
+    * WITHIN a cell, dup pairs (cos ≥ [[SemDedupTau]]) are clustered
+    * by connected components, and each cluster keeps its minimum-id
+    * representative. The within-cell restriction is the method's
+    * defining trade: cross-cell dup pairs are missed in exchange for
+    * ~k× less pair work — at 100 TB, k scales with the corpus so a
+    * cell stays a few thousand vectors and the in-cell join stays
+    * bounded; the CC loop runs over PAIRED vectors only (q44's
+    * singleton discipline). τ is tuned to this synthetic corpus's
+    * near-random similarity tail (0.42 keeps a stable dup signal at
+    * every SF); a real embedding corpus runs 0.9+. */
+  val SemDedupTau = 0.42
+
+  def q116SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val assign = assignments(v, K, Iters)
+    val withE = assign.join(v, "vec_id")
+    val pairs = withE.as("x").join(withE.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        Similarity.cosine(col("x.e"), col("y.e")).as("sim"))
+      .filter(col("sim") >= SemDedupTau)
+      .select("a", "b")
+      .pipe(Checkpoints.cut)
+    Checkpoints.release(assign)
+    val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .toDF("src", "dst")
+    val paired = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node"))).distinct()
+    val comp = graft.graph.Algorithms.connectedComponents(paired, und)
+    val out = v.select(col("vec_id"))
+      .join(comp.select(col("node").as("vec_id"), col("component")),
+        Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+      .withColumn("is_rep",
+        (col("cluster") === col("vec_id")).cast("long"))
+      .orderBy("vec_id")
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_kmeans" -> (q48Kmeans _),
     "q49_sim_ann_ivf_trained" -> (q49IvfTrainedSearch _),
+    "q116_semantic_dedup" -> (q116SemanticDedup _),
   )
 
   /** Unrolled Lloyd iterations as chained CTEs (exact mirror of
@@ -236,8 +281,43 @@ object KMeans {
        |WHERE rank <= $TopK
        |ORDER BY q_vec, rank""".stripMargin
 
+  /** Mirror of [[q116SemanticDedup]]: lloyd assignment → in-cell
+    * pairs → cosine threshold → recursive min-label reach (q44's CC
+    * shape) → singleton labeling via the left-join-free reach base
+    * (every vector seeds its own reach row). */
+  private def semanticDedupSql(k: Int, iters: Int): String =
+    s"""WITH RECURSIVE ${lloydCtes(k, iters)},
+       |nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM vv GROUP BY 1),
+       |cand AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b
+       |  FROM a$iters x JOIN a$iters y
+       |    ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |dp AS (
+       |  SELECT c.a, c.b, sum(xa.x * xb.x) AS dp
+       |  FROM cand c
+       |  JOIN vv xa ON xa.vec_id = c.a
+       |  JOIN vv xb ON xb.vec_id = c.b AND xb.i = xa.i
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT d.a, d.b FROM dp d
+       |  JOIN nrm na ON na.vec_id = d.a
+       |  JOIN nrm nb ON nb.vec_id = d.b
+       |  WHERE d.dp / (na.nrm * nb.nrm) >= $SemDedupTau),
+       |und AS (SELECT a AS src, b AS dst FROM pairs
+       |        UNION SELECT b, a FROM pairs),
+       |reach AS (
+       |  SELECT vec_id AS node, vec_id AS peer FROM v
+       |  UNION
+       |  SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.peer
+       |)
+       |SELECT node AS vec_id, CAST(min(peer) AS BIGINT) AS cluster,
+       |       CAST(CASE WHEN min(peer) = node THEN 1 ELSE 0 END AS BIGINT)
+       |         AS is_rep
+       |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q48_kmeans" -> kmeansSql(K, Iters),
     "q49_sim_ann_ivf_trained" -> ivfTrainedSql(K, Iters),
+    "q116_semantic_dedup" -> semanticDedupSql(K, Iters),
   )
 }

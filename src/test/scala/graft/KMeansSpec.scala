@@ -135,4 +135,23 @@ class KMeansSpec extends SparkSpec {
     assert(mean >= KMeans.NProbe.toDouble / KMeans.K * 0.5,
       f"recall collapsed: $mean%.3f")
   }
+
+  test("q116 semantic dedup: partition, min-id reps, real dup signal") {
+    val rows = KMeans.q116SemanticDedup(spark, sfDir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == vecs.count(), "every vector is labeled")
+    val byCluster = rows.groupBy(_._2)
+    byCluster.foreach { case (c, members) =>
+      assert(members.map(_._1).min == c, s"cluster $c not min-id labeled")
+      members.foreach { case (id, _, rep) =>
+        assert((rep == 1L) == (id == c), s"rep flag wrong for $id")
+      }
+    }
+    // τ is tuned so the synthetic corpus yields dup structure at
+    // every SF — a vacuously all-singleton result must fail
+    assert(rows.count(_._3 == 0L) > 0, "no semantic dups found")
+    // every dropped vector shares its cluster's cell-blocked origin:
+    // its representative is strictly smaller
+    rows.filter(_._3 == 0L).foreach { case (id, c, _) => assert(c < id) }
+  }
 }
