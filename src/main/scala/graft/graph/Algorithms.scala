@@ -1014,6 +1014,37 @@ object Algorithms {
     linkPrediction(TradeGraph.undirectedEdges(t), LinkPredTopK)
   }
 
+  // ---------------------------------------------------------------- q117
+  /** Degree assortativity (Newman's r): the Pearson correlation of
+    * endpoint degrees over the symmetrized edge list — do high-degree
+    * nodes link to each other (r>0, social-style) or to leaves (r<0,
+    * hub-and-spoke/dependency-style)? Engine-exact by construction:
+    * with j,k the endpoint degrees and M the directed edge count,
+    * r = (M·Σjk − Σj·Σj) / (M·Σj² − Σj·Σj) after clearing the 1/M
+    * normalizations — every sum is a BIGINT (order-free), the only
+    * float op is the terminal division. One degree agg + one
+    * edge-keyed join + one scalar agg; nothing beyond edge scale. */
+  def degreeAssortativity(undirected: DataFrame): DataFrame = {
+    val deg = undirected.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    undirected
+      .join(deg.select(col("node").as("sn"), col("deg").as("j")),
+        col("sn") === col("src"))
+      .join(deg.select(col("node").as("dn"), col("deg").as("k")),
+        col("dn") === col("dst"))
+      .agg(count(lit(1)).as("m"),
+        sum(col("j") * col("k")).as("sjk"),
+        sum(col("j")).as("sj"),
+        sum(col("j") * col("j")).as("sjj"))
+      .select(col("m").as("m_edges"),
+        round((col("sjk") * col("m") - col("sj") * col("sj")).cast("double")
+          / (col("sjj") * col("m") - col("sj") * col("sj")), 6)
+          .as("assortativity"))
+  }
+
+  def q117DegreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    degreeAssortativity(TradeGraph.undirectedEdges(Tables(spark, dir)))
+
   def q112LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val u = TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut)
@@ -1026,6 +1057,7 @@ object Algorithms {
     "q112_label_propagation" -> (q112LabelPropagation _),
     "q113_hits" -> (q113Hits _),
     "q115_link_prediction" -> (q115LinkPrediction _),
+    "q117_degree_assortativity" -> (q117DegreeAssortativity _),
     "q11_khop" -> (q11Khop _),
     "q19_dependency_chains" -> (q19DependencyChains _),
     "q66_longest_chains" -> (q66LongestChains _),
@@ -1221,6 +1253,25 @@ object Algorithms {
          |JOIN deg dv ON dv.node = c.v
          |ORDER BY jaccard DESC, u ASC, v ASC
          |LIMIT $LinkPredTopK""".stripMargin,
+
+    "q117_degree_assortativity" ->
+      s"""WITH $T,
+         |$U,
+         |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+         |        FROM undirected GROUP BY 1),
+         |e AS (SELECT dj.deg AS j, dk.deg AS k
+         |      FROM undirected u
+         |      JOIN deg dj ON dj.node = u.src
+         |      JOIN deg dk ON dk.node = u.dst),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m,
+         |              CAST(sum(j * k) AS BIGINT) AS sjk,
+         |              CAST(sum(j) AS BIGINT) AS sj,
+         |              CAST(sum(j * j) AS BIGINT) AS sjj
+         |       FROM e)
+         |SELECT m AS m_edges,
+         |       round(CAST(sjk * m - sj * sj AS DOUBLE)
+         |             / (sjj * m - sj * sj), 6) AS assortativity
+         |FROM mm""".stripMargin,
     "q11_khop" ->
       s"""WITH RECURSIVE $T,
          |bfs AS (

@@ -59,6 +59,14 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("assortativity: a pure star is exactly -1") {
+    val und0 = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val und = und0.union(und0.select(col("dst"), col("src")))
+    val r = Algorithms.degreeAssortativity(und).collect().head
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) == -1.0, "hub-leaf mixing is maximally disassortative")
+  }
+
   test("hits: sources have zero authority, sinks zero hub, max is 1") {
     // 1→3, 2→3, 3→4: node 3 is the sole strong hub-and-authority mix,
     // 1/2 are pure sources (auth 0), 4 is a pure sink (hub 0)
