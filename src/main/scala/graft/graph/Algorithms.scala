@@ -1014,6 +1014,103 @@ object Algorithms {
     linkPrediction(TradeGraph.undirectedEdges(t), LinkPredTopK)
   }
 
+  // ---------------------------------------------------------------- q118
+  /** Brandes betweenness centrality, all sources processed as ONE
+    * batch keyed by (source, node) — the "how often does this node
+    * sit on shortest paths" centrality beside PageRank/HITS in the
+    * reference's node-rank family (documentation/queries.md:55-64).
+    *
+    * Forward: level-synchronous BFS accumulating σ(s,v) = #shortest
+    * paths — all INTEGER, one frontier⋈edges join + one (s,v) agg
+    * per hop. Backward: Brandes' dependency
+    * δ(s,v) = Σ_succ σ(s,v)/σ(s,w)·(1+δ(s,w)), one level per step —
+    * per-(s,v) float sums are bounded by out-degree (the PageRank
+    * contract, green for 5 rounds); the cross-SOURCE sum
+    * BC(v) = Σ_{s≠v} δ(s,v) is the order-sensitive one, so each δ is
+    * rounded to 9dp and DECIMAL-summed (order-free).
+    *
+    * Scale: `sources` is a parameter — exact BC passes every node
+    * (the q118 entry on the 25-nation graph); at 100 TB you pass a
+    * uniform source sample and divide by the sample rate (Brandes-
+    * Pich approximation) — the plan is identical, work scales with
+    * |sources|·|E| not |V|·|E|. Frontier/visited frames are keyed by
+    * (s, v) throughout; each hop is one shuffle on that key. */
+  def betweenness(nodes: DataFrame, edges: DataFrame,
+      sources: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var visited = sources.select(col("node").as("s"))
+      .select(col("s"), col("s").as("v"), lit(0L).as("dist"),
+        lit(1L).as("sigma"))
+      .pipe(Checkpoints.cut)
+    var frontier = visited
+    var h = 0L
+    var more = true
+    while (more) {
+      h += 1
+      val nxt = frontier.join(e, col("v") === col("src"))
+        .groupBy(col("s"), col("dst"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("dst").as("v"), lit(h).as("dist"),
+          col("sigma"))
+      val fresh = nxt.join(visited.select("s", "v"), Seq("s", "v"),
+          "left_anti")
+        .pipe(Checkpoints.cut)
+      if (fresh.isEmpty) {
+        Checkpoints.release(fresh)
+        more = false
+      } else {
+        val pv = visited
+        visited = pv.unionByName(fresh).pipe(Checkpoints.cut)
+        Checkpoints.release(pv)
+        if (h > 1) Checkpoints.release(frontier)
+        frontier = fresh
+      }
+    }
+    val maxD = h - 1
+    // backward sweep: δ at the deepest level is 0; walk levels up
+    val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var delta = visited.filter(col("dist") === maxD)
+      .select(col("s"), col("v"), lit(0.0).as("delta"))
+      .pipe(Checkpoints.cut)
+    levels += delta
+    for (hh <- (maxD - 1) to 0L by -1) {
+      val succ = visited.filter(col("dist") === hh + 1)
+        .select(col("s").as("ws"), col("v").as("wv"),
+          col("sigma").as("wsig"))
+      val dn = delta.select(col("s").as("ds"), col("v").as("dv"),
+        col("delta").as("dnext"))
+      delta = visited.filter(col("dist") === hh)
+        .join(e, col("v") === col("src"), "left")
+        .join(succ, col("ws") === col("s") && col("wv") === col("dst"),
+          "left")
+        .join(dn, col("ds") === col("s") && col("dv") === col("wv"),
+          "left")
+        .groupBy(col("s"), col("v"))
+        .agg(coalesce(sum(col("sigma").cast("double") / col("wsig")
+          * (lit(1.0) + col("dnext"))), lit(0.0)).as("delta"))
+        .pipe(Checkpoints.cut)
+      levels += delta
+    }
+    val all = levels.reduce(_ unionByName _)
+    val bc = all.filter(col("s") =!= col("v"))
+      .groupBy(col("v"))
+      .agg(sum(round(col("delta"), 9).cast("decimal(28,9)")).as("bc"))
+    nodes.select(col("node"))
+      .join(bc, col("v") === col("node"), "left")
+      .select(col("node"),
+        round(coalesce(col("bc").cast("double"), lit(0.0)), 6)
+          .as("betweenness"))
+      .orderBy("node")
+  }
+
+  def q118Betweenness(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val n = TradeGraph.nodes(t).select("node")
+    val out = betweenness(n, e, n)
+    out
+  }
+
   // ---------------------------------------------------------------- q117
   /** Degree assortativity (Newman's r): the Pearson correlation of
     * endpoint degrees over the symmetrized edge list — do high-degree
@@ -1058,6 +1155,7 @@ object Algorithms {
     "q113_hits" -> (q113Hits _),
     "q115_link_prediction" -> (q115LinkPrediction _),
     "q117_degree_assortativity" -> (q117DegreeAssortativity _),
+    "q118_betweenness" -> (q118Betweenness _),
     "q11_khop" -> (q11Khop _),
     "q19_dependency_chains" -> (q19DependencyChains _),
     "q66_longest_chains" -> (q66LongestChains _),
@@ -1225,8 +1323,63 @@ object Algorithms {
        |ORDER BY a.node""".stripMargin
   }
 
+  /** Unrolled Brandes mirror: 24 forward BFS steps (|V|−1 bounds any
+    * shortest-path length; steps past the true eccentricity add
+    * nothing — NOT EXISTS finds no new (s,v)), then 24 backward
+    * dependency levels (a level deeper than max dist is empty, so its
+    * δ contribution is the same 0 the Spark loop starts from). Float
+    * ops mirror [[betweenness]] exactly; the cross-source BC sum is
+    * DECIMAL over 9dp-rounded deltas (order-free). */
+  private def betweennessSql(maxHops: Int): String = {
+    val fwd = (1 to maxHops).map { h =>
+      s"""vis$h AS MATERIALIZED (
+         |  SELECT * FROM vis${h - 1}
+         |  UNION ALL
+         |  SELECT n2.s, n2.v, CAST($h AS BIGINT) AS dist, n2.sigma FROM (
+         |    SELECT f.s, t.dst AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |    FROM vis${h - 1} f JOIN trade t ON t.src = f.v
+         |    WHERE f.dist = ${h - 1}
+         |    GROUP BY 1, 2) n2
+         |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} p
+         |                    WHERE p.s = n2.s AND p.v = n2.v))""".stripMargin
+    }.mkString(",\n")
+    val bwd = (maxHops - 1 to 0 by -1).map { h =>
+      s"""dl$h AS MATERIALIZED (
+         |  SELECT f.s, f.v,
+         |         COALESCE(sum(CAST(f.sigma AS DOUBLE) / w.sigma
+         |                      * (1.0 + d.delta)), 0.0) AS delta
+         |  FROM vis$maxHops f
+         |  LEFT JOIN trade t ON t.src = f.v
+         |  LEFT JOIN vis$maxHops w
+         |    ON w.s = f.s AND w.v = t.dst AND w.dist = ${h + 1}
+         |  LEFT JOIN dl${h + 1} d ON d.s = f.s AND d.v = w.v
+         |  WHERE f.dist = $h
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to maxHops).map(h => s"SELECT * FROM dl$h")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $T,
+       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
+       |vis0 AS MATERIALIZED (
+       |  SELECT node AS s, node AS v, CAST(0 AS BIGINT) AS dist,
+       |         CAST(1 AS BIGINT) AS sigma FROM nodes),
+       |$fwd,
+       |dl$maxHops AS MATERIALIZED (
+       |  SELECT s, v, CAST(0.0 AS DOUBLE) AS delta
+       |  FROM vis$maxHops WHERE dist = $maxHops),
+       |$bwd,
+       |alld AS ($union),
+       |bc AS (SELECT v, sum(CAST(round(delta, 9) AS DECIMAL(28,9))) AS bc
+       |       FROM alld WHERE s <> v GROUP BY 1)
+       |SELECT n.node,
+       |       round(COALESCE(CAST(b.bc AS DOUBLE), 0.0), 6) AS betweenness
+       |FROM nodes n LEFT JOIN bc b ON b.v = n.node
+       |ORDER BY n.node""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q112_label_propagation" -> lpaSql(LpaSweeps),
+    "q118_betweenness" -> betweennessSql(24),
     "q113_hits" -> hitsSql(HitsIters),
 
     "q115_link_prediction" ->

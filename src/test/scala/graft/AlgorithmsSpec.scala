@@ -59,6 +59,20 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("betweenness: hand values on a path and split credit on a diamond") {
+    val ns = Seq(1L, 2L, 3L, 4L).toDF("node")
+    // path 1→2→3→4: the interior nodes each carry two s-t pairs
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val bcP = Algorithms.betweenness(ns, path, ns)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bcP == Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0))
+    // diamond 1→{2,3}→4: the two middles split the single (1,4) pair
+    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    val bcD = Algorithms.betweenness(ns, dia, ns)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bcD == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0))
+  }
+
   test("assortativity: a pure star is exactly -1") {
     val und0 = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
     val und = und0.union(und0.select(col("dst"), col("src")))
