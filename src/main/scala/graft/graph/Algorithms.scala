@@ -2,7 +2,6 @@ package graft.graph
 
 import scala.util.chaining._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Checkpoints, Tables}
 
@@ -865,54 +864,6 @@ object Algorithms {
       .orderBy("component")
   }
 
-  // ---------------------------------------------------------------- q112
-  /** Label propagation — the OTHER standard community detector beside
-    * Louvain (the reference's community-detection use,
-    * documentation/queries.md:82-98; Neo4j GDS ships both). Each
-    * sweep, a node adopts the most frequent label among its
-    * neighbors, ties broken toward the SMALLEST label; isolated nodes
-    * keep their own. Two determinism hardenings make a fixed sweep
-    * budget hash-reproducible in ANSI SQL: the total (count desc,
-    * label asc) tie order, and SEMI-synchronous parity gating — only
-    * nodes with `node % 2 == sweep % 2` update each sweep, which
-    * kills synchronous LPA's classic two-node label oscillation
-    * (the same gating [[Louvain]] uses). All-integer ops, so the
-    * unrolled-CTE oracle is exact at any scale factor.
-    *
-    * Scale: per sweep one shuffle keyed by edge target (the label
-    * count) and one argmax window over the AGGREGATED (node, label)
-    * relation — bounded by the live label diversity per node, never
-    * raw-edge-scale rows through a window. */
-  def labelPropagation(nodes: DataFrame, undirected: DataFrame,
-      sweeps: Int): DataFrame = {
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .pipe(Checkpoints.cut)
-    for (s <- 1 to sweeps) {
-      val prev = labels
-      val counts = undirected
-        .join(prev.select(col("node").as("nbr"), col("label")),
-          col("nbr") === col("dst"))
-        .groupBy(col("src"), col("label"))
-        .agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("src"))
-        .orderBy(col("c").desc, col("label").asc)
-      val winner = counts.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src"), col("label").as("wlab"))
-      labels = prev
-        .join(winner, col("src") === col("node"), "left")
-        .select(col("node"),
-          when(col("node") % 2 === lit(s % 2),
-            coalesce(col("wlab"), col("label")))
-            .otherwise(col("label")).as("label"))
-        .pipe(Checkpoints.cut)
-      Checkpoints.release(prev)
-    }
-    labels
-  }
-
-  val LpaSweeps = 6
-
   // ---------------------------------------------------------------- q113
   /** HITS hubs & authorities (Kleinberg) — the centrality pair beside
     * PageRank in the reference's "node rank" family
@@ -972,7 +923,11 @@ object Algorithms {
   // ---------------------------------------------------------------- q115
   /** Link-prediction suite: common neighbors, Jaccard, Adamic-Adar
     * for candidate pairs — the rest of the GDS link-prediction family
-    * beside q17's preferential attachment. Candidates are generated
+    * beside q17's preferential attachment ([[Cores.nodeSimilarity]]
+    * (q70) is the directed OUT-neighbor Jaccard; this is the
+    * link-prediction view over the UNDIRECTED graph, adding the
+    * CN/AA scores GDS exposes as separate functions). Candidates are
+    * generated
     * by WEDGE ENUMERATION (pairs sharing ≥1 neighbor, found by
     * joining the undirected edge list on the shared endpoint) — the
     * triangle-counting shape that scales as Σ deg(w)², never the
@@ -1014,103 +969,6 @@ object Algorithms {
     linkPrediction(TradeGraph.undirectedEdges(t), LinkPredTopK)
   }
 
-  // ---------------------------------------------------------------- q118
-  /** Brandes betweenness centrality, all sources processed as ONE
-    * batch keyed by (source, node) — the "how often does this node
-    * sit on shortest paths" centrality beside PageRank/HITS in the
-    * reference's node-rank family (documentation/queries.md:55-64).
-    *
-    * Forward: level-synchronous BFS accumulating σ(s,v) = #shortest
-    * paths — all INTEGER, one frontier⋈edges join + one (s,v) agg
-    * per hop. Backward: Brandes' dependency
-    * δ(s,v) = Σ_succ σ(s,v)/σ(s,w)·(1+δ(s,w)), one level per step —
-    * per-(s,v) float sums are bounded by out-degree (the PageRank
-    * contract, green for 5 rounds); the cross-SOURCE sum
-    * BC(v) = Σ_{s≠v} δ(s,v) is the order-sensitive one, so each δ is
-    * rounded to 9dp and DECIMAL-summed (order-free).
-    *
-    * Scale: `sources` is a parameter — exact BC passes every node
-    * (the q118 entry on the 25-nation graph); at 100 TB you pass a
-    * uniform source sample and divide by the sample rate (Brandes-
-    * Pich approximation) — the plan is identical, work scales with
-    * |sources|·|E| not |V|·|E|. Frontier/visited frames are keyed by
-    * (s, v) throughout; each hop is one shuffle on that key. */
-  def betweenness(nodes: DataFrame, edges: DataFrame,
-      sources: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
-    var visited = sources.select(col("node").as("s"))
-      .select(col("s"), col("s").as("v"), lit(0L).as("dist"),
-        lit(1L).as("sigma"))
-      .pipe(Checkpoints.cut)
-    var frontier = visited
-    var h = 0L
-    var more = true
-    while (more) {
-      h += 1
-      val nxt = frontier.join(e, col("v") === col("src"))
-        .groupBy(col("s"), col("dst"))
-        .agg(sum(col("sigma")).as("sigma"))
-        .select(col("s"), col("dst").as("v"), lit(h).as("dist"),
-          col("sigma"))
-      val fresh = nxt.join(visited.select("s", "v"), Seq("s", "v"),
-          "left_anti")
-        .pipe(Checkpoints.cut)
-      if (fresh.isEmpty) {
-        Checkpoints.release(fresh)
-        more = false
-      } else {
-        val pv = visited
-        visited = pv.unionByName(fresh).pipe(Checkpoints.cut)
-        Checkpoints.release(pv)
-        if (h > 1) Checkpoints.release(frontier)
-        frontier = fresh
-      }
-    }
-    val maxD = h - 1
-    // backward sweep: δ at the deepest level is 0; walk levels up
-    val levels = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    var delta = visited.filter(col("dist") === maxD)
-      .select(col("s"), col("v"), lit(0.0).as("delta"))
-      .pipe(Checkpoints.cut)
-    levels += delta
-    for (hh <- (maxD - 1) to 0L by -1) {
-      val succ = visited.filter(col("dist") === hh + 1)
-        .select(col("s").as("ws"), col("v").as("wv"),
-          col("sigma").as("wsig"))
-      val dn = delta.select(col("s").as("ds"), col("v").as("dv"),
-        col("delta").as("dnext"))
-      delta = visited.filter(col("dist") === hh)
-        .join(e, col("v") === col("src"), "left")
-        .join(succ, col("ws") === col("s") && col("wv") === col("dst"),
-          "left")
-        .join(dn, col("ds") === col("s") && col("dv") === col("wv"),
-          "left")
-        .groupBy(col("s"), col("v"))
-        .agg(coalesce(sum(col("sigma").cast("double") / col("wsig")
-          * (lit(1.0) + col("dnext"))), lit(0.0)).as("delta"))
-        .pipe(Checkpoints.cut)
-      levels += delta
-    }
-    val all = levels.reduce(_ unionByName _)
-    val bc = all.filter(col("s") =!= col("v"))
-      .groupBy(col("v"))
-      .agg(sum(round(col("delta"), 9).cast("decimal(28,9)")).as("bc"))
-    nodes.select(col("node"))
-      .join(bc, col("v") === col("node"), "left")
-      .select(col("node"),
-        round(coalesce(col("bc").cast("double"), lit(0.0)), 6)
-          .as("betweenness"))
-      .orderBy("node")
-  }
-
-  def q118Betweenness(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val e = checkpointedEdges(t)
-    val n = TradeGraph.nodes(t).select("node")
-    val out = betweenness(n, e, n)
-    out
-  }
-
   // ---------------------------------------------------------------- q117
   /** Degree assortativity (Newman's r): the Pearson correlation of
     * endpoint degrees over the symmetrized edge list — do high-degree
@@ -1142,20 +1000,10 @@ object Algorithms {
   def q117DegreeAssortativity(spark: SparkSession, dir: String): DataFrame =
     degreeAssortativity(TradeGraph.undirectedEdges(Tables(spark, dir)))
 
-  def q112LabelPropagation(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val u = TradeGraph.undirectedEdges(t).pipe(Checkpoints.cut)
-    val out = labelPropagation(TradeGraph.nodes(t).select("node"), u, LpaSweeps)
-    Checkpoints.release(u)
-    out.orderBy("node")
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q112_label_propagation" -> (q112LabelPropagation _),
     "q113_hits" -> (q113Hits _),
     "q115_link_prediction" -> (q115LinkPrediction _),
     "q117_degree_assortativity" -> (q117DegreeAssortativity _),
-    "q118_betweenness" -> (q118Betweenness _),
     "q11_khop" -> (q11Khop _),
     "q19_dependency_chains" -> (q19DependencyChains _),
     "q66_longest_chains" -> (q66LongestChains _),
@@ -1253,39 +1101,6 @@ object Algorithms {
        |SELECT node, round(r, 6) AS ppr FROM r$iters ORDER BY node""".stripMargin
   }
 
-  /** Unrolled semi-synchronous LPA l0..lN — the q112 mirror. Every
-    * CTE MATERIALIZED: l(t−1) appears twice per step and DuckDB
-    * inlines plain CTEs, so an unmaterialized unroll re-expands the
-    * whole chain exponentially (same reason as [[weightedSpSql]]). */
-  private def lpaSql(sweeps: Int): String = {
-    val steps = (1 to sweeps).map { i =>
-      s"""l$i AS MATERIALIZED (
-         |  SELECT p.node,
-         |         CASE WHEN p.node % 2 = ${i % 2}
-         |              THEN COALESCE(w.lab, p.label) ELSE p.label
-         |         END AS label
-         |  FROM l${i - 1} p
-         |  LEFT JOIN (
-         |    SELECT src, lab FROM (
-         |      SELECT c.src, c.lab,
-         |             row_number() OVER (PARTITION BY c.src
-         |                                ORDER BY c.c DESC, c.lab ASC) AS rn
-         |      FROM (SELECT u.src, l.label AS lab,
-         |                   CAST(count(*) AS BIGINT) AS c
-         |            FROM und u JOIN l${i - 1} l ON l.node = u.dst
-         |            GROUP BY 1, 2) c) z
-         |    WHERE rn = 1) w ON w.src = p.node)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $T,
-       |$U,
-       |und AS MATERIALIZED (SELECT src, dst FROM undirected),
-       |l0 AS MATERIALIZED (
-       |  SELECT CAST(n_nationkey AS BIGINT) AS node,
-       |         CAST(n_nationkey AS BIGINT) AS label FROM nation),
-       |$steps
-       |SELECT node, label FROM l$sweeps ORDER BY node""".stripMargin
-  }
-
   /** Unrolled HITS mirror: per half-step a raw-sum CTE + a
     * max-normalized CTE (scalar subquery — DuckDB evaluates it once
     * over the MATERIALIZED raw relation). Same float-op order as
@@ -1323,63 +1138,7 @@ object Algorithms {
        |ORDER BY a.node""".stripMargin
   }
 
-  /** Unrolled Brandes mirror: 24 forward BFS steps (|V|−1 bounds any
-    * shortest-path length; steps past the true eccentricity add
-    * nothing — NOT EXISTS finds no new (s,v)), then 24 backward
-    * dependency levels (a level deeper than max dist is empty, so its
-    * δ contribution is the same 0 the Spark loop starts from). Float
-    * ops mirror [[betweenness]] exactly; the cross-source BC sum is
-    * DECIMAL over 9dp-rounded deltas (order-free). */
-  private def betweennessSql(maxHops: Int): String = {
-    val fwd = (1 to maxHops).map { h =>
-      s"""vis$h AS MATERIALIZED (
-         |  SELECT * FROM vis${h - 1}
-         |  UNION ALL
-         |  SELECT n2.s, n2.v, CAST($h AS BIGINT) AS dist, n2.sigma FROM (
-         |    SELECT f.s, t.dst AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
-         |    FROM vis${h - 1} f JOIN trade t ON t.src = f.v
-         |    WHERE f.dist = ${h - 1}
-         |    GROUP BY 1, 2) n2
-         |  WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} p
-         |                    WHERE p.s = n2.s AND p.v = n2.v))""".stripMargin
-    }.mkString(",\n")
-    val bwd = (maxHops - 1 to 0 by -1).map { h =>
-      s"""dl$h AS MATERIALIZED (
-         |  SELECT f.s, f.v,
-         |         COALESCE(sum(CAST(f.sigma AS DOUBLE) / w.sigma
-         |                      * (1.0 + d.delta)), 0.0) AS delta
-         |  FROM vis$maxHops f
-         |  LEFT JOIN trade t ON t.src = f.v
-         |  LEFT JOIN vis$maxHops w
-         |    ON w.s = f.s AND w.v = t.dst AND w.dist = ${h + 1}
-         |  LEFT JOIN dl${h + 1} d ON d.s = f.s AND d.v = w.v
-         |  WHERE f.dist = $h
-         |  GROUP BY 1, 2)""".stripMargin
-    }.mkString(",\n")
-    val union = (0 to maxHops).map(h => s"SELECT * FROM dl$h")
-      .mkString("\n  UNION ALL ")
-    s"""WITH $T,
-       |nodes AS (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation),
-       |vis0 AS MATERIALIZED (
-       |  SELECT node AS s, node AS v, CAST(0 AS BIGINT) AS dist,
-       |         CAST(1 AS BIGINT) AS sigma FROM nodes),
-       |$fwd,
-       |dl$maxHops AS MATERIALIZED (
-       |  SELECT s, v, CAST(0.0 AS DOUBLE) AS delta
-       |  FROM vis$maxHops WHERE dist = $maxHops),
-       |$bwd,
-       |alld AS ($union),
-       |bc AS (SELECT v, sum(CAST(round(delta, 9) AS DECIMAL(28,9))) AS bc
-       |       FROM alld WHERE s <> v GROUP BY 1)
-       |SELECT n.node,
-       |       round(COALESCE(CAST(b.bc AS DOUBLE), 0.0), 6) AS betweenness
-       |FROM nodes n LEFT JOIN bc b ON b.v = n.node
-       |ORDER BY n.node""".stripMargin
-  }
-
   val oracleSql: Map[String, String] = Map(
-    "q112_label_propagation" -> lpaSql(LpaSweeps),
-    "q118_betweenness" -> betweennessSql(24),
     "q113_hits" -> hitsSql(HitsIters),
 
     "q115_link_prediction" ->

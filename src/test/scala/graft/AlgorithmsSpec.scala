@@ -28,21 +28,6 @@ class AlgorithmsSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 4L -> 4L))
   }
 
-  test("label propagation: triangles collapse, pairs agree, isolates keep") {
-    // triangle {1,2,3}, pair {10,11}, isolated 20 — parity gating must
-    // converge the pair (synchronous LPA would oscillate it forever)
-    val ns = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
-    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L))
-      .toDF("src", "dst")
-    val u = und.union(und.select(col("dst"), col("src")))
-    val lab = Algorithms.labelPropagation(ns, u, Algorithms.LpaSweeps)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(lab(1L) == lab(2L) && lab(2L) == lab(3L), "triangle unifies")
-    assert(lab(1L) == 1L, "ties break toward the smallest label")
-    assert(lab(10L) == lab(11L), "pair must converge, not oscillate")
-    assert(lab(20L) == 20L, "isolated node keeps its own label")
-  }
-
   test("link prediction: 4-cycle diagonals score jaccard 1, hand AA") {
     // square 1-2-3-4-1: only the diagonals share neighbors (both of
     // them), adjacent pairs share none and must be absent
@@ -57,20 +42,6 @@ class AlgorithmsSpec extends SparkSpec {
     rows.values.foreach { case (cn, jac, adar) =>
       assert(cn == 2L && jac == 1.0 && math.abs(adar - aa) < 1e-9)
     }
-  }
-
-  test("betweenness: hand values on a path and split credit on a diamond") {
-    val ns = Seq(1L, 2L, 3L, 4L).toDF("node")
-    // path 1→2→3→4: the interior nodes each carry two s-t pairs
-    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
-    val bcP = Algorithms.betweenness(ns, path, ns)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(bcP == Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0))
-    // diamond 1→{2,3}→4: the two middles split the single (1,4) pair
-    val dia = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
-    val bcD = Algorithms.betweenness(ns, dia, ns)
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(bcD == Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0))
   }
 
   test("assortativity: a pure star is exactly -1") {
