@@ -2,6 +2,7 @@ package graft.graph
 
 import scala.util.chaining._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Checkpoints, Tables}
 
@@ -1000,7 +1001,91 @@ object Algorithms {
   def q117DegreeAssortativity(spark: SparkSession, dir: String): DataFrame =
     degreeAssortativity(TradeGraph.undirectedEdges(Tables(spark, dir)))
 
+  // ---------------------------------------------------------------- q118
+  /** Minimum spanning forest via BORŮVKA — the textbook distributed
+    * MST (log-round convergence, each round fully parallel): every
+    * component selects its minimum incident cross-edge under the
+    * TOTAL order (w, a, b), selected edges join the forest, touched
+    * components merge (reusing [[connectedComponents]] on the
+    * component graph — a relation whose size halves per round). The
+    * lexicographic tie-break makes the MST unique, so the result is
+    * engine-comparable even with duplicate weights.
+    *
+    * The oracle is ALGORITHM-INDEPENDENT evidence (the q76 pattern):
+    * the cut property says an edge belongs to the unique MST iff its
+    * endpoints are disconnected in the prefix graph of strictly
+    * lower-ranked edges — one recursive reachability CTE keyed by
+    * (rank, x, y), no Borůvka mirror at all.
+    *
+    * Scale: per round one edge⋈labels join + one per-component argmin
+    * (window over the component-keyed min, input already aggregated)
+    * + a component-graph CC whose node set is the CURRENT component
+    * count — O(log V) rounds, every step keyed, nothing quadratic. */
+  def boruvkaMst(und: DataFrame): DataFrame = {
+    val e = und.select(col("a"), col("b"), col("w"))
+    var comp = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .distinct()
+      .select(col("node"), col("node").as("c"))
+      .pipe(Checkpoints.cut)
+    var mst = e.limit(0).pipe(Checkpoints.cut)
+    var more = true
+    while (more) {
+      val labeled = e
+        .join(comp.select(col("node").as("na"), col("c").as("ca")),
+          col("na") === col("a"))
+        .join(comp.select(col("node").as("nb"), col("c").as("cb")),
+          col("nb") === col("b"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
+        .pipe(Checkpoints.cut)
+      if (labeled.isEmpty) {
+        Checkpoints.release(labeled)
+        more = false
+      } else {
+        val sides = labeled
+          .select(col("ca").as("comp"), col("a"), col("b"), col("w"))
+          .union(labeled
+            .select(col("cb").as("comp"), col("a"), col("b"), col("w")))
+        val wmin = Window.partitionBy("comp")
+          .orderBy(col("w").asc, col("a").asc, col("b").asc)
+        val sel = sides.withColumn("rk", row_number().over(wmin))
+          .filter(col("rk") === 1)
+          .select("a", "b", "w").distinct()
+          .pipe(Checkpoints.cut)
+        val pm = mst
+        mst = pm.unionByName(sel).pipe(Checkpoints.cut)
+        Checkpoints.release(pm)
+        val selComp = sel
+          .join(labeled.select(col("a"), col("b"), col("ca"), col("cb"))
+            .dropDuplicates("a", "b"), Seq("a", "b"))
+          .select(col("ca").as("src"), col("cb").as("dst"))
+        val sym = selComp.union(selComp.select(col("dst"), col("src")))
+        val cnodes = comp.select(col("c").as("node")).distinct()
+        val relabel = connectedComponents(cnodes, sym)
+          .select(col("node").as("oldc"), col("component"))
+        val pc = comp
+        comp = pc.join(relabel, col("oldc") === col("c"))
+          .select(col("node"), col("component").as("c"))
+          .pipe(Checkpoints.cut)
+        Checkpoints.release(pc, sel, labeled)
+      }
+    }
+    Checkpoints.release(comp)
+    mst.orderBy("w", "a", "b")
+  }
+
+  def q118Mst(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val und = TradeGraph.edges(t)
+      .filter(col("src") =!= col("dst"))
+      .groupBy(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .agg(min(col("cnt")).as("w"))
+    boruvkaMst(und)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_mst" -> (q118Mst _),
     "q113_hits" -> (q113Hits _),
     "q115_link_prediction" -> (q115LinkPrediction _),
     "q117_degree_assortativity" -> (q117DegreeAssortativity _),
@@ -1140,6 +1225,33 @@ object Algorithms {
 
   val oracleSql: Map[String, String] = Map(
     "q113_hits" -> hitsSql(HitsIters),
+
+    // cut-property characterization of the unique lex-perturbed MST:
+    // edge e is IN iff its endpoints cannot reach each other using
+    // only strictly lower-ranked edges
+    "q118_mst" ->
+      s"""WITH RECURSIVE $T,
+         |uw AS (
+         |  SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+         |         CAST(min(cnt) AS BIGINT) AS w
+         |  FROM trade WHERE src <> dst GROUP BY 1, 2),
+         |re AS (
+         |  SELECT a, b, w,
+         |         CAST(row_number() OVER (ORDER BY w ASC, a ASC, b ASC)
+         |              AS BIGINT) AS rk
+         |  FROM uw),
+         |n2 AS (SELECT a AS node FROM uw UNION SELECT b FROM uw),
+         |sym AS (SELECT rk, a, b FROM re UNION ALL SELECT rk, b, a FROM re),
+         |reach AS (
+         |  SELECT r.rk, n.node AS x, n.node AS y FROM re r, n2 n
+         |  UNION
+         |  SELECT t.rk, t.x, e.b FROM reach t
+         |  JOIN sym e ON e.rk < t.rk AND e.a = t.y
+         |)
+         |SELECT e.a, e.b, e.w FROM re e
+         |WHERE NOT EXISTS (SELECT 1 FROM reach t
+         |                  WHERE t.rk = e.rk AND t.x = e.a AND t.y = e.b)
+         |ORDER BY e.w, e.a, e.b""".stripMargin,
 
     "q115_link_prediction" ->
       s"""WITH $T,

@@ -44,6 +44,22 @@ class AlgorithmsSpec extends SparkSpec {
     }
   }
 
+  test("boruvka mst: hand tree, lex tie-break, forest on disconnect") {
+    def mst(rows: (Long, Long, Long)*) =
+      Algorithms.boruvkaMst(rows.toDF("a", "b", "w")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // square + heavy diagonal: the diagonal and the heaviest side lose
+    assert(mst((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (1L, 4L, 4L),
+      (1L, 3L, 5L)) == Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
+    // all-tie triangle: the (w, a, b) order keeps the two lex-smallest
+    assert(mst((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L)) ==
+      Set((1L, 2L, 5L), (1L, 3L, 5L)))
+    // two components: a spanning FOREST, one tree each
+    assert(mst((1L, 2L, 9L), (10L, 11L, 1L), (11L, 12L, 1L),
+      (10L, 12L, 2L)) ==
+      Set((1L, 2L, 9L), (10L, 11L, 1L), (11L, 12L, 1L)))
+  }
+
   test("assortativity: a pure star is exactly -1") {
     val und0 = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
     val und = und0.union(und0.select(col("dst"), col("src")))
