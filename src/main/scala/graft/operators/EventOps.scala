@@ -236,7 +236,41 @@ object EventOps {
   def q82HoppingWindow(spark: SparkSession, dir: String): DataFrame =
     hoppingWindow(ev(spark, dir))
 
+  // ---------------------------------------------------------------- q119
+  /** Journey path mining: the top-[[PathTopK]] event-type TRIGRAMS
+    * across all user timelines — the discovery companion to q101's
+    * first-order matrix (q101 tells you P(next|current); this
+    * surfaces the actual multi-step routes product analytics calls
+    * "top paths", the input to funnel design rather than the check of
+    * a funnel you already guessed). All-integer counts.
+    *
+    * Scale shape: ONE per-user ordered window produces both lookahead
+    * steps (same single shuffle as q101 — two `lead`s share the
+    * window), then a partial-agg count over the bounded |types|³
+    * path space and a top-k sort of that tiny relation. */
+  val PathTopK = 20
+
+  def journeyPaths(e: DataFrame, topK: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    e.withColumn("e2", lead(col("event_type"), 1).over(w))
+      .withColumn("e3", lead(col("event_type"), 2).over(w))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1").asc, col("step2").asc,
+        col("step3").asc)
+      .limit(topK)
+  }
+
+  def q119JourneyPaths(spark: SparkSession, dir: String): DataFrame =
+    journeyPaths(Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts_us")), PathTopK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_journey_paths" -> (q119JourneyPaths _),
     "q80_funnel" -> (q80Funnel _),
     "q81_retention" -> (q81Retention _),
     "q82_hopping_window" -> (q82HoppingWindow _),
@@ -247,6 +281,21 @@ object EventOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q119_journey_paths" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |                  epoch_us(ts) AS ts_us FROM events),
+         |p AS (
+         |  SELECT event_type AS step1,
+         |         lead(event_type, 1) OVER w AS step2,
+         |         lead(event_type, 2) OVER w AS step3
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         |SELECT step1, step2, step3, CAST(count(*) AS BIGINT) AS n
+         |FROM p WHERE step3 IS NOT NULL
+         |GROUP BY 1, 2, 3
+         |ORDER BY n DESC, step1 ASC, step2 ASC, step3 ASC
+         |LIMIT $PathTopK""".stripMargin,
+
     "q80_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
          |           FROM events),

@@ -82,6 +82,21 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("journey paths: trigrams slide per user, never cross users") {
+    // user 1: v c v c → trigrams vcv, cvc ; user 2: v p (too short)
+    val e = Seq(
+      (1L, 1L, "view", 1L * H), (2L, 1L, "click", 2L * H),
+      (3L, 1L, "view", 3L * H), (4L, 1L, "click", 4L * H),
+      (5L, 2L, "view", 1L * H), (6L, 2L, "purchase", 2L * H))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = EventOps.journeyPaths(e, 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(out == Map(
+      ("view", "click", "view") -> 1L,
+      ("click", "view", "click") -> 1L))
+  }
+
   test("scd2: consecutive repeats compress, intervals tile each user's timeline") {
     // user 1: view view click view  → intervals view[1,3) click[3,4) view[4,∞)
     // user 2: click                 → click[5,∞)
