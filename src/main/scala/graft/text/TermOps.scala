@@ -128,10 +128,50 @@ object TermOps {
   def q114Bm25(spark: SparkSession, dir: String): DataFrame =
     bm25(TextOps.docs(spark, dir), Bm25Terms, Bm25TopK)
 
+  // ---------------------------------------------------------------- q120
+  /** Bigram LM negative log-likelihood per document — one order up
+    * from q75's unigram model: score = mean over the doc's bigrams of
+    * −ln p(wᵢ|wᵢ₋₁) with add-one smoothing
+    * p(w|u) = (c(u,w)+1)/(c(u)+V). Documents whose word SEQUENCES are
+    * improbable under the corpus (even when each word is common)
+    * score high — the next step toward the KenLM-style perplexity
+    * filter that q75 approximates at order 1. The negation is folded
+    * into the ratio (ln((c(u)+V)/(c(u,w)+1)), q75's convention) so
+    * both engines evaluate one identical float expression, 6dp.
+    *
+    * Scale shape: bigrams are built IN-ROW from the word array (the
+    * q110 transform), counts are two partial aggs, and the scoring
+    * join is keyed by word pair — the vocabulary-scale relations are
+    * never broadcast (q74's note). */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("words", split(col("s"), " "))
+    val uni = d.select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cu"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bg = d.filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(words) - 1), " +
+          "i -> struct(words[i-1] AS prev, words[i] AS cur))")).as("p"))
+      .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur"))
+    val bc = bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+    bg.join(bc, Seq("prev", "cur"))
+      .join(uni.select(col("word").as("prev"), col("cu")), Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("cu") + col("v")).cast("double")
+          / (col("cb") + lit(1.0)))), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  def q120BigramNll(spark: SparkSession, dir: String): DataFrame =
+    bigramNll(TextOps.docs(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_tfidf_terms" -> (q74TfidfTerms _),
     "q75_unigram_logprob" -> (q75UnigramLogprob _),
     "q114_bm25" -> (q114Bm25 _),
+    "q120_bigram_nll" -> (q120BigramNll _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -198,5 +238,27 @@ object TermOps {
          |FROM term GROUP BY 1
          |ORDER BY score DESC, doc_id ASC
          |LIMIT $Bm25TopK""".stripMargin,
+
+    "q120_bigram_nll" ->
+      s"""WITH ${TextOps.normCte},
+         |w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+         |wu AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |uni AS (SELECT word, CAST(count(*) AS BIGINT) AS cu
+         |        FROM wu GROUP BY 1),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+         |pos AS (SELECT doc_id, ws,
+         |               unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM w WHERE len(ws) >= 2),
+         |bg AS (SELECT doc_id, ws[CAST(i AS INT)] AS prev,
+         |              ws[CAST(i AS INT) + 1] AS cur FROM pos),
+         |bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+         |       FROM bg GROUP BY 1, 2)
+         |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(avg(ln(CAST(u.cu + vv.v AS DOUBLE)
+         |                    / (c.cb + 1.0))), 6) AS avg_nll
+         |FROM bg g
+         |JOIN bc c ON c.prev = g.prev AND c.cur = g.cur
+         |JOIN uni u ON u.word = g.prev, vv
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -68,6 +68,24 @@ class PolicyTermSpec extends SparkSpec {
     assert(rows.values.forall(_._2 > 0.0), "BM25+ idf keeps scores positive")
   }
 
+  test("bigram nll: hand-computed smoothed NLL, short docs absent") {
+    // corpus: doc1 "a b a b", doc2 "a b", doc3 "c" (no bigram)
+    // bigrams: (a,b)×3, (b,a)×1 ; unigrams: a=3, b=3, c=1 ; V=3
+    val d = frame(1L -> "a b a b", 2L -> "a b", 3L -> "c")
+    val out = TermOps.bigramNll(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!out.contains(3L), "a one-token doc has no bigrams")
+    val pAB = math.log((3.0 + 3) / (3 + 1.0)) // -ln((3+1)/(3+3))
+    val pBA = math.log((3.0 + 3) / (1 + 1.0))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - r6((pAB + pBA + pAB) / 3)) < 1e-6)
+    assert(out(2L) == ((1L, r6(pAB))))
+    // the doc repeating the corpus's dominant bigram scores LOWER
+    assert(out(1L)._2 < pBA, "frequent sequences must be cheaper")
+  }
+
   test("unigram logprob: hand-computed NLL on a two-doc corpus") {
     val d = frame(1L -> "a b", 2L -> "a c")
     val out = TermOps.unigramLogprob(d).collect()
