@@ -162,4 +162,37 @@ class PlanAuditSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"),
       s"candidate/verify joins went all-pairs:\n$p")
   }
+
+  test("q111: both dimension joins broadcast, nothing cartesian") {
+    val p = plan(graft.operators.Olap.q111SupplierHhi(spark, sfDir()))
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q111:\n$p")
+  }
+
+  test("q114: bm25 scoring side stays broadcast, no vocabulary shuffle") {
+    val p = plan(graft.text.TermOps.q114Bm25(spark, sfDir()))
+    // the df/idf relation is bounded by the literal query-term count
+    assert(p.contains("BroadcastHashJoin"), s"idf side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"unexpected all-pairs in bm25:\n$p")
+  }
+
+  test("q115: link-prediction candidates come from a wedge equi join") {
+    val p = plan(graft.graph.Algorithms
+      .q115LinkPrediction(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"),
+      s"wedge enumeration degenerated to all-pairs:\n$p")
+  }
+
+  test("q119: both lookahead steps share one window exchange") {
+    val p = plan(graft.operators.EventOps.q119JourneyPaths(spark, sfDir()))
+    // one hashpartitioning(user_id...) exchange feeds the window; a
+    // second user-keyed exchange would mean the leads were split
+    val userExchanges = "hashpartitioning\\(user_id".r
+      .findAllIn(p).length
+    assert(userExchanges == 1,
+      s"expected exactly one user-keyed exchange, got $userExchanges:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
