@@ -184,10 +184,121 @@ object KMeans {
     out
   }
 
+  // ---------------------------------------------------------------- q121
+  /** Product quantization (Jégou et al., PAMI 2011): split the
+    * [[Similarity.Dims]]-dim embedding into [[PqM]] subspaces, train
+    * an independent k-means codebook per subspace (the same Lloyd
+    * loop as q48), and encode every vector as [[PqM]] small codes —
+    * the memory-compression layer under IVF-PQ ANN serving: 64
+    * doubles become 4 bytes/vector at [[PqK]]=8, with `err` (the sum
+    * of per-subspace squared residuals) quantifying the fidelity
+    * trade. Codebook training cost is per-subspace independent and
+    * the encode pass streams the corpus once per subspace; at 100 TB
+    * the codebooks train on a sample and broadcast (k·d scalars),
+    * exactly the q48 scale shape.
+    *
+    * Engine contract: per-subspace distances reuse the
+    * |x|²+|c|²−2·x·c expansion (q48's oracle convention); the total
+    * err adds the [[PqM]] chosen sub-distances in one fixed
+    * left-associated expression, rounded 6dp. */
+  val PqM = 4
+  val PqK = 8
+  val PqIters = 2
+
+  def q121PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val subDim = Similarity.Dims / PqM
+    val parts = (0 until PqM).map { s =>
+      val sv = v.select(col("vec_id"),
+        slice(col("e"), s * subDim + 1, subDim).as("e"))
+      val (assign, cent) = lloyd(sv, PqK, PqIters)
+      val best = assign.join(sv, "vec_id")
+        .join(broadcast(cent), "cell")
+        .select(col("vec_id"), col("cell").as(s"code$s"),
+          sqDist(col("e"), col("c")).as(s"d$s"))
+        .pipe(Checkpoints.cut)
+      Checkpoints.release(assign, cent)
+      best
+    }
+    parts.reduce(_.join(_, "vec_id"))
+      .select(col("vec_id"),
+        col("code0"), col("code1"), col("code2"), col("code3"),
+        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("err"))
+      .orderBy("vec_id")
+  }
+
+  // ---------------------------------------------------------------- q122
+  /** IVF-PQ search with asymmetric distance computation (Jégou et
+    * al., PAMI 2011 §IV) — the serving path the q48/q121 trainers
+    * exist for: coarse cells (q48's quantizer) prune the corpus to
+    * [[NProbe]]/[[K]] inverted lists, and within them candidate
+    * distances come from the PQ codes alone: a per-query lookup
+    * table of query-slice→codeword distances ([[PqM]]·[[PqK]] = 32
+    * floats/query, broadcast) turns each candidate's scan cost into
+    * [[PqM]] table adds — the corpus embeddings are NEVER touched at
+    * query time. At 100 TB that is the entire point: the index holds
+    * 4-byte codes instead of 512-byte vectors, and a probe streams
+    * codes at memory bandwidth.
+    *
+    * Engine contract: each LUT entry is one |q|²+|c|²−2·q·c sub-sum
+    * (the q48 expansion); adc adds the [[PqM]] entries in one fixed
+    * left-associated expression; ranking reads the UNROUNDED adc
+    * with a candidate-id tie-break (equal codes ⇒ bit-equal adc on
+    * both engines), output rounds 6dp. */
+  def q122IvfPqSearch(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val subDim = Similarity.Dims / PqM
+
+    // coarse quantizer → probed inverted lists (exactly q49's probe)
+    val (assign, coarse) = lloyd(v, K, Iters)
+    val q = v.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_vec"), col("e").as("qe"))
+    val wp = Window.partitionBy("q_vec").orderBy(col("dist").asc, col("cell").asc)
+    val probes = q.crossJoin(broadcast(coarse))
+      .withColumn("dist", sqDist(col("qe"), col("c")))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= NProbe)
+      .select(col("q_vec"), col("cell"))
+    val cand = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec"))
+      .select(col("q_vec"), col("vec_id").as("cand"))
+
+    // per-subspace codebooks: candidate codes + query→codeword LUTs
+    val scored = (0 until PqM).foldLeft(cand) { (acc, s) =>
+      val sv = v.select(col("vec_id"),
+        slice(col("e"), s * subDim + 1, subDim).as("e"))
+      val (codes, cent) = lloyd(sv, PqK, PqIters)
+      val lut = q.select(col("q_vec"),
+          slice(col("qe"), s * subDim + 1, subDim).as("qs"))
+        .crossJoin(broadcast(cent))
+        .select(col("q_vec"), col("cell"),
+          sqDist(col("qs"), col("c")).as(s"d$s"))
+      val out = acc
+        .join(codes.select(col("vec_id").as("cand"), col("cell")), "cand")
+        .join(broadcast(lut), Seq("q_vec", "cell"))
+        .drop("cell")
+        .pipe(Checkpoints.cut)
+      Checkpoints.release(codes, cent)
+      out
+    }
+    Checkpoints.release(assign, coarse)
+
+    val wr = Window.partitionBy("q_vec").orderBy(col("adc").asc, col("cand").asc)
+    scored
+      .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("q_vec"), col("cand"), round(col("adc"), 6).as("adc"),
+        col("rank"))
+      .orderBy("q_vec", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_kmeans" -> (q48Kmeans _),
     "q49_sim_ann_ivf_trained" -> (q49IvfTrainedSearch _),
     "q116_semantic_dedup" -> (q116SemanticDedup _),
+    "q121_pq_encode" -> (q121PqEncode _),
+    "q122_ivfpq_search" -> (q122IvfPqSearch _),
   )
 
   /** Unrolled Lloyd iterations as chained CTEs (exact mirror of
@@ -315,9 +426,121 @@ object KMeans {
        |         AS is_rep
        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One subspace's unrolled Lloyd chain, CTE names prefixed so the
+    * [[PqM]] independent codebooks coexist in one WITH clause. The
+    * subspace view re-indexes dims to 1..len (mirror of `slice`). */
+  private def lloydSubCtes(p: String, k: Int, iters: Int,
+      lo: Int, len: Int): String = {
+    val steps = (1 to iters).map { t =>
+      val cent = if (t < iters)
+        s""",
+           |${p}c$t AS (
+           |  SELECT a.cell, v.i, avg(v.x) AS cx
+           |  FROM ${p}a$t a JOIN ${p}vv v ON a.vec_id = v.vec_id
+           |  GROUP BY 1, 2)""".stripMargin
+      else ""
+      s"""${p}d$t AS (
+         |  SELECT v.vec_id, c.cell,
+         |         sum(v.x * v.x) + sum(c.cx * c.cx)
+         |           - 2 * sum(v.x * c.cx) AS dist
+         |  FROM ${p}vv v JOIN ${p}c${t - 1} c ON v.i = c.i
+         |  GROUP BY 1, 2),
+         |${p}a$t AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT vec_id, cell,
+         |           row_number() OVER (PARTITION BY vec_id
+         |                              ORDER BY dist ASC, cell ASC) AS rk
+         |    FROM ${p}d$t) z
+         |  WHERE rk = 1)$cent""".stripMargin
+    }.mkString(",\n")
+    s"""${p}vv AS (SELECT vec_id, i - $lo + 1 AS i, x FROM vv
+       |           WHERE i BETWEEN $lo AND ${lo + len - 1}),
+       |${p}c0 AS (SELECT CAST(vec_id AS INT) AS cell, i, x AS cx
+       |           FROM ${p}vv WHERE vec_id < $k),
+       |$steps,
+       |${p}best AS (
+       |  SELECT d.vec_id, d.cell, d.dist
+       |  FROM ${p}d$iters d JOIN ${p}a$iters a
+       |    ON a.vec_id = d.vec_id AND a.cell = d.cell)""".stripMargin
+  }
+
+  private def pqSql(m: Int, k: Int, iters: Int): String = {
+    val subDim = Similarity.Dims / m
+    val chains = (0 until m)
+      .map(s => lloydSubCtes(s"s${s}_", k, iters, s * subDim + 1, subDim))
+      .mkString(",\n")
+    val joins = (1 until m)
+      .map(s => s"JOIN s${s}_best b$s ON b$s.vec_id = b0.vec_id")
+      .mkString("\n")
+    val codes = (0 until m).map(s => s"b$s.cell AS code$s").mkString(", ")
+    val err = (0 until m).map(s => s"b$s.dist").mkString(" + ")
+    s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
+       |vd AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+       |       embedding FROM v),
+       |vv AS (SELECT vec_id, i,
+       |       CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x FROM vd),
+       |$chains
+       |SELECT b0.vec_id, $codes, round($err, 6) AS err
+       |FROM s0_best b0
+       |$joins
+       |ORDER BY b0.vec_id""".stripMargin
+  }
+
+  /** Mirror of [[q122IvfPqSearch]]: the coarse chain's probe/cand is
+    * verbatim [[ivfTrainedSql]]'s; each subspace's d$iters CTE already
+    * holds every (vector, codeword) distance on the code-producing
+    * centroids, so restricted to query ids it IS the ADC lookup
+    * table, and restricted to the final assignment it gives each
+    * candidate's code. */
+  private def ivfPqSql(m: Int, k: Int, iters: Int): String = {
+    val subDim = Similarity.Dims / m
+    val chains = (0 until m)
+      .map(s => lloydSubCtes(s"s${s}_", k, iters, s * subDim + 1, subDim))
+      .mkString(",\n")
+    val lutJoins = (0 until m).map { s =>
+      s"""  JOIN s${s}_a$iters b$s ON b$s.vec_id = c.cand
+         |  JOIN s${s}_d$iters l$s
+         |    ON l$s.vec_id = c.q_vec AND l$s.cell = b$s.cell""".stripMargin
+    }.mkString("\n")
+    val adc = (0 until m).map(s => s"l$s.dist").mkString(" + ")
+    s"""WITH ${lloydCtes(K, Iters)},
+       |$chains,
+       |qd AS (
+       |  SELECT v.vec_id AS q_vec, c.cell,
+       |         sum(v.x * v.x) + sum(c.cx * c.cx)
+       |           - 2 * sum(v.x * c.cx) AS dist
+       |  FROM vv v JOIN c${Iters - 1} c ON v.i = c.i
+       |  WHERE v.vec_id < $NQueries GROUP BY 1, 2),
+       |probe AS (
+       |  SELECT q_vec, cell FROM (
+       |    SELECT q_vec, cell,
+       |           row_number() OVER (PARTITION BY q_vec
+       |                              ORDER BY dist ASC, cell ASC) AS rk
+       |    FROM qd) z
+       |  WHERE rk <= $NProbe),
+       |cand AS (
+       |  SELECT p.q_vec, a.vec_id AS cand
+       |  FROM a$Iters a JOIN probe p ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.q_vec),
+       |adc AS (
+       |  SELECT c.q_vec, c.cand, $adc AS adc
+       |  FROM cand c
+       |$lutJoins)
+       |SELECT q_vec, cand, round(adc, 6) AS adc, rank FROM (
+       |  SELECT q_vec, cand, adc,
+       |         CAST(row_number() OVER (PARTITION BY q_vec
+       |                                 ORDER BY adc ASC, cand ASC) AS BIGINT)
+       |           AS rank
+       |  FROM adc) z
+       |WHERE rank <= $TopK
+       |ORDER BY q_vec, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q48_kmeans" -> kmeansSql(K, Iters),
     "q49_sim_ann_ivf_trained" -> ivfTrainedSql(K, Iters),
     "q116_semantic_dedup" -> semanticDedupSql(K, Iters),
+    "q121_pq_encode" -> pqSql(PqM, PqK, PqIters),
+    "q122_ivfpq_search" -> ivfPqSql(PqM, PqK, PqIters),
   )
 }

@@ -136,6 +136,119 @@ class KMeansSpec extends SparkSpec {
       f"recall collapsed: $mean%.3f")
   }
 
+  test("q121 PQ encode: one code word per vector, codes in range") {
+    val rows = KMeans.q121PqEncode(spark, sfDir()).collect()
+    val n = vecs.count()
+    assert(rows.length == n, "every vector encoded exactly once")
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == n)
+    rows.foreach { r =>
+      (0 until KMeans.PqM).foreach { s =>
+        val c = r.getAs[Int](s"code$s")
+        assert(c >= 0 && c < KMeans.PqK, s"code$s=$c out of range")
+      }
+      assert(r.getAs[Double]("err") >= 0.0, "negative quantization residual")
+    }
+  }
+
+  test("q121 residual beats the induced-centroid lower bound") {
+    // reported err measures each slice against the centroids that
+    // PRODUCED its code; re-deriving centroids as the per-code slice
+    // means (Lloyd's centroid step) can only lower the total WCSS, so
+    // the induced total bounds the reported total from below — a
+    // wrong slice offset, code column, or distance expansion breaks it
+    val subDim = Similarity.Dims / KMeans.PqM
+    val enc = KMeans.q121PqEncode(spark, sfDir())
+    val reported = enc.agg(sum(col("err"))).first().getDouble(0)
+    val induced = (0 until KMeans.PqM).map { s =>
+      val sv = vecs.select(col("vec_id"),
+        slice(col("e"), s * subDim + 1, subDim).as("e"))
+      val assign = enc.select(col("vec_id"), col(s"code$s").as("cell"))
+      wcss(sv, assign)
+    }.sum
+    info(f"PQ residual: induced $induced%.4f <= reported $reported%.4f")
+    assert(induced <= reported * (1 + 1e-9),
+      s"induced WCSS $induced exceeds reported $reported")
+    assert(reported <= induced * 10,
+      "reported residual implausibly far above the induced optimum")
+  }
+
+  test("q122 IVF-PQ: shape, monotone adc, probe confinement") {
+    val v = vecs
+    val rows = KMeans.q122IvfPqSearch(spark, sfDir()).collect()
+    assert(rows.length == KMeans.NQueries * KMeans.TopK)
+    rows.groupBy(_.getAs[Long]("q_vec")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to KMeans.TopK.toLong))
+      val ds = sorted.map(_.getAs[Double]("adc"))
+      assert(ds.forall(_ >= 0.0))
+      ds.sliding(2).foreach { case Array(lo, hi) => assert(lo <= hi) }
+    }
+    // every reported candidate lives in one of its query's probed
+    // cells — the inverted-list pruning actually confined the scan
+    val (assign, cent) = KMeans.model(v, KMeans.K, KMeans.Iters)
+    val cells = assign.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cell")).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec").orderBy(col("dist").asc, col("cell").asc)
+    val probed = v.filter(col("vec_id") < KMeans.NQueries)
+      .select(col("vec_id").as("q_vec"), col("e").as("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", dot(col("qe"), col("qe")) + dot(col("c"), col("c"))
+        - lit(2.0) * dot(col("qe"), col("c")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KMeans.NProbe)
+      .collect()
+      .groupBy(_.getAs[Long]("q_vec"))
+      .view.mapValues(_.map(_.getAs[Int]("cell")).toSet).toMap
+    Checkpoints.release(assign, cent)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_vec")
+      assert(probed(q).contains(cells(r.getAs[Long]("cand"))),
+        s"candidate outside $q's probed cells")
+    }
+  }
+
+  test("q122 ADC recall vs exact distance over the same pool") {
+    val v = vecs
+    val adcTop = KMeans.q122IvfPqSearch(spark, sfDir()).collect()
+      .groupBy(_.getAs[Long]("q_vec"))
+      .view.mapValues(_.map(_.getAs[Long]("cand")).toSet).toMap
+    // exact squared-L2 top-5 restricted to the probed-cell pool: the
+    // ranking ADC is an estimate of (32-bit codes vs 512-byte vectors)
+    val (assign, cent) = KMeans.model(v, KMeans.K, KMeans.Iters)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_vec").orderBy(col("dist").asc, col("cell").asc)
+    val probes = v.filter(col("vec_id") < KMeans.NQueries)
+      .select(col("vec_id").as("q_vec"), col("e").as("qe"))
+      .crossJoin(broadcast(cent))
+      .withColumn("dist", dot(col("qe"), col("qe")) + dot(col("c"), col("c"))
+        - lit(2.0) * dot(col("qe"), col("c")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KMeans.NProbe)
+      .select(col("q_vec"), col("qe"), col("cell"))
+    val exact = assign.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_vec"))
+      .join(v, "vec_id")
+      .select(col("q_vec"), col("vec_id").as("cand"),
+        (dot(col("qe"), col("qe")) + dot(col("e"), col("e"))
+          - lit(2.0) * dot(col("qe"), col("e"))).as("d"))
+      .collect()
+      .groupBy(_.getAs[Long]("q_vec"))
+      .view.mapValues(_.sortBy(r => (r.getAs[Double]("d"),
+        r.getAs[Long]("cand"))).take(KMeans.TopK)
+        .map(_.getAs[Long]("cand")).toSet).toMap
+    Checkpoints.release(assign, cent)
+    val recalls = exact.map { case (q, truth) =>
+      (adcTop.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"q122 ADC recall@5 vs exact (pool-restricted): $mean%.3f")
+    // 32-bit codes on 64-dim near-random vectors are a coarse ruler,
+    // but a working LUT must still beat chance (5 of ~60-per-pool)
+    assert(mean >= 0.2, f"ADC recall collapsed: $mean%.3f")
+  }
+
   test("q116 semantic dedup: partition, min-id reps, real dup signal") {
     val rows = KMeans.q116SemanticDedup(spark, sfDir()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
