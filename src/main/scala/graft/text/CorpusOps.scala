@@ -369,6 +369,40 @@ object CorpusOps {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- q123
+  /** Weighted sampling without replacement (Efraimidis & Spirakis
+    * 2006, IPL 97(5)): one md5-uniform draw per document, key =
+    * ln(u)/w with w the document's token count, and the sample is the
+    * top-[[WSampleN]] keys — equivalent to drawing docs one at a time
+    * with probability ∝ w, in a single corpus pass. This is the
+    * importance-sampling companion to q47's per-stratum rates: "give
+    * long documents proportionally more of the budget" without any
+    * sequential draw. The key is a pure function of (doc_id, w) —
+    * rerunnable bit-identically on any layout, like every sampler
+    * here. At 100 TB the global window swaps for q51's keyed top-k
+    * aggregate (only N (key, doc_id) pairs per partition shuffle).
+    *
+    * Engine contract: u is the exact 32-bit md5 uniform (integer /
+    * 2³²), ln runs on bit-identical inputs, ranking reads the
+    * UNROUNDED key with a doc_id tie-break; a spec asserts the
+    * rank-N boundary gap dwarfs cross-engine libm drift. */
+  val WSampleN = 40
+
+  def q123WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("key").desc, col("doc_id").asc)
+    TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        greatest(size(split(col("s"), " ")).cast("long"), lit(1L)).as("w"),
+        TextOps.md5Uniform(col("doc_id")).as("u"))
+      .withColumn("key", log(col("u")) / col("w").cast("double"))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= WSampleN)
+      .select(col("doc_id"), col("lang"), col("w"),
+        round(col("key"), 6).as("key"), col("rank"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition_scores" -> (q45RepetitionScores _),
     "q46_decontamination" -> (q46Decontamination _),
@@ -381,6 +415,7 @@ object CorpusOps {
     "q60_length_profile" -> (q60LengthProfile _),
     "q97_token_budget_mix" -> (q97TokenBudgetMix _),
     "q110_collocations" -> (q110Collocations _),
+    "q123_weighted_sample" -> (q123WeightedSample _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -641,6 +676,27 @@ object CorpusOps {
          |            AS BIGINT) AS rank,
          |       bigram, n
          |FROM c ORDER BY n DESC, bigram ASC LIMIT $CollocK""".stripMargin,
+
+    "q123_weighted_sample" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    greatest(CAST(len(string_split(
+         |      lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '))
+         |      AS BIGINT), 1) AS w,
+         |    md5(CAST(doc_id AS VARCHAR)) AS hx
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, lang, w,
+         |    ln(CAST(${TextOps.hexToLongSql("hx", 1, 8)} AS DOUBLE)
+         |         / 4294967296.0) / CAST(w AS DOUBLE) AS key
+         |  FROM d)
+         |SELECT doc_id, lang, w, round(key, 6) AS key, rank FROM (
+         |  SELECT doc_id, lang, w, key,
+         |         CAST(row_number() OVER (ORDER BY key DESC, doc_id ASC)
+         |              AS BIGINT) AS rank
+         |  FROM k) z
+         |WHERE rank <= $WSampleN
+         |ORDER BY rank""".stripMargin,
 
     "q97_token_budget_mix" ->
       s"""WITH t AS (

@@ -186,6 +186,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(cov.last <= 1.0 && cov.head > 0.0)
   }
 
+  test("q123 weighted sample: brute-force A-ES agreement and margins") {
+    val rows = CorpusOps.q123WeightedSample(spark, sfDir()).collect()
+    assert(rows.length == CorpusOps.WSampleN)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq ==
+      (1L to CorpusOps.WSampleN.toLong))
+    // recompute every key driver-side from first principles
+    val all = TextOps.docs(spark, sfDir())
+      .select(col("doc_id"),
+        greatest(size(split(col("s"), " ")).cast("long"), lit(1L)).as("w"),
+        TextOps.md5Uniform(col("doc_id")).as("u"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("w"),
+        StrictMath.log(r.getAs[Double]("u")) / r.getAs[Long]("w")))
+    val ranked = all.sortBy { case (id, _, k) => (-k, id) }
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+      ranked.take(CorpusOps.WSampleN).map(_._1).toSeq,
+      "selection disagrees with the brute-force A-ES ranking")
+    rows.zip(ranked).foreach { case (r, (_, w, k)) =>
+      assert(r.getAs[Long]("w") == w)
+      assert(math.abs(r.getAs[Double]("key") -
+        math.rint(k * 1e6) / 1e6) < 1e-12)
+    }
+    // the rank-N boundary must clear cross-engine libm drift by far
+    val boundary = ranked(CorpusOps.WSampleN - 1)._3 -
+      ranked(CorpusOps.WSampleN)._3
+    info(f"q123 boundary gap: $boundary%.3e")
+    assert(boundary > 1e-9, f"selection boundary within float noise")
+    // inclusion ∝ length: the sample must skew long
+    val meanAll = all.map(_._2).sum.toDouble / all.length
+    val meanSample = rows.map(_.getAs[Long]("w")).sum.toDouble / rows.length
+    info(f"mean tokens: corpus $meanAll%.1f, sample $meanSample%.1f")
+    assert(meanSample > meanAll, "length-weighted sample failed to skew long")
+  }
+
   test("q110 collocation counts match a hand count of the corpus") {
     import org.apache.spark.sql.functions._
     val rows = CorpusOps.q110Collocations(spark, sfDir()).collect()
