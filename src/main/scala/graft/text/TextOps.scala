@@ -425,6 +425,52 @@ object TextOps {
         (expr("cast(conv(substring(h, 9, 2), 16, 10) as bigint)") % 16 + 1).as("n_frames"))
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q124
+  /** Content-defined chunking dedup (the rsync/LBFS rolling-boundary
+    * idea at word granularity — the shape code-corpus pipelines use
+    * to find SHIFTED boilerplate that whole-doc fingerprints miss): a
+    * chunk boundary falls after any word whose md5 lands in
+    * 1/[[CdcDivisor]] of the hash space, so borders depend only on
+    * LOCAL content — an insertion re-chunks O(1) chunks where
+    * fixed-size chunking would shift every later one. Chunks are
+    * md5-keyed; one appearing ≥2 times corpus-wide is duplicate
+    * material. Cost: one per-doc window (chunk ids) + one chunk-hash
+    * partial agg — linear, and the chunk-hash key space is uniform
+    * by construction (no hot keys). Per-doc counters stay INTEGER
+    * end to end — engine-exact. */
+  val CdcDivisor = 8
+
+  /** (doc_id, chunk, chunk_hash, chunk_nw) over any (doc_id, s). */
+  private[graft] def cdcChunks(d: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    d.select(col("doc_id"), posexplode(split(col("s"), " ")).as(Seq("pos", "word")))
+      .withColumn("b",
+        (conv(substring(md5(col("word")), 1, 4), 16, 10).cast("long")
+          % CdcDivisor === 0).cast("long"))
+      .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0L)))
+      .groupBy("doc_id", "chunk")
+      .agg(array_sort(collect_list(struct(col("pos"), col("word")))).as("ws"))
+      .select(col("doc_id"), col("chunk"),
+        md5(array_join(expr("transform(ws, x -> x.word)"), " ")).as("chunk_hash"),
+        size(col("ws")).cast("long").as("chunk_nw"))
+  }
+
+  def q124CdcChunkDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = cdcChunks(docs(spark, dir))
+    // chunk-frequency side is corpus-derived — AQE decides the join
+    val freq = chunks.groupBy("chunk_hash").agg(count(lit(1)).as("n_occ"))
+    chunks.join(freq, "chunk_hash")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n_occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("chunk_nw")).as("n_words"),
+        sum(when(col("n_occ") >= 2, col("chunk_nw")).otherwise(0L))
+          .as("dup_words"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_dedup_exact" -> (q20DedupExact _),
     "q21_ngram_jaccard" -> (q21NgramJaccard _),
@@ -439,6 +485,7 @@ object TextOps {
     "q29_token_count" -> (q29TokenCount _),
     "q30_fingerprint" -> (q30Fingerprint _),
     "q31_multimodal_meta" -> (q31MultimodalMeta _),
+    "q124_cdc_chunk_dedup" -> (q124CdcChunkDedup _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -744,5 +791,35 @@ object TextOps {
          |       ${hexToLongSql("h", 5, 4)} % 512 + 1 AS height,
          |       ${hexToLongSql("h", 9, 2)} % 16 + 1 AS n_frames
          |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q124_cdc_chunk_dedup" ->
+      s"""WITH $normCte,
+         |w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+         |t AS (SELECT doc_id, i, ws[i] AS word
+         |      FROM w, unnest(generate_series(1, len(ws))) AS u(i)),
+         |h AS (SELECT doc_id, i, word, md5(word) AS hx FROM t),
+         |bd AS (SELECT doc_id, i, word,
+         |         CASE WHEN ${hexToLongSql("hx", 1, 4)} % $CdcDivisor = 0
+         |              THEN 1 ELSE 0 END AS b
+         |       FROM h),
+         |c AS (SELECT doc_id, i, word,
+         |        COALESCE(sum(b) OVER (PARTITION BY doc_id ORDER BY i
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |          AS chunk
+         |      FROM bd),
+         |ck AS (SELECT doc_id, chunk,
+         |         md5(string_agg(word, ' ' ORDER BY i)) AS chunk_hash,
+         |         CAST(count(*) AS BIGINT) AS chunk_nw
+         |       FROM c GROUP BY 1, 2),
+         |f AS (SELECT chunk_hash, count(*) AS n_occ FROM ck GROUP BY 1)
+         |SELECT ck.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN f.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(sum(ck.chunk_nw) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN f.n_occ >= 2 THEN ck.chunk_nw ELSE 0 END)
+         |    AS BIGINT) AS dup_words
+         |FROM ck JOIN f USING (chunk_hash)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -125,6 +125,45 @@ class TextOpsSpec extends SparkSpec {
     assert(out(10L) == (("near_dup", 1L)))
   }
 
+  test("q124 CDC chunks survive a prefix insertion (the point of CDC)") {
+    // B = A with three words bolted on the front. Content-defined
+    // boundaries depend only on the words themselves, so every chunk
+    // of A after its FIRST boundary reappears verbatim in B — a
+    // fixed-size chunker would shift and miss all of them.
+    val base = (1 to 120).map(i => s"tok$i").mkString(" ")
+    val shifted = "inserted prefix words " + base
+    val d = Seq((1L, base), (2L, shifted)).toDF("doc_id", "s")
+    val chunks = TextOps.cdcChunks(d).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[String]("chunk_hash")).toSet).toMap
+    val a = chunks(1L); val b = chunks(2L)
+    assert(a.size >= 3, s"divisor too coarse for the fixture (${a.size} chunks)")
+    val shared = (a & b).size
+    info(s"q124 fixture: ${a.size} chunks in A, $shared survive the shift")
+    assert(shared >= a.size - 1,
+      s"only $shared of ${a.size} chunks survived a prefix insertion")
+  }
+
+  test("q124 per-doc counters reconcile and find real corpus dups") {
+    val rows = TextOps.q124CdcChunkDedup(spark, sfDir()).collect()
+    val nDocs = Tables(spark, sfDir()).documents.count()
+    assert(rows.length == nDocs, "every document is profiled")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_dup_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("dup_words") <= r.getAs[Long]("n_words"))
+    }
+    // the corpus has exact duplicates (q20's signal), and an exact dup
+    // duplicates EVERY chunk — so full-dup docs must exist
+    val fullDup = rows.count(r =>
+      r.getAs[Long]("n_dup_chunks") == r.getAs[Long]("n_chunks"))
+    info(s"q124: $fullDup fully-duplicated docs")
+    assert(fullDup > 0, "no chunk-level dup signal in a corpus with exact dups")
+    // n_words reconciles with the corpus token count convention
+    val totalWords = TextOps.docs(spark, sfDir())
+      .select(sum(size(split(col("s"), " ")).cast("long"))).first().getLong(0)
+    assert(rows.map(_.getAs[Long]("n_words")).sum == totalWords)
+  }
+
   test("q98 split is cluster-atomic: near-dups can never straddle train/eval") {
     val rows = TextOps.q98LeakSafeSplit(spark, sfDir()).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
