@@ -269,7 +269,47 @@ object EventOps {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("ts_us")), PathTopK)
 
+  // ---------------------------------------------------------------- q125
+  /** Experiment lift readout: two-proportion z-test per event type
+    * between the two user-parity arms (user_id % 2 stands in for the
+    * assignment hash a real experiment framework would use — the
+    * bucketing is a pure function of the user key, like every sampler
+    * here). For each event type, "the event is of this type" is the
+    * Bernoulli outcome per event; arms compare via the pooled
+    * z = (p1−p0)/√(p̄(1−p̄)(1/n0+1/n1)). The entire input to the
+    * float math is FOUR integers per row (x0,n0,x1,n1) from one
+    * partial-agg pass — at 100 TB the scan dominates and the z math
+    * is per-type constant work on a |types|-row relation.
+    *
+    * Engine contract: one fixed expression tree from the integers
+    * (cast → ratio → pooled SE → z), every float surfaced 6dp. */
+  def abLift(e: DataFrame): DataFrame = {
+    val armed = e.withColumn("arm", (col("user_id") % 2).cast("int"))
+    val totals = armed.groupBy().agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+    val byType = armed.groupBy("event_type").agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).as("x0"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).as("x1"))
+    val p0 = col("x0").cast("double") / col("n0")
+    val p1 = col("x1").cast("double") / col("n1")
+    val pp = (col("x0") + col("x1")).cast("double") / (col("n0") + col("n1"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+    byType.crossJoin(broadcast(totals))
+      .select(col("event_type"), col("x0"), col("n0"), col("x1"), col("n1"),
+        round(p0, 6).as("p0"), round(p1, 6).as("p1"),
+        round(p1 - p0, 6).as("lift"),
+        round((p1 - p0) / se, 6).as("z"))
+      .orderBy("event_type")
+  }
+
+  def q125AbLift(spark: SparkSession, dir: String): DataFrame =
+    abLift(Tables(spark, dir).events
+      .select(col("user_id"), col("event_type")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_ab_lift" -> (q125AbLift _),
     "q119_journey_paths" -> (q119JourneyPaths _),
     "q80_funnel" -> (q80Funnel _),
     "q81_retention" -> (q81Retention _),
@@ -281,6 +321,29 @@ object EventOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q125_ab_lift" ->
+      """WITH a AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm
+        |           FROM events),
+        |tot AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM a),
+        |bt AS (
+        |  SELECT event_type,
+        |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x1
+        |  FROM a GROUP BY 1)
+        |SELECT event_type, x0, n0, x1, n1,
+        |       round(CAST(x0 AS DOUBLE) / n0, 6) AS p0,
+        |       round(CAST(x1 AS DOUBLE) / n1, 6) AS p1,
+        |       round(CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0, 6)
+        |         AS lift,
+        |       round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+        |         / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |             * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+        |             * (1.0 / n0 + 1.0 / n1)), 6) AS z
+        |FROM bt, tot ORDER BY event_type""".stripMargin,
+
     "q119_journey_paths" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,
          |                  epoch_us(ts) AS ts_us FROM events),

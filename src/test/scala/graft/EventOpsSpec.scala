@@ -142,4 +142,30 @@ class EventOpsSpec extends SparkSpec {
     assert(out(("a", 14L)) == ((2L, 4.0, false)))
     assert(out(("b", 7L)) == ((5L, 2.5, false)))
   }
+
+  test("q125 z-test matches a hand computation and reconciles") {
+    // arm 0 (even users): 4 clicks, 2 views; arm 1 (odd): 2 clicks, 4 views
+    val e = Seq(
+      (2L, "click"), (2L, "click"), (4L, "click"), (4L, "click"),
+      (2L, "view"), (4L, "view"),
+      (1L, "click"), (3L, "click"),
+      (1L, "view"), (1L, "view"), (3L, "view"), (3L, "view"))
+      .toDF("user_id", "event_type")
+    val out = EventOps.abLift(e).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val click = out("click")
+    assert(click.getAs[Long]("x0") == 4 && click.getAs[Long]("n0") == 6)
+    assert(click.getAs[Long]("x1") == 2 && click.getAs[Long]("n1") == 6)
+    // hand: p0=2/3, p1=1/3, pooled=1/2, se=sqrt(.5*.5*(2/6))=0.288675
+    assert(math.abs(click.getAs[Double]("lift") - (-0.333333)) < 1e-9)
+    val z = (2.0 / 6 - 4.0 / 6) /
+      math.sqrt(0.5 * 0.5 * (1.0 / 6 + 1.0 / 6))
+    assert(math.abs(click.getAs[Double]("z") - math.rint(z * 1e6) / 1e6) < 1e-9)
+    // symmetric design: view's z is the exact negation of click's
+    assert(math.abs(out("view").getAs[Double]("z") +
+      click.getAs[Double]("z")) < 1e-9)
+    // per-arm counts reconcile to the arm totals
+    assert(out.values.map(_.getAs[Long]("x0")).sum == 6)
+    assert(out.values.map(_.getAs[Long]("x1")).sum == 6)
+  }
 }
