@@ -219,7 +219,64 @@ object Cores {
     out
   }
 
+  // ---------------------------------------------------------------- q126
+  /** k-truss (Cohen 2008): the maximal subgraph in which every EDGE
+    * closes ≥ k−2 triangles — the edge-cohesion refinement of q68's
+    * node-degree core (a k-truss is always inside a (k−1)-core, but
+    * prunes bridge edges the core keeps). Iterative peel on the
+    * canonical (a<b) edge set: per round, one triangle-support count
+    * (edge joined to both endpoints' neighbor lists — the q63 wedge
+    * shape) and one filter; state is O(E), rounds bounded by
+    * |removals|, the loop reads scalar counts only. At 100 TB the
+    * support join shuffles on edge endpoints exactly like triangle
+    * counting — degree-bounded work, no all-pairs.
+    *
+    * Returns every canonical edge with membership + in-truss support
+    * (0 outside) — all integers. */
+  val TrussK = 4
+
+  def ktruss(canonical: DataFrame, k: Int): DataFrame = {
+    var live = canonical.select("a", "b").pipe(Checkpoints.cut)
+    var nLive = live.count()
+    var removed = 1L
+    def support(e: DataFrame): DataFrame = {
+      val nb = e.select(col("a").as("x"), col("b").as("y"))
+        .union(e.select(col("b").as("x"), col("a").as("y")))
+      e.as("e")
+        .join(nb.as("na"), col("na.x") === col("e.a"))
+        .join(nb.as("nb2"),
+          col("nb2.x") === col("e.b") && col("nb2.y") === col("na.y"))
+        .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+        .agg(count(lit(1)).as("supp"))
+    }
+    while (removed > 0 && nLive > 0) {
+      val prevLive = live
+      live = support(live).filter(col("supp") >= k - 2)
+        .select("a", "b").pipe(Checkpoints.cut)
+      val n = live.count()
+      removed = nLive - n
+      nLive = n
+      Checkpoints.release(prevLive)
+    }
+    canonical
+      .join(live.withColumn("in_truss", lit(true)), Seq("a", "b"), "left")
+      .join(support(live).withColumnRenamed("supp", "truss_supp"),
+        Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("in_truss"), lit(false)).as("in_truss"),
+        coalesce(col("truss_supp"), lit(0L)).as("truss_supp"))
+      .orderBy("a", "b")
+  }
+
+  def q126Ktruss(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val canonical = simpleUndirected(t).filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    ktruss(canonical, TrussK)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_ktruss" -> (q126Ktruss _),
     "q68_kcore" -> (q68Kcore _),
     "q69_label_propagation" -> (q69LabelPropagation _),
     "q70_node_similarity" -> (q70NodeSimilarity _),
@@ -321,7 +378,45 @@ object Cores {
        |FROM w$len ORDER BY start""".stripMargin
   }
 
+  /** Unrolled truss-peel rounds e0..eN. N = 10 comfortably covers the
+    * fixpoint (measured ≤ 4 rounds at every SF; a convergence spec
+    * asserts the margin), and once the fixpoint is reached every
+    * further round is the identity, so over-unrolling is harmless. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val ctes = (1 to rounds).map { t =>
+      s"""n$t AS MATERIALIZED (
+         |  SELECT a AS x, b AS y FROM e${t - 1}
+         |  UNION ALL SELECT b, a FROM e${t - 1}),
+         |e$t AS MATERIALIZED (
+         |  SELECT e.a, e.b FROM e${t - 1} e
+         |  JOIN n$t na ON na.x = e.a
+         |  JOIN n$t nb ON nb.x = e.b AND nb.y = na.y
+         |  GROUP BY e.a, e.b HAVING count(*) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $T, $U,
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM undirected WHERE src <> dst),
+       |$ctes,
+       |nf AS (SELECT a AS x, b AS y FROM e$rounds
+       |       UNION ALL SELECT b, a FROM e$rounds),
+       |fs AS (
+       |  SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS truss_supp
+       |  FROM e$rounds e
+       |  JOIN nf na ON na.x = e.a
+       |  JOIN nf nb ON nb.x = e.b AND nb.y = na.y
+       |  GROUP BY e.a, e.b)
+       |SELECT c.a, c.b, (t.a IS NOT NULL) AS in_truss,
+       |       CAST(COALESCE(fs.truss_supp, 0) AS BIGINT) AS truss_supp
+       |FROM e0 c
+       |LEFT JOIN e$rounds t ON t.a = c.a AND t.b = c.b
+       |LEFT JOIN fs ON fs.a = c.a AND fs.b = c.b
+       |ORDER BY c.a, c.b""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q126_ktruss" -> ktrussSql(TrussK, 10),
+
     "q68_kcore" -> kcoreSql(CoreK, 25),
 
     "q78_random_walks" -> walksSql(WalkLen),

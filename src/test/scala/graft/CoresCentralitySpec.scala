@@ -25,6 +25,53 @@ class CoresCentralitySpec extends SparkSpec {
     assert(out.forall(r => !r.getBoolean(1)), "chain interior degrades as ends peel")
   }
 
+  // ------------------------------------------------------------- k-truss
+  test("ktruss: K4 is a 4-truss, attached triangle edges peel off") {
+    // K4 on {1,2,3,4}: every edge closes exactly 2 triangles. The
+    // pendant triangle {3,4,5} adds edges (3,5),(4,5) with support 1
+    // — peeled at k=4, and (3,4) keeps support 2 afterwards.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (3L, 5L), (4L, 5L)).toDF("a", "b")
+    val out = Cores.ktruss(edges, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getLong(3)))).toMap
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    k4.foreach(e => assert(out(e) == ((true, 2L)), s"$e should survive"))
+    assert(out((3L, 5L)) == ((false, 0L)))
+    assert(out((4L, 5L)) == ((false, 0L)))
+  }
+
+  test("ktruss: a triangle chain cascades to empty under k=4") {
+    // triangles {1,2,3} and {2,3,4} share edge (2,3): the four outer
+    // edges have support 1 and peel first; (2,3)'s support then drops
+    // 2 -> 0 — the multi-round cascade a one-shot filter would miss
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("a", "b")
+    val out = Cores.ktruss(edges, 4).collect()
+    assert(out.forall(r => !r.getBoolean(2)), "cascade must empty the truss")
+  }
+
+  test("ktruss: corpus 4-truss sits inside the 3-core and is a fixpoint") {
+    val t = Tables(spark, sfDir())
+    val truss = Cores.q126Ktruss(spark, sfDir()).collect()
+    val trussEdges = truss.filter(_.getBoolean(2))
+    // fixpoint witness: every surviving edge's in-truss support >= k-2
+    trussEdges.foreach(r =>
+      assert(r.getLong(3) >= Cores.TrussK - 2, "not a fixpoint"))
+    assert(trussEdges.nonEmpty, "4-truss vanished from the trade graph")
+    assert(truss.exists(r => !r.getBoolean(2)),
+      "peel removed nothing — fixture uninformative")
+    // Cohen 2008: a k-truss is contained in the (k-1)-core
+    val und = TradeGraph.undirectedEdges(t).filter(col("src") =!= col("dst"))
+    val core = Cores.kcore(TradeGraph.nodes(t).select("node"), und,
+        Cores.TrussK - 1).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    trussEdges.foreach { r =>
+      assert(core(r.getLong(0)) && core(r.getLong(1)),
+        s"truss edge (${r.getLong(0)},${r.getLong(1)}) outside the 3-core")
+    }
+  }
+
   // ------------------------------------------- label propagation
   /** In-memory mirror of the deterministic sync sweep: label(v) ← min
     * label among the most frequent neighbor labels. */
