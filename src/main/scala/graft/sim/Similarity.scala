@@ -235,7 +235,39 @@ object Similarity {
         col("st.n_zero"), col("st.qsum"), col("st.qnorm2"))
       .orderBy("vec_id")
 
+  // ---------------------------------------------------------------- q127
+  /** Embedding outlier detection — the corpus-quality filter that
+    * drops mis-embedded / off-distribution vectors before they poison
+    * dedup clusters or ANN training (SemDeDup's recommended
+    * pre-step). Reference point is the per-dimension MEDIAN (robust
+    * where a mean would chase the outliers themselves; exact
+    * `percentile` is bit-parity with DuckDB's quantile_cont, the q60
+    * contract, so the whole chain stays engine-exact); each vector's
+    * squared distance to it ranks against the exact p-[[OutlierPct]]
+    * threshold of the distance distribution. One explode pass for the
+    * 64-row median relation (broadcast back), one distance agg, one
+    * scalar threshold — at 100 TB swap both percentiles for
+    * `approx_percentile` (fixed sketch state, same plan). */
+  val OutlierPct = 0.99
+
+  def q127EmbeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val xd = vecs(spark, dir)
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
+    val med = xd.groupBy("i")
+      .agg(expr("percentile(x, 0.5D)").as("m"))
+    val d = xd.join(broadcast(med), "i")
+      .groupBy("vec_id")
+      .agg(sum((col("x") - col("m")) * (col("x") - col("m"))).as("d"))
+      .select(col("vec_id"), round(col("d"), 6).as("dist"))
+    val thr = d.agg(expr(s"percentile(dist, ${OutlierPct}D)").as("p99"))
+    d.crossJoin(broadcast(thr))
+      .select(col("vec_id"), col("dist"),
+        (col("dist") > col("p99")).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_embedding_outliers" -> (q127EmbeddingOutliers _),
     "q24_sim_topk" -> (q24SimTopk _),
     "q25_sim_ann_lsh" -> (q25SimAnnLsh _),
     "q26_embedding_neardup" -> (q26EmbeddingNeardup _),
@@ -286,6 +318,18 @@ object Similarity {
       |  FROM dots JOIN nrm na ON na.vec_id = av JOIN nrm nb ON nb.vec_id = bv)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q127_embedding_outliers" ->
+      s"""WITH $vecCtes,
+         |med AS (SELECT i, quantile_cont(x, 0.5) AS m FROM vv GROUP BY 1),
+         |d AS (
+         |  SELECT vv.vec_id,
+         |         round(sum((vv.x - med.m) * (vv.x - med.m)), 6) AS dist
+         |  FROM vv JOIN med ON med.i = vv.i
+         |  GROUP BY 1),
+         |thr AS (SELECT quantile_cont(dist, $OutlierPct) AS p99 FROM d)
+         |SELECT d.vec_id, d.dist, (d.dist > thr.p99) AS is_outlier
+         |FROM d, thr ORDER BY d.vec_id""".stripMargin,
+
     "q53_quantize_int8" ->
       s"""WITH $vecCtes,
          |m AS (SELECT vec_id, max(abs(x)) AS max_abs FROM vv GROUP BY 1),

@@ -137,4 +137,33 @@ class SimilaritySpec extends SparkSpec {
     assert(w1 == w2)
     assert(w1 >= -1.0 && w1 <= 1.0)
   }
+
+  test("q127 outliers are exactly the distance tail above the p99 cut") {
+    val rows = Similarity.q127EmbeddingOutliers(spark, sfDir()).collect()
+    val n = rows.length
+    assert(n == vecs().count())
+    val (out, in) = rows.partition(_.getAs[Boolean]("is_outlier"))
+    assert(out.nonEmpty && out.length <= math.max(1, (n * 0.02).toInt),
+      s"${out.length} outliers of $n is not a 1% tail")
+    // separation: every outlier is strictly farther than every inlier
+    val minOut = out.map(_.getAs[Double]("dist")).min
+    val maxIn = in.map(_.getAs[Double]("dist")).max
+    assert(minOut > maxIn, "outlier/inlier distances overlap")
+    // recompute one vector's distance from first principles
+    val embs = vecs().collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("e")).toMap
+    val dims = embs.values.head.length
+    val medians = (0 until dims).map { i =>
+      val xs = embs.values.map(_(i)).toArray.sorted
+      // (n-1)·p linear interpolation at p = 0.5
+      val pos = (xs.length - 1) * 0.5
+      val lo = xs(pos.toInt); val hi = xs(math.ceil(pos).toInt)
+      lo + (hi - lo) * (pos - pos.toInt)
+    }
+    val want = embs(0L).zip(medians).map { case (x, m) => (x - m) * (x - m) }.sum
+    val got = rows.find(_.getAs[Long]("vec_id") == 0L).get.getAs[Double]("dist")
+    assert(math.abs(got - math.rint(want * 1e6) / 1e6) < 1e-6,
+      s"dist recompute drifted: $got vs $want")
+  }
 }
