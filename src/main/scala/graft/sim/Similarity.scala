@@ -266,7 +266,42 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q128
+  /** SEMANTIC decontamination: q46 catches eval data that survives in
+    * the corpus verbatim (8-gram shingles); paraphrased leakage needs
+    * the embedding space. Benchmark set = vec_id < [[DecontamBench]]
+    * (the q46 convention on the embeddings table); a corpus vector
+    * whose max cosine against any benchmark vector clears
+    * [[DecontamTau]] is flagged, with its closest benchmark item for
+    * audit. The benchmark side is bounded by construction →
+    * broadcast; the corpus streams ONCE through one max_by-shaped
+    * aggregate — no window, no all-pairs. τ sits in the same
+    * near-random-similarity tail regime as q116's (synthetic
+    * embeddings); real corpora run 0.9+. */
+  val DecontamBench = 25
+  val DecontamTau = 0.40
+
+  def q128SemanticDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val bench = v.filter(col("vec_id") < DecontamBench)
+      .select(col("vec_id").as("bench_id"), col("e").as("be"))
+    v.filter(col("vec_id") >= DecontamBench)
+      .join(broadcast(bench))
+      .select(col("vec_id"), col("bench_id"),
+        cosine(col("e"), col("be")).as("sim"))
+      .groupBy("vec_id")
+      // struct-max: highest sim, smallest bench_id on a tie — the
+      // deterministic argmax (max_by breaks ties arbitrarily)
+      .agg(max(struct(col("sim"), (-col("bench_id")).as("nb"))).as("m"))
+      .select(col("vec_id"),
+        round(col("m.sim"), 6).as("max_sim"),
+        (-col("m.nb")).as("closest_bench"),
+        (col("m.sim") >= DecontamTau).as("is_contaminated"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_semantic_decontamination" -> (q128SemanticDecontamination _),
     "q127_embedding_outliers" -> (q127EmbeddingOutliers _),
     "q24_sim_topk" -> (q24SimTopk _),
     "q25_sim_ann_lsh" -> (q25SimAnnLsh _),
@@ -318,6 +353,30 @@ object Similarity {
       |  FROM dots JOIN nrm na ON na.vec_id = av JOIN nrm nb ON nb.vec_id = bv)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q128_semantic_decontamination" ->
+      s"""WITH $vecCtes,
+         |dp AS (
+         |  SELECT c.vec_id, b.vec_id AS bench_id,
+         |         sum(xc.x * xb.x) AS dp
+         |  FROM v c JOIN v b ON b.vec_id < $DecontamBench
+         |                   AND c.vec_id >= $DecontamBench
+         |  JOIN vv xc ON xc.vec_id = c.vec_id
+         |  JOIN vv xb ON xb.vec_id = b.vec_id AND xb.i = xc.i
+         |  GROUP BY 1, 2),
+         |sim AS (
+         |  SELECT d.vec_id, d.bench_id, d.dp / (nc.nrm * nb.nrm) AS sim
+         |  FROM dp d
+         |  JOIN nrm nc ON nc.vec_id = d.vec_id
+         |  JOIN nrm nb ON nb.vec_id = d.bench_id)
+         |SELECT vec_id, round(sim, 6) AS max_sim, bench_id AS closest_bench,
+         |       (sim >= $DecontamTau) AS is_contaminated
+         |FROM (
+         |  SELECT vec_id, bench_id, sim,
+         |         row_number() OVER (PARTITION BY vec_id
+         |                            ORDER BY sim DESC, bench_id ASC) AS rk
+         |  FROM sim) z
+         |WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
     "q127_embedding_outliers" ->
       s"""WITH $vecCtes,
          |med AS (SELECT i, quantile_cont(x, 0.5) AS m FROM vv GROUP BY 1),

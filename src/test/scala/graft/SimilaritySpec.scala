@@ -166,4 +166,34 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got - math.rint(want * 1e6) / 1e6) < 1e-6,
       s"dist recompute drifted: $got vs $want")
   }
+
+  test("q128 reports the true max-cosine benchmark match per vector") {
+    val rows = Similarity.q128SemanticDecontamination(spark, sfDir()).collect()
+    val embs = vecs().collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Double]]("e").toArray).toMap
+    assert(rows.length == embs.size - Similarity.DecontamBench,
+      "one row per corpus (non-benchmark) vector")
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var dp = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = embs.filter(_._1 < Similarity.DecontamBench)
+    rows.foreach { r =>
+      val v = embs(r.getAs[Long]("vec_id"))
+      val (bestId, bestSim) = bench
+        .map { case (id, be) => (id, cos(v, be)) }
+        .maxBy { case (id, s) => (s, -id) }
+      assert(r.getAs[Long]("closest_bench") == bestId)
+      assert(math.abs(r.getAs[Double]("max_sim") - bestSim) < 1e-6)
+      assert(r.getAs[Boolean]("is_contaminated") ==
+        (bestSim >= Similarity.DecontamTau - 1e-12))
+    }
+    val flagged = rows.count(_.getAs[Boolean]("is_contaminated"))
+    info(s"q128: $flagged of ${rows.length} corpus vectors flagged")
+    assert(flagged > 0, "tau leaves no contamination signal at this SF")
+    assert(flagged < rows.length, "tau flags everything — uninformative")
+  }
 }
