@@ -205,25 +205,52 @@ object KMeans {
   val PqK = 8
   val PqIters = 2
 
-  def q121PqEncode(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir)
+  /** Train the [[PqM]] per-subspace codebooks and COLLECT them: the
+    * full model is PqM·PqK·(Dims/PqM) = Dims·PqK doubles — aggregated
+    * state the size of a loop scalar, the piece every PQ serving
+    * system ships to its searchers. Returned as (cell, centroid)
+    * pairs per subspace, cell-ascending. */
+  private[graft] def pqCodebooks(v: DataFrame): IndexedSeq[IndexedSeq[(Int, Seq[Double])]] = {
     val subDim = Similarity.Dims / PqM
-    val parts = (0 until PqM).map { s =>
+    (0 until PqM).map { s =>
       val sv = v.select(col("vec_id"),
         slice(col("e"), s * subDim + 1, subDim).as("e"))
       val (assign, cent) = lloyd(sv, PqK, PqIters)
-      val best = assign.join(sv, "vec_id")
-        .join(broadcast(cent), "cell")
-        .select(col("vec_id"), col("cell").as(s"code$s"),
-          sqDist(col("e"), col("c")).as(s"d$s"))
-        .pipe(Checkpoints.cut)
+      val out = cent.collect()
+        .map(r => r.getAs[Int]("cell") ->
+          r.getAs[scala.collection.Seq[Double]]("c").toSeq)
+        .sortBy(_._1).toIndexedSeq
       Checkpoints.release(assign, cent)
-      best
+      out
     }
-    parts.reduce(_.join(_, "vec_id"))
-      .select(col("vec_id"),
-        col("code0"), col("code1"), col("code2"), col("code3"),
-        round(col("d0") + col("d1") + col("d2") + col("d3"), 6).as("err"))
+  }
+
+  /** In-row (dist, cell) candidate array for one subspace against its
+    * collected codebook — `array_min` over it is the argmin with the
+    * (dist asc, cell asc) tie order every Lloyd step uses. */
+  private def subDists(e: Column, s: Int,
+      book: IndexedSeq[(Int, Seq[Double])]): Column = {
+    val subDim = Similarity.Dims / PqM
+    val sl = slice(e, s * subDim + 1, subDim)
+    array(book.map { case (cell, c) =>
+      struct(sqDist(sl, typedLit(c)).as("dist"), lit(cell).as("cell"))
+    }: _*)
+  }
+
+  def q121PqEncode(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val books = pqCodebooks(v)
+    // encode = ONE projection pass: per subspace, the argmin over the
+    // collected codebook is evaluated in-row — no joins, no shuffle
+    // beyond the output sort, regardless of corpus size
+    val withBest = (0 until PqM).foldLeft(v) { (acc, s) =>
+      acc.withColumn(s"b$s", array_min(subDists(col("e"), s, books(s))))
+    }
+    withBest.select(
+      col("vec_id") +:
+        (0 until PqM).map(s => col(s"b$s.cell").as(s"code$s")) :+
+        round((0 until PqM).map(s => col(s"b$s.dist")).reduce(_ + _), 6)
+          .as("err"): _*)
       .orderBy("vec_id")
   }
 
@@ -249,47 +276,58 @@ object KMeans {
     val v = vecs(spark, dir)
     val subDim = Similarity.Dims / PqM
 
-    // coarse quantizer → probed inverted lists (exactly q49's probe)
-    val (assign, coarse) = lloyd(v, K, Iters)
-    val q = v.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_vec"), col("e").as("qe"))
-    val wp = Window.partitionBy("q_vec").orderBy(col("dist").asc, col("cell").asc)
-    val probes = q.crossJoin(broadcast(coarse))
-      .withColumn("dist", sqDist(col("qe"), col("c")))
-      .withColumn("rk", row_number().over(wp))
-      .filter(col("rk") <= NProbe)
-      .select(col("q_vec"), col("cell"))
-    val cand = assign.join(broadcast(probes), Seq("cell"))
-      .filter(col("vec_id") =!= col("q_vec"))
-      .select(col("q_vec"), col("vec_id").as("cand"))
+    // train both quantizers, collect the (tiny) models: coarse = K
+    // full-dim centroids, PQ = Dims·PqK scalars — the state every PQ
+    // searcher ships. The corpus itself is never collected.
+    val (cAssign, cCent) = lloyd(v, K, Iters)
+    val coarse = cCent.collect()
+      .map(r => r.getAs[Int]("cell") ->
+        r.getAs[scala.collection.Seq[Double]]("c").toSeq)
+      .sortBy(_._1).toIndexedSeq
+    Checkpoints.release(cAssign, cCent)
+    val books = pqCodebooks(v)
 
-    // per-subspace codebooks: candidate codes + query→codeword LUTs
-    val scored = (0 until PqM).foldLeft(cand) { (acc, s) =>
-      val sv = v.select(col("vec_id"),
-        slice(col("e"), s * subDim + 1, subDim).as("e"))
-      val (codes, cent) = lloyd(sv, PqK, PqIters)
-      val lut = q.select(col("q_vec"),
-          slice(col("qe"), s * subDim + 1, subDim).as("qs"))
-        .crossJoin(broadcast(cent))
-        .select(col("q_vec"), col("cell"),
-          sqDist(col("qs"), col("c")).as(s"d$s"))
-      val out = acc
-        .join(codes.select(col("vec_id").as("cand"), col("cell")), "cand")
-        .join(broadcast(lut), Seq("q_vec", "cell"))
-        .drop("cell")
-        .pipe(Checkpoints.cut)
-      Checkpoints.release(codes, cent)
-      out
-    }
-    Checkpoints.release(assign, coarse)
+    def coarseDists(e: Column): Column = array(coarse.map { case (cell, c) =>
+      struct(sqDist(e, typedLit(c)).as("dist"), lit(cell).as("cell"))
+    }: _*)
 
+    // index build: ONE corpus projection — coarse cell + PQ codes,
+    // all argmins in-row over the collected models (the materialized
+    // form a serving system writes once and probes forever)
+    val index = (0 until PqM).foldLeft(
+        v.withColumn("cell", array_min(coarseDists(col("e"))).getField("cell"))) {
+        (acc, s) =>
+      acc.withColumn(s"code$s",
+        array_min(subDists(col("e"), s, books(s))).getField("cell"))
+    }.select(col("vec_id") +: col("cell") +:
+      (0 until PqM).map(s => col(s"code$s")): _*)
+
+    // query relation: NQueries rows carrying probed cells + per-
+    // subspace cell→distance lookup maps — broadcast to the index scan
+    val qrel = (0 until PqM).foldLeft(
+        v.filter(col("vec_id") < NQueries)
+          .withColumn("cds", coarseDists(col("e")))
+          .withColumn("cells", transform(
+            slice(array_sort(col("cds")), 1, NProbe), x => x.getField("cell")))) {
+        (acc, s) =>
+      acc.withColumn(s"m$s", map_from_entries(
+        transform(subDists(col("e"), s, books(s)),
+          x => struct(x.getField("cell"), x.getField("dist")))))
+    }.select(col("vec_id").as("q_vec") +: col("cells") +:
+      (0 until PqM).map(s => col(s"m$s")): _*)
+
+    val adc = (0 until PqM)
+      .map(s => element_at(col(s"m$s"), col(s"code$s"))).reduce(_ + _)
     val wr = Window.partitionBy("q_vec").orderBy(col("adc").asc, col("cand").asc)
-    scored
-      .withColumn("adc", col("d0") + col("d1") + col("d2") + col("d3"))
+    index.join(broadcast(qrel),
+        array_contains(col("cells"), col("cell")) &&
+          col("vec_id") =!= col("q_vec"))
+      .withColumnRenamed("vec_id", "cand")
+      .withColumn("adc", adc)
       .withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= TopK)
-      .select(col("q_vec"), col("cand"), round(col("adc"), 6).as("adc"),
-        col("rank"))
+      .select(col("q_vec"), col("cand"),
+        round(col("adc"), 6).as("adc"), col("rank"))
       .orderBy("q_vec", "rank")
   }
 

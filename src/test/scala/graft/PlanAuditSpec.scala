@@ -185,6 +185,65 @@ class PlanAuditSpec extends SparkSpec {
       s"wedge enumeration degenerated to all-pairs:\n$p")
   }
 
+  test("q121: encode is one joinless corpus projection over collected codebooks") {
+    // the trained codebooks are Dims·PqK scalars collected to the
+    // driver and inlined as literals — the encode pass must be a pure
+    // projection: no join of any kind, and no exchange besides the
+    // output sort's range partitioning
+    val p = plan(graft.sim.KMeans.q121PqEncode(spark, sfDir()))
+    assert(!p.contains("Join"), s"encode pass grew a join:\n$p")
+    assert(!p.contains("hashpartitioning"), s"encode pass shuffles:\n$p")
+  }
+
+  test("q122: probe joins the code index against the broadcast query relation") {
+    // index side streams (cell + PqM codes, never the embeddings);
+    // the NQueries-row qrel (probed cells + ADC LUT maps) is the
+    // broadcast build side of the one array_contains join
+    val p = plan(graft.sim.KMeans.q122IvfPqSearch(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"), s"all-pairs in:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"),
+      s"query relation not the broadcast build side:\n$p")
+  }
+
+  test("q123/q125: scans pruned to the consumed columns") {
+    val p1 = plan(graft.text.CorpusOps.q123WeightedSample(spark, sfDir()))
+    val rs1 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p1)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p1"))
+    assert(rs1.split(",").length == 3, s"q123 scan not pruned: $rs1")
+    val p2 = plan(graft.operators.EventOps.q125AbLift(spark, sfDir()))
+    val rs2 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p2)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p2"))
+    assert(rs2.split(",").length == 2, s"q125 scan not pruned: $rs2")
+    assert(!p2.contains("CartesianProduct"))
+  }
+
+  test("q124: one doc-keyed exchange chain, corpus-derived freq unhinted") {
+    val p = plan(graft.text.TextOps.q124CdcChunkDedup(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"))
+    // the chunk-id window must run on a doc_id partitioning
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
+      s"no doc-keyed exchange for the chunk window:\n$p")
+    // chunk-frequency side is corpus-derived: no broadcast HINT may
+    // force it (AQE picks at runtime) — the analyzed plan must not
+    // carry a ResolvedHint on the freq join
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"freq join must stay an equi join:\n$p")
+  }
+
+  test("q127/q128: bounded sides broadcast, corpus streamed once") {
+    val p1 = plan(graft.sim.Similarity.q127EmbeddingOutliers(spark, sfDir()))
+    assert(p1.contains("BroadcastHashJoin"),
+      s"64-row median relation not broadcast:\n$p1")
+    assert(!p1.contains("CartesianProduct"))
+    val p2 = plan(graft.sim.Similarity
+      .q128SemanticDecontamination(spark, sfDir()))
+    // benchmark side joins with no key — the intended shape is a
+    // broadcast nested loop building the BOUNDED bench relation
+    assert(p2.contains("BroadcastNestedLoopJoin Inner BuildRight"),
+      s"benchmark side not the broadcast build side:\n$p2")
+    assert(!p2.contains("CartesianProduct"))
+  }
+
   test("q119: both lookahead steps share one window exchange") {
     val p = plan(graft.operators.EventOps.q119JourneyPaths(spark, sfDir()))
     // one hashpartitioning(user_id...) exchange feeds the window; a
