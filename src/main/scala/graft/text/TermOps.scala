@@ -1,5 +1,6 @@
 package graft.text
 
+import scala.util.chaining._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -167,12 +168,116 @@ object TermOps {
   def q120BigramNll(spark: SparkSession, dir: String): DataFrame =
     bigramNll(TextOps.docs(spark, dir))
 
+  // ---------------------------------------------------------------- q129
+  /** BPE tokenizer training (Sennrich et al. 2016): learn the first
+    * [[BpeMerges]] byte-pair merges from the corpus. The industrial
+    * trainer structure (HF tokenizers, SentencePiece-BPE): the ONLY
+    * corpus-scale op is the word-TYPE frequency table (one partial
+    * agg); every merge iteration then runs on that bounded type
+    * relation — pair counts are a type-table agg weighted by freq,
+    * the winning rule is a SCALAR (the model is k rules), and the
+    * merge itself is one projection. At 100 TB the type table is
+    * millions of rows where the corpus is billions, so the loop cost
+    * is independent of corpus size.
+    *
+    * Determinism: pair counts are integers; the winner is argmax
+    * under the total order (cnt desc, lhs asc, rhs asc). Both engines
+    * share one representation — a word's symbols as `|s1||s2||…|`,
+    * where merging (a,b) is the LITERAL string replace of `|a||b|`
+    * with `|ab|`: non-overlapping left-to-right replacement is
+    * exactly BPE's greedy merge scan ("aaa" under (a,a) → "aa"+"a"),
+    * identical in Spark and DuckDB by the shared replace() contract.
+    * Pair counting is positional (overlapping pairs both count — the
+    * classic BPE convention), mirrored by the same enumeration. */
+  val BpeMerges = 8
+
+  /** The learned merge rules for a (word, freq) type table:
+    * (step, lhs, rhs, cnt). */
+  private[graft] def bpeMerges(wordFreq: DataFrame, k: Int): Seq[(Long, String, String, Long)] = {
+    val wf = wordFreq
+      .withColumn("sym", regexp_replace(col("word"), "(.)", "|$1|"))
+      .select("freq", "sym")
+      .pipe(graft.Checkpoints.cut)
+    var cur = wf
+    val rules = Seq.newBuilder[(Long, String, String, Long)]
+    for (step <- 1 to k) {
+      val best = cur
+        .withColumn("a", split(expr("trim(BOTH '|' FROM sym)"), "\\|\\|"))
+        .filter(size(col("a")) >= 2)
+        .select(col("freq"), explode(expr(
+          """transform(sequence(1, size(a) - 1),
+            |  i -> struct(element_at(a, i) AS lhs,
+            |              element_at(a, i + 1) AS rhs))""".stripMargin)).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()(0)
+      val (lhs, rhs) = (best.getAs[String]("lhs"), best.getAs[String]("rhs"))
+      rules += ((step.toLong, lhs, rhs, best.getAs[Long]("cnt")))
+      cur = cur.withColumn("sym", replace(col("sym"),
+        lit(s"|$lhs||$rhs|"), lit(s"|$lhs$rhs|")))
+    }
+    graft.Checkpoints.release(wf)
+    rules.result()
+  }
+
+  def q129BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wf = TextOps.docs(spark, dir)
+      .select(explode(split(col("s"), " ")).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    bpeMerges(wf, BpeMerges)
+      .toDF("step", "lhs", "rhs", "cnt")
+      .select(col("step"), col("lhs"), col("rhs"),
+        concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_tfidf_terms" -> (q74TfidfTerms _),
     "q75_unigram_logprob" -> (q75UnigramLogprob _),
     "q114_bm25" -> (q114Bm25 _),
     "q120_bigram_nll" -> (q120BigramNll _),
+    "q129_bpe_merges" -> (q129BpeMerges _),
   )
+
+  /** Unrolled BPE steps: p$t counts pairs over v${t-1}, b$t picks the
+    * argmax rule, v$t applies the literal replace. The positional
+    * enumeration, the (cnt, lhs, rhs) order, and the `|a||b|` →
+    * `|ab|` replace are character-for-character the engine's
+    * semantics. */
+  private def bpeSql(k: Int): String = {
+    val steps = (1 to k).map { t =>
+      s"""p$t AS (
+         |  SELECT ws[CAST(i AS INT)] AS lhs, ws[CAST(i AS INT) + 1] AS rhs,
+         |         CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(trim(sym, '|'), '||') AS ws
+         |        FROM v${t - 1}) t,
+         |       unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$t AS (
+         |  SELECT CAST($t AS BIGINT) AS step, lhs, rhs, cnt FROM p$t
+         |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |v$t AS (
+         |  SELECT v.freq,
+         |         replace(v.sym, '|' || b.lhs || '||' || b.rhs || '|',
+         |                 '|' || b.lhs || b.rhs || '|') AS sym
+         |  FROM v${t - 1} v CROSS JOIN b$t b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(t => s"SELECT * FROM b$t").mkString(" UNION ALL ")
+    s"""WITH ${TextOps.normCte},
+       |wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(s, ' ')) AS word FROM n)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY 1),
+       |v0 AS (SELECT freq, regexp_replace(word, '(.)', '|\\1|', 'g') AS sym
+       |       FROM wf),
+       |$steps
+       |SELECT step, lhs, rhs, lhs || rhs AS merged, cnt
+       |FROM ($union) ORDER BY step""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q74_tfidf_terms" ->
@@ -260,5 +365,7 @@ object TermOps {
          |JOIN bc c ON c.prev = g.prev AND c.cur = g.cur
          |JOIN uni u ON u.word = g.prev, vv
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q129_bpe_merges" -> bpeSql(BpeMerges),
   )
 }

@@ -105,4 +105,27 @@ class PolicyTermSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out(2L) > out(1L))
   }
+
+  test("bpe merges follow the hand-derived greedy schedule") {
+    // types: abab ×3, aab ×2. Pair counts round 1 (positional,
+    // weighted): (a,b) 3·2+2 = 8, (b,a) 3, (a,a) 2 → merge ab.
+    // Round 2 over {|ab||ab| ×3, |a||ab| ×2}: (ab,ab) 3, (a,ab) 2
+    // → merge abab. Round 3: only (a,ab) 2 remains.
+    val wf = Seq(("abab", 3L), ("aab", 2L)).toDF("word", "freq")
+    val rules = TermOps.bpeMerges(wf, 3)
+    assert(rules == Seq(
+      (1L, "a", "b", 8L),
+      (2L, "ab", "ab", 3L),
+      (3L, "a", "ab", 2L)))
+  }
+
+  test("bpe greedy merge scans left-to-right: aaa yields one aa, not two") {
+    // word aaaa ×1: round 1 (a,a) counts 3 positionally; the merge
+    // rewrites |a||a||a||a| → |aa||aa| (greedy non-overlap), so
+    // round 2 must see (aa,aa)=1 — NOT (a,aa) or (aa,a), which would
+    // betray an overlap-aware or right-to-left scan.
+    val wf = Seq(("aaaa", 1L)).toDF("word", "freq")
+    val rules = TermOps.bpeMerges(wf, 2)
+    assert(rules == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
 }
