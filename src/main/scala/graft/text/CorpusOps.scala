@@ -403,6 +403,66 @@ object CorpusOps {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- q130
+  /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+    * importance weights from hashed n-gram features. The target
+    * distribution comes from the benchmark slice (doc_id <
+    * [[BenchmarkCutoff]], the q46 convention), the raw distribution
+    * from the rest of the corpus; every token hashes to one of
+    * [[DsirBuckets]] md5 buckets, and a document's log importance
+    * weight is Σ_tokens ln(p_target(bucket)/p_raw(bucket)) under
+    * add-one smoothing. Selection is DSIR's "take the k most
+    * target-like": rank by (lw desc, doc_id asc), keep the top
+    * [[DsirKeepN]] — the global rank window runs over the AGGREGATED
+    * per-doc relation (one row per doc, not per token); at 100 TB the
+    * documented swap is an approx-percentile lw cut point broadcast
+    * as a filter (the q91 decile discipline).
+    *
+    * Scale shape: the token→bucket projection streams the corpus
+    * once; both distributions are [[DsirBuckets]]-row aggregates
+    * (bounded BY CONSTRUCTION — the whole point of hashed features,
+    * vs an unbounded vocabulary), so the scored join broadcasts the
+    * LLR table. Float discipline: each bucket's LLR is ONE shared
+    * expression rounded 6dp; per-doc contributions round then
+    * DECIMAL-sum (order-free, the q114 contract). */
+  val DsirBuckets = 256
+  val DsirKeepN = 100
+
+  def q130DsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeights(TextOps.docs(spark, dir), BenchmarkCutoff, DsirKeepN)
+
+  private[graft] def dsirWeights(d: DataFrame, cutoff: Long, keepN: Int): DataFrame = {
+    val toks = d
+      .select(col("doc_id"), explode(split(col("s"), " ")).as("word"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("word")), 1, 2), 16, 10).cast("long").as("b"))
+    val tgt = toks.filter(col("doc_id") < cutoff)
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val raw = toks.filter(col("doc_id") >= cutoff)
+      .groupBy("b").agg(count(lit(1)).as("cr"))
+    val tot = tgt.agg(sum("ct").as("nt"))
+      .crossJoin(raw.agg(sum("cr").as("nr")))
+    val llr = tgt.join(raw, Seq("b"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tot))
+      .select(col("b"), round(log(
+        (col("ct") + lit(1.0)) * (col("nr") + lit(DsirBuckets.toLong))
+          / ((col("cr") + lit(1.0)) * (col("nt") + lit(DsirBuckets.toLong)))),
+        6).as("llr"))
+    toks.filter(col("doc_id") >= cutoff)
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("nb"))
+      .join(broadcast(llr), "b")
+      .select(col("doc_id"), col("nb"),
+        round(col("nb") * col("llr"), 6).cast("decimal(18,6)").as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("nb").as("n_tokens"),
+        sum("contrib").cast("double").as("lw"))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("lw").desc, col("doc_id").asc)).cast("long"))
+      .withColumn("keep", col("rank") <= keepN)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition_scores" -> (q45RepetitionScores _),
     "q46_decontamination" -> (q46Decontamination _),
@@ -416,6 +476,7 @@ object CorpusOps {
     "q97_token_budget_mix" -> (q97TokenBudgetMix _),
     "q110_collocations" -> (q110Collocations _),
     "q123_weighted_sample" -> (q123WeightedSample _),
+    "q130_dsir_weights" -> (q130DsirWeights _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -676,6 +737,40 @@ object CorpusOps {
          |            AS BIGINT) AS rank,
          |       bigram, n
          |FROM c ORDER BY n DESC, bigram ASC LIMIT $CollocK""".stripMargin,
+
+    "q130_dsir_weights" ->
+      s"""WITH ${TextOps.normCte},
+         |wu AS (SELECT doc_id, unnest(string_split(s, ' ')) AS word FROM n),
+         |tb AS (SELECT doc_id,
+         |              CAST(${TextOps.hexToLongSql("md5(word)", 1, 2)}
+         |                   AS BIGINT) AS b
+         |       FROM wu),
+         |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS ct FROM tb
+         |        WHERE doc_id < $BenchmarkCutoff GROUP BY 1),
+         |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS cr FROM tb
+         |        WHERE doc_id >= $BenchmarkCutoff GROUP BY 1),
+         |tot AS (SELECT (SELECT CAST(sum(ct) AS BIGINT) FROM tgt) AS nt,
+         |               (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr),
+         |llr AS (
+         |  SELECT coalesce(t.b, r.b) AS b,
+         |         round(ln((coalesce(t.ct, 0) + 1.0) * (tot.nr + $DsirBuckets)
+         |                  / ((coalesce(r.cr, 0) + 1.0)
+         |                     * (tot.nt + $DsirBuckets))), 6) AS llr
+         |  FROM tgt t FULL OUTER JOIN raw r ON t.b = r.b, tot),
+         |db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS nb FROM tb
+         |       WHERE doc_id >= $BenchmarkCutoff GROUP BY 1, 2),
+         |c AS (SELECT d.doc_id, d.nb,
+         |             CAST(round(d.nb * l.llr, 6) AS DECIMAL(18,6)) AS contrib
+         |      FROM db d JOIN llr l ON l.b = d.b),
+         |agg AS (SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_tokens,
+         |               CAST(sum(contrib) AS DOUBLE) AS lw
+         |        FROM c GROUP BY 1)
+         |SELECT doc_id, n_tokens, lw, rank, (rank <= $DsirKeepN) AS keep
+         |FROM (SELECT doc_id, n_tokens, lw,
+         |             CAST(row_number() OVER (ORDER BY lw DESC, doc_id ASC)
+         |                  AS BIGINT) AS rank
+         |      FROM agg) z
+         |ORDER BY doc_id""".stripMargin,
 
     "q123_weighted_sample" ->
       s"""WITH d AS (

@@ -275,4 +275,24 @@ class CorpusOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("dsir: target-vocabulary docs outrank off-target ones") {
+    // target (doc 0) speaks {x, y}; doc 1 repeats the target
+    // vocabulary, doc 2 shares half, doc 3 is fully off-target. The
+    // importance order must be 1 > 2 > 3, and top-1 selection keeps
+    // exactly doc 1.
+    val d = Seq(
+      0L -> "x y x y x y",
+      1L -> "x y x y",
+      2L -> "x z x z",
+      3L -> "z w z w").toDF("doc_id", "s")
+    val out = CorpusOps.dsirWeights(d, cutoff = 1L, keepN = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("lw"), r.getAs[Long]("rank"),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L), "benchmark docs must not score")
+    assert(out(1L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1)
+    assert(out(1L)._2 == 1L && out(1L)._3)
+    assert(!out(2L)._3 && !out(3L)._3)
+  }
 }
