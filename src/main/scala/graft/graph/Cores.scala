@@ -275,13 +275,127 @@ object Cores {
     ktruss(canonical, TrussK)
   }
 
+  // ---------------------------------------------------------------- q131
+  /** Luby's maximal independent set — the classic symmetry-breaking
+    * primitive under distributed scheduling/coloring/matching. Each
+    * round, every live node whose md5 priority beats ALL live
+    * neighbors' joins the MIS and its neighborhood dies; rounds
+    * continue until no node is live. With fixed priorities the result
+    * is the deterministic lexicographically-first MIS, so the whole
+    * run hash-compares (classic Luby redraws per round; one fixed
+    * draw keeps the O(log n)-round behavior on non-adversarial
+    * graphs). Per round: two semi-joins + one neighbor-min agg + one
+    * anti-join, all keyed by node — O(E) work, O(V) state, loop
+    * condition reads a scalar count. The md5 hex priorities are
+    * unique on any realistic graph (2⁻¹²⁸ collisions; distinctness
+    * spec-asserted on both test graphs), which keeps the strict `<`
+    * comparison a total order without a tie-break column.
+    *
+    * Output: every node with `in_mis` and the round it settled
+    * (selected, or killed by a selected neighbor). */
+  private[graft] def maximalIndependentSet(
+      nodes: DataFrame, undirected: DataFrame): DataFrame = {
+    val und = undirected.filter(col("src") =!= col("dst"))
+    val pri = nodes.select(col("node"),
+      md5(col("node").cast("string")).as("p")).pipe(Checkpoints.cut)
+    var live = pri.select("node").pipe(Checkpoints.cut)
+    var settled: DataFrame = null
+    var round = 0L
+    var nLive = live.count()
+    while (nLive > 0) {
+      round += 1
+      val le = und
+        .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      val nm = le
+        .join(pri.select(col("node").as("dst"), col("p").as("pd")), Seq("dst"))
+        .groupBy(col("src").as("node")).agg(min(col("pd")).as("mn"))
+      // isolated-in-live nodes (mn null) always win; two adjacent
+      // winners are impossible (one of them sees the other's smaller p)
+      val mis = live.join(pri, Seq("node")).join(nm, Seq("node"), "left")
+        .filter(col("mn").isNull || col("p") < col("mn"))
+        .select("node")
+      val killed = le
+        .join(mis.select(col("node").as("src")), Seq("src"), "left_semi")
+        .select(col("dst").as("node")).distinct()
+      val newSettled = mis
+        .select(col("node"), lit(true).as("in_mis"),
+          lit(round).as("settled_round"))
+        .union(killed.select(col("node"), lit(false), lit(round)))
+        .pipe(Checkpoints.cut)
+      settled = if (settled == null) newSettled
+        else settled.union(newSettled)
+      val prevLive = live
+      live = live.join(newSettled.select("node"), Seq("node"), "left_anti")
+        .pipe(Checkpoints.cut)
+      Checkpoints.release(prevLive)
+      nLive = live.count()
+    }
+    Checkpoints.release(pri, live)
+    settled.orderBy("node")
+  }
+
+  def q131Mis(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    maximalIndependentSet(TradeGraph.nodes(t).select("node"),
+      simpleUndirected(t))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_ktruss" -> (q126Ktruss _),
     "q68_kcore" -> (q68Kcore _),
     "q69_label_propagation" -> (q69LabelPropagation _),
     "q70_node_similarity" -> (q70NodeSimilarity _),
     "q78_random_walks" -> (q78RandomWalks _),
+    "q131_mis" -> (q131Mis _),
   )
+
+  /** Unrolled Luby rounds. Every round the live node with the globally
+    * smallest priority enters the MIS, so each non-empty round settles
+    * ≥ 1 node and `rounds` = |V| always reaches the fixpoint; in
+    * practice the sweep ends in a handful of rounds and the trailing
+    * CTEs are empty no-ops. */
+  private def misSql(rounds: Int): String = {
+    val ctes = (1 to rounds).map { t =>
+      s"""nm$t AS (
+         |  SELECT e.src AS node, min(p2.p) AS mn
+         |  FROM su e
+         |  JOIN l${t - 1} a ON a.node = e.src
+         |  JOIN l${t - 1} b ON b.node = e.dst
+         |  JOIN pri p2 ON p2.node = e.dst
+         |  GROUP BY 1),
+         |m$t AS MATERIALIZED (
+         |  SELECT l.node FROM l${t - 1} l
+         |  JOIN pri p ON p.node = l.node
+         |  LEFT JOIN nm$t n ON n.node = l.node
+         |  WHERE n.mn IS NULL OR p.p < n.mn),
+         |k$t AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM su e
+         |  JOIN m$t m ON m.node = e.src
+         |  JOIN l${t - 1} b ON b.node = e.dst),
+         |l$t AS MATERIALIZED (
+         |  SELECT node FROM l${t - 1}
+         |  EXCEPT SELECT node FROM m$t
+         |  EXCEPT SELECT node FROM k$t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to rounds).map { t =>
+      s"""SELECT node, true AS in_mis, CAST($t AS BIGINT) AS settled_round
+         |FROM m$t
+         |UNION ALL
+         |SELECT node, false, CAST($t AS BIGINT) FROM k$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $T, $U,
+       |su AS MATERIALIZED (SELECT src, dst FROM undirected WHERE src <> dst),
+       |pri AS MATERIALIZED (
+       |  SELECT node, md5(CAST(node AS VARCHAR)) AS p
+       |  FROM (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation)),
+       |l0 AS MATERIALIZED (SELECT node FROM pri),
+       |$ctes
+       |SELECT node, in_mis, settled_round FROM (
+       |$union
+       |) ORDER BY node""".stripMargin
+  }
 
   private val T = TradeGraph.sqlCte
   private val U = TradeGraph.sqlUndirectedCte
@@ -416,6 +530,8 @@ object Cores {
 
   val oracleSql: Map[String, String] = Map(
     "q126_ktruss" -> ktrussSql(TrussK, 10),
+
+    "q131_mis" -> misSql(25),
 
     "q68_kcore" -> kcoreSql(CoreK, 25),
 

@@ -218,6 +218,35 @@ class CoresCentralitySpec extends SparkSpec {
     assert(fromRoot == Map(1L -> 0.0, 2L -> 1.0, 3L -> 0.0))
   }
 
+  test("mis: independent, maximal, and few-round on the co-purchase graph") {
+    val t = Tables(spark, sfDir())
+    val (nodes, e) = graft.graph.CoPurchase.graph(t)
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val out = graft.graph.Cores.maximalIndependentSet(nodes, und)
+    val rows = out.collect()
+    assert(rows.length == nodes.count(), "every node must settle")
+    val mis = rows.filter(_.getAs[Boolean]("in_mis"))
+      .map(_.getAs[Long]("node")).toSet
+    val edges = e.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    // independence: no edge joins two selected nodes
+    assert(!edges.exists { case (a, b) => mis(a) && mis(b) })
+    // maximality: every unselected node has a selected neighbor
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.filterNot(_.getAs[Boolean]("in_mis")).foreach { r =>
+      val v = r.getAs[Long]("node")
+      assert(nbrs.getOrElse(v, Set.empty).exists(mis),
+        s"node $v settled without a selected neighbor")
+    }
+    // Luby's O(log n) behavior: thousands of nodes, a handful of rounds
+    val maxRound = rows.map(_.getAs[Long]("settled_round")).max
+    assert(maxRound <= 10, s"took $maxRound rounds")
+    // the strict-< priority order is total: md5 hex values distinct
+    val n = nodes.count()
+    assert(nodes.select(md5(col("node").cast("string"))).distinct().count() == n)
+  }
+
   test("q94: degree histogram accounts for every node and every edge end") {
     val t = Tables(spark, sfDir())
     val dist = graft.graph.CoPurchase.q94DegreeDistribution(spark, sfDir())
