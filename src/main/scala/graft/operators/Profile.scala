@@ -128,11 +128,62 @@ object Profile {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- q132
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) word-frequency
+    * estimation: [[CmsD]] hash rows × [[CmsW]] buckets of ADDITIVE
+    * integer counters — the mergeable fixed-state summary that
+    * answers point frequency queries over a stream the exact counter
+    * table can't fit for. Unlike order-sensitive sketches
+    * (SpaceSaving/Misra-Gries), CMS counters are pure sums, so the
+    * distributed build is one partial agg and the result is
+    * hash-exact on any engine or layout. The query side probes the
+    * top-[[CmsProbeK]] true words and reports est = min over rows of
+    * the probed counter — ≥ true by construction (spec-asserted),
+    * with the overestimate showing collision pressure at w ≪ vocab.
+    *
+    * Scale shape: the sketch is [[CmsD]]·[[CmsW]] rows of state
+    * regardless of corpus size (the whole point); probes broadcast. */
+  val CmsD = 4
+  val CmsW = 64
+  val CmsProbeK = 10
+
+  private def cmsBucket(r: Int, word: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"$r:"), word)), 1, 8), 16, 10)
+      .cast("long"), lit(CmsW.toLong))
+
+  def q132CountMinSketch(spark: SparkSession, dir: String): DataFrame =
+    countMinSketch(graft.text.TextOps.docs(spark, dir)
+      .select(explode(split(col("s"), " ")).as("word")), CmsProbeK)
+
+  /** CMS build + top-`probeK` probe over a (word) relation. */
+  private[graft] def countMinSketch(words: DataFrame, probeK: Int): DataFrame = {
+    val sketch = words
+      .select(explode(array((0 until CmsD).map(r =>
+        struct(lit(r.toLong).as("r"), cmsBucket(r, col("word")).as("b"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = words.groupBy("word").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("word").asc).limit(probeK)
+    val probes = top.select(col("word"), col("true_cnt"),
+      explode(array((0 until CmsD).map(r =>
+        struct(lit(r.toLong).as("r"), cmsBucket(r, col("word")).as("b"))): _*))
+        .as("rb"))
+      .select(col("word"), col("true_cnt"), col("rb.r").as("r"),
+        col("rb.b").as("b"))
+    broadcast(probes).join(sketch, Seq("r", "b"))
+      .groupBy("word", "true_cnt").agg(min(col("c")).as("est_cnt"))
+      .select(col("word"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overcount"))
+      .orderBy(col("true_cnt").desc, col("word").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_table_profile" -> (q83TableProfile _),
     "q93_value_histogram" -> (q93ValueHistogram _),
     "q102_skew_profile" -> (q102SkewProfile _),
     "q105_equidepth_histogram" -> (q105EquidepthHistogram _),
+    "q132_count_min_sketch" -> (q132CountMinSketch _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -186,5 +237,32 @@ object Profile {
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
          |       round(min(x), 2) AS lo, round(max(x), 2) AS hi
          |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q132_count_min_sketch" ->
+      s"""WITH ${graft.text.TextOps.normCte},
+         |wu AS (SELECT unnest(string_split(s, ' ')) AS word FROM n),
+         |rr AS (SELECT unnest(generate_series(0, ${CmsD - 1})) AS r),
+         |occ AS (SELECT word, CAST(r AS BIGINT) AS r,
+         |               md5(CAST(r AS VARCHAR) || ':' || word) AS hx
+         |        FROM wu CROSS JOIN rr),
+         |sk AS (SELECT r,
+         |              CAST(${graft.text.TextOps.hexToLongSql("hx", 1, 8)}
+         |                   % $CmsW AS BIGINT) AS b,
+         |              CAST(count(*) AS BIGINT) AS c
+         |       FROM occ GROUP BY 1, 2),
+         |top AS (SELECT word, CAST(count(*) AS BIGINT) AS true_cnt
+         |        FROM wu GROUP BY 1
+         |        ORDER BY true_cnt DESC, word ASC LIMIT $CmsProbeK),
+         |pb AS (SELECT t.word, t.true_cnt, CAST(rr.r AS BIGINT) AS r,
+         |              md5(CAST(rr.r AS VARCHAR) || ':' || t.word) AS hx
+         |       FROM top t CROSS JOIN rr),
+         |est AS (SELECT p.word, p.true_cnt, min(s.c) AS est_cnt
+         |        FROM pb p JOIN sk s
+         |          ON s.r = p.r
+         |         AND s.b = CAST(${graft.text.TextOps.hexToLongSql("p.hx", 1, 8)}
+         |                        % $CmsW AS BIGINT)
+         |        GROUP BY 1, 2)
+         |SELECT word, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+         |FROM est ORDER BY true_cnt DESC, word ASC""".stripMargin,
   )
 }

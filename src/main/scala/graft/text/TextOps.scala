@@ -507,7 +507,7 @@ object TextOps {
       s"(strpos('0123456789abcdef', substr($hexExpr, ${start + p}, 1)) - 1) * CAST($mult AS BIGINT)"
     }.mkString("(", " + ", ")")
 
-  private[text] val normCte =
+  private[graft] val normCte =
     """n AS (SELECT doc_id, text,
       |  lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS s
       |FROM documents)""".stripMargin

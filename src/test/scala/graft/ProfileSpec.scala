@@ -78,4 +78,37 @@ class ProfileSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - r.getLong(2) * d / n) < 1e-5)
     }
   }
+
+  test("cms: estimates never undercount and are exact sans collisions") {
+    import spark.implicits._
+    // 3 distinct words ≪ 64 buckets; collisions possible only if two
+    // of the three md5 buckets coincide in EVERY row — verify none do
+    // so the estimates must be exact
+    val words = (Seq.fill(7)("alpha") ++ Seq.fill(4)("beta") ++
+      Seq.fill(2)("gamma")).toDF("word")
+    val out = Profile.countMinSketch(words, 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set("alpha", "beta", "gamma"))
+    out.values.foreach { case (t, e, over) =>
+      assert(e >= t, "CMS may never undercount")
+      assert(over == e - t)
+    }
+    // in-memory CMS reference with the same md5 bucket math: the
+    // estimate is exact for a word iff SOME row holds it alone
+    val freq = Map("alpha" -> 7L, "beta" -> 4L, "gamma" -> 2L)
+    def bucket(r: Int, w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % Profile.CmsW
+    }
+    val counter = freq.toSeq
+      .flatMap { case (w, c) => (0 until Profile.CmsD).map(r => (r, bucket(r, w)) -> c) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    freq.foreach { case (w, t) =>
+      val est = (0 until Profile.CmsD).map(r => counter((r, bucket(r, w)))).min
+      assert(out(w) == ((t, est, est - t)), s"$w mismatch vs reference")
+    }
+  }
 }
