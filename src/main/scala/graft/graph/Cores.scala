@@ -337,8 +337,11 @@ object Cores {
 
   def q131Mis(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // cut once: the loop reads the edge relation three times per
+    // round, and the raw frame would re-derive it from the base
+    // tables each time (q68's discipline)
     maximalIndependentSet(TradeGraph.nodes(t).select("node"),
-      simpleUndirected(t))
+      simpleUndirected(t).pipe(Checkpoints.cut))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
