@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsofJoin, Association, EventOps, JsonOps, Olap, Profile, RangeJoin, Relational, SetSimJoin, Skyline, TypedEdges}
+import graft.operators.{AsofJoin, Association, BloomJoin, EventOps, JsonOps, Olap, Profile, RangeJoin, Relational, SetSimJoin, Skyline, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
 import graft.text.{CorpusOps, PolicyOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
@@ -22,7 +22,7 @@ object SparkEntry {
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
       RangeJoin.queries ++ JsonOps.queries ++ EventOps.queries ++
       Profile.queries ++ Olap.queries ++ Association.queries ++
-      SetSimJoin.queries ++ Skyline.queries ++
+      SetSimJoin.queries ++ Skyline.queries ++ BloomJoin.queries ++
       graft.multimodal.Multimodal.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
@@ -36,7 +36,7 @@ object SparkEntry {
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
       RangeJoin.oracleSql ++ JsonOps.oracleSql ++ EventOps.oracleSql ++
       Profile.oracleSql ++ Olap.oracleSql ++ Association.oracleSql ++
-      SetSimJoin.oracleSql ++ Skyline.oracleSql ++
+      SetSimJoin.oracleSql ++ Skyline.oracleSql ++ BloomJoin.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
       CoPurchase.oracleSql ++ Louvain.oracleSql ++
