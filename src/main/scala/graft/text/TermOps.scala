@@ -234,12 +234,81 @@ object TermOps {
       .orderBy("step")
   }
 
+  // ---------------------------------------------------------------- q134
+  /** Sparse TF-IDF document-similarity k-NN (Bayardo et al., WWW'07
+    * family): every document's [[CosKnnK]] nearest neighbors by
+    * weighted cosine over tf-idf term vectors — the SPARSE companion
+    * to q24's dense embedding cosine and the weighted complement to
+    * q99's unweighted set-overlap join. Candidate pairs come from the
+    * INVERTED INDEX (posting-list self-join keyed by term): cost is
+    * Σ df² over the kept vocabulary, never |D|² — with terms of
+    * df > [[CosDfFracMax]]·N dropped from the vector space (near-
+    * stopwords carry ≈ zero idf weight and quadratic posting lists;
+    * on this corpus the cap keeps every term, documenting the knob).
+    * At 100 TB the q99 prefix filter or q25 LSH bound the candidate
+    * set further; this entry is the exact form.
+    *
+    * Float discipline: weights and per-term products round 6dp then
+    * DECIMAL-sum (order-free); norms likewise; ranking reads the
+    * 6dp-rounded similarity with a neighbor-id tie-break. */
+  val CosKnnK = 3
+  val CosDfFracMax = 0.9
+
+  def q134TfidfCosineKnn(spark: SparkSession, dir: String): DataFrame =
+    tfidfCosineKnn(TextOps.docs(spark, dir), CosKnnK)
+
+  private[graft] def tfidfCosineKnn(d: DataFrame, topK: Int): DataFrame = {
+    val words = d.select(col("doc_id"),
+      explode(split(col("s"), " ")).as("word"))
+    val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    // the vocabulary is corpus-derived: no broadcast hint (L26's
+    // reasoning); the one-row count broadcasts
+    val w = tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .filter(col("df") <= col("n_docs") * CosDfFracMax)
+      .select(col("doc_id"), col("word"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("wt"))
+      // zero-idf terms (df = N) carry no weight AND the largest
+      // posting lists — dropping them also guards the zero-norm NaN
+      .filter(col("wt") =!= 0.0)
+    val norms = w
+      .select(col("doc_id"),
+        round(col("wt") * col("wt"), 6).cast("decimal(18,6)").as("w2"))
+      .groupBy("doc_id")
+      .agg(sqrt(sum(col("w2")).cast("double")).as("nrm"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        round(col("a.wt") * col("b.wt"), 6).cast("decimal(18,6)").as("p"))
+      .groupBy("da", "db").agg(sum(col("p")).as("dot"))
+    val sims = dots
+      .join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), "da")
+      .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
+      .select(col("da"), col("db"),
+        round(col("dot").cast("double") / (col("na") * col("nb")), 6)
+          .as("sim"))
+    val both = sims.union(
+      sims.select(col("db").as("da"), col("da").as("db"), col("sim")))
+    val wr = Window.partitionBy("da")
+      .orderBy(col("sim").desc, col("db").asc)
+    both.withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("da").as("doc_id"), col("rank"), col("db").as("nbr"),
+        col("sim"))
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_tfidf_terms" -> (q74TfidfTerms _),
     "q75_unigram_logprob" -> (q75UnigramLogprob _),
     "q114_bm25" -> (q114Bm25 _),
     "q120_bigram_nll" -> (q120BigramNll _),
     "q129_bpe_merges" -> (q129BpeMerges _),
+    "q134_tfidf_cosine_knn" -> (q134TfidfCosineKnn _),
   )
 
   /** Unrolled BPE steps: p$t counts pairs over v${t-1}, b$t picks the
@@ -367,5 +436,46 @@ object TermOps {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q129_bpe_merges" -> bpeSql(BpeMerges),
+
+    "q134_tfidf_cosine_knn" ->
+      s"""WITH ${TextOps.normCte},
+         |wu AS (SELECT doc_id, unnest(string_split(s, ' ')) AS word FROM n),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |       FROM wu GROUP BY 1, 2),
+         |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df
+         |       FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM n),
+         |w AS (
+         |  SELECT t.doc_id, t.word,
+         |         round(t.tf * ln(CAST(nd.n_docs AS DOUBLE) / d.df), 6) AS wt
+         |  FROM tf t JOIN df d USING (word), nd
+         |  WHERE d.df <= nd.n_docs * $CosDfFracMax
+         |    AND round(t.tf * ln(CAST(nd.n_docs AS DOUBLE) / d.df), 6)
+         |        <> 0),
+         |nrm AS (
+         |  SELECT doc_id,
+         |         sqrt(CAST(sum(CAST(round(wt * wt, 6) AS DECIMAL(18,6)))
+         |                   AS DOUBLE)) AS nrm
+         |  FROM w GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db,
+         |         sum(CAST(round(a.wt * b.wt, 6) AS DECIMAL(18,6))) AS dot
+         |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT d.da, d.db,
+         |         round(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS sim
+         |  FROM dots d
+         |  JOIN nrm na ON na.doc_id = d.da
+         |  JOIN nrm nb ON nb.doc_id = d.db),
+         |bo AS (SELECT da, db, sim FROM sims
+         |       UNION ALL SELECT db, da, sim FROM sims)
+         |SELECT da AS doc_id, rank, db AS nbr, sim FROM (
+         |  SELECT da, db, sim,
+         |         CAST(row_number() OVER (PARTITION BY da
+         |             ORDER BY sim DESC, db ASC) AS BIGINT) AS rank
+         |  FROM bo) z
+         |WHERE rank <= $CosKnnK
+         |ORDER BY doc_id, rank""".stripMargin,
   )
 }

@@ -106,6 +106,51 @@ class PolicyTermSpec extends SparkSpec {
     assert(out(2L) > out(1L))
   }
 
+  test("tfidf cosine knn matches an in-memory reference ranking") {
+    // 5 docs, every term's df < n so all idf weights are non-zero.
+    // Reference recomputes tf-idf cosine in memory.
+    val docs = Seq(
+      0L -> "apple apple banana cherry",
+      1L -> "banana banana cherry cherry date",
+      2L -> "cherry cherry cherry banana date",
+      3L -> "apple banana banana cherry",
+      4L -> "date date date")
+    val out = TermOps.tfidfCosineKnn(docs.toDF("doc_id", "s"), 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
+        ((r.getAs[Long]("nbr"), r.getAs[Double]("sim")))).toMap
+    val n = docs.length.toDouble
+    val tf = docs.map { case (id, s) =>
+      id -> s.split(" ").groupBy(identity).map { case (w, a) => w -> a.length }
+    }.toMap
+    val dfm = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, a) => w -> a.size }
+    def vec(id: Long) = tf(id).map { case (w, t) =>
+      w -> BigDecimal(t * math.log(n / dfm(w)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vec(a), vec(b))
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val dot = va.keySet.intersect(vb.keySet).toSeq
+        .map(w => r6(va(w) * vb(w))).sum
+      val na = math.sqrt(va.values.map(x => r6(x * x)).sum)
+      val nb = math.sqrt(vb.values.map(x => r6(x * x)).sum)
+      dot / (na * nb)
+    }
+    for (id <- 0L to 4L) {
+      val expect = (0L to 4L).filter(_ != id)
+        .map(o => o -> cos(id, o))
+        .sortBy { case (o, s) =>
+          (-BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP), o) }
+        .take(2)
+      expect.zipWithIndex.foreach { case ((o, s), i) =>
+        val (nbr, sim) = out((id, i + 1L))
+        assert(nbr == o, s"doc $id rank ${i + 1}: got $nbr want $o")
+        assert(math.abs(sim - s) < 1e-5)
+      }
+    }
+  }
+
   test("bpe merges follow the hand-derived greedy schedule") {
     // types: abab ×3, aab ×2. Pair counts round 1 (positional,
     // weighted): (a,b) 3·2+2 = 8, (b,a) 3, (a,a) 2 → merge ab.
