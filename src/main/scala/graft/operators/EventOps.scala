@@ -123,6 +123,61 @@ object EventOps {
   def q92Anomalies(spark: SparkSession, dir: String): DataFrame =
     anomalies(ev(spark, dir))
 
+  // ---------------------------------------------------------------- q135
+  /** EWMA smoothing + deviation flags per event-type hourly series —
+    * the exponential-smoothing companion to q92's trailing z-score
+    * (level tracking vs outlier scoring, the two on-call dashboards).
+    * The smoothed level for hour t is the truncated exponentially
+    * weighted mean of the [[EwmaWindow]] PRECEDING observations
+    * (α = [[EwmaAlpha]]), renormalized over the lags that exist so
+    * early rows are unbiased rather than damped toward zero.
+    *
+    * Engine contract: the window is expanded into an EXPLICIT lag
+    * chain summed in one fixed left-associated expression — both
+    * engines evaluate the identical tree on identical doubles, so the
+    * result is bit-equal without integer-moment tricks (the weights
+    * round-trip through their shortest decimal form). One shuffle:
+    * the per-type hourly agg and every lag share the same (type,
+    * hour) window. */
+  val EwmaAlpha = 0.3
+  val EwmaWindow = 12
+  val EwmaDev = 0.25
+
+  private[graft] def ewmaWeights: Seq[Double] =
+    (1 to EwmaWindow).map(j => EwmaAlpha * math.pow(1 - EwmaAlpha, j - 1))
+
+  def q135Ewma(spark: SparkSession, dir: String): DataFrame =
+    ewmaSeries(ev(spark, dir)
+      .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** EWMA columns over an (event_type, hour, n_events) series. */
+  private[graft] def ewmaSeries(hourly: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+    val lagged = (1 to EwmaWindow).foldLeft(hourly) { (acc, j) =>
+      acc.withColumn(s"l$j", lag(col("n_events"), j).over(w))
+    }
+    val cs = ewmaWeights
+    val num = (1 to EwmaWindow).map { j =>
+      when(col(s"l$j").isNotNull, lit(cs(j - 1)) * col(s"l$j"))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val den = (1 to EwmaWindow).map { j =>
+      when(col(s"l$j").isNotNull, lit(cs(j - 1))).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    lagged
+      .withColumn("ewma",
+        when(den > 0, round(num / den, 6)).otherwise(lit(0.0)))
+      .withColumn("dev",
+        when(den > 0, round((col("n_events") - num / den) / (num / den), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", abs(col("dev")) > EwmaDev)
+      .select(col("event_type"), col("hour"), col("n_events"),
+        col("ewma"), col("dev"), col("flagged"))
+      .orderBy("event_type", "hour")
+  }
+
   // ---------------------------------------------------------------- q96
   /** Time-series regularization: turn an irregular per-key daily
     * series into a dense one. `actuals` is (k, d, n, vmax); the output
@@ -315,6 +370,7 @@ object EventOps {
     "q81_retention" -> (q81Retention _),
     "q82_hopping_window" -> (q82HoppingWindow _),
     "q92_anomalies" -> (q92Anomalies _),
+    "q135_ewma" -> (q135Ewma _),
     "q96_gap_fill" -> (q96GapFill _),
     "q101_transitions" -> (q101Transitions _),
     "q103_scd2" -> (q103Scd2 _),
@@ -392,6 +448,42 @@ object EventOps {
          |       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
          |FROM e JOIN c USING (user_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q135_ewma" -> {
+      val cs = ewmaWeights
+      val lags = (1 to EwmaWindow).map(j =>
+        s"lag(n_events, $j) OVER (PARTITION BY event_type ORDER BY hour) AS l$j")
+        .mkString(",\n    ")
+      val num = (1 to EwmaWindow).map(j =>
+        s"CASE WHEN l$j IS NOT NULL THEN ${cs(j - 1)} * l$j ELSE 0.0 END")
+        .mkString("\n      + ")
+      val den = (1 to EwmaWindow).map(j =>
+        s"CASE WHEN l$j IS NOT NULL THEN ${cs(j - 1)} ELSE 0.0 END")
+        .mkString("\n      + ")
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS hour,
+         |         CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |lg AS (
+         |  SELECT event_type, hour, n_events,
+         |    $lags
+         |  FROM hourly),
+         |sm AS (
+         |  SELECT event_type, hour, n_events,
+         |    ($num) AS num,
+         |    ($den) AS den
+         |  FROM lg),
+         |d AS (
+         |  SELECT event_type, hour, n_events,
+         |    CASE WHEN den > 0 THEN round(num / den, 6) ELSE 0.0 END AS ewma,
+         |    CASE WHEN den > 0
+         |         THEN round((n_events - num / den) / (num / den), 6)
+         |         ELSE 0.0 END AS dev
+         |  FROM sm)
+         |SELECT event_type, hour, n_events, ewma, dev,
+         |       abs(dev) > $EwmaDev AS flagged
+         |FROM d ORDER BY event_type, hour""".stripMargin
+    },
 
     "q92_anomalies" ->
       s"""WITH hourly AS (

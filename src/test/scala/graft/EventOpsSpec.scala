@@ -168,4 +168,24 @@ class EventOpsSpec extends SparkSpec {
     assert(out.values.map(_.getAs[Long]("x0")).sum == 6)
     assert(out.values.map(_.getAs[Long]("x1")).sum == 6)
   }
+
+  test("ewma: flat series predicts itself, a spike deviates and flags") {
+    import spark.implicits._
+    val hourly = ((1L to 13L).map(h => ("a", h, 10L)) :+ ("a", 14L, 40L))
+      .toDF("event_type", "hour", "n_events")
+    val out = graft.operators.EventOps.ewmaSeries(hourly).collect()
+      .map(r => r.getAs[Long]("hour") ->
+        ((r.getAs[Double]("ewma"), r.getAs[Double]("dev"),
+          r.getAs[Boolean]("flagged")))).toMap
+    // hour 1: no lags — ewma 0, unflagged by contract
+    assert(out(1L) == ((0.0, 0.0, false)))
+    // any constant-history hour: renormalized weighted mean of equal
+    // values is exactly the value, dev 0 (hour 2 has ONE lag — the
+    // renormalization, not zero-padding, is what makes this exact)
+    (2L to 13L).foreach { h =>
+      assert(out(h) == ((10.0, 0.0, false)), s"hour $h: ${out(h)}")
+    }
+    // the spike deviates by (40-10)/10 = 3x and flags
+    assert(out(14L) == ((10.0, 3.0, true)))
+  }
 }
