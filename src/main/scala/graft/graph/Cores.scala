@@ -335,6 +335,81 @@ object Cores {
     settled.orderBy("node")
   }
 
+  // ---------------------------------------------------------------- q136
+  /** Greedy graph coloring, Jones–Plassmann schedule (the distributed
+    * register-allocation / conflict-scheduling primitive; q131's md5
+    * priority discipline one step further). Wave t settles every
+    * still-uncolored node whose HIGHER-priority neighbors are all
+    * colored, giving it the mex (smallest absent value) of their
+    * colors — exactly the sequential greedy coloring in priority
+    * order, so the result is deterministic and each color ≤ degree.
+    * Waves run to fixpoint; the globally minimum-priority live node
+    * is always ready, so every wave settles ≥ 1 node and the loop
+    * terminates in ≤ |V| waves. The wave count is the DEPTH of the
+    * priority DAG — O(log n / log log n) expected on bounded-degree
+    * graphs, but ~max-clique-deep on dense ones (the co-purchase
+    * graph's order-cliques measure 104 waves for 200 nodes,
+    * spec-pinned): a dense graph should run one q131 MIS per color
+    * class instead, trading waves for per-color sweeps.
+    *
+    * Per wave: one anti-join (readiness), one neighbor-color agg, an
+    * in-row mex (`array_except`/`array_min` over 0..|used|) — O(E)
+    * work, O(V) state, scalar loop condition. */
+  private[graft] def greedyColoring(
+      nodes: DataFrame, undirected: DataFrame): DataFrame = {
+    val und = undirected.filter(col("src") =!= col("dst"))
+    val pri = nodes.select(col("node"),
+      md5(col("node").cast("string")).as("p")).pipe(Checkpoints.cut)
+    // (src, dst) where dst is the higher-priority (smaller-p) neighbor
+    val hp = und
+      .join(pri.select(col("node").as("src"), col("p").as("ps")), Seq("src"))
+      .join(pri.select(col("node").as("dst"), col("p").as("pd")), Seq("dst"))
+      .filter(col("pd") < col("ps"))
+      .select("src", "dst")
+      .pipe(Checkpoints.cut)
+    var live = pri.select("node").pipe(Checkpoints.cut)
+    var settled: DataFrame = null
+    var wave = 0L
+    var nLive = live.count()
+    while (nLive > 0) {
+      wave += 1
+      val blocked = hp
+        .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src").as("node")).distinct()
+      val ready = live.join(blocked, Seq("node"), "left_anti")
+      val used =
+        if (settled == null) null
+        else hp.join(ready.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(settled.select(col("node").as("dst"), col("color")), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(collect_set(col("color")).as("cs"))
+      val colored = (if (used == null) ready.withColumn("cs",
+          array().cast("array<long>"))
+        else ready.join(used, Seq("node"), "left")
+          .withColumn("cs", coalesce(col("cs"), array().cast("array<long>"))))
+        .select(col("node"),
+          array_min(array_except(
+            sequence(lit(0L), size(col("cs")).cast("long")), col("cs")))
+            .as("color"),
+          lit(wave).as("wave"))
+        .pipe(Checkpoints.cut)
+      settled = if (settled == null) colored else settled.union(colored)
+      val prevLive = live
+      live = live.join(colored.select("node"), Seq("node"), "left_anti")
+        .pipe(Checkpoints.cut)
+      Checkpoints.release(prevLive)
+      nLive = live.count()
+    }
+    Checkpoints.release(pri, hp, live)
+    settled.orderBy("node")
+  }
+
+  def q136Coloring(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    greedyColoring(TradeGraph.nodes(t).select("node"),
+      simpleUndirected(t).pipe(Checkpoints.cut))
+  }
+
   def q131Mis(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     // cut once: the loop reads the edge relation three times per
@@ -351,7 +426,60 @@ object Cores {
     "q70_node_similarity" -> (q70NodeSimilarity _),
     "q78_random_walks" -> (q78RandomWalks _),
     "q131_mis" -> (q131Mis _),
+    "q136_coloring" -> (q136Coloring _),
   )
+
+  /** Unrolled Jones–Plassmann waves. Each wave settles at least the
+    * minimum-priority live node, so `waves` = |V| reaches the
+    * fixpoint; trailing waves are empty no-ops. The mex is the same
+    * list expression the engine evaluates (0..|used| minus used). */
+  private def coloringSql(waves: Int): String = {
+    val ctes = (1 to waves).map { t =>
+      s"""rd$t AS MATERIALIZED (
+         |  SELECT l.node FROM lv${t - 1} l
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM hp h JOIN lv${t - 1} x ON x.node = h.dst
+         |    WHERE h.src = l.node)),
+         |us$t AS (
+         |  SELECT h.src AS node, list(DISTINCT s.color) AS cs
+         |  FROM hp h
+         |  JOIN rd$t r ON r.node = h.src
+         |  JOIN st${t - 1} s ON s.node = h.dst
+         |  GROUP BY 1),
+         |cl$t AS MATERIALIZED (
+         |  SELECT r.node,
+         |         CASE WHEN u.cs IS NULL THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(list_min(list_filter(
+         |                     generate_series(0, len(u.cs)),
+         |                     y -> NOT list_contains(u.cs, y))) AS BIGINT)
+         |         END AS color,
+         |         CAST($t AS BIGINT) AS wave
+         |  FROM rd$t r LEFT JOIN us$t u ON u.node = r.node),
+         |st$t AS MATERIALIZED (
+         |  SELECT node, color FROM st${t - 1}
+         |  UNION ALL SELECT node, color FROM cl$t),
+         |lv$t AS MATERIALIZED (
+         |  SELECT node FROM lv${t - 1}
+         |  EXCEPT SELECT node FROM rd$t)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to waves).map(t => s"SELECT * FROM cl$t")
+      .mkString(" UNION ALL ")
+    s"""WITH $T, $U,
+       |su AS MATERIALIZED (SELECT src, dst FROM undirected WHERE src <> dst),
+       |pri AS MATERIALIZED (
+       |  SELECT node, md5(CAST(node AS VARCHAR)) AS p
+       |  FROM (SELECT CAST(n_nationkey AS BIGINT) AS node FROM nation)),
+       |hp AS MATERIALIZED (
+       |  SELECT e.src, e.dst FROM su e
+       |  JOIN pri ps ON ps.node = e.src
+       |  JOIN pri pd ON pd.node = e.dst
+       |  WHERE pd.p < ps.p),
+       |lv0 AS MATERIALIZED (SELECT node FROM pri),
+       |st0 AS (SELECT CAST(NULL AS BIGINT) AS node,
+       |               CAST(NULL AS BIGINT) AS color WHERE 1 = 0),
+       |$ctes
+       |SELECT node, color, wave FROM ($union) ORDER BY node""".stripMargin
+  }
 
   /** Unrolled Luby rounds. Every round the live node with the globally
     * smallest priority enters the MIS, so each non-empty round settles
@@ -535,6 +663,8 @@ object Cores {
     "q126_ktruss" -> ktrussSql(TrussK, 10),
 
     "q131_mis" -> misSql(25),
+
+    "q136_coloring" -> coloringSql(25),
 
     "q68_kcore" -> kcoreSql(CoreK, 25),
 

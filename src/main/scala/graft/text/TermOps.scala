@@ -235,29 +235,36 @@ object TermOps {
   }
 
   // ---------------------------------------------------------------- q134
-  /** Sparse TF-IDF document-similarity k-NN (Bayardo et al., WWW'07
-    * family): every document's [[CosKnnK]] nearest neighbors by
-    * weighted cosine over tf-idf term vectors — the SPARSE companion
-    * to q24's dense embedding cosine and the weighted complement to
-    * q99's unweighted set-overlap join. Candidate pairs come from the
-    * INVERTED INDEX (posting-list self-join keyed by term): cost is
-    * Σ df² over the kept vocabulary, never |D|² — with terms of
-    * df > [[CosDfFracMax]]·N dropped from the vector space (near-
-    * stopwords carry ≈ zero idf weight and quadratic posting lists;
-    * on this corpus the cap keeps every term, documenting the knob).
-    * At 100 TB the q99 prefix filter or q25 LSH bound the candidate
-    * set further; this entry is the exact form.
+  /** Sparse TF-IDF k-NN retrieval over the inverted index: the
+    * [[CosKnnQueries]] query documents' [[CosKnnK]] nearest corpus
+    * neighbors by weighted cosine — the SPARSE companion of q24's
+    * dense embedding top-k, with the same scale discipline: the
+    * query side is bounded (broadcast), the corpus streams ONCE, and
+    * per-query work is linear in the corpus. Candidates come from
+    * the inverted index (query postings ⨝ corpus postings on the
+    * term); exact rerank over the shared-term dot products. A pair
+    * sharing no term has similarity 0 and can never displace a
+    * sharing candidate, so the k-NN over sim > 0 is exact.
+    *
+    * All-PAIRS sparse similarity deliberately has no entry: on this
+    * corpus's 31-word vocabulary every posting list is ~the whole
+    * corpus and Σ df² goes quadratic (measured 4.5e8 pair-terms at
+    * sf0.1, 440 s) — the degenerate regime where the right tools are
+    * the blocked/banded families (q21–q26) or a similarity THRESHOLD
+    * under the q99 prefix filter, not an unblocked index self-join.
     *
     * Float discipline: weights and per-term products round 6dp then
     * DECIMAL-sum (order-free); norms likewise; ranking reads the
     * 6dp-rounded similarity with a neighbor-id tie-break. */
   val CosKnnK = 3
+  val CosKnnQueries = 25
   val CosDfFracMax = 0.9
 
   def q134TfidfCosineKnn(spark: SparkSession, dir: String): DataFrame =
-    tfidfCosineKnn(TextOps.docs(spark, dir), CosKnnK)
+    tfidfCosineKnn(TextOps.docs(spark, dir), CosKnnQueries, CosKnnK)
 
-  private[graft] def tfidfCosineKnn(d: DataFrame, topK: Int): DataFrame = {
+  private[graft] def tfidfCosineKnn(d: DataFrame, nQueries: Int,
+      topK: Int): DataFrame = {
     val words = d.select(col("doc_id"),
       explode(split(col("s"), " ")).as("word"))
     val tf = words.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
@@ -279,25 +286,24 @@ object TermOps {
         round(col("wt") * col("wt"), 6).cast("decimal(18,6)").as("w2"))
       .groupBy("doc_id")
       .agg(sqrt(sum(col("w2")).cast("double")).as("nrm"))
-    val dots = w.as("a").join(w.as("b"),
-        col("a.word") === col("b.word") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        round(col("a.wt") * col("b.wt"), 6).cast("decimal(18,6)").as("p"))
-      .groupBy("da", "db").agg(sum(col("p")).as("dot"))
+    val qw = w.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("qd"), col("word"), col("wt").as("qwt"))
+    val dots = w.join(broadcast(qw), Seq("word"))
+      .filter(col("qd") =!= col("doc_id"))
+      .select(col("qd"), col("doc_id").as("db"),
+        round(col("qwt") * col("wt"), 6).cast("decimal(18,6)").as("p"))
+      .groupBy("qd", "db").agg(sum(col("p")).as("dot"))
     val sims = dots
-      .join(norms.select(col("doc_id").as("da"), col("nrm").as("na")), "da")
+      .join(norms.select(col("doc_id").as("qd"), col("nrm").as("na")), "qd")
       .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
-      .select(col("da"), col("db"),
+      .select(col("qd"), col("db"),
         round(col("dot").cast("double") / (col("na") * col("nb")), 6)
           .as("sim"))
-    val both = sims.union(
-      sims.select(col("db").as("da"), col("da").as("db"), col("sim")))
-    val wr = Window.partitionBy("da")
+    val wr = Window.partitionBy("qd")
       .orderBy(col("sim").desc, col("db").asc)
-    both.withColumn("rank", row_number().over(wr).cast("long"))
+    sims.withColumn("rank", row_number().over(wr).cast("long"))
       .filter(col("rank") <= topK)
-      .select(col("da").as("doc_id"), col("rank"), col("db").as("nbr"),
+      .select(col("qd").as("doc_id"), col("rank"), col("db").as("nbr"),
         col("sim"))
       .orderBy("doc_id", "rank")
   }
@@ -458,23 +464,22 @@ object TermOps {
          |                   AS DOUBLE)) AS nrm
          |  FROM w GROUP BY 1),
          |dots AS (
-         |  SELECT a.doc_id AS da, b.doc_id AS db,
-         |         sum(CAST(round(a.wt * b.wt, 6) AS DECIMAL(18,6))) AS dot
-         |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+         |  SELECT q.doc_id AS qd, c.doc_id AS db,
+         |         sum(CAST(round(q.wt * c.wt, 6) AS DECIMAL(18,6))) AS dot
+         |  FROM w q JOIN w c ON q.word = c.word AND q.doc_id <> c.doc_id
+         |  WHERE q.doc_id < $CosKnnQueries
          |  GROUP BY 1, 2),
          |sims AS (
-         |  SELECT d.da, d.db,
+         |  SELECT d.qd, d.db,
          |         round(CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm), 6) AS sim
          |  FROM dots d
-         |  JOIN nrm na ON na.doc_id = d.da
-         |  JOIN nrm nb ON nb.doc_id = d.db),
-         |bo AS (SELECT da, db, sim FROM sims
-         |       UNION ALL SELECT db, da, sim FROM sims)
-         |SELECT da AS doc_id, rank, db AS nbr, sim FROM (
-         |  SELECT da, db, sim,
-         |         CAST(row_number() OVER (PARTITION BY da
+         |  JOIN nrm na ON na.doc_id = d.qd
+         |  JOIN nrm nb ON nb.doc_id = d.db)
+         |SELECT qd AS doc_id, rank, db AS nbr, sim FROM (
+         |  SELECT qd, db, sim,
+         |         CAST(row_number() OVER (PARTITION BY qd
          |             ORDER BY sim DESC, db ASC) AS BIGINT) AS rank
-         |  FROM bo) z
+         |  FROM sims) z
          |WHERE rank <= $CosKnnK
          |ORDER BY doc_id, rank""".stripMargin,
   )

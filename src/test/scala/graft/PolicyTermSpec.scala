@@ -115,7 +115,7 @@ class PolicyTermSpec extends SparkSpec {
       2L -> "cherry cherry cherry banana date",
       3L -> "apple banana banana cherry",
       4L -> "date date date")
-    val out = TermOps.tfidfCosineKnn(docs.toDF("doc_id", "s"), 2).collect()
+    val out = TermOps.tfidfCosineKnn(docs.toDF("doc_id", "s"), 25, 2).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rank")) ->
         ((r.getAs[Long]("nbr"), r.getAs[Double]("sim")))).toMap
     val n = docs.length.toDouble
