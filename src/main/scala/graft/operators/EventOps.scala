@@ -136,9 +136,11 @@ object EventOps {
     * chain summed in one fixed left-associated expression — both
     * engines evaluate the identical tree on identical doubles, so the
     * result is bit-equal without integer-moment tricks (the weights
-    * round-trip through their shortest decimal form). One shuffle:
-    * the per-type hourly agg and every lag share the same (type,
-    * hour) window. */
+    * round-trip through their shortest decimal form). The only
+    * corpus-scale shuffle is the (type, hour) partial agg; the lag
+    * window reshuffles just the aggregated |types|·|hours| relation
+    * (repartitioning the raw stream by type alone would funnel the
+    * corpus into |types| partitions — worse at scale). */
   val EwmaAlpha = 0.3
   val EwmaWindow = 12
   val EwmaDev = 0.25

@@ -244,6 +244,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p2.contains("CartesianProduct"))
   }
 
+  test("q130/q133/q134: bounded model/filter/query sides broadcast") {
+    // q130: the 256-row LLR table must be the broadcast build side
+    val p1 = plan(graft.text.CorpusOps.q130DsirWeights(spark, sfDir()))
+    assert(p1.contains("BroadcastHashJoin"), s"LLR not broadcast:\n$p1")
+    assert(!p1.contains("CartesianProduct"))
+    // q133: the ≤1024-row bit relation and the dim subset broadcast;
+    // the fact side must never build
+    val p2 = plan(graft.operators.BloomJoin.q133BloomPrune(spark, sfDir()))
+    assert(p2.contains("BroadcastHashJoin"), s"bloom bits not broadcast:\n$p2")
+    assert(!p2.contains("CartesianProduct"))
+    // q134: the bounded query-posting relation broadcasts; the corpus
+    // posting stream is never the build side
+    val p3 = plan(graft.text.TermOps.q134TfidfCosineKnn(spark, sfDir()))
+    assert(p3.contains("BroadcastHashJoin"), s"query postings not broadcast:\n$p3")
+    assert(!p3.contains("CartesianProduct"))
+  }
+
+  test("q135: corpus-scale shuffle only at the (type, hour) partial agg") {
+    val p = plan(graft.operators.EventOps.q135Ewma(spark, sfDir()))
+    // the hourly aggregation must keep (event_type, hour) keys — the
+    // raw stream is never funneled into |types| partitions
+    // the hour key surfaces as the _groupingexpression alias of
+    // `ts_us div hourUs`
+    assert("hashpartitioning\\(event_type#\\d+, _groupingexpression".r
+      .findFirstIn(p).nonEmpty,
+      s"no (type, hour) exchange for the hourly agg:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q119: both lookahead steps share one window exchange") {
     val p = plan(graft.operators.EventOps.q119JourneyPaths(spark, sfDir()))
     // one hashpartitioning(user_id...) exchange feeds the window; a
