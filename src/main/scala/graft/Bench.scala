@@ -28,22 +28,27 @@ object Bench {
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errorsJson(results)},"sf":"$sfDir"}"""
   }
 
-  /** Compact line: keys truncated to their unique qNN prefix, seconds
-    * rounded to 2 decimals (rint of an exact ×100 keeps the shortest
-    * decimal repr), total to 3. Same schema as the full line. The
-    * errors array uses qNN prefixes too, and failed queries appear
-    * ONLY there (not as -1.0 map entries) — with full names, or with
-    * both a map entry and an errors entry per failure, a systemic
-    * regression (the one case where the error report matters most)
-    * would push the line past the tail-capture window. */
+  /** Compact line: keys truncated to their unique query NUMBER (the
+    * qNN prefix minus the 'q'), seconds rounded to 1 decimal (rint of
+    * an exact ×10 keeps the shortest decimal repr; bench_full.json
+    * carries full fidelity and is committed), total to 3. Same schema
+    * as the full line. The errors array uses the number keys too, and
+    * failed queries appear ONLY there (not as -1.0 map entries) —
+    * with full names, or with both a map entry and an errors entry
+    * per failure, a systemic regression (the one case where the error
+    * report matters most) would push the line past the tail-capture
+    * window. */
+  private[graft] def compactKey(name: String): String =
+    name.takeWhile(_ != '_').dropWhile(_ == 'q')
+
   private[graft] def compactLine(
       results: Seq[(String, Double, Boolean)], sfDir: String): String = {
     val qs = results.collect { case (k, v, true) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + (math.rint(v * 100) / 100)
+      "\"" + compactKey(k) + "\":" + (math.rint(v * 10) / 10)
     }.mkString("{", ",", "}")
     val total = math.rint(results.filter(_._3).map(_._2).sum * 1000) / 1000
     val errs = results.collect { case (k, _, false) =>
-      "\"" + k.takeWhile(_ != '_') + "\"" }.mkString("[", ",", "]")
+      "\"" + compactKey(k) + "\"" }.mkString("[", ",", "]")
     s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
   }
 

@@ -13,10 +13,10 @@ class BenchFormatSpec extends AnyFunSuite {
 
   private val names = SparkEntry.queries.keys.toSeq.sorted
 
-  test("compact keys (qNN prefixes) are unique over the real query set") {
-    val keys = names.map(_.takeWhile(_ != '_'))
+  test("compact keys (query numbers) are unique over the real query set") {
+    val keys = names.map(Bench.compactKey)
     assert(keys.distinct.length == keys.length,
-      "two query names share a qNN prefix — compact line would drop one")
+      "two query names share a number — compact line would drop one")
   }
 
   test("compact line fits the tail window at worst-case widths") {
@@ -40,10 +40,10 @@ class BenchFormatSpec extends AnyFunSuite {
       ("q94_degree_distribution", 0.1, false))
     val compact = Bench.compactLine(results, "/x")
     val full = Bench.fullLine(results, "/x")
-    assert(compact.contains(""""q38":5.0"""))
-    // failed queries live only in errors (qNN form), never in the map
-    assert(!compact.contains(""""q94":"""))
-    assert(compact.contains(""""errors":["q94"]"""))
+    assert(compact.contains(""""38":5.0"""))
+    // failed queries live only in errors (number form), never in the map
+    assert(!compact.contains(""""94":"""))
+    assert(compact.contains(""""errors":["94"]"""))
     assert(full.contains(""""q38_louvain":4.9999"""))
     assert(full.contains(""""errors":["q94_degree_distribution"]"""))
     // both are the driver's schema: metric/value/unit/queries/errors/sf
