@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsofJoin, Association, BloomJoin, EventOps, JsonOps, Olap, Profile, RangeJoin, Relational, SetSimJoin, Skyline, TypedEdges}
+import graft.operators.{AsofJoin, Association, BloomJoin, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, Skyline, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
 import graft.text.{CorpusOps, PolicyOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
@@ -21,7 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
       RangeJoin.queries ++ JsonOps.queries ++ EventOps.queries ++
-      Profile.queries ++ Olap.queries ++ Association.queries ++
+      Profile.queries ++ Olap.queries ++ Layout.queries ++
+      Association.queries ++
       SetSimJoin.queries ++ Skyline.queries ++ BloomJoin.queries ++
       graft.multimodal.Multimodal.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
@@ -35,7 +36,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
       RangeJoin.oracleSql ++ JsonOps.oracleSql ++ EventOps.oracleSql ++
-      Profile.oracleSql ++ Olap.oracleSql ++ Association.oracleSql ++
+      Profile.oracleSql ++ Olap.oracleSql ++ Layout.oracleSql ++
+      Association.oracleSql ++
       SetSimJoin.oracleSql ++ Skyline.oracleSql ++ BloomJoin.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++

@@ -365,6 +365,125 @@ object EventOps {
     abLift(Tables(spark, dir).events
       .select(col("user_id"), col("event_type")))
 
+  // ------------------------------------------------------- q140 / q141
+  /** Dense hourly count series per event type: every hour in the
+    * type's [min, max] span, zero-filled — the regular grid the
+    * series diagnostics (autocorrelation, CUSUM) are defined over.
+    * Same shape as [[gapFillDaily]]: one partial-agg pass, a
+    * calendar-bounded explode, one left join; the series length is
+    * hours-of-history, never event volume. */
+  private def denseHourly(e: DataFrame): DataFrame = {
+    val hourly = e
+      .groupBy(col("event_type"), expr(s"ts_us div $HourUs").as("hour"))
+      .agg(count(lit(1)).as("x"))
+    val grid = hourly.groupBy("event_type")
+      .agg(min("hour").as("h0"), max("hour").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hour"))
+    grid.join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour"),
+        coalesce(col("x"), lit(0L)).as("x"))
+  }
+
+  /** Lag-k autocorrelation (k = 1..[[AcfMaxLag]]) of each type's dense
+    * hourly count series — the seasonality probe behind alert tuning
+    * (a strong r at lag 24 means "daily rhythm, widen the baseline").
+    *
+    * Engine-exact by the cleared-denominator trick (same as the q117
+    * assortativity moments): counts are integers, so every moment
+    * (Σxy, Σx, Σy, Σx², Σy², n) is a BIGINT and
+    * r = (nΣxy − ΣxΣy) / √(nΣx² − (Σx)²) / √(nΣy² − (Σy)²) touches
+    * floats only in the final expression from six exact integers.
+    * Degenerate series (zero variance) yield NULL in both engines.
+    * At 100 TB the moments want DECIMAL(38) headroom — the series is
+    * calendar-bounded, so the per-type pair count never is the
+    * problem, only the count magnitudes.
+    *
+    * Scale shape: ONE window pass (all lags share the per-type sort)
+    * over a calendar-bounded series, then a partial agg on
+    * (type, lag) — |types|·maxLag output rows. */
+  val AcfMaxLag = 3
+
+  def autocorrelation(e: DataFrame, maxLag: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+    val lagged = denseHourly(e)
+      .select(Seq(col("event_type"), col("x")) ++
+        (1 to maxLag).map(k => lag(col("x"), k).over(w).as(s"l$k")): _*)
+    val stacked = (1 to maxLag).map { k =>
+      lagged.filter(col(s"l$k").isNotNull)
+        .select(col("event_type"), lit(k.toLong).as("lag"),
+          col("x"), col(s"l$k").as("y"))
+    }.reduce(_.unionByName(_))
+    val m = stacked.groupBy("event_type", "lag").agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val vx = m("n_pairs") * m("sxx") - m("sx") * m("sx")
+    val vy = m("n_pairs") * m("syy") - m("sy") * m("sy")
+    m.select(col("event_type"), col("lag"), col("n_pairs"),
+        when(vx > 0 && vy > 0,
+          round((m("n_pairs") * m("sxy") - m("sx") * m("sy")).cast("double")
+            / sqrt(vx.cast("double")) / sqrt(vy.cast("double")), 6))
+          .as("r"))
+      .orderBy("event_type", "lag")
+  }
+
+  def q140Autocorrelation(spark: SparkSession, dir: String): DataFrame =
+    autocorrelation(ev(spark, dir), AcfMaxLag)
+
+  /** CUSUM level-shift scan per event type: the classic one-sided
+    * cumulative-sum statistic S_t = max(0, S_{t−1} + (x_t − μ)) over
+    * the dense hourly series, both directions, reporting each type's
+    * peak and its hour — where the mean most credibly shifted.
+    *
+    * The recursion is not window-expressible, but its closed form is:
+    * with Z_t the running sum and D_t = T·Z_t − t·ΣX (the mean
+    * cleared of division), S_t = (D_t − min(0, min_{j≤t} D_j)) / T.
+    * Everything up to the final division is BIGINT-exact window math
+    * (cumsum + running min/max), so the argmax hour and the peak
+    * value hash identically in any engine; ties break to the
+    * earliest hour.
+    *
+    * Scale shape: one agg for (T, ΣX), one window pass per type over
+    * the calendar-bounded series, one argmax agg — the event-scale
+    * work is only the initial hourly count. */
+  def cusum(e: DataFrame): DataFrame = {
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wSeq = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+    val tot = denseHourly(e).groupBy("event_type")
+      .agg(count(lit(1)).as("tn"), sum("x").as("s"))
+    val d = denseHourly(e).join(tot, "event_type")
+      .withColumn("t", row_number().over(wSeq).cast("long"))
+      .withColumn("z", sum(col("x")).over(wRun))
+      .withColumn("dd", col("tn") * col("z") - col("t") * col("s"))
+      .withColumn("cpos", (col("dd") - least(lit(0L), min(col("dd")).over(wRun)))
+        .cast("double") / col("tn"))
+      .withColumn("cneg", (greatest(lit(0L), max(col("dd")).over(wRun)) - col("dd"))
+        .cast("double") / col("tn"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cpos").desc, col("hour").asc)
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cneg").desc, col("hour").asc)
+    d.withColumn("rp", row_number().over(wp))
+      .withColumn("rn", row_number().over(wn))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_hours"),
+        max(when(col("rp") === 1, col("hour"))).as("peak_hour_up"),
+        round(max(when(col("rp") === 1, col("cpos"))), 6).as("peak_up"),
+        max(when(col("rn") === 1, col("hour"))).as("peak_hour_down"),
+        round(max(when(col("rn") === 1, col("cneg"))), 6).as("peak_down"))
+      .orderBy("event_type")
+  }
+
+  def q141Cusum(spark: SparkSession, dir: String): DataFrame =
+    cusum(ev(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_ab_lift" -> (q125AbLift _),
     "q119_journey_paths" -> (q119JourneyPaths _),
@@ -373,6 +492,8 @@ object EventOps {
     "q82_hopping_window" -> (q82HoppingWindow _),
     "q92_anomalies" -> (q92Anomalies _),
     "q135_ewma" -> (q135Ewma _),
+    "q140_autocorrelation" -> (q140Autocorrelation _),
+    "q141_cusum" -> (q141Cusum _),
     "q96_gap_fill" -> (q96GapFill _),
     "q101_transitions" -> (q101Transitions _),
     "q103_scd2" -> (q103Scd2 _),
@@ -512,6 +633,93 @@ object EventOps {
          |  FROM m)
          |SELECT hour, cnt AS n_events, z, abs(z) > $AnomalyZ AS flagged
          |FROM z ORDER BY hour""".stripMargin,
+
+    "q140_autocorrelation" -> {
+      val lagCols = (1 to AcfMaxLag).map(k =>
+        s"lag(x, $k) OVER (PARTITION BY event_type ORDER BY hour) AS l$k")
+        .mkString(",\n         ")
+      val stack = (1 to AcfMaxLag).map(k =>
+        s"SELECT event_type, CAST($k AS BIGINT) AS lag, x, l$k AS y FROM lg WHERE l$k IS NOT NULL")
+        .mkString("\n  UNION ALL ")
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS hour,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+         |       FROM hourly GROUP BY 1),
+         |g AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hour
+         |      FROM sp),
+         |dense AS (SELECT g.event_type, g.hour, CAST(coalesce(h.x, 0) AS BIGINT) AS x
+         |          FROM g LEFT JOIN hourly h
+         |          ON g.event_type = h.event_type AND g.hour = h.hour),
+         |lg AS (
+         |  SELECT event_type, x,
+         |         $lagCols
+         |  FROM dense),
+         |st AS (
+         |  $stack),
+         |m AS (
+         |  SELECT event_type, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |         CAST(sum(x * y) AS BIGINT) AS sxy,
+         |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |         CAST(sum(x * x) AS BIGINT) AS sxx,
+         |         CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM st GROUP BY 1, 2)
+         |SELECT event_type, lag, n_pairs,
+         |       CASE WHEN n_pairs * sxx - sx * sx > 0
+         |             AND n_pairs * syy - sy * sy > 0
+         |            THEN round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+         |                   / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+         |                   / sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)), 6)
+         |            END AS r
+         |FROM m ORDER BY event_type, lag""".stripMargin
+    },
+
+    "q141_cusum" ->
+      s"""WITH hourly AS (
+         |  SELECT event_type, epoch_us(ts) // $HourUs AS hour,
+         |         CAST(count(*) AS BIGINT) AS x
+         |  FROM events GROUP BY 1, 2),
+         |sp AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+         |       FROM hourly GROUP BY 1),
+         |g AS (SELECT event_type, unnest(generate_series(h0, h1)) AS hour
+         |      FROM sp),
+         |dense AS (SELECT g.event_type, g.hour, CAST(coalesce(h.x, 0) AS BIGINT) AS x
+         |          FROM g LEFT JOIN hourly h
+         |          ON g.event_type = h.event_type AND g.hour = h.hour),
+         |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS tn,
+         |               CAST(sum(x) AS BIGINT) AS s
+         |        FROM dense GROUP BY 1),
+         |d AS (
+         |  SELECT dense.event_type, hour, tn,
+         |         CAST(tn * sum(x) OVER wr
+         |              - row_number() OVER ws * s AS BIGINT) AS dd
+         |  FROM dense JOIN tot ON dense.event_type = tot.event_type
+         |  WINDOW ws AS (PARTITION BY dense.event_type ORDER BY hour),
+         |         wr AS (PARTITION BY dense.event_type ORDER BY hour
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |c AS (
+         |  SELECT event_type, hour,
+         |         CAST(dd - least(CAST(0 AS BIGINT), min(dd) OVER wr) AS DOUBLE)
+         |           / tn AS cpos,
+         |         CAST(greatest(CAST(0 AS BIGINT), max(dd) OVER wr) - dd AS DOUBLE)
+         |           / tn AS cneg
+         |  FROM d
+         |  WINDOW wr AS (PARTITION BY event_type ORDER BY hour
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |r AS (
+         |  SELECT event_type, hour, cpos, cneg,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY cpos DESC, hour ASC) AS rp,
+         |         row_number() OVER (PARTITION BY event_type
+         |                            ORDER BY cneg DESC, hour ASC) AS rn
+         |  FROM c)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+         |       max(CASE WHEN rp = 1 THEN hour END) AS peak_hour_up,
+         |       round(max(CASE WHEN rp = 1 THEN cpos END), 6) AS peak_up,
+         |       max(CASE WHEN rn = 1 THEN hour END) AS peak_hour_down,
+         |       round(max(CASE WHEN rn = 1 THEN cneg END), 6) AS peak_down
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q96_gap_fill" ->
       s"""WITH e AS (SELECT event_type AS k, epoch_us(ts) // $DayUs AS d,

@@ -243,7 +243,60 @@ object Olap {
       .orderBy(col("hhi").desc, col("n_name").asc)
   }
 
+  // ---------------------------------------------------------------- q138
+  /** Customer-spend inequality per nation — the Gini coefficient over
+    * each nation's per-customer order totals (0 = everyone spends the
+    * same, →1 = one whale), the concentration lens q111's HHI applies
+    * to suppliers turned on the demand side, where the entity count is
+    * too big for a share-of-top-k table to summarize.
+    *
+    * Engine-exact: per-customer spend stays DECIMAL(18,2) (exact,
+    * order-free sums), the rank is an integer from the total
+    * (spend, custkey) order, and Σ rank·spend is again an exact
+    * decimal — G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n touches doubles only
+    * in the final scalar per nation, rounded to 6dp.
+    *
+    * Scale shape: one partial-agg pass over orders keyed by customer,
+    * a dimension join, then a rank window partitioned by nation —
+    * the sort is per-nation over CUSTOMERS (not orders), the same
+    * cardinality every ntile in this file already shuffles. A nation
+    * holding most of the customer base makes that partition the
+    * straggler; the fallback is the binned Gini over q105's equi-depth
+    * buckets (trapezoid Lorenz sum — no total sort). */
+  def gini(perEntity: DataFrame): DataFrame = {
+    // perEntity: (grp, ent, spend DECIMAL(18,2))
+    val w = Window.partitionBy("grp").orderBy(col("spend").asc, col("ent").asc)
+    perEntity.withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("grp").agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("total"),
+        sum(col("spend") * col("rk")).as("rankSum"))
+      .select(col("grp"),
+        col("n_customers"),
+        col("total").cast("double").as("total_spend"),
+        round(lit(2.0) * col("rankSum").cast("double")
+            / (col("n_customers") * col("total")).cast("double")
+          - (col("n_customers") + lit(1)).cast("double") / col("n_customers"),
+          6).as("gini"))
+  }
+
+  def q138GiniSpend(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val spend = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("grp"), col("o_custkey").as("ent"), col("spend"))
+    gini(spend)
+      .withColumnRenamed("grp", "n_name")
+      .orderBy(col("gini").desc, col("n_name").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_gini_spend" -> (q138GiniSpend _),
     "q84_rollup" -> (q84Rollup _),
     "q85_moving_window" -> (q85MovingWindow _),
     "q86_pivot" -> (q86Pivot _),
@@ -256,6 +309,33 @@ object Olap {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q138_gini_spend" ->
+      """WITH s AS (
+        |  SELECT o_custkey AS ent,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |e AS (
+        |  SELECT n.n_name, s.ent, s.spend
+        |  FROM s
+        |  JOIN customer c ON s.ent = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey),
+        |r AS (
+        |  SELECT n_name, spend,
+        |         CAST(row_number() OVER (PARTITION BY n_name
+        |                                 ORDER BY spend ASC, ent ASC)
+        |              AS BIGINT) AS rk
+        |  FROM e),
+        |a AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_customers,
+        |         sum(spend) AS total, sum(spend * rk) AS ranksum
+        |  FROM r GROUP BY 1)
+        |SELECT n_name, n_customers,
+        |       CAST(total AS DOUBLE) AS total_spend,
+        |       round(2.0 * CAST(ranksum AS DOUBLE)
+        |           / CAST(n_customers * total AS DOUBLE)
+        |         - CAST(n_customers + 1 AS DOUBLE) / n_customers, 6) AS gini
+        |FROM a ORDER BY gini DESC, n_name ASC""".stripMargin,
+
     "q84_rollup" ->
       """SELECT r.r_name, n.n_name,
         |       CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS BIGINT)

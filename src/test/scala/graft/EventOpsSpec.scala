@@ -188,4 +188,48 @@ class EventOpsSpec extends SparkSpec {
     // the spike deviates by (40-10)/10 = 3x and flags
     assert(out(14L) == ((10.0, 3.0, true)))
   }
+
+  test("autocorrelation: alternating series anticorrelates at lag 1, correlates at lag 2") {
+    // period-2 series 1,9,1,9,... on a dense hour grid built from one
+    // event in hour h per count unit — feed the public query path via
+    // a synthetic frame shaped like ev()
+    import spark.implicits._
+    val e = (0L until 12L).flatMap { h =>
+      val n = if (h % 2 == 0) 1L else 9L
+      (0L until n).map(i => (1L, "a", h * 3600000000L + i))
+    }.toDF("user_id", "event_type", "ts_us")
+    val rows = graft.operators.EventOps.autocorrelation(e, 2).collect()
+      .map(r => r.getAs[Long]("lag") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Double]("r")))).toMap
+    assert(rows(1L)._1 == 11L)
+    assert(rows(1L)._2 < -0.9, s"lag1 ${rows(1L)}") // alternation
+    assert(rows(2L)._2 > 0.9, s"lag2 ${rows(2L)}")  // period restored
+  }
+
+  test("autocorrelation: constant series has zero variance -> null r") {
+    import spark.implicits._
+    val e = (0L until 6L).map(h => (1L, "c", h * 3600000000L))
+      .toDF("user_id", "event_type", "ts_us")
+    val rows = graft.operators.EventOps.autocorrelation(e, 1).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(3))
+  }
+
+  test("cusum: a mean shift peaks exactly at the shift point") {
+    import spark.implicits._
+    // 6 hours at 1/hour then 6 hours at 5/hour: positive CUSUM peaks
+    // at the last hour; the drop direction peaks where the prefix of
+    // low hours ends (hour 5) with value max_t(t*(mu - 1)) at t=6
+    val e = (0L until 12L).flatMap { h =>
+      val n = if (h < 6) 1L else 5L
+      (0L until n).map(i => (1L, "s", h * 3600000000L + i))
+    }.toDF("user_id", "event_type", "ts_us")
+    val r = graft.operators.EventOps.cusum(e).collect().head
+    assert(r.getAs[Long]("n_hours") == 12L)
+    // mu = 3; down-side peak at the end of the low run: 6*(3-1) = 12
+    assert(r.getAs[Long]("peak_hour_down") == 5L)
+    assert(math.abs(r.getAs[Double]("peak_down") - 12.0) < 1e-9)
+    // up-side peak accumulates over the high run to the last hour
+    assert(r.getAs[Long]("peak_hour_up") == 11L)
+    assert(math.abs(r.getAs[Double]("peak_up") - 12.0) < 1e-9)
+  }
 }

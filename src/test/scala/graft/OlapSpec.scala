@@ -127,4 +127,28 @@ class OlapSpec extends SparkSpec {
       assert(cells.map(_.getLong(3)).sum == m.getLong(3))
     }
   }
+
+  test("gini: equal spends score 0, one whale scores the hand value") {
+    import spark.implicits._
+    val per = (Seq(("eq", 1L, "1.00"), ("eq", 2L, "1.00"),
+      ("eq", 3L, "1.00"), ("eq", 4L, "1.00"),
+      ("wh", 1L, "1.00"), ("wh", 2L, "1.00"),
+      ("wh", 3L, "1.00"), ("wh", 4L, "97.00")))
+      .toDF("grp", "ent", "s")
+      .select(col("grp"), col("ent"), col("s").cast("decimal(18,2)").as("spend"))
+    val out = Olap.gini(per).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("eq") == 0.0)
+    // ascending ranks: 2*(1+2+3+4*97)/(4*100) - 5/4 = 0.72
+    assert(out("wh") == 0.72)
+  }
+
+  test("gini: every nation's coefficient is in [0, 1)") {
+    val rows = Olap.q138GiniSpend(spark, sfDir()).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val g = r.getDouble(3)
+      assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: $g")
+    }
+  }
 }
