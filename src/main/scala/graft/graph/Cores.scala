@@ -419,6 +419,101 @@ object Cores {
       simpleUndirected(t).pipe(Checkpoints.cut))
   }
 
+  // ---------------------------------------------------------------- q137
+  /** Local clustering coefficient — how close each node's
+    * neighborhood is to a clique: lcc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)),
+    * 0 where deg < 2. The per-node refinement of q63's triangle
+    * counts (same (degree, id)-oriented wedge join, so the same
+    * O(m^1.5) bound on any degree distribution) plus one degree agg;
+    * the division is a single integer-ratio float per node, 6dp —
+    * engine-exact. The global average LCC is one agg away; kept
+    * per-node so the output is the analytics surface (find the
+    * tightly-knit nodes, not just the summary). */
+  def localClustering(nodes: DataFrame, edges: DataFrame,
+      undirected: DataFrame): DataFrame = {
+    val deg = undirected
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+    Algorithms.triangleCounts(nodes, edges)
+      .join(deg, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        col("n_triangles"),
+        when(coalesce(col("degree"), lit(0L)) >= 2,
+          round(lit(2.0) * col("n_triangles")
+            / (col("degree") * (col("degree") - 1)).cast("double"), 6))
+          .otherwise(lit(0.0)).as("lcc"))
+      .orderBy("node")
+  }
+
+  def q137LocalClustering(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    localClustering(TradeGraph.nodes(t).select("node"),
+      TradeGraph.edges(t), simpleUndirected(t))
+  }
+
+  // ---------------------------------------------------------------- q142
+  /** SimRank (Jeh & Widom, KDD 2002): two nodes are similar when
+    * their in-neighbors are similar — s(a,b) = C/(|I(a)|·|I(b)|) ·
+    * Σ_{i∈I(a), j∈I(b)} s(i,j), s(v,v) = 1. The citation-style
+    * structural-similarity companion to q70's one-hop Jaccard (which
+    * only sees SHARED neighbors; SimRank propagates similarity
+    * through similar-but-distinct ones).
+    *
+    * Engine-exact by fixed-point INTEGER arithmetic: scores live in
+    * units of 1e-12 and each sweep is s' = (8·Σs) div (10·|I(a)|·|I(b)|)
+    * — BIGINT sums (order-free) and floor division, identical in any
+    * engine, so a fixed sweep budget is hash-stable with no float
+    * drift anywhere. (C = 0.8 is the 8/10 in the division.)
+    *
+    * Scale shape: the sweep is two edge joins + one (a,b)-keyed agg
+    * over the NONZERO score relation only (zero pairs are never
+    * materialized — absent = 0). Dense-graph blowup is inherent to
+    * all-pairs SimRank; at scale, bound the pair relation by a score
+    * threshold per sweep (drop s < ε — the standard truncation, here
+    * the floor division already drops sub-1e-12 mass) or restrict to
+    * a query node set, which turns each sweep into bounded
+    * personalized propagation. At 100 TB score magnitudes want
+    * DECIMAL(38) headroom for the Σs·8 product. */
+  val SimRankIters = 3
+  val SimRankUnit = 1000000000000L
+
+  def simrank(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct().pipe(Checkpoints.cut)
+    val indeg = e.groupBy(col("dst").as("node")).agg(count(lit(1)).as("ind"))
+      .pipe(Checkpoints.cut)
+    val diag = nodes.select(col("node").as("a"), col("node").as("b"),
+      lit(SimRankUnit).as("s"))
+    var s = diag.pipe(Checkpoints.cut)
+    for (_ <- 1 to iters) {
+      val contrib = s
+        .join(e.select(col("src").as("a"), col("dst").as("na")), Seq("a"))
+        .join(e.select(col("src").as("b"), col("dst").as("nb")), Seq("b"))
+        .filter(col("na") =!= col("nb"))
+        .groupBy(col("na").as("a"), col("nb").as("b"))
+        .agg(sum(col("s")).as("ssum"))
+      val upd = contrib
+        .join(indeg.select(col("node").as("a"), col("ind").as("da")), Seq("a"))
+        .join(indeg.select(col("node").as("b"), col("ind").as("db")), Seq("b"))
+        .selectExpr("a", "b", "(8 * ssum) div (10 * da * db) AS s")
+        .filter(col("s") > 0)
+      val prev = s
+      s = diag.unionByName(upd).pipe(Checkpoints.cut)
+      Checkpoints.release(prev)
+    }
+    val out = s.filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(col("s").cast("double") / SimRankUnit, 6).as("sim"))
+      .orderBy(col("sim").desc, col("a").asc, col("b").asc)
+    Checkpoints.release(e, indeg)
+    out
+  }
+
+  def q142Simrank(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    simrank(TradeGraph.nodes(t).select("node"), TradeGraph.edges(t),
+      SimRankIters)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_ktruss" -> (q126Ktruss _),
     "q68_kcore" -> (q68Kcore _),
@@ -427,6 +522,8 @@ object Cores {
     "q78_random_walks" -> (q78RandomWalks _),
     "q131_mis" -> (q131Mis _),
     "q136_coloring" -> (q136Coloring _),
+    "q137_local_clustering" -> (q137LocalClustering _),
+    "q142_simrank" -> (q142Simrank _),
   )
 
   /** Unrolled Jones–Plassmann waves. Each wave settles at least the
@@ -659,7 +756,89 @@ object Cores {
        |ORDER BY c.a, c.b""".stripMargin
   }
 
+  /** Unrolled integer-fixed-point SimRank sweeps (mirror of
+    * [[simrank]]: same 1e-12 units, same 8/10 floor division). */
+  private def simrankSql(iters: Int): String = {
+    val ctes = (1 to iters).map { t =>
+      s"""c$t AS (
+         |  SELECT ea.dst AS a, eb.dst AS b, CAST(sum(s.s) AS BIGINT) AS ssum
+         |  FROM s${t - 1} s
+         |  JOIN e ea ON ea.src = s.a
+         |  JOIN e eb ON eb.src = s.b
+         |  WHERE ea.dst <> eb.dst
+         |  GROUP BY 1, 2),
+         |u$t AS (
+         |  SELECT c.a, c.b,
+         |         CAST((8 * c.ssum) // (10 * da.ind * db.ind) AS BIGINT) AS s
+         |  FROM c$t c
+         |  JOIN ind da ON da.node = c.a
+         |  JOIN ind db ON db.node = c.b),
+         |s$t AS MATERIALIZED (
+         |  SELECT * FROM diag
+         |  UNION ALL SELECT * FROM u$t WHERE s > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $T,
+       |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM trade),
+       |ind AS MATERIALIZED (
+       |  SELECT dst AS node, CAST(count(*) AS BIGINT) AS ind
+       |  FROM e GROUP BY 1),
+       |diag AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) AS a,
+       |         CAST(n_nationkey AS BIGINT) AS b,
+       |         CAST($SimRankUnit AS BIGINT) AS s
+       |  FROM nation),
+       |s0 AS MATERIALIZED (SELECT * FROM diag),
+       |$ctes
+       |SELECT a, b, round(CAST(s AS DOUBLE) / $SimRankUnit, 6) AS sim
+       |FROM s$iters WHERE a < b
+       |ORDER BY sim DESC, a ASC, b ASC""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q142_simrank" -> simrankSql(SimRankIters),
+
+    // same (degree, id) orientation as q63's triangle oracle, plus
+    // the simple-undirected degree and the per-node ratio
+    "q137_local_clustering" ->
+      s"""WITH $T, $U,
+         |su AS (SELECT src, dst FROM undirected WHERE src <> dst),
+         |dg0 AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS degree
+         |        FROM su GROUP BY 1),
+         |pairs AS (SELECT DISTINCT least(src, dst) AS a,
+         |                 greatest(src, dst) AS b
+         |          FROM trade WHERE src <> dst),
+         |dg AS (SELECT n, count(*) AS d FROM (
+         |         SELECT a AS n FROM pairs
+         |         UNION ALL SELECT b FROM pairs) z GROUP BY 1),
+         |und AS (SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+         |               THEN p.a ELSE p.b END AS src,
+         |               CASE WHEN da.d < db.d OR (da.d = db.d AND p.a < p.b)
+         |               THEN p.b ELSE p.a END AS dst
+         |        FROM pairs p
+         |        JOIN dg da ON da.n = p.a
+         |        JOIN dg db ON db.n = p.b),
+         |tri AS (
+         |  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+         |  FROM und e1
+         |  JOIN und e2 ON e1.dst = e2.src
+         |  JOIN und e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+         |pn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+         |         SELECT u AS node FROM tri
+         |         UNION ALL SELECT v FROM tri
+         |         UNION ALL SELECT w FROM tri) z
+         |       GROUP BY 1)
+         |SELECT CAST(n.n_nationkey AS BIGINT) AS node,
+         |       CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+         |       CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |       CASE WHEN COALESCE(d.degree, 0) >= 2
+         |            THEN round(2.0 * COALESCE(pn.n_triangles, 0)
+         |                   / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6)
+         |            ELSE 0.0 END AS lcc
+         |FROM nation n
+         |LEFT JOIN dg0 d ON d.node = CAST(n.n_nationkey AS BIGINT)
+         |LEFT JOIN pn ON pn.node = CAST(n.n_nationkey AS BIGINT)
+         |ORDER BY node""".stripMargin,
+
     "q126_ktruss" -> ktrussSql(TrussK, 10),
 
     "q131_mis" -> misSql(25),

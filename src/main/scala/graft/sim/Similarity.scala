@@ -300,7 +300,49 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- q143
+  /** Label-centroid separation report — the class-separation audit a
+    * training-data pipeline runs before trusting its labels: one
+    * robust centroid per label (per-dimension MEDIAN — selection, not
+    * summation, so engine-exact like q127; a mean centroid would also
+    * chase the outliers q127 flags) and the pairwise cosine between
+    * centroids. Labels whose centroids sit close are the confusable
+    * classes; a label whose centroid hugs another's is the mislabeled-
+    * cluster smell.
+    *
+    * Scale shape: ONE explode pass over the corpus → a (labels × dims)
+    * centroid relation (broadcast-sized by construction) → all-pairs
+    * cosine over the bounded label set. Exact `percentile` swaps for
+    * `approx_percentile` at 100 TB (the q127/q60 contract). */
+  def q143CentroidSeparation(spark: SparkSession, dir: String): DataFrame =
+    centroidSeparation(Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("e")))
+
+  /** Core of q143 over (vec_id, label, e: array<double>). */
+  def centroidSeparation(v: DataFrame): DataFrame = {
+    val cent = v.select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("label", "i")
+      .agg(expr("percentile(x, 0.5D)").as("m"))
+    val cnt = v.groupBy("label").agg(count(lit(1)).as("n"))
+    val nrm = cent.groupBy("label").agg(sqrt(sum(col("m") * col("m"))).as("nrm"))
+    val dots = cent.select(col("label").as("la"), col("i"), col("m").as("ma"))
+      .join(cent.select(col("label").as("lb"), col("i"), col("m").as("mb")),
+        Seq("i"))
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb").agg(sum(col("ma") * col("mb")).as("d"))
+    dots
+      .join(nrm.select(col("label").as("la"), col("nrm").as("na")), Seq("la"))
+      .join(nrm.select(col("label").as("lb"), col("nrm").as("nb")), Seq("lb"))
+      .join(cnt.select(col("label").as("la"), col("n").as("n_a")), Seq("la"))
+      .join(cnt.select(col("label").as("lb"), col("n").as("n_b")), Seq("lb"))
+      .select(col("la"), col("lb"), col("n_a"), col("n_b"),
+        round(col("d") / (col("na") * col("nb")), 6).as("centroid_sim"))
+      .orderBy("la", "lb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_centroid_separation" -> (q143CentroidSeparation _),
     "q128_semantic_decontamination" -> (q128SemanticDecontamination _),
     "q127_embedding_outliers" -> (q127EmbeddingOutliers _),
     "q24_sim_topk" -> (q24SimTopk _),
@@ -353,6 +395,29 @@ object Similarity {
       |  FROM dots JOIN nrm na ON na.vec_id = av JOIN nrm nb ON nb.vec_id = bv)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q143_centroid_separation" ->
+      """WITH v AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+        |           FROM embeddings),
+        |vd AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i,
+        |       embedding FROM v),
+        |vv AS (SELECT label, CAST(i - 1 AS INT) AS i,
+        |       CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x FROM vd),
+        |cent AS (SELECT label, i, quantile_cont(x, 0.5) AS m
+        |         FROM vv GROUP BY 1, 2),
+        |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |nrm AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent GROUP BY 1),
+        |d AS (SELECT a.label AS la, b.label AS lb, sum(a.m * b.m) AS d
+        |      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        |      GROUP BY 1, 2)
+        |SELECT la, lb, ca.n AS n_a, cb.n AS n_b,
+        |       round(d.d / (na.nrm * nb.nrm), 6) AS centroid_sim
+        |FROM d
+        |JOIN nrm na ON na.label = d.la
+        |JOIN nrm nb ON nb.label = d.lb
+        |JOIN cnt ca ON ca.label = d.la
+        |JOIN cnt cb ON cb.label = d.lb
+        |ORDER BY la, lb""".stripMargin,
+
     "q128_semantic_decontamination" ->
       s"""WITH $vecCtes,
          |dp AS (

@@ -308,6 +308,71 @@ object TermOps {
       .orderBy("doc_id", "rank")
   }
 
+  // ---------------------------------------------------------------- q144
+  /** Lexical-diversity profile per document: token count, type count
+    * (distinct words), hapax count (words used once), and the two
+    * classic ratios — type/token (TTR: low = repetitive/templated
+    * text, the quality signal q45's repetition filters threshold
+    * from the other side) and hapax/type (vocabulary freshness). All
+    * counts are integers from one (doc, word) partial agg; the
+    * ratios are single integer divisions, 6dp — engine-exact. */
+  def lexicalDiversity(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("s"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types"), 6)
+          .as("hapax_ratio"))
+      .orderBy("doc_id")
+
+  def q144LexicalDiversity(spark: SparkSession, dir: String): DataFrame =
+    lexicalDiversity(TextOps.docs(spark, dir))
+
+  // ---------------------------------------------------------------- q145
+  /** Zipf-law fit of the corpus frequency distribution: least-squares
+    * slope of ln(freq) on ln(rank) over the top-[[ZipfTopK]] terms,
+    * with intercept and R². Natural corpora slope ≈ −1; a flat slope
+    * flags templated/synthetic text, a cliff flags boilerplate — the
+    * corpus-level cousin of q144's per-doc ratios.
+    *
+    * The regression inputs are (ln i, ln cᵢ) pairs from integer
+    * ranks/counts, so both engines see IDENTICAL doubles; sums run
+    * over ≤ topK terms and surface at 6dp (the q74/q75 ln contract).
+    * The rank window sorts the AGGREGATED vocabulary, bounded to
+    * top-K — at 100 TB the same plan stands with the full sort
+    * replaced by a top-K aggregate over per-partition heaps
+    * ([[graft.functions.TopKAgg]]'s shape). */
+  val ZipfTopK = 100
+
+  def zipfFit(docs: DataFrame, topK: Int): DataFrame = {
+    val freq = docs.select(explode(split(col("s"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("word").asc)
+    val pts = freq.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(log(col("rank").cast("double")).as("u"),
+        log(col("cnt").cast("double")).as("v"))
+    val m = pts.agg(count(lit(1)).as("n"),
+      sum(col("u")).as("su"), sum(col("v")).as("sv"),
+      sum(col("u") * col("u")).as("suu"),
+      sum(col("u") * col("v")).as("suv"),
+      sum(col("v") * col("v")).as("svv"))
+    val cov = m("n") * m("suv") - m("su") * m("sv")
+    val varU = m("n") * m("suu") - m("su") * m("su")
+    val varV = m("n") * m("svv") - m("sv") * m("sv")
+    m.select(col("n").as("n_terms"),
+        round(cov / varU, 6).as("slope"),
+        round((m("sv") - cov / varU * m("su")) / m("n"), 6).as("intercept"),
+        round(cov * cov / (varU * varV), 6).as("r2"))
+  }
+
+  def q145ZipfFit(spark: SparkSession, dir: String): DataFrame =
+    zipfFit(TextOps.docs(spark, dir), ZipfTopK)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q74_tfidf_terms" -> (q74TfidfTerms _),
     "q75_unigram_logprob" -> (q75UnigramLogprob _),
@@ -315,6 +380,8 @@ object TermOps {
     "q120_bigram_nll" -> (q120BigramNll _),
     "q129_bpe_merges" -> (q129BpeMerges _),
     "q134_tfidf_cosine_knn" -> (q134TfidfCosineKnn _),
+    "q144_lexical_diversity" -> (q144LexicalDiversity _),
+    "q145_zipf_fit" -> (q145ZipfFit _),
   )
 
   /** Unrolled BPE steps: p$t counts pairs over v${t-1}, b$t picks the
@@ -482,5 +549,46 @@ object TermOps {
          |  FROM sims) z
          |WHERE rank <= $CosKnnK
          |ORDER BY doc_id, rank""".stripMargin,
+
+    "q144_lexical_diversity" ->
+      s"""WITH ${TextOps.normCte},
+         |wu AS (SELECT doc_id, unnest(string_split(s, ' ')) AS word FROM n),
+         |wc AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+         |       FROM wu GROUP BY 1, 2),
+         |a AS (
+         |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_types,
+         |         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_hapax
+         |  FROM wc GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_types, n_hapax,
+         |       round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+         |       round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q145_zipf_fit" ->
+      s"""WITH ${TextOps.normCte},
+         |wu AS (SELECT unnest(string_split(s, ' ')) AS word FROM n),
+         |freq AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |         FROM wu GROUP BY 1),
+         |rk AS (SELECT cnt,
+         |              CAST(row_number() OVER (ORDER BY cnt DESC, word ASC)
+         |                   AS BIGINT) AS rank
+         |       FROM freq),
+         |pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS u,
+         |               ln(CAST(cnt AS DOUBLE)) AS v
+         |        FROM rk WHERE rank <= $ZipfTopK),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             sum(u) AS su, sum(v) AS sv,
+         |             sum(u * u) AS suu, sum(u * v) AS suv,
+         |             sum(v * v) AS svv
+         |      FROM pts)
+         |SELECT n AS n_terms,
+         |       round((n * suv - su * sv) / (n * suu - su * su), 6) AS slope,
+         |       round((sv - (n * suv - su * sv) / (n * suu - su * su) * su)
+         |             / n, 6) AS intercept,
+         |       round((n * suv - su * sv) * (n * suv - su * sv)
+         |             / ((n * suu - su * su) * (n * svv - sv * sv)), 6) AS r2
+         |FROM m""".stripMargin,
   )
 }

@@ -345,4 +345,45 @@ class CoresCentralitySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(wpr(2L) > wpr(3L))
   }
+
+  test("local clustering: triangle scores 1, star center 0, pendant bridges partially") {
+    // triangle {1,2,3} + pendant 4 on node 1: lcc(2)=lcc(3)=1 (their
+    // neighborhoods are cliques), lcc(1)=2*1/(3*2)=1/3, lcc(4)=0
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val dir = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    val und = dir.flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+      (r.getLong(1), r.getLong(0)))).toDF("src", "dst")
+    val out = Cores.localClustering(nodes, dir, und).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, 0.333333)))
+    assert(out(2L) == ((2L, 1L, 1.0)) && out(3L) == ((2L, 1L, 1.0)))
+    assert(out(4L) == ((1L, 0L, 0.0)))
+  }
+
+  test("simrank: shared in-neighbor scores C, no in-neighbors scores nothing") {
+    // c -> a, c -> b: s(a,b) = C * s(c,c) = 0.8 after one sweep and
+    // stays (the only in-neighbor pair is the diagonal); c pairs with
+    // nothing (no in-neighbors)
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val e = Seq((3L, 1L), (3L, 2L)).toDF("src", "dst")
+    val out = Cores.simrank(nodes, e, Cores.SimRankIters).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == Map((1L, 2L) -> 0.8))
+  }
+
+  test("simrank: similarity decays through longer common paths") {
+    // two chains from a shared root: r -> x1 -> x2, r -> y1 -> y2.
+    // s(x1,y1) = C (shared in-neighbor), s(x2,y2) = C*s(x1,y1) = C²
+    // after two sweeps — propagation through similar-but-distinct
+    // parents, the property one-hop Jaccard (q70) cannot see.
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L).toDF("node")
+    val e = Seq((0L, 1L), (0L, 3L), (1L, 2L), (3L, 4L)).toDF("src", "dst")
+    val out = Cores.simrank(nodes, e, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 3L)) == 0.8)
+    assert(out((2L, 4L)) == 0.64)
+    // fixed-point floor division never exceeds the exact value
+    assert(out.values.forall(v => v <= 0.8))
+  }
 }

@@ -173,4 +173,24 @@ class PolicyTermSpec extends SparkSpec {
     val rules = TermOps.bpeMerges(wf, 2)
     assert(rules == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
   }
+
+  test("lexical diversity: hand-counted tokens, types, hapax and ratios") {
+    val d = Seq((1L, "a a b"), (2L, "x y z")).toDF("doc_id", "s")
+    val out = TermOps.lexicalDiversity(d).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5)))).toMap
+    assert(out(1L) == ((3L, 2L, 1L, 0.666667, 0.5)))
+    assert(out(2L) == ((3L, 3L, 3L, 1.0, 1.0)))
+  }
+
+  test("zipf fit: an exact power-law corpus recovers slope -1 with r2 = 1") {
+    // counts 6, 3, 2 at ranks 1, 2, 3: ln(cnt) = ln 6 - ln(rank)
+    val d = Seq((1L, "x x x x x x y y y z z")).toDF("doc_id", "s")
+    val r = TermOps.zipfFit(d, 100).collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getDouble(1) == -1.0, s"slope ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 1.791759, s"intercept ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0, s"r2 ${r.getDouble(3)}")
+  }
 }

@@ -196,4 +196,21 @@ class SimilaritySpec extends SparkSpec {
     assert(flagged > 0, "tau leaves no contamination signal at this SF")
     assert(flagged < rows.length, "tau flags everything — uninformative")
   }
+
+  test("centroid separation: identical clusters score 1, orthogonal score 0") {
+    import spark.implicits._
+    // labels 1 and 2 occupy the same axis; label 3 an orthogonal one.
+    // medians are exact per-dim selections, so the scores are exact.
+    val v = Seq(
+      (1L, 1L, Seq(1.0, 0.0)), (2L, 1L, Seq(3.0, 0.0)), (3L, 1L, Seq(2.0, 0.0)),
+      (4L, 2L, Seq(5.0, 0.0)), (5L, 2L, Seq(7.0, 0.0)),
+      (6L, 3L, Seq(0.0, 2.0)), (7L, 3L, Seq(0.0, 4.0)))
+      .toDF("vec_id", "label", "e")
+    val out = Similarity.centroidSeparation(v).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out((1L, 2L)) == ((3L, 2L, 1.0)))
+    assert(out((1L, 3L)) == ((3L, 2L, 0.0)))
+    assert(out((2L, 3L)) == ((2L, 2L, 0.0)))
+  }
 }
