@@ -484,6 +484,61 @@ object EventOps {
   def q141Cusum(spark: SparkSession, dir: String): DataFrame =
     cusum(ev(spark, dir))
 
+  // ---------------------------------------------------------------- q146
+  /** Conversion attribution: each purchase credits the user's
+    * first-touch and last-touch among their non-purchase events in
+    * the preceding [[AttribLookbackUs]] window — the two bookend
+    * models every attribution report starts from. Output: conversions
+    * credited per (touch type, model), plus the untouched count.
+    *
+    * Scale shape: touches join conversions keyed by USER (one
+    * shuffle; per-user event lists are bounded by activity, the same
+    * skew class as every per-user window here), the in-window filter
+    * prunes pairs, and each conversion's bookends come from ONE
+    * min/max(struct) agg — never a window over the joined relation.
+    * Both argmaxes are deterministic: ties on ts break by event_id
+    * via the struct order. At 100 TB the same plan stands — or the
+    * join becomes a q77-style bucketized range join when lookbacks
+    * are long and users hot. */
+  val AttribLookbackUs: Long = 7L * 86400000000L
+
+  def attribution(e: DataFrame): DataFrame = {
+    val conv = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts"))
+    val touch = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type").as("touch_type"),
+        col("ts_us").as("touch_ts"), col("event_id").as("touch_id"))
+    val paired = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") - AttribLookbackUs)
+    val bookends = paired.groupBy("conv_id").agg(
+      min(struct(col("touch_ts"), col("touch_id"), col("touch_type")))
+        .as("first"),
+      max(struct(col("touch_ts"), col("touch_id"), col("touch_type")))
+        .as("last"))
+    val credited = bookends
+      .select(lit("first_touch").as("model"),
+        col("first.touch_type").as("touch_type"))
+      .unionByName(bookends.select(lit("last_touch").as("model"),
+        col("last.touch_type").as("touch_type")))
+      .groupBy("model", "touch_type")
+      .agg(count(lit(1)).as("conversions"))
+    val untouched = conv.join(bookends, Seq("conv_id"), "left_anti")
+      .select(lit("unattributed").as("model"),
+        lit("none").as("touch_type"), lit(1L).as("one"))
+      .groupBy("model", "touch_type")
+      .agg(count(lit(1)).as("conversions"))
+    credited.unionByName(untouched)
+      .orderBy("model", "touch_type")
+  }
+
+  def q146Attribution(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    attribution(t.events.select(col("event_id"), col("user_id"),
+      col("event_type"), col("ts_us")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_ab_lift" -> (q125AbLift _),
     "q119_journey_paths" -> (q119JourneyPaths _),
@@ -494,6 +549,7 @@ object EventOps {
     "q135_ewma" -> (q135Ewma _),
     "q140_autocorrelation" -> (q140Autocorrelation _),
     "q141_cusum" -> (q141Cusum _),
+    "q146_attribution" -> (q146Attribution _),
     "q96_gap_fill" -> (q96GapFill _),
     "q101_transitions" -> (q101Transitions _),
     "q103_scd2" -> (q103Scd2 _),
@@ -633,6 +689,41 @@ object EventOps {
          |  FROM m)
          |SELECT hour, cnt AS n_events, z, abs(z) > $AnomalyZ AS flagged
          |FROM z ORDER BY hour""".stripMargin,
+
+    "q146_attribution" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type,
+         |                  epoch_us(ts) AS ts_us FROM events),
+         |conv AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts
+         |         FROM e WHERE event_type = 'purchase'),
+         |touch AS (SELECT user_id, event_type AS touch_type,
+         |                 ts_us AS touch_ts, event_id AS touch_id
+         |          FROM e WHERE event_type <> 'purchase'),
+         |p AS (
+         |  SELECT c.conv_id, t.touch_type, t.touch_ts, t.touch_id
+         |  FROM conv c JOIN touch t ON c.user_id = t.user_id
+         |  WHERE t.touch_ts < c.conv_ts
+         |    AND t.touch_ts >= c.conv_ts - $AttribLookbackUs),
+         |bk AS (
+         |  SELECT conv_id, touch_type,
+         |         row_number() OVER (PARTITION BY conv_id
+         |             ORDER BY touch_ts ASC, touch_id ASC) AS rf,
+         |         row_number() OVER (PARTITION BY conv_id
+         |             ORDER BY touch_ts DESC, touch_id DESC) AS rl
+         |  FROM p),
+         |cr AS (
+         |  SELECT 'first_touch' AS model, touch_type FROM bk WHERE rf = 1
+         |  UNION ALL
+         |  SELECT 'last_touch', touch_type FROM bk WHERE rl = 1),
+         |crc AS (SELECT model, touch_type,
+         |               CAST(count(*) AS BIGINT) AS conversions
+         |        FROM cr GROUP BY 1, 2),
+         |un AS (SELECT 'unattributed' AS model, 'none' AS touch_type,
+         |              CAST(count(*) AS BIGINT) AS conversions
+         |       FROM conv c
+         |       WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.conv_id = c.conv_id)
+         |       HAVING count(*) > 0)
+         |SELECT * FROM crc UNION ALL SELECT * FROM un
+         |ORDER BY model, touch_type""".stripMargin,
 
     "q140_autocorrelation" -> {
       val lagCols = (1 to AcfMaxLag).map(k =>

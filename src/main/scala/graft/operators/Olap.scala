@@ -215,6 +215,45 @@ object Olap {
       .orderBy(col("revenue").desc, col("n_name").asc)
   }
 
+  // ---------------------------------------------------------------- q147
+  /** TPC-H Q3 (shipping priority): top-10 unshipped-revenue orders in
+    * a market segment — the second canonical multi-way analytical
+    * join after q108's Q5, exercising the fact⋈fact path with
+    * OPPOSING date predicates on each side (order placed before the
+    * cutoff, lines shipping after it), both pushed to their scans.
+    * Revenue follows the q108 decimal contract: per-line round →
+    * DECIMAL(18,4) sum — accumulation-order-free, engine-exact. The
+    * segment-filtered customer side joins by key (AQE
+    * broadcast-converts it when small; a fifth of customers is not
+    * broadcast-sized at 100 TB, so no hint). Top-10 is a sort of the
+    * AGGREGATED order relation, never the line stream. */
+  val Q3Segment = "BUILDING"
+  val Q3Date = "1997-01-01"
+
+  def q147TpchQ3(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_shipdate") > lit(Q3Date).cast("timestamp"))
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast("decimal(18,4)").as("rev"))
+      .join(t.orders
+          .filter(col("o_orderdate") < lit(Q3Date).cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.filter(col("c_mktsegment") === Q3Segment)
+          .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"),
+        col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+  }
+
   // ---------------------------------------------------------------- q111
   /** Supplier market concentration per nation — the Herfindahl index
     * (Σ share², 1.0 = monopoly) over each nation's supplier lineitem
@@ -305,6 +344,7 @@ object Olap {
     "q106_rfm_segments" -> (q106RfmSegments _),
     "q107_cohort_revenue" -> (q107CohortRevenue _),
     "q108_tpch_q5" -> (q108TpchQ5 _),
+    "q147_tpch_q3" -> (q147TpchQ3 _),
     "q111_supplier_hhi" -> (q111SupplierHhi _),
   )
 
@@ -440,6 +480,21 @@ object Olap {
          |  AND o.o_orderdate >= DATE '$Q5Year-01-01'
          |  AND o.o_orderdate < DATE '${Q5Year.toInt + 1}-01-01'
          |GROUP BY 1 ORDER BY revenue DESC, n_name ASC""".stripMargin,
+
+    "q147_tpch_q3" ->
+      s"""SELECT l.l_orderkey,
+         |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         |       o.o_orderdate, o.o_orderpriority
+         |FROM customer c, orders o, lineitem l
+         |WHERE c.c_mktsegment = '$Q3Segment'
+         |  AND c.c_custkey = o.o_custkey
+         |  AND l.l_orderkey = o.o_orderkey
+         |  AND o.o_orderdate < TIMESTAMP '$Q3Date 00:00:00'
+         |  AND l.l_shipdate > TIMESTAMP '$Q3Date 00:00:00'
+         |GROUP BY 1, 3, 4
+         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
 
     "q86_pivot" ->
       """SELECT user_id,

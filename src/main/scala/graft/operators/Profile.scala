@@ -178,7 +178,50 @@ object Profile {
       .orderBy(col("true_cnt").desc, col("word").asc)
   }
 
+  // ---------------------------------------------------------------- q148
+  /** Winsorized robust scaling report per event type: clip `value` at
+    * the exact [p05, p95] quantiles and report what the clipping did —
+    * n, clipped counts both sides, the clip bounds, and raw vs
+    * winsorized means. The outlier-taming transform feature pipelines
+    * apply before z-scaling (q92's moments are exactly what raw
+    * outliers distort).
+    *
+    * Engine contract: quantiles are exact `percentile` (bit-parity
+    * with quantile_cont, the q60/q127 precedent; `approx_percentile`
+    * is the 100 TB swap); clip counts are integers; the means sum
+    * per-row ROUNDED values as DECIMAL (q108's accumulation-order-free
+    * money contract) so both engines add exactly the same scaled
+    * integers in any order. Two partial-agg passes (quantiles, then
+    * stats) with the |types|-row bounds broadcast back. */
+  val WinsorLo = 0.05
+  val WinsorHi = 0.95
+
+  def winsorize(e: DataFrame): DataFrame = {
+    val bounds = e.groupBy("event_type").agg(
+      expr(s"percentile(value, ${WinsorLo}D)").as("lo"),
+      expr(s"percentile(value, ${WinsorHi}D)").as("hi"))
+    e.join(broadcast(bounds), "event_type")
+      .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("clipped_lo"),
+        sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("clipped_hi"),
+        round(min(col("lo")), 6).as("p05"),
+        round(max(col("hi")), 6).as("p95"),
+        sum(round(col("value"), 6).cast("decimal(28,6)")).as("sraw"),
+        sum(round(col("w"), 6).cast("decimal(28,6)")).as("swin"))
+      .select(col("event_type"), col("n"), col("clipped_lo"),
+        col("clipped_hi"), col("p05"), col("p95"),
+        round(col("sraw").cast("double") / col("n"), 6).as("mean_raw"),
+        round(col("swin").cast("double") / col("n"), 6).as("mean_winsorized"))
+      .orderBy("event_type")
+  }
+
+  def q148Winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorize(Tables(spark, dir).events.select(col("event_type"), col("value")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_winsorize" -> (q148Winsorize _),
     "q83_table_profile" -> (q83TableProfile _),
     "q93_value_histogram" -> (q93ValueHistogram _),
     "q102_skew_profile" -> (q102SkewProfile _),
@@ -187,6 +230,29 @@ object Profile {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q148_winsorize" ->
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |         quantile_cont("value", $WinsorLo) AS lo,
+         |         quantile_cont("value", $WinsorHi) AS hi
+         |  FROM events GROUP BY 1),
+         |j AS (
+         |  SELECT e.event_type, e."value", b.lo, b.hi,
+         |         least(greatest(e."value", b.lo), b.hi) AS w
+         |  FROM events e JOIN b ON e.event_type = b.event_type)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(CASE WHEN "value" < lo THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS clipped_lo,
+         |       CAST(sum(CASE WHEN "value" > hi THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS clipped_hi,
+         |       round(min(lo), 6) AS p05,
+         |       round(max(hi), 6) AS p95,
+         |       round(CAST(sum(CAST(round("value", 6) AS DECIMAL(28,6)))
+         |                  AS DOUBLE) / count(*), 6) AS mean_raw,
+         |       round(CAST(sum(CAST(round(w, 6) AS DECIMAL(28,6)))
+         |                  AS DOUBLE) / count(*), 6) AS mean_winsorized
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q93_value_histogram" ->
       s"""WITH mm AS (
          |  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi

@@ -91,7 +91,17 @@ object SetSimJoin {
     // Non-minimal duplicate generations may drop — pruning the dup
     // verify work too. The brute-force-equality spec guards this.
     val alpha = ceil(lit(theta / (1 + theta)) * (col("na") + col("nb")))
-    val cand = pre.as("x").join(pre.as("y"),
+    // pin the GENERATION stage's parallelism, not just the verify's:
+    // AQE sizes the self-join stage by its tiny prefix inputs and can
+    // coalesce them to ~one partition — then the 18M-pair enumeration
+    // + position filter run single-task (measured 17-97 s swings at
+    // sf0.1 depending on the coalesce decision). An explicit-count
+    // repartition by the join key is exempt from AQE coalescing, is
+    // co-partitioned with the join (no extra exchange), and moves
+    // only the small prefix relation.
+    val nPart = items.sparkSession.sessionState.conf.numShufflePartitions
+    val spread = pre.repartition(nPart, col("w"))
+    val cand = spread.as("x").join(spread.as("y"),
         col("x.w") === col("y.w") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b"),
         col("x.r").as("rx"), col("y.r").as("ry"),

@@ -321,9 +321,13 @@ object Similarity {
 
   /** Core of q143 over (vec_id, label, e: array<double>). */
   def centroidSeparation(v: DataFrame): DataFrame = {
-    val cent = v.select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
-      .groupBy("label", "i")
-      .agg(expr("percentile(x, 0.5D)").as("m"))
+    // cut: the centroid relation feeds three branches (both dot sides
+    // + norms); uncut, each branch re-explodes the corpus — 3 scans
+    // where one suffices, at any scale (plan-audited: one Generate)
+    val cent = graft.Checkpoints.cut(
+      v.select(col("label"), posexplode(col("e")).as(Seq("i", "x")))
+        .groupBy("label", "i")
+        .agg(expr("percentile(x, 0.5D)").as("m")))
     val cnt = v.groupBy("label").agg(count(lit(1)).as("n"))
     val nrm = cent.groupBy("label").agg(sqrt(sum(col("m") * col("m"))).as("nrm"))
     val dots = cent.select(col("label").as("la"), col("i"), col("m").as("ma"))

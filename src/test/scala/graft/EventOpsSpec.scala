@@ -214,6 +214,27 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.isNullAt(3))
   }
 
+  test("attribution: bookend models credit the right touches, lookback excludes stale ones") {
+    import spark.implicits._
+    val us = 1000000L
+    // user 1: view@1s, click@2s, purchase@3s -> first=view, last=click
+    // user 2: view 8 days before purchase -> outside lookback, unattributed
+    // user 3: single click@1s, purchase@2s -> both models credit click
+    val e = Seq(
+      (101L, 1L, "view", 1L * us), (102L, 1L, "click", 2L * us),
+      (103L, 1L, "purchase", 3L * us),
+      (201L, 2L, "view", 0L),
+      (202L, 2L, "purchase", 8L * 86400000000L),
+      (301L, 3L, "click", 1L * us), (302L, 3L, "purchase", 2L * us))
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+    val out = graft.operators.EventOps.attribution(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("first_touch", "view") -> 1L, ("first_touch", "click") -> 1L,
+      ("last_touch", "click") -> 2L,
+      ("unattributed", "none") -> 1L))
+  }
+
   test("cusum: a mean shift peaks exactly at the shift point") {
     import spark.implicits._
     // 6 hours at 1/hour then 6 hours at 5/hour: positive CUSUM peaks

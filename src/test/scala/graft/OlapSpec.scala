@@ -143,6 +143,27 @@ class OlapSpec extends SparkSpec {
     assert(out("wh") == 0.72)
   }
 
+  test("tpch q3: top-10 by revenue, both date predicates respected") {
+    val rows = Olap.q147TpchQ3(spark, sfDir()).collect()
+    assert(rows.length == 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b },
+      "revenue must be nonincreasing")
+    val cutoff = java.time.LocalDateTime.parse("1997-01-01T00:00:00")
+    rows.foreach { r =>
+      assert(r.getAs[java.time.LocalDateTime](2).isBefore(cutoff),
+        s"order ${r.getLong(0)} too new")
+    }
+    // every reported order comes from the BUILDING segment
+    val t = Tables(spark, sfDir())
+    val segKeys = t.customer
+      .filter(col("c_mktsegment") === Olap.Q3Segment)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val orderCust = t.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(segKeys.contains(orderCust(r.getLong(0)))))
+  }
+
   test("gini: every nation's coefficient is in [0, 1)") {
     val rows = Olap.q138GiniSpend(spark, sfDir()).collect()
     assert(rows.length == 25)

@@ -283,4 +283,43 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly one user-keyed exchange, got $userExchanges:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q139: zorder layout never shuffles the fact rows — no sort, no window") {
+    val p = plan(graft.operators.Layout.q139ZorderLayout(spark, sfDir()))
+    // bounds broadcast as a 1-row relation; file assignment is a
+    // projection, so the only exchanges are the partial-agg ones
+    assert(p.contains("BroadcastNestedLoopJoin"), s"bounds not broadcast:\n$p")
+    assert(!p.contains("Window"), s"global-sort window crept in:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q140/q141: series diagnostics shuffle the calendar grid, not events") {
+    for (df <- Seq(
+        graft.operators.EventOps.q140Autocorrelation(spark, sfDir()),
+        graft.operators.EventOps.q141Cusum(spark, sfDir()))) {
+      val p = plan(df)
+      // the event-scale exchange keys on (event_type, hour); windows
+      // run per type over the dense calendar grid only
+      assert("hashpartitioning\\(event_type#\\d+, _groupingexpression".r
+        .findFirstIn(p).nonEmpty,
+        s"no (type, hour) exchange for the hourly agg:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
+  test("q138: gini rank window partitions by nation — no global sort") {
+    val p = plan(graft.operators.Olap.q138GiniSpend(spark, sfDir()))
+    assert("hashpartitioning\\(grp".r.findFirstIn(p).nonEmpty,
+      s"rank window not partitioned by nation:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q143: centroid relation aggregates per (label, dim), corpus explodes once") {
+    val p = plan(graft.sim.Similarity.q143CentroidSeparation(spark, sfDir()))
+    // formatted mode lists each node twice (tree + details) — one
+    // Generate node means ≤ 2 textual occurrences
+    assert(p.split("Generate").length - 1 <= 2,
+      s"corpus exploded more than once:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }

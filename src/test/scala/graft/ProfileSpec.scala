@@ -111,4 +111,20 @@ class ProfileSpec extends SparkSpec {
       assert(out(w) == ((t, est, est - t)), s"$w mismatch vs reference")
     }
   }
+
+  test("winsorize: clipping tames the outlier, bounds and counts are exact") {
+    import spark.implicits._
+    // 19 values 1..19 plus one 1000x outlier: p95 clips the outlier,
+    // p05 clips the low tail; the winsorized mean falls, raw doesn't
+    val e = ((1 to 19).map(v => ("a", v.toDouble)) :+ (("a", 19000.0)))
+      .toDF("event_type", "value")
+    val r = graft.operators.Profile.winsorize(e).collect().head
+    assert(r.getLong(1) == 20L)
+    assert(r.getLong(2) >= 1L, "low tail clipped")     // clipped_lo
+    assert(r.getLong(3) >= 1L, "outlier clipped")      // clipped_hi
+    assert(r.getDouble(7) < r.getDouble(6),
+      s"winsorized mean ${r.getDouble(7)} must undercut raw ${r.getDouble(6)}")
+    // every retained value is inside [p05, p95] by construction
+    assert(r.getDouble(4) < r.getDouble(5))
+  }
 }
