@@ -796,6 +796,63 @@ object Algorithms {
       .limit(10)
   }
 
+  // ---------------------------------------------------------------- q149
+  /** SCC condensation DAG with topological levels — the macro
+    * structure report after q16's partition: collapse each component
+    * to one node, keep the distinct cross-component edges (always a
+    * DAG), and place every component at its LONGEST-path depth from
+    * the sources. Level 0 components are upstream producers, the
+    * max level is the dependency chain's critical depth — the view a
+    * build scheduler or supply-chain analysis actually wants from an
+    * SCC run.
+    *
+    * Scale shape: the condensation edge set is two label joins + one
+    * distinct over EDGES (component count ≪ node count, so
+    * everything after runs on the tiny DAG); levels relax by
+    * max(pred)+1 to fixpoint — rounds = DAG depth, state O(comps),
+    * the q16 loop discipline. All integer — engine-exact. */
+  def sccCondensation(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val lab = sccLabels(nodes, edges).pipe(Checkpoints.cut)
+    val ce = edges.select("src", "dst").distinct()
+      .join(lab.select(col("node").as("src"), col("scc").as("cs")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("scc").as("cd")), Seq("dst"))
+      .filter(col("cs") =!= col("cd"))
+      .select(col("cs").as("src"), col("cd").as("dst")).distinct()
+      .pipe(Checkpoints.cut)
+    var lvl = lab.select(col("scc")).distinct()
+      .withColumn("l", lit(0L)).pipe(Checkpoints.cut)
+    var changed = 1L
+    while (changed > 0) {
+      val relax = ce
+        .join(lvl.select(col("scc").as("src"), col("l")), Seq("src"))
+        .groupBy(col("dst").as("rs")).agg(max(col("l") + 1).as("nl"))
+      val next = lvl.join(relax, col("scc") === col("rs"), "left")
+        .select(col("scc"),
+          greatest(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .pipe(Checkpoints.cut)
+      changed = next
+        .join(lvl.select(col("scc").as("ps"), col("l").as("pl")),
+          next("scc") === col("ps"))
+        .filter(col("l") =!= col("pl")).count()
+      Checkpoints.release(lvl)
+      lvl = next
+    }
+    val sizes = lab.groupBy("scc").agg(count(lit(1)).as("n_members"))
+    val out = lvl.join(sizes, Seq("scc"))
+      .select(col("scc"), col("l").as("level"), col("n_members"))
+      .orderBy("level", "scc")
+    Checkpoints.release(ce)
+    out
+  }
+
+  def q149SccCondensation(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val out = sccCondensation(TradeGraph.nodes(t).select("node"), e)
+    Checkpoints.release(e)
+    out
+  }
+
   // ---------------------------------------------------------------- q17
   /** Preferential attachment score deg(u)·deg(v) for unordered node
     * pairs, top 20. The non-equi pair join is a broadcast nested loop
@@ -1103,6 +1160,7 @@ object Algorithms {
     "q109_personalized_pagerank" -> (q109PersonalizedPagerank _),
     "q15_connected_components" -> (q15ConnectedComponents _),
     "q16_scc" -> (q16Scc _),
+    "q149_scc_condensation" -> (q149SccCondensation _),
     "q65_scc_top_partitions" -> (q65SccTopPartitions _),
     "q17_preferential_attachment" -> (q17PreferentialAttachment _),
     "q18_subdep_counts" -> (q18SubdepCounts _),
@@ -1497,6 +1555,41 @@ object Algorithms {
          |)
          |SELECT node, CAST(min(peer) AS BIGINT) AS component
          |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+
+    "q149_scc_condensation" ->
+      s"""WITH RECURSIVE $T,
+         |reach AS (
+         |  SELECT src, dst FROM trade
+         |  UNION
+         |  SELECT r.src, t.dst FROM reach r JOIN trade t ON t.src = r.dst
+         |),
+         |mutual AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) AS node,
+         |         CAST(n_nationkey AS BIGINT) AS peer
+         |  FROM nation
+         |  UNION
+         |  SELECT f.src AS node, f.dst AS peer FROM reach f
+         |  JOIN reach b ON f.src = b.dst AND f.dst = b.src
+         |),
+         |lab AS (SELECT node, CAST(min(peer) AS BIGINT) AS scc
+         |        FROM mutual GROUP BY node),
+         |ce AS (SELECT DISTINCT ls.scc AS src, ld.scc AS dst
+         |       FROM trade t
+         |       JOIN lab ls ON ls.node = t.src
+         |       JOIN lab ld ON ld.node = t.dst
+         |       WHERE ls.scc <> ld.scc),
+         |d AS (
+         |  SELECT scc AS c, CAST(0 AS BIGINT) AS l
+         |  FROM (SELECT DISTINCT scc FROM lab) z
+         |  UNION
+         |  SELECT e.dst, d.l + 1 FROM d JOIN ce e ON e.src = d.c
+         |),
+         |lv AS (SELECT c, CAST(max(l) AS BIGINT) AS level FROM d GROUP BY 1),
+         |sz AS (SELECT scc, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM lab GROUP BY 1)
+         |SELECT lv.c AS scc, lv.level, sz.n_members
+         |FROM lv JOIN sz ON sz.scc = lv.c
+         |ORDER BY level, scc""".stripMargin,
 
     "q16_scc" ->
       s"""WITH RECURSIVE $T,

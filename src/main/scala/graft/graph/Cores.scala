@@ -182,7 +182,10 @@ object Cores {
     conv(substring(md5(concat(leaf.cast("string"), lit(s":$t"))), 1, 8), 16, 10)
       .cast("long")
 
-  def randomWalks(nodes: DataFrame, edges: DataFrame, len: Int): DataFrame = {
+  /** The walk loop itself: one (start, leaf, path) row per walk,
+    * shared by q78's listing and q150's co-occurrence statistics. */
+  private[graft] def walkPaths(nodes: DataFrame, edges: DataFrame,
+      len: Int): DataFrame = {
     val w = Window.partitionBy("src").orderBy("dst")
     val nb = edges.select("src", "dst").distinct()
       .withColumn("rk", row_number().over(w).cast("long"))
@@ -204,12 +207,15 @@ object Cores {
       Checkpoints.release(prev)
     }
     Checkpoints.release(nb)
-    cur.select(col("start"),
+    cur
+  }
+
+  def randomWalks(nodes: DataFrame, edges: DataFrame, len: Int): DataFrame =
+    walkPaths(nodes, edges, len).select(col("start"),
       expr("array_join(transform(path, x -> cast(x as string)), '->')")
         .as("path_str"),
       (size(col("path")) - 1).cast("long").as("steps"))
       .orderBy("start")
-  }
 
   def q78RandomWalks(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -514,6 +520,55 @@ object Cores {
       SimRankIters)
   }
 
+  // ---------------------------------------------------------------- q150
+  /** Walk co-occurrence PMI — the node2vec/DeepWalk TRAINING SIGNAL:
+    * q78's deterministic walks become skip-gram pairs (every
+    * unordered pair within [[PmiWindow]] walk positions) and each
+    * pair scores pmi = ln(P(a,b)/(P(a)P(b))) from the walk corpus.
+    * Positive PMI = nodes that co-traverse more than their individual
+    * frequencies predict — exactly what a downstream embedding would
+    * be trained to encode, exposed as a relation instead.
+    *
+    * Every count is an integer from deterministic walks (the q47/q78
+    * md5 discipline), so the PMI is ONE float expression from four
+    * exact integers — engine-exact at 6dp. Pair extraction self-joins
+    * each walk's positions keyed by WALK ID (positions per walk ≤
+    * len+1, so the join is linear in walks·window); counts are two
+    * partial aggs; the scalar totals broadcast as a 1-row frame. */
+  val PmiWindow = 2
+
+  def walkPmi(nodes: DataFrame, edges: DataFrame, len: Int,
+      window: Int): DataFrame = {
+    val tk = walkPaths(nodes, edges, len)
+      .select(col("start"), posexplode(col("path")).as(Seq("pos", "node")))
+    val pr = tk.as("x").join(tk.as("y"),
+        col("x.start") === col("y.start") &&
+          (col("y.pos") - col("x.pos")).between(1, window))
+      .select(least(col("x.node"), col("y.node")).as("a"),
+        greatest(col("x.node"), col("y.node")).as("b"))
+    val cab = pr.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val cn = tk.groupBy("node").agg(count(lit(1)).as("cn"))
+    val tot = pr.agg(count(lit(1)).as("tp"))
+      .crossJoin(tk.agg(count(lit(1)).as("tt")))
+    cab
+      .join(cn.select(col("node").as("a"), col("cn").as("ca")), Seq("a"))
+      .join(cn.select(col("node").as("b"), col("cn").as("cb")), Seq("b"))
+      .crossJoin(broadcast(tot))
+      .select(col("a"), col("b"), col("c").as("n_cooc"),
+        round(log((col("c").cast("double") / col("tp"))
+          / ((col("ca").cast("double") / col("tt"))
+            * (col("cb").cast("double") / col("tt")))), 6).as("pmi"))
+      .orderBy("a", "b")
+  }
+
+  def q150WalkPmi(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = checkpointedEdges(t)
+    val out = walkPmi(TradeGraph.nodes(t).select("node"), e, WalkLen, PmiWindow)
+    Checkpoints.release(e)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_ktruss" -> (q126Ktruss _),
     "q68_kcore" -> (q68Kcore _),
@@ -524,6 +579,7 @@ object Cores {
     "q136_coloring" -> (q136Coloring _),
     "q137_local_clustering" -> (q137LocalClustering _),
     "q142_simrank" -> (q142Simrank _),
+    "q150_walk_pmi" -> (q150WalkPmi _),
   )
 
   /** Unrolled Jones–Plassmann waves. Each wave settles at least the
@@ -691,7 +747,9 @@ object Cores {
   /** Unrolled walk steps w0..wN — same md5 step function
     * ([[graft.text.TextOps.hexToLongSql]] mirrors Spark's conv),
     * dead-end carry-forward as a LEFT JOIN per step. */
-  private def walksSql(len: Int): String = {
+  /** Shared walk-construction CTE chain (mirror of [[walkPaths]]):
+    * everything up to w$len with its path list column. */
+  private def walkCtes(len: Int): String = {
     val ctes = (1 to len).map { t =>
       val h = graft.text.TextOps.hexToLongSql(
         s"md5(CAST(w.leaf AS VARCHAR) || ':$t')", 1, 8)
@@ -702,8 +760,7 @@ object Cores {
          |  FROM w${t - 1} w LEFT JOIN nb n
          |    ON n.src = w.leaf AND n.rk = ($h) % n.d + 1)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $T,
-       |nb AS MATERIALIZED (
+    s"""nb AS MATERIALIZED (
        |  SELECT src, dst,
        |         CAST(row_number() OVER (PARTITION BY src ORDER BY dst)
        |              AS BIGINT) AS rk,
@@ -714,11 +771,44 @@ object Cores {
        |         CAST(n_nationkey AS BIGINT) AS leaf,
        |         [CAST(n_nationkey AS BIGINT)] AS path
        |  FROM nation),
-       |$ctes
+       |$ctes""".stripMargin
+  }
+
+  private def walksSql(len: Int): String =
+    s"""WITH $T,
+       |${walkCtes(len)}
        |SELECT start, array_to_string(path, '->') AS path_str,
        |       CAST(len(path) - 1 AS BIGINT) AS steps
        |FROM w$len ORDER BY start""".stripMargin
-  }
+
+  /** Unrolled walk chain + skip-gram pair extraction + the single
+    * PMI float expression from four exact integers. */
+  private def pmiSql(len: Int, window: Int): String =
+    s"""WITH $T,
+       |${walkCtes(len)},
+       |tk AS (
+       |  SELECT start, i AS pos, path[CAST(i AS INT)] AS node
+       |  FROM (SELECT start, path,
+       |               unnest(generate_series(1, len(path))) AS i
+       |        FROM w$len) z),
+       |pr AS (
+       |  SELECT least(x.node, y.node) AS a, greatest(x.node, y.node) AS b
+       |  FROM tk x JOIN tk y ON x.start = y.start
+       |   AND y.pos - x.pos BETWEEN 1 AND $window),
+       |cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+       |        FROM pr GROUP BY 1, 2),
+       |cn AS (SELECT node, CAST(count(*) AS BIGINT) AS cn
+       |       FROM tk GROUP BY 1),
+       |tot AS (SELECT CAST((SELECT count(*) FROM pr) AS BIGINT) AS tp,
+       |               CAST((SELECT count(*) FROM tk) AS BIGINT) AS tt)
+       |SELECT cab.a, cab.b, cab.c AS n_cooc,
+       |       round(ln((CAST(cab.c AS DOUBLE) / tot.tp)
+       |         / ((CAST(ca.cn AS DOUBLE) / tot.tt)
+       |           * (CAST(cb.cn AS DOUBLE) / tot.tt))), 6) AS pmi
+       |FROM cab
+       |JOIN cn ca ON ca.node = cab.a
+       |JOIN cn cb ON cb.node = cab.b, tot
+       |ORDER BY a, b""".stripMargin
 
   /** Unrolled truss-peel rounds e0..eN. N = 10 comfortably covers the
     * fixpoint (measured ≤ 4 rounds at every SF; a convergence spec
@@ -796,6 +886,8 @@ object Cores {
 
   val oracleSql: Map[String, String] = Map(
     "q142_simrank" -> simrankSql(SimRankIters),
+
+    "q150_walk_pmi" -> pmiSql(WalkLen, PmiWindow),
 
     // same (degree, id) orientation as q63's triangle oracle, plus
     // the simple-undirected degree and the per-node ratio

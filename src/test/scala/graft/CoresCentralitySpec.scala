@@ -372,6 +372,42 @@ class CoresCentralitySpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 0.8))
   }
 
+  test("scc condensation: chained cycles level up in dependency order") {
+    // 1<->2 -> 3<->4 -> 5: components {1,2} lvl 0, {3,4} lvl 1, {5} lvl 2
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L), (4L, 5L))
+      .toDF("src", "dst")
+    val out = Algorithms.sccCondensation(nodes, e).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((0L, 2L)), 3L -> ((1L, 2L)), 5L -> ((2L, 1L))))
+  }
+
+  test("walk pmi matches an in-memory recount of the same walks") {
+    val t = Tables(spark, sfDir())
+    val e = TradeGraph.edges(t).select("src", "dst")
+    val paths = Cores.walkPaths(TradeGraph.nodes(t).select("node"), e, Cores.WalkLen)
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("path").toIndexedSeq)
+    // recount skip-gram pairs and token counts in memory
+    val pairs = paths.flatMap { p =>
+      for {
+        i <- p.indices; j <- p.indices
+        if j > i && j - i <= Cores.PmiWindow
+      } yield (math.min(p(i), p(j)), math.max(p(i), p(j)))
+    }
+    val toks = paths.flatten
+    val cab = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cn = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (tp, tt) = (pairs.size.toDouble, toks.size.toDouble)
+    val out = Cores.q150WalkPmi(spark, sfDir()).collect()
+    assert(out.length == cab.size)
+    out.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == cab(k), s"cooc count mismatch at $k")
+      val want = math.log((cab(k) / tp) / ((cn(k._1) / tt) * (cn(k._2) / tt)))
+      assert(math.abs(r.getDouble(3) - want) < 1e-6, s"pmi mismatch at $k")
+    }
+  }
+
   test("simrank: similarity decays through longer common paths") {
     // two chains from a shared root: r -> x1 -> x2, r -> y1 -> y2.
     // s(x1,y1) = C (shared in-neighbor), s(x2,y2) = C*s(x1,y1) = C²
