@@ -520,6 +520,45 @@ object Cores {
       SimRankIters)
   }
 
+  // ---------------------------------------------------------------- q152
+  /** Dyad census + reciprocity — the directed-structure summary
+    * (mutual / asymmetric / null dyads, reciprocity = fraction of
+    * ordered edges that are reciprocated) behind "is this graph a
+    * conversation or a broadcast": trade reciprocity, citation
+    * asymmetry, follower-graph health all read off this one row.
+    *
+    * One distinct edge pass + ONE self-join keyed on the full (src,
+    * dst) pair (equi keys — never all-pairs) counts mutual dyads;
+    * the rest is integer arithmetic over three broadcast scalars.
+    * Engine-exact: the single float is the terminal reciprocity
+    * division, 6dp. */
+  def dyadCensus(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+      .filter(col("src") =!= col("dst")).pipe(Checkpoints.cut)
+    val nn = nodes.agg(count(lit(1)).as("n_nodes"))
+    val ne = e.agg(count(lit(1)).as("n_edges"))
+    val mu = e.as("x").join(e.as("y"),
+        col("x.src") === col("y.dst") && col("x.dst") === col("y.src"))
+      .filter(col("x.src") < col("x.dst"))
+      .agg(count(lit(1)).as("mutual_dyads"))
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(mu))
+      .select(col("n_nodes"), col("n_edges"), col("mutual_dyads"),
+        (col("n_edges") - lit(2) * col("mutual_dyads")).as("asym_dyads"),
+        // div, not /: Column./ is double division and dyad counts
+        // must stay integer end to end
+        expr("n_nodes * (n_nodes - 1) div 2 - mutual_dyads" +
+          " - (n_edges - 2 * mutual_dyads)").as("null_dyads"),
+        round(lit(2.0) * col("mutual_dyads") / col("n_edges"), 6)
+          .as("reciprocity"))
+    // e stays live for this lazy plan; Verify/Bench clear blocks
+    // per query
+  }
+
+  def q152DyadCensus(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    dyadCensus(TradeGraph.nodes(t).select("node"), TradeGraph.edges(t))
+  }
+
   // ---------------------------------------------------------------- q150
   /** Walk co-occurrence PMI — the node2vec/DeepWalk TRAINING SIGNAL:
     * q78's deterministic walks become skip-gram pairs (every
@@ -580,6 +619,7 @@ object Cores {
     "q137_local_clustering" -> (q137LocalClustering _),
     "q142_simrank" -> (q142Simrank _),
     "q150_walk_pmi" -> (q150WalkPmi _),
+    "q152_dyad_census" -> (q152DyadCensus _),
   )
 
   /** Unrolled Jones–Plassmann waves. Each wave settles at least the
@@ -888,6 +928,21 @@ object Cores {
     "q142_simrank" -> simrankSql(SimRankIters),
 
     "q150_walk_pmi" -> pmiSql(WalkLen, PmiWindow),
+
+    "q152_dyad_census" ->
+      s"""WITH $T,
+         |e AS (SELECT DISTINCT src, dst FROM trade WHERE src <> dst),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM nation),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+         |mu AS (SELECT CAST(count(*) AS BIGINT) AS mutual_dyads
+         |       FROM e x JOIN e y ON x.src = y.dst AND x.dst = y.src
+         |       WHERE x.src < x.dst)
+         |SELECT n_nodes, n_edges, mutual_dyads,
+         |       n_edges - 2 * mutual_dyads AS asym_dyads,
+         |       n_nodes * (n_nodes - 1) // 2 - mutual_dyads
+         |         - (n_edges - 2 * mutual_dyads) AS null_dyads,
+         |       round(2.0 * mutual_dyads / n_edges, 6) AS reciprocity
+         |FROM nn, ne, mu""".stripMargin,
 
     // same (degree, id) orientation as q63's triangle oracle, plus
     // the simple-undirected degree and the per-node ratio

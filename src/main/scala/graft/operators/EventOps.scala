@@ -484,6 +484,46 @@ object EventOps {
   def q141Cusum(spark: SparkSession, dir: String): DataFrame =
     cusum(ev(spark, dir))
 
+  // ---------------------------------------------------------------- q153
+  /** Trending report over hopping windows: per 6-hour window (hop
+    * 1 h, q82's expansion) each event type's volume, its rank inside
+    * the window, and the rank delta against the PREVIOUS window — the
+    * "what just started moving" feed a dashboard's trending panel
+    * reads. A positive delta is a climber; null marks a type's first
+    * windowed appearance.
+    *
+    * Scale shape: the explode factor is the bounded size/hop
+    * constant, then one partial-agg count per (window, type); both
+    * windows (in-window rank, per-type lag) run over the
+    * windows × types relation — calendar-bounded, never event-scale.
+    * All integer — engine-exact. */
+  def trending(e: DataFrame): DataFrame = {
+    val counts = e
+      .withColumn("b", expr(s"ts_us div $HourUs"))
+      .withColumn("w", explode(sequence(
+        greatest(col("b") - lit(HopWindows - 1), lit(0L)), col("b"))))
+      .groupBy(col("w").as("window_start_hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val rkW = org.apache.spark.sql.expressions.Window
+      .partitionBy("window_start_hour").orderBy(col("n").desc, col("event_type").asc)
+    val ranked = counts
+      .withColumn("rank", row_number().over(rkW).cast("long"))
+    // strictly the ADJACENT previous window (a lag would silently
+    // reach back across gaps to the type's last appearance)
+    val prev = ranked.select(col("event_type").as("pt"),
+      (col("window_start_hour") + 1).as("pw"), col("rank").as("prev_rank"))
+    ranked.join(prev,
+        col("event_type") === col("pt") && col("window_start_hour") === col("pw"),
+        "left")
+      .select(col("window_start_hour"), col("event_type"), col("n"),
+        col("rank"), col("prev_rank"),
+        (col("prev_rank") - col("rank")).as("delta"))
+      .orderBy("window_start_hour", "rank")
+  }
+
+  def q153Trending(spark: SparkSession, dir: String): DataFrame =
+    trending(ev(spark, dir))
+
   // ---------------------------------------------------------------- q146
   /** Conversion attribution: each purchase credits the user's
     * first-touch and last-touch among their non-purchase events in
@@ -550,6 +590,7 @@ object EventOps {
     "q140_autocorrelation" -> (q140Autocorrelation _),
     "q141_cusum" -> (q141Cusum _),
     "q146_attribution" -> (q146Attribution _),
+    "q153_trending" -> (q153Trending _),
     "q96_gap_fill" -> (q96GapFill _),
     "q101_transitions" -> (q101Transitions _),
     "q103_scd2" -> (q103Scd2 _),
@@ -689,6 +730,29 @@ object EventOps {
          |  FROM m)
          |SELECT hour, cnt AS n_events, z, abs(z) > $AnomalyZ AS flagged
          |FROM z ORDER BY hour""".stripMargin,
+
+    "q153_trending" ->
+      s"""WITH e AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+         |x AS (
+         |  SELECT event_type,
+         |         unnest(generate_series(
+         |           greatest(ts_us // $HourUs - ${HopWindows - 1}, 0),
+         |           ts_us // $HourUs)) AS w
+         |  FROM e),
+         |c AS (SELECT w AS window_start_hour, event_type,
+         |             CAST(count(*) AS BIGINT) AS n
+         |      FROM x GROUP BY 1, 2),
+         |r AS (
+         |  SELECT window_start_hour, event_type, n,
+         |         CAST(row_number() OVER (PARTITION BY window_start_hour
+         |             ORDER BY n DESC, event_type ASC) AS BIGINT) AS rank
+         |  FROM c)
+         |SELECT r.window_start_hour, r.event_type, r.n, r.rank,
+         |       p.rank AS prev_rank, p.rank - r.rank AS delta
+         |FROM r LEFT JOIN r p
+         |  ON p.event_type = r.event_type
+         | AND p.window_start_hour = r.window_start_hour - 1
+         |ORDER BY r.window_start_hour, r.rank""".stripMargin,
 
     "q146_attribution" ->
       s"""WITH e AS (SELECT event_id, user_id, event_type,

@@ -220,8 +220,47 @@ object Profile {
   def q148Winsorize(spark: SparkSession, dir: String): DataFrame =
     winsorize(Tables(spark, dir).events.select(col("event_type"), col("value")))
 
+  // ---------------------------------------------------------------- q151
+  /** MAD-based robust outlier report per event type — the
+    * median/median-absolute-deviation twin of q92's mean/σ z-scores:
+    * modified z = 0.6745·(x − median)/MAD, flagged past the classic
+    * 3.5 cut (Iglewicz & Hoaglin). Where one wild value drags q92's
+    * mean AND its σ (masking itself), the medians don't move — this
+    * is the detector that still works on the data q148 would clip.
+    *
+    * Engine contract: both medians are exact `percentile` (selection
+    * — bit-parity with quantile_cont, the q60 contract; approx at
+    * 100 TB); the deviation and the z comparison are fixed float
+    * expressions over identical doubles, so the flag booleans and
+    * counts hash-match. Two partial-agg passes + broadcast bounds. */
+  val MadZCut = 3.5
+
+  def madOutliers(e: DataFrame): DataFrame = {
+    val med = e.groupBy("event_type")
+      .agg(expr("percentile(value, 0.5D)").as("med"))
+    val dev = e.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(ad, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .withColumn("flag",
+        col("mad") > 0 &&
+          lit(0.6745) * abs(col("value") - col("med")) / col("mad") > MadZCut)
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("median"),
+        round(min(col("mad")), 6).as("mad"),
+        sum(when(col("flag"), 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  def q151MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutliers(Tables(spark, dir).events
+      .select(col("event_type"), col("value")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q148_winsorize" -> (q148Winsorize _),
+    "q151_mad_outliers" -> (q151MadOutliers _),
     "q83_table_profile" -> (q83TableProfile _),
     "q93_value_histogram" -> (q93ValueHistogram _),
     "q102_skew_profile" -> (q102SkewProfile _),
@@ -230,6 +269,26 @@ object Profile {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q151_mad_outliers" ->
+      s"""WITH m AS (
+         |  SELECT event_type, quantile_cont("value", 0.5) AS med
+         |  FROM events GROUP BY 1),
+         |d AS (
+         |  SELECT e.event_type, e."value", m.med,
+         |         abs(e."value" - m.med) AS ad
+         |  FROM events e JOIN m ON e.event_type = m.event_type),
+         |md AS (
+         |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+         |  FROM d GROUP BY 1)
+         |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+         |       round(min(d.med), 6) AS median,
+         |       round(min(md.mad), 6) AS mad,
+         |       CAST(sum(CASE WHEN md.mad > 0 AND
+         |                  0.6745 * abs(d."value" - d.med) / md.mad > $MadZCut
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM d JOIN md ON d.event_type = md.event_type
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q148_winsorize" ->
       s"""WITH b AS (
          |  SELECT event_type,

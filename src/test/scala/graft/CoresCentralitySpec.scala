@@ -372,6 +372,15 @@ class CoresCentralitySpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 0.8))
   }
 
+  test("dyad census: hand-counted mutual, asymmetric, null dyads") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L)).toDF("src", "dst")
+    val r = Cores.dyadCensus(nodes, e).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((4L, 3L, 1L, 1L, 4L)))
+    assert(r.getDouble(5) == 0.666667) // 2 of 3 ordered edges reciprocated
+  }
+
   test("scc condensation: chained cycles level up in dependency order") {
     // 1<->2 -> 3<->4 -> 5: components {1,2} lvl 0, {3,4} lvl 1, {5} lvl 2
     val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")

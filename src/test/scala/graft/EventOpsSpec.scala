@@ -214,6 +214,24 @@ class EventOpsSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.isNullAt(3))
   }
 
+  test("trending: rank flips carry the delta, first appearances stay null") {
+    import spark.implicits._
+    val us = 3600000000L
+    // hour 0: a dominates; hour 9: b overtakes — windows 4..9 carry
+    // the flipped ranks, window 4 has no adjacent predecessor
+    val e = (Seq.fill(3)(("a", 0L)) ++ Seq(("b", 0L)) ++
+      Seq(("a", 9L * us)) ++ Seq.fill(2)(("b", 9L * us)))
+      .toDF("event_type", "ts_us")
+    val rows = graft.operators.EventOps.trending(e).collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(3), Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(rows((0L, "a")) == ((1L, None)) && rows((0L, "b")) == ((2L, None)))
+    assert(rows((4L, "b")) == ((1L, None)), "window 3 absent -> null prev")
+    assert(rows((4L, "a")) == ((2L, None)))
+    assert(rows((5L, "b")) == ((1L, Some(1L))) &&
+      rows((9L, "a")) == ((2L, Some(2L))))
+  }
+
   test("attribution: bookend models credit the right touches, lookback excludes stale ones") {
     import spark.implicits._
     val us = 1000000L

@@ -112,6 +112,17 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("mad outliers: medians ignore the spike the mean would chase") {
+    import spark.implicits._
+    val e = ((1 to 9).map(v => ("a", v.toDouble)) :+ (("a", 1000.0)))
+      .toDF("event_type", "value")
+    val r = graft.operators.Profile.madOutliers(e).collect().head
+    assert(r.getLong(1) == 10L)
+    assert(r.getDouble(2) == 5.5)   // median unmoved by the spike
+    assert(r.getDouble(3) == 2.5)   // MAD of |x - 5.5|
+    assert(r.getLong(4) == 1L, "exactly the spike flags")
+  }
+
   test("winsorize: clipping tames the outlier, bounds and counts are exact") {
     import spark.implicits._
     // 19 values 1..19 plus one 1000x outlier: p95 clips the outlier,
