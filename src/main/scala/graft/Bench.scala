@@ -41,10 +41,18 @@ object Bench {
   private[graft] def compactKey(name: String): String =
     name.takeWhile(_ != '_').dropWhile(_ == 'q')
 
+  /** ≥100 s drops the decimal (integer seconds) — at 150+ queries the
+    * 1-decimal form overflows the tail window exactly in the
+    * every-query-slow case the line must survive; bench_full.json
+    * keeps full fidelity. */
+  private[graft] def compactValue(v: Double): String =
+    if (v >= 100) math.rint(v).toLong.toString
+    else (math.rint(v * 10) / 10).toString
+
   private[graft] def compactLine(
       results: Seq[(String, Double, Boolean)], sfDir: String): String = {
     val qs = results.collect { case (k, v, true) =>
-      "\"" + compactKey(k) + "\":" + (math.rint(v * 10) / 10)
+      "\"" + compactKey(k) + "\":" + compactValue(v)
     }.mkString("{", ",", "}")
     val total = math.rint(results.filter(_._3).map(_._2).sum * 1000) / 1000
     val errs = results.collect { case (k, _, false) =>

@@ -41,6 +41,9 @@ class BenchFormatSpec extends AnyFunSuite {
     val compact = Bench.compactLine(results, "/x")
     val full = Bench.fullLine(results, "/x")
     assert(compact.contains(""""38":5.0"""))
+    // the >=100s integer form keeps the line inside the tail window
+    assert(Bench.compactValue(123.456789) == "123")
+    assert(Bench.compactValue(99.96) == "100.0")
     // failed queries live only in errors (number form), never in the map
     assert(!compact.contains(""""94":"""))
     assert(compact.contains(""""errors":["94"]"""))
