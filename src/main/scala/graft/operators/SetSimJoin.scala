@@ -70,15 +70,6 @@ object SetSimJoin {
     // Verification is in-row, so duplicates cost only their own
     // arithmetic; the distinct runs AFTER the θ filter, over the far
     // smaller surviving-pair set, where identical rows collapse.
-    // The self-join EXPLODES: inputs are |items|·prefix rows but the
-    // output is the candidate-pair stream, orders of magnitude larger.
-    // AQE sizes the join's stage by its tiny INPUTS (coalescing them
-    // to ~one partition), which would run the join AND the whole
-    // in-row verify single-task — measured 21 of q99's 34 s at sf0.1.
-    // Re-spreading the pair stream across the session's shuffle
-    // partitions costs one narrow-row shuffle and restores full
-    // verify parallelism; the knob scales with the cluster (same
-    // convention as CorpusOps.packShards), not a hard constant.
     // PPJoin position filter, applied per GENERATION ROW before the
     // verify joins: a pair found at prefix positions (rx, ry) can
     // share at most 1 + min(na−rx, nb−ry) tokens, while jac ≥ θ
@@ -90,27 +81,60 @@ object SetSimJoin {
     // at ranks ≥ rx in A and ≥ ry in B), so it always survives.
     // Non-minimal duplicate generations may drop — pruning the dup
     // verify work too. The brute-force-equality spec guards this.
+    // The filter is SYMMETRIC under (rx,na)↔(ry,nb), so it is valid
+    // before the least/greatest id normalization below.
     val alpha = ceil(lit(theta / (1 + theta)) * (col("na") + col("nb")))
-    // pin the GENERATION stage's parallelism, not just the verify's:
-    // AQE sizes the self-join stage by its tiny prefix inputs and can
-    // coalesce them to ~one partition — then the 18M-pair enumeration
-    // + position filter run single-task (measured 17-97 s swings at
-    // sf0.1 depending on the coalesce decision). An explicit-count
-    // repartition by the join key is exempt from AQE coalescing, is
-    // co-partitioned with the join (no extra exchange), and moves
-    // only the small prefix relation.
+    // GENERATION is skew-bound if keyed by the prefix token alone: a
+    // join on `w` processes each token's whole group in ONE task, and
+    // pair enumeration is quadratic in group size — on a small hot
+    // vocabulary (TPC-H part names: ~92 words) the heaviest token
+    // dominates a single task no matter how many partitions exist
+    // (driver-measured 267 s at sf0.1 for exactly this reason).
+    // Two-level BLOCK DECOMPOSITION removes the skew: each token
+    // group is hash-split into nbk = ⌈group/B⌉ blocks, and the join
+    // key becomes (w, bi, bj) — one key PER BLOCK PAIR, so a group of
+    // g rows spreads over ~(g/B)² independent keys and parallelism
+    // scales with group², not with the token count. Each row
+    // replicates nbk+1 times total (X: its block paired with every
+    // bj ≥ bi; Y: with every bi ≤ bj), i.e. O(pairs/B) replicated
+    // rows — a vanishing fraction of the pair stream itself. This is
+    // the 100 TB-safe shape: hot tokens exist in real corpora too,
+    // and per-key work is capped at ~B² pairs regardless of skew.
+    // Pair coverage, exactly once per shared token: an unordered pair
+    // with blocks (p, q), p ≤ q, meets only at key (w, p, q) — from
+    // the X side the lower-block row, from Y the upper-block row
+    // (disjoint row sets when p < q; for p = q the x.id < y.id guard
+    // keeps one of the two orderings).
+    // The explicit-count repartitions pin the stage's parallelism:
+    // AQE sizes the join by its tiny replicated-prefix INPUTS and
+    // would coalesce to ~one partition, single-tasking the 18M-pair
+    // enumeration; an explicit-count repartition by the join key is
+    // exempt from coalescing and co-partitioned with the join.
+    val B = 256 // block size: per-key work ≤ ~B² pairs
     val nPart = items.sparkSession.sessionState.conf.numShufflePartitions
-    val spread = pre.repartition(nPart, col("w"))
-    val cand = spread.as("x").join(spread.as("y"),
-        col("x.w") === col("y.w") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
+    val blocked = pre
+      .join(pre.groupBy("w").agg(count(lit(1)).as("pcf")), Seq("w"))
+      .withColumn("nbk", ceil(col("pcf") / lit(B)).cast("int"))
+      .withColumn("blk", pmod(xxhash64(col("id")), col("nbk")).cast("int"))
+    val xs = blocked.select(col("id"), col("r"), col("nn"), col("w"),
+        col("blk").as("bi"),
+        explode(sequence(col("blk"), col("nbk") - 1)).as("bj"))
+      .repartition(nPart, col("w"), col("bi"), col("bj"))
+    val ys = blocked.select(col("id"), col("r"), col("nn"), col("w"),
+        explode(sequence(lit(0), col("blk"))).as("bi"),
+        col("blk").as("bj"))
+      .repartition(nPart, col("w"), col("bi"), col("bj"))
+    val cand = xs.as("x").join(ys.as("y"),
+        col("x.w") === col("y.w") && col("x.bi") === col("y.bi") &&
+          col("x.bj") === col("y.bj") &&
+          (col("x.bi") < col("x.bj") || col("x.id") < col("y.id")))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b"),
         col("x.r").as("rx"), col("y.r").as("ry"),
         col("x.nn").as("na"), col("y.nn").as("nb"))
       .filter(lit(1) + least(col("na") - col("rx"), col("nb") - col("ry"))
         >= alpha)
       .select("a", "b")
-      .repartition(items.sparkSession.sessionState.conf.numShufflePartitions,
-        col("a"), col("b"))
     val jac: Column =
       col("c").cast("double") / (col("na") + col("nb") - col("c"))
     cand
