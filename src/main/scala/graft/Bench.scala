@@ -107,8 +107,13 @@ object Bench {
     }
     val full = fullLine(results, sfDir)
     println(full)
+    // filtered (single-query iteration) runs go to a separate artifact:
+    // bench_full.json must only ever hold complete-suite results, so a
+    // local rerun can't masquerade as the round's suite total.
+    val outFile =
+      if (filter.isEmpty) "bench_full.json" else "bench_filtered.json"
     scala.util.Try(java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
+      java.nio.file.Paths.get(outFile),
       (full + "\n").getBytes("UTF-8")))
     println(compactLine(results, sfDir))
     spark.stop()

@@ -21,29 +21,41 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `ts` is TIMESTAMP(NANOS) parquet, which Spark 4 cannot map to its
-    * µs TimestampType — read it as a raw nanos BIGINT and let
-    * operators do epoch math on longs; `ts_us` matches DuckDB's ns→µs
-    * truncation exactly. Requires [[Tables.configure]] (the nanos
-    * legacy conf) at session build time — set by Verify/Bench/specs
-    * rather than mutated here, so read behavior never depends on
-    * getter order. */
+  /** Events with a derived `ts_us` epoch-microsecond column. The
+    * driver has shipped `ts` under two physical parquet types across
+    * rounds — TIMESTAMP(NANOS) (readable only as raw BIGINT nanos via
+    * the legacy conf) and timestamp[us] (read as TIMESTAMP_NTZ) — so
+    * dispatch on the type Spark actually resolved rather than
+    * hard-wiring either. Both branches match DuckDB's `epoch_us(ts)`:
+    * ns→µs is integer truncation, and the NTZ branch relies on the
+    * UTC session timezone set by [[Tables.configure]]. */
   def events: DataFrame = {
-    require(spark.conf.getOption(Tables.NanosConf).contains("true"),
-      s"set ${Tables.NanosConf}=true at session build (Tables.configure)")
-    t("events").withColumn("ts_us", expr("ts div 1000"))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val df = t("events")
+    val tsUs = df.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType | TimestampType =>
+        expr("unix_micros(cast(ts as timestamp))")
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $other (expected BIGINT nanos or timestamp)")
+    }
+    df.withColumn("ts_us", tsUs)
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
 
 object Tables {
-  /** Session prerequisite for [[Tables.events]]: map TIMESTAMP(NANOS)
-    * parquet to BIGINT nanos instead of failing the µs conversion. */
+  /** Session prerequisite for [[Tables.events]] when the parquet is
+    * TIMESTAMP(NANOS): map it to BIGINT nanos instead of failing the
+    * µs conversion. Harmless when the data is already µs. */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
   /** Apply session-level settings every entry point (Verify, Bench,
-    * test sessions) must set before reading the event table. */
+    * test sessions) must set before reading the event table. UTC
+    * session timezone makes the TIMESTAMP_NTZ → epoch-µs conversion
+    * in [[Tables.events]] match DuckDB's `epoch_us`. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
     b.config(NanosConf, "true")
+      .config("spark.sql.session.timeZone", "UTC")
 }
