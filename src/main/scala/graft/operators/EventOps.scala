@@ -402,7 +402,9 @@ object EventOps {
     * Scale shape: ONE window pass (all lags share the per-type sort)
     * over a calendar-bounded series, then a partial agg on
     * (type, lag) — |types|·maxLag output rows. */
-  val AcfMaxLag = 3
+  /** Lag budget reaches one full day of hourly lags so the lag-24
+    * daily rhythm the docstring promises is actually in the output. */
+  val AcfMaxLag = 24
 
   def autocorrelation(e: DataFrame, maxLag: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -410,11 +412,17 @@ object EventOps {
     val lagged = denseHourly(e)
       .select(Seq(col("event_type"), col("x")) ++
         (1 to maxLag).map(k => lag(col("x"), k).over(w).as(s"l$k")): _*)
-    val stacked = (1 to maxLag).map { k =>
-      lagged.filter(col(s"l$k").isNotNull)
-        .select(col("event_type"), lit(k.toLong).as("lag"),
-          col("x"), col(s"l$k").as("y"))
-    }.reduce(_.unionByName(_))
+    // unpivot via one array-explode, NOT a union of per-lag branches:
+    // each union branch would be its own subtree re-running the hourly
+    // agg + window, turning maxLag into a multiplier on the event-scale
+    // scan. The explode reads the window output once for all lags.
+    val stacked = lagged
+      .select(col("event_type"), explode(array((1 to maxLag).map(k =>
+        struct(lit(k.toLong).as("lag"), col("x").as("x"),
+          col(s"l$k").as("y"))): _*)).as("p"))
+      .filter(col("p.y").isNotNull)
+      .select(col("event_type"), col("p.lag").as("lag"),
+        col("p.x").as("x"), col("p.y").as("y"))
     val m = stacked.groupBy("event_type", "lag").agg(
       count(lit(1)).as("n_pairs"),
       sum(col("x") * col("y")).as("sxy"),
@@ -456,9 +464,14 @@ object EventOps {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wSeq = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("hour")
-    val tot = denseHourly(e).groupBy("event_type")
+    // the hourly agg + calendar explode is the query's only
+    // event-scale work — materialize it once for its two consumers
+    // (the totals agg and the running-sum window) instead of running
+    // the scan twice
+    val dense = graft.Checkpoints.cut(denseHourly(e))
+    val tot = dense.groupBy("event_type")
       .agg(count(lit(1)).as("tn"), sum("x").as("s"))
-    val d = denseHourly(e).join(tot, "event_type")
+    val d = dense.join(tot, "event_type")
       .withColumn("t", row_number().over(wSeq).cast("long"))
       .withColumn("z", sum(col("x")).over(wRun))
       .withColumn("dd", col("tn") * col("z") - col("t") * col("s"))

@@ -404,14 +404,14 @@ object Similarity {
         |           FROM embeddings),
         |vd AS (SELECT label, unnest(generate_series(1, len(embedding))) AS i,
         |       embedding FROM v),
-        |vv AS (SELECT label, CAST(i - 1 AS INT) AS i,
+        |vv AS (SELECT label, CAST(i - 1 AS INT) AS dim,
         |       CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x FROM vd),
-        |cent AS (SELECT label, i, quantile_cont(x, 0.5) AS m
+        |cent AS (SELECT label, dim, quantile_cont(x, 0.5) AS m
         |         FROM vv GROUP BY 1, 2),
         |cnt AS (SELECT label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
         |nrm AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM cent GROUP BY 1),
         |d AS (SELECT a.label AS la, b.label AS lb, sum(a.m * b.m) AS d
-        |      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        |      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
         |      GROUP BY 1, 2)
         |SELECT la, lb, ca.n AS n_a, cb.n AS n_b,
         |       round(d.d / (na.nrm * nb.nrm), 6) AS centroid_sim
