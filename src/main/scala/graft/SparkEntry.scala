@@ -25,6 +25,7 @@ object SparkEntry {
       Association.queries ++
       SetSimJoin.queries ++ Skyline.queries ++ BloomJoin.queries ++
       graft.multimodal.Multimodal.queries ++
+      graft.sources.PackageJsonSource.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
       CorpusOps.queries ++ PolicyOps.queries ++ TermOps.queries ++
@@ -40,6 +41,7 @@ object SparkEntry {
       Association.oracleSql ++
       SetSimJoin.oracleSql ++ Skyline.oracleSql ++ BloomJoin.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
+      graft.sources.PackageJsonSource.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
       CoPurchase.oracleSql ++ Louvain.oracleSql ++
       TextOps.oracleSql ++

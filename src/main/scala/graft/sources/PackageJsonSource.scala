@@ -113,6 +113,53 @@ object PackageJsonSource {
       .dropDuplicates("login", "repo")
       .withColumn("edge_type", lit("OWNS"))
 
+  /** Repo-committed JSON-lines manifest fixture mirroring the
+    * reference's examples/example-package.json shape — the ingest
+    * query's input is the FORMAT, not a scale factor, so the query
+    * (like its DuckDB oracle) reads this fixed path and ignores the
+    * sf dir the driver passes. */
+  val FixturePath = "/root/repo/src/test/resources/manifests.jsonl"
+
+  /** q154: the reference's defining capability end-to-end — manifest
+    * JSON → typed dependency edges → per-module typed in-degree
+    * (reference: InsertDataHelper.ts:1-116 ingest + the queries.md
+    * "most depended-on" Cypher family). Duplicate manifest lines
+    * collapse via the natural-key dedup in [[entities]], which is the
+    * idempotent-upsert contract under test. */
+  def q154ManifestIngest(spark: SparkSession, dir: String): DataFrame = {
+    val e = entities(read(spark, FixturePath))
+    e.edges
+      .groupBy(col("dst_module").as("module"), col("edge_type"))
+      .agg(count(lit(1)).as("n_in"))
+      .orderBy("module", "edge_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_manifest_ingest" -> (q154ManifestIngest _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q154_manifest_ingest" ->
+      s"""WITH man AS (
+         |  SELECT * FROM read_json('$FixturePath',
+         |    format='newline_delimited',
+         |    columns={name: 'VARCHAR', dependencies: 'MAP(VARCHAR,VARCHAR)',
+         |             devDependencies: 'MAP(VARCHAR,VARCHAR)',
+         |             peerDependencies: 'MAP(VARCHAR,VARCHAR)'})),
+         |e AS (
+         |  SELECT name AS src, unnest(map_keys(dependencies)) AS dst,
+         |         'DEPENDS_ON' AS edge_type FROM man
+         |  UNION ALL
+         |  SELECT name, unnest(map_keys(devDependencies)),
+         |         'DEV_DEPENDS_ON' FROM man
+         |  UNION ALL
+         |  SELECT name, unnest(map_keys(peerDependencies)),
+         |         'PEER_DEPENDS_ON' FROM man),
+         |d AS (SELECT DISTINCT src, dst, edge_type FROM e)
+         |SELECT dst AS module, edge_type, CAST(count(*) AS BIGINT) AS n_in
+         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+
   /** The reference's teardown sequence — "delete relationships, then
     * nodes" (documentation/queries.md:245-251) — as pure functional
     * anti-joins: edges of the dropped types disappear first, then any
