@@ -7,13 +7,20 @@ import org.apache.spark.sql.functions._
   * metadata, decoded/resized/frame-sampled through a partition-batched
   * decoder.
   *
-  * The decode step itself is a STUB — image/audio codec libraries are
-  * not available in this environment — substituted by a deterministic
-  * md5-driven fake (`FakeCodec`). Everything around it is the real
-  * Spark plumbing a production decoder would use: binary columns +
-  * metadata struct schema, `mapPartitions` with one codec instance
-  * per partition (not per row), bounded-size frame batches, and typed
-  * Datasets so downstream operators are schema-checked.
+  * Two codecs share the decode interface:
+  *  - [[ImageIoCodec]] — a REAL image decoder (javax.imageio, in the
+  *    JDK: PNG/JPEG/GIF/BMP) with grayscale conversion + nearest-
+  *    neighbor resize; undecodable payloads yield zero frames
+  *    (quarantine-by-omission, the E5 contract).
+  *  - [[FakeCodec]] — a deterministic md5-driven stand-in used by the
+  *    ORACLE-CHECKED queries: the synthetic `documents` payloads are
+  *    text, not media, and the DuckDB mirror must recompute identical
+  *    pixels from the digest hex (no imageio on that side).
+  * Everything around the codec is the production Spark plumbing:
+  * binary columns + metadata struct schema, `mapPartitions` with one
+  * codec instance per partition (not per row), bounded-size frame
+  * batches, and typed Datasets so downstream operators are
+  * schema-checked.
   */
 object Multimodal {
 
@@ -21,11 +28,52 @@ object Multimodal {
   case class Frame(doc_id: Long, frame_idx: Int, width: Int, height: Int,
     pixels: Array[Float])
 
-  /** STUB decoder standing in for a real codec (libjpeg/ffmpeg/...).
-    * Deterministic: dims and pixel values derive from md5(payload) —
-    * the same derivation the q31 metadata query and its DuckDB oracle
-    * use. One instance per partition; reuses its digest buffer. */
-  final class FakeCodec {
+  /** Decode one media payload into ≥0 fixed-size frames. Instantiated
+    * once per PARTITION inside [[decodeFrames]] — implementations may
+    * hold reusable buffers but no cross-record state. */
+  trait MediaCodec extends Serializable {
+    def decode(rec: MediaRecord, targetPixels: Int): Iterator[Frame]
+  }
+
+  /** Real still-image decoder on the JDK's javax.imageio (PNG, JPEG,
+    * GIF, BMP — no external native libs). Decode → luminance
+    * grayscale (Rec. 601 weights) → nearest-neighbor resample onto a
+    * ⌊√targetPixels⌋² grid, padded with 0 to exactly `targetPixels`
+    * so the frame schema is input-independent. One frame per image;
+    * a payload ImageIO cannot parse produces an EMPTY iterator — at
+    * pipeline level that is the quarantine contract (count decoded vs
+    * input, divert the delta), never an executor-killing throw. */
+  final class ImageIoCodec extends MediaCodec {
+    def decode(rec: MediaRecord, targetPixels: Int): Iterator[Frame] = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.data))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0) Iterator.empty
+      else {
+        val g = math.max(1, math.sqrt(targetPixels.toDouble).toInt)
+        val px = new Array[Float](targetPixels)
+        var i = 0
+        while (i < g * g) {
+          val x = ((i % g) * img.getWidth) / g
+          val y = ((i / g) * img.getHeight) / g
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299f * ((rgb >> 16) & 0xff) +
+            0.587f * ((rgb >> 8) & 0xff) + 0.114f * (rgb & 0xff)
+          px(i) = lum / 255.0f
+          i += 1
+        }
+        Iterator.single(
+          Frame(rec.doc_id, 0, img.getWidth, img.getHeight, px))
+      }
+    }
+  }
+
+  /** Deterministic md5-driven codec used by the ORACLE-CHECKED
+    * queries (see object doc): dims and pixel values derive from
+    * md5(payload) — the same derivation the q31 metadata query and
+    * its DuckDB oracle use. One instance per partition; reuses its
+    * digest buffer. */
+  final class FakeCodec extends MediaCodec {
     private val md = java.security.MessageDigest.getInstance("MD5")
 
     def decode(rec: MediaRecord, targetPixels: Int): Iterator[Frame] = {
@@ -59,15 +107,19 @@ object Multimodal {
       col("source").as("format"),
       octet_length(col("text")).cast("long").as("n_bytes"))
 
-  /** Decode/resize/frame-sample through the partition-batched stub
-    * codec. `sampleEvery` keeps every k-th frame (frame sampling);
-    * `targetPixels` is the post-resize frame size. */
+  /** Decode/resize/frame-sample through a partition-batched codec.
+    * `sampleEvery` keeps every k-th frame (frame sampling);
+    * `targetPixels` is the post-resize frame size; `mkCodec` is a
+    * FACTORY so each partition builds its own instance (codec state
+    * never crosses task boundaries, and the closure ships the
+    * constructor, not a live decoder). */
   def decodeFrames(media: Dataset[MediaRecord], targetPixels: Int = 16,
-      sampleEvery: Int = 1): Dataset[Frame] = {
+      sampleEvery: Int = 1,
+      mkCodec: () => MediaCodec = () => new FakeCodec): Dataset[Frame] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      val codec = new FakeCodec // one per partition, not per row
+      val codec = mkCodec() // one per partition, not per row
       it.flatMap(rec => codec.decode(rec, targetPixels)
         .filter(_.frame_idx % sampleEvery == 0))
     }

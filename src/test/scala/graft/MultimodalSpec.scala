@@ -87,4 +87,47 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
     }
   }
+
+  /** Encode a solid-gray image as PNG bytes, in memory. */
+  private def png(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (gray << 16) | (gray << 8) | gray
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNGs: dims, grayscale levels, corrupt quarantine") {
+    val media = Seq(
+      Multimodal.MediaRecord(1L, png(8, 6, 0), "png"),     // black
+      Multimodal.MediaRecord(2L, png(5, 5, 255), "png"),   // white
+      Multimodal.MediaRecord(3L, png(16, 4, 128), "png"),  // mid gray
+      Multimodal.MediaRecord(4L, "not a png".getBytes("UTF-8"), "png"))
+      .toDS()
+    val frames = Multimodal
+      .decodeFrames(media, targetPixels = 16,
+        mkCodec = () => new Multimodal.ImageIoCodec)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(frames.keySet == Set(1L, 2L, 3L), "corrupt payload quarantined")
+    assert(frames(1L).width == 8 && frames(1L).height == 6)
+    assert(frames(3L).width == 16 && frames(3L).height == 4)
+    assert(frames(1L).pixels.length == 16)
+    assert(frames(1L).pixels.forall(_ == 0.0f), "black decodes to 0")
+    assert(frames(2L).pixels.forall(p => math.abs(p - 1.0f) < 1e-6), "white decodes to 1")
+    assert(frames(3L).pixels.forall(p => math.abs(p - 128f / 255f) < 1e-3), "mid gray")
+  }
+
+  test("ImageIoCodec frames flow through extractFeatures unchanged") {
+    val media = Seq(Multimodal.MediaRecord(7L, png(4, 4, 51), "png")).toDS()
+    val feat = Multimodal.extractFeatures(
+      Multimodal.decodeFrames(media, targetPixels = 16,
+        mkCodec = () => new Multimodal.ImageIoCodec).toDF()).collect()
+    assert(feat.length == 1)
+    val f = feat.head.getAs[scala.collection.Seq[Double]]("features")
+    assert(math.abs(f(0) - 51.0 / 255.0) < 1e-3) // mean_px
+    assert(f(1) < 1e-6)                          // std of a solid image
+    assert(f(2) == 4.0 && f(3) == 4.0)           // dims
+  }
 }
