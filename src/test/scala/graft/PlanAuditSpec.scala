@@ -294,17 +294,23 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q140/q141: series diagnostics shuffle the calendar grid, not events") {
-    for (df <- Seq(
-        graft.operators.EventOps.q140Autocorrelation(spark, sfDir()),
-        graft.operators.EventOps.q141Cusum(spark, sfDir()))) {
-      val p = plan(df)
-      // the event-scale exchange keys on (event_type, hour); windows
-      // run per type over the dense calendar grid only
-      assert("hashpartitioning\\(event_type#\\d+, _groupingexpression".r
-        .findFirstIn(p).nonEmpty,
-        s"no (type, hour) exchange for the hourly agg:\n$p")
-      assert(!p.contains("CartesianProduct"))
-    }
+    // q140: the event-scale exchange keys on (event_type, hour);
+    // windows run per type over the dense calendar grid only
+    val p140 = plan(graft.operators.EventOps.q140Autocorrelation(spark, sfDir()))
+    assert("hashpartitioning\\(event_type#\\d+, _groupingexpression".r
+      .findFirstIn(p140).nonEmpty,
+      s"no (type, hour) exchange for the hourly agg:\n$p140")
+    assert(!p140.contains("CartesianProduct"))
+    // q141 materializes the dense hourly grid ONCE (Checkpoints.cut)
+    // for its two consumers, so the final plan must read the
+    // checkpointed RDD — the event-scale agg runs during the cut,
+    // not once per consumer — and keep all window work per-type.
+    val p141 = plan(graft.operators.EventOps.q141Cusum(spark, sfDir()))
+    assert(p141.contains("Scan ExistingRDD"),
+      s"dense hourly grid not materialized via checkpoint:\n$p141")
+    assert(!p141.contains("FileScan"),
+      s"q141 re-reads events instead of the cut grid:\n$p141")
+    assert(!p141.contains("CartesianProduct"))
   }
 
   test("q138: gini rank window partitions by nation — no global sort") {
