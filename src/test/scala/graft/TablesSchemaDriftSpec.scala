@@ -45,6 +45,46 @@ class TablesSchemaDriftSpec extends SparkSpec {
     assert(b == a)
   }
 
+  test("testdata schema contract: every column the operators consume exists") {
+    // the columns the query surface reads, per table — if a driver
+    // regeneration renames/drops one, THIS test names the break
+    // instead of scattering analysis errors across dozens of queries
+    val contract = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"),
+      "events" -> Seq("event_id", "ts", "user_id", "event_type", "value",
+        "props"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    val t = Tables(spark, sfDir())
+    val tables = Map(
+      "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings)
+    for ((name, cols) <- contract; missing = cols.filterNot(tables(name).columns.contains))
+      assert(missing.isEmpty, s"$name lost columns: ${missing.mkString(", ")}")
+    // temporal columns must stay timestamp-comparable: the date-literal
+    // predicates (cast to timestamp) coerce from either DATE or
+    // TIMESTAMP*, but a move to raw epoch INTEGERS would not analyze
+    val temporal = Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+    for ((tab, c) <- temporal) {
+      val dt = tables(tab).schema(c).dataType.typeName
+      assert(dt.startsWith("timestamp") || dt == "date",
+        s"$tab.$c is $dt — date-literal predicates will stop analyzing")
+    }
+  }
+
   test("events ts_us works on the driver's current sf0.001 fixture") {
     val e = Tables(spark, sfDir()).events
     // analysis must succeed and yield plausible epoch-µs magnitudes
