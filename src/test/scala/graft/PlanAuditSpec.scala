@@ -313,6 +313,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p141.contains("CartesianProduct"))
   }
 
+  test("q99: candidate join co-partitions on (pair key, block), verify joins broadcast") {
+    val p = plan(graft.operators.SetSimJoin.q99SetsimJoin(spark, sfDir()))
+    // generation keys on the (w1, w2, bi, bj) block-decomposed pair
+    // key — the skew cap — and the explicit repartition must survive
+    assert("hashpartitioning\\(w1#\\d+, w2#\\d+, bi#\\d+, bj#\\d+".r
+      .findFirstIn(p).nonEmpty,
+      s"candidate join not co-partitioned on the blocked pair key:\n$p")
+    // in-row verification: the id→token-array sides are item-sized —
+    // AQE must broadcast them, never sort-merge the candidate stream
+    assert(p.contains("BroadcastHashJoin"),
+      s"verify joins not broadcast at dimension scale:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q138: gini rank window partitions by nation — no global sort") {
     val p = plan(graft.operators.Olap.q138GiniSpend(spark, sfDir()))
     assert("hashpartitioning\\(grp".r.findFirstIn(p).nonEmpty,

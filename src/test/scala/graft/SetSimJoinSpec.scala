@@ -30,6 +30,39 @@ class SetSimJoinSpec extends SparkSpec {
       assert(math.abs(v - brute(k)) < 1e-9, s"jac differs at $k") }
   }
 
+  test("theta <= 0.5 single-key path equals brute force on mixed-length names") {
+    // low θ admits pairs sharing ONE token (e.g. {a} vs {a b}: 1/2),
+    // the regime the pair-key scheme cannot serve — deterministic
+    // pseudo-random names of 1..5 tokens from a 10-word vocabulary
+    val vocab = Vector("red", "blue", "green", "hot", "cold",
+      "anvil", "bolt", "gear", "ring", "plate")
+    def name(i: Long): String = {
+      val n = (i * 2654435761L % 5 + 1).toInt
+      (0 until n).map(j => vocab(((i * 31 + j * 17) % 10).toInt))
+        .distinct.mkString(" ")
+    }
+    val theta = 0.45
+    val items = (1L to 80L).map(i => (i, name(i))).toDF("id", "name")
+    val got = SetSimJoin.setSimJoin(items, theta).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val toks = (1L to 80L).map(i => i -> name(i).split(" ").toSet).toMap
+    val brute = (for {
+      a <- 1L to 80L; b <- (a + 1) to 80L
+      inter = (toks(a) & toks(b)).size
+      jac = inter.toDouble / (toks(a) ++ toks(b)).size
+      if jac >= theta
+    } yield (a, b) -> (math.rint(jac * 1e6) / 1e6)).toMap
+    assert(got.keySet == brute.keySet,
+      s"missed: ${(brute.keySet -- got.keySet).take(5)}; " +
+        s"extra: ${(got.keySet -- brute.keySet).take(5)}")
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - brute(k)) < 1e-9, s"jac differs at $k") }
+    assert(brute.nonEmpty, "fixture must produce qualifying pairs")
+    // the fixture must actually exercise the one-shared-token regime
+    assert(brute.keys.exists { case (a, b) => (toks(a) & toks(b)).size == 1 },
+      "fixture lacks single-shared-token qualifying pairs")
+  }
+
   test("a frequent shared token outside both prefixes still can't lose a pair") {
     // A and B share 4 of 5 tokens; 'zz'/'yy' are globally rare so the
     // COMMON tokens are pushed to the prefix tail — the adversarial
