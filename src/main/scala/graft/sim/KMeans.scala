@@ -44,32 +44,44 @@ object KMeans {
 
   /** Lloyd loop: (assignment aₜ, centroids cₜ₋₁ — the ones that
     * produced it). Both are checkpointed; the caller owns their
-    * release. */
-  private def lloyd(v: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    * release.
+    *
+    * `grp` trains INDEPENDENT k-means instances per group value in
+    * ONE program — every iteration is still exactly one broadcast
+    * join + one aggregation regardless of group count, so M parallel
+    * trainings (PQ's per-subspace codebooks) cost the same number of
+    * cluster-wide barriers as one. Per group, the math is identical
+    * to the ungrouped loop: same first-k-by-id init, same (dist asc,
+    * cell asc) argmin, same per-dim mean update. */
+  private def lloyd(v: DataFrame, k: Int, iters: Int,
+      grp: Seq[String] = Nil): (DataFrame, DataFrame) = {
     require(iters >= 1, "kmeans needs at least one assignment pass")
+    val g = grp.map(col)
     var cent = v.filter(col("vec_id") < k)
-      .select(col("vec_id").cast("int").as("cell"), col("e").as("c"))
+      .select(g :+ col("vec_id").cast("int").as("cell") :+ col("e").as("c"): _*)
       .pipe(Checkpoints.cut)
     var assign: DataFrame = null
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cell").asc)
+    val w = Window.partitionBy(g :+ col("vec_id"): _*)
+      .orderBy(col("dist").asc, col("cell").asc)
     for (t <- 1 to iters) {
       val prevAssign = assign
-      assign = v.crossJoin(broadcast(cent))
+      assign = (if (grp.isEmpty) v.crossJoin(broadcast(cent))
+                else v.join(broadcast(cent), grp))
         .withColumn("dist", sqDist(col("e"), col("c")))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cell"))
+        .select(g :+ col("vec_id") :+ col("cell"): _*)
         .pipe(Checkpoints.cut)
       if (prevAssign != null) Checkpoints.release(prevAssign)
       if (t < iters) {
         // per-dim means; rebuild the centroid array ordered by dim
         val prevCent = cent
-        cent = assign.join(v, "vec_id")
-          .select(col("cell"), posexplode(col("e")).as(Seq("i", "x")))
-          .groupBy("cell", "i").agg(avg(col("x")).as("cx"))
-          .groupBy("cell")
+        cent = assign.join(v, grp :+ "vec_id")
+          .select(g :+ col("cell") :+ posexplode(col("e")).as(Seq("i", "x")): _*)
+          .groupBy(g ++ Seq(col("cell"), col("i")): _*).agg(avg(col("x")).as("cx"))
+          .groupBy(g :+ col("cell"): _*)
           .agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("p"))
-          .select(col("cell"), expr("transform(p, q -> q.cx)").as("c"))
+          .select(g :+ col("cell") :+ expr("transform(p, q -> q.cx)").as("c"): _*)
           .pipe(Checkpoints.cut)
         Checkpoints.release(prevCent)
       }
@@ -212,17 +224,23 @@ object KMeans {
     * pairs per subspace, cell-ascending. */
   private[graft] def pqCodebooks(v: DataFrame): IndexedSeq[IndexedSeq[(Int, Seq[Double])]] = {
     val subDim = Similarity.Dims / PqM
-    (0 until PqM).map { s =>
-      val sv = v.select(col("vec_id"),
-        slice(col("e"), s * subDim + 1, subDim).as("e"))
-      val (assign, cent) = lloyd(sv, PqK, PqIters)
-      val out = cent.collect()
-        .map(r => r.getAs[Int]("cell") ->
-          r.getAs[scala.collection.Seq[Double]]("c").toSeq)
-        .sortBy(_._1).toIndexedSeq
-      Checkpoints.release(assign, cent)
-      out
-    }
+    // all PqM subspace trainings fold into ONE grouped Lloyd run:
+    // explode each vector into its (s, subvector) slices and key the
+    // loop by s — per iteration one broadcast join + one agg total,
+    // instead of PqM sequential loops' worth of cluster barriers
+    val sv = v.select(col("vec_id"), explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}),
+           |  s -> struct(s AS s, slice(e, s * $subDim + 1, $subDim) AS e))"""
+          .stripMargin)).as("p"))
+      .select(col("p.s").as("s"), col("vec_id"), col("p.e").as("e"))
+    val (assign, cent) = lloyd(sv, PqK, PqIters, grp = Seq("s"))
+    val bySub = cent.collect()
+      .map(r => (r.getAs[Int]("s"),
+        r.getAs[Int]("cell"), r.getAs[scala.collection.Seq[Double]]("c").toSeq))
+      .groupBy(_._1)
+    Checkpoints.release(assign, cent)
+    (0 until PqM).map(s =>
+      bySub(s).map(t => t._2 -> t._3).sortBy(_._1).toIndexedSeq)
   }
 
   /** In-row (dist, cell) candidate array for one subspace against its
