@@ -26,6 +26,7 @@ object SparkEntry {
       SetSimJoin.queries ++ Skyline.queries ++ BloomJoin.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.sources.PackageJsonSource.queries ++
+      graft.sources.ParquetSink.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
       CorpusOps.queries ++ PolicyOps.queries ++ TermOps.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       SetSimJoin.oracleSql ++ Skyline.oracleSql ++ BloomJoin.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
       graft.sources.PackageJsonSource.oracleSql ++
+      graft.sources.ParquetSink.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
       CoPurchase.oracleSql ++ Louvain.oracleSql ++
       TextOps.oracleSql ++

@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Data-lake sinks — the write side of the engine. The reference
   * persists entities idempotently (Neo4jClient.ts upsert/MERGE
@@ -47,4 +48,41 @@ object ParquetSink {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** q155: the idempotent sink oracle-checked END TO END — orders are
+    * written partition-by-status TWICE (the rerun that must converge,
+    * not append), read back, and summarized per partition. The oracle
+    * computes the identical summary straight from the source table, so
+    * a sink that dropped, duplicated, or mangled rows on rerun — or a
+    * partition layout that lost the partition column's values — hash-
+    * mismatches. DECIMAL-summed totals keep the comparison exact
+    * (q108's accumulation-order-free contract). */
+  def q155SinkRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables(spark, dir).orders
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-sink-roundtrip").toString
+    writeIdempotent(orders, out, Seq("o_orderstatus"))
+    writeIdempotent(orders, out, Seq("o_orderstatus")) // rerun converges
+    spark.read.parquet(out)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_sink_roundtrip" -> (q155SinkRoundtrip _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q155_sink_roundtrip" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price,
+        |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }
