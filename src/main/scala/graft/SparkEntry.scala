@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsofJoin, Association, BloomJoin, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, Skyline, TypedEdges}
+import graft.operators.{AsofJoin, Association, BloomJoin, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, SkewJoin, Skyline, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
 import graft.text.{CorpusOps, PolicyOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
@@ -22,6 +22,7 @@ object SparkEntry {
     Relational.queries ++ TypedEdges.queries ++ AsofJoin.queries ++
       RangeJoin.queries ++ JsonOps.queries ++ EventOps.queries ++
       Profile.queries ++ Olap.queries ++ Layout.queries ++
+      SkewJoin.queries ++
       Association.queries ++
       SetSimJoin.queries ++ Skyline.queries ++ BloomJoin.queries ++
       graft.multimodal.Multimodal.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
     Relational.oracleSql ++ TypedEdges.oracleSql ++ AsofJoin.oracleSql ++
       RangeJoin.oracleSql ++ JsonOps.oracleSql ++ EventOps.oracleSql ++
       Profile.oracleSql ++ Olap.oracleSql ++ Layout.oracleSql ++
+      SkewJoin.oracleSql ++
       Association.oracleSql ++
       SetSimJoin.oracleSql ++ Skyline.oracleSql ++ BloomJoin.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Salted equi-join for skewed keys.
@@ -31,4 +31,37 @@ object SkewJoin {
           saltedFact("__salt") === replicatedBuild("__salt"))
       .drop("__salt")
   }
+
+  /** q158: the salted join oracle-checked END TO END — lineitem ⋈
+    * orders through the (key, salt) spread, then a per-status
+    * summary the DuckDB oracle computes from the PLAIN join. Inner
+    * equi-join results are salt-invariant by construction; a salting
+    * bug that dropped or duplicated a (fact row, build row) match
+    * hash-mismatches here. Quantities DECIMAL-sum (order-free). */
+  def q158SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    salted(
+      t.lineitem.select("l_orderkey", "l_quantity"),
+      t.orders.select("o_orderkey", "o_orderstatus"),
+      "l_orderkey", "o_orderkey", buckets = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("total_qty"))
+      .orderBy("o_orderstatus")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q158_salted_join" -> (q158SaltedJoin _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q158_salted_join" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
 }

@@ -134,8 +134,53 @@ object PackageJsonSource {
       .orderBy("module", "edge_type")
   }
 
+  /** q157: the teardown sequence oracle-checked — drop the
+    * DEV_DEPENDS_ON edge type via [[cascadeDelete]] and report every
+    * surviving module with its surviving in/out degree. `testlib`
+    * (referenced ONLY by dropped dev edges, declared by no manifest)
+    * must vanish; the declared modules survive with the dev edges
+    * gone from their degrees. (reference: documentation/queries.md
+    * 245-251 "delete relationships, then nodes") */
+  def q157CascadeDelete(spark: SparkSession, dir: String): DataFrame = {
+    val kept = cascadeDelete(entities(read(spark, FixturePath)),
+      Set("DEV_DEPENDS_ON"))
+    kept.modules
+      .join(kept.edges.groupBy(col("src_module").as("name"))
+        .agg(count(lit(1)).as("n_out")), Seq("name"), "left")
+      .join(kept.edges.groupBy(col("dst_module").as("name"))
+        .agg(count(lit(1)).as("n_in")), Seq("name"), "left")
+      .select(col("name"), col("version"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"))
+      .orderBy("name")
+  }
+
+  /** Fixture with deliberately malformed lines (2 of 5) for the
+    * quarantine path. Valid lines always carry `name`, so "good" is
+    * detectable on both engines (Spark: `_corrupt_record IS NULL`;
+    * DuckDB: `ignore_errors=true` nulls every column of a malformed
+    * line, so `name IS NOT NULL`). */
+  val CorruptFixturePath =
+    "/root/repo/src/test/resources/corrupt_manifests.jsonl"
+
+  /** q159: malformed-manifest quarantine oracle-checked — the
+    * PERMISSIVE read splits the corrupt fixture into good/quarantined
+    * and reports (n_good, stars_good, n_bad). stars_good pins that
+    * good rows' FIELDS parsed correctly, not merely that the split
+    * counted right; n_bad is total − good on the oracle side (DuckDB
+    * has no corrupt-record column). (reference: the miner's
+    * catch-blocks, GitHubMinerHelper.ts) */
+  def q159Quarantine(spark: SparkSession, dir: String): DataFrame = {
+    val (good, bad) = readLenient(spark, CorruptFixturePath)
+    good.agg(count(lit(1)).as("n_good"),
+        sum(col("stargazers_count")).as("stars_good"))
+      .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_manifest_ingest" -> (q154ManifestIngest _),
+    "q157_cascade_delete" -> (q157CascadeDelete _),
+    "q159_quarantine" -> (q159Quarantine _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -158,6 +203,61 @@ object PackageJsonSource {
          |d AS (SELECT DISTINCT src, dst, edge_type FROM e)
          |SELECT dst AS module, edge_type, CAST(count(*) AS BIGINT) AS n_in
          |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q157_cascade_delete" ->
+      s"""WITH man AS (
+         |  SELECT * FROM read_json('$FixturePath',
+         |    format='newline_delimited',
+         |    columns={name: 'VARCHAR', version: 'VARCHAR',
+         |             dependencies: 'MAP(VARCHAR,VARCHAR)',
+         |             devDependencies: 'MAP(VARCHAR,VARCHAR)',
+         |             peerDependencies: 'MAP(VARCHAR,VARCHAR)'})),
+         |e0 AS (
+         |  SELECT name AS src, unnest(map_keys(dependencies)) AS dst,
+         |         'DEPENDS_ON' AS edge_type FROM man
+         |  UNION ALL
+         |  SELECT name, unnest(map_keys(devDependencies)),
+         |         'DEV_DEPENDS_ON' FROM man
+         |  UNION ALL
+         |  SELECT name, unnest(map_keys(peerDependencies)),
+         |         'PEER_DEPENDS_ON' FROM man),
+         |ed AS (SELECT DISTINCT src, dst, edge_type FROM e0),
+         |mods AS (
+         |  SELECT name, max(version) AS version FROM (
+         |    SELECT name, version FROM man
+         |    UNION ALL SELECT dst, CAST(NULL AS VARCHAR) FROM ed) t
+         |  GROUP BY 1),
+         |kept_e AS (SELECT * FROM ed WHERE edge_type <> 'DEV_DEPENDS_ON'),
+         |kept_m AS (
+         |  SELECT m.name, m.version FROM mods m
+         |  WHERE m.version IS NOT NULL
+         |     OR m.name IN (SELECT src FROM kept_e
+         |                   UNION SELECT dst FROM kept_e)),
+         |outd AS (SELECT src AS name, CAST(count(*) AS BIGINT) AS n_out
+         |         FROM kept_e GROUP BY 1),
+         |ind AS (SELECT dst AS name, CAST(count(*) AS BIGINT) AS n_in
+         |        FROM kept_e GROUP BY 1)
+         |SELECT k.name, k.version,
+         |       CAST(coalesce(o.n_out, 0) AS BIGINT) AS n_out,
+         |       CAST(coalesce(i.n_in, 0) AS BIGINT) AS n_in
+         |FROM kept_m k
+         |LEFT JOIN outd o ON o.name = k.name
+         |LEFT JOIN ind i ON i.name = k.name
+         |ORDER BY 1""".stripMargin,
+    "q159_quarantine" ->
+      s"""WITH g AS (
+         |  SELECT * FROM read_json('$CorruptFixturePath',
+         |    format='newline_delimited', ignore_errors=true,
+         |    columns={name: 'VARCHAR', stargazers_count: 'BIGINT'})
+         |  WHERE name IS NOT NULL),
+         |t AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_lines
+         |  FROM read_csv('$CorruptFixturePath',
+         |    sep=chr(1), quote='', header=false,
+         |    columns={'line': 'VARCHAR'}))
+         |SELECT CAST(count(*) AS BIGINT) AS n_good,
+         |       CAST(sum(stargazers_count) AS BIGINT) AS stars_good,
+         |       CAST((SELECT n_lines FROM t) - count(*) AS BIGINT) AS n_bad
+         |FROM g""".stripMargin,
   )
 
   /** The reference's teardown sequence — "delete relationships, then

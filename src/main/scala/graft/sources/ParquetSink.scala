@@ -72,8 +72,43 @@ object ParquetSink {
       .orderBy("o_orderstatus")
   }
 
+  /** q156: the bucketed sink oracle-checked END TO END — orders and
+    * lineitem written as bucketed-by-orderkey EXTERNAL tables (data
+    * under a temp path, metadata in the session catalog), then joined
+    * and aggregated. The existing spec pins the zero-Exchange plan;
+    * this query pins DATA FIDELITY through the bucketed write + join
+    * against the direct source-table join in DuckDB. Revenue follows
+    * the q108 round→DECIMAL contract so the sums are
+    * accumulation-order-free in both engines. */
+  def q156BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.Tables(spark, dir)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-bucketed-roundtrip").toString
+    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
+    t.orders.select("o_orderkey", "o_orderstatus")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$tmp/orders")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_orders_bkt")
+    t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$tmp/lineitem")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_lineitem_bkt")
+    spark.table("graft_lineitem_bkt")
+      .join(spark.table("graft_orders_bkt"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q155_sink_roundtrip" -> (q155SinkRoundtrip _),
+    "q156_bucketed_join" -> (q156BucketedJoin _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -84,5 +119,12 @@ object ParquetSink {
         |         AS total_price,
         |       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q156_bucketed_join" ->
+      """SELECT o_orderstatus,
+        |       CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
