@@ -35,6 +35,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     val tsUs = df.schema("ts").dataType match {
       case LongType => expr("ts div 1000")
       case TimestampNTZType | TimestampType =>
+        // NTZ → epoch-µs consults the session timezone; anything but
+        // UTC silently shifts every ts_us, so fail loudly here rather
+        // than hash-mismatch downstream (entry points set UTC via
+        // [[Tables.configure]]).
+        require(
+          spark.conf.get("spark.sql.session.timeZone") == "UTC",
+          "events.ts is timestamp-typed: the epoch-µs conversion requires " +
+            "spark.sql.session.timeZone=UTC (call Tables.configure on the builder)")
         expr("unix_micros(cast(ts as timestamp))")
       case other => throw new IllegalArgumentException(
         s"events.ts has unsupported type $other (expected BIGINT nanos or timestamp)")

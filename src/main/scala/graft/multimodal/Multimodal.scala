@@ -45,9 +45,12 @@ object Multimodal {
     * input, divert the delta), never an executor-killing throw. */
   final class ImageIoCodec extends MediaCodec {
     def decode(rec: MediaRecord, targetPixels: Int): Iterator[Frame] = {
+      // Plugin decoders throw RuntimeExceptions (CMMException, OOB,
+      // NegativeArraySize) on truncated/crafted payloads, not just
+      // IOException — NonFatal keeps the quarantine contract total.
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.data))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null || img.getWidth == 0 || img.getHeight == 0) Iterator.empty
       else {
         val g = math.max(1, math.sqrt(targetPixels.toDouble).toInt)

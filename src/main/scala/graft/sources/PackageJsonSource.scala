@@ -43,6 +43,20 @@ object PackageJsonSource {
     * Returns (good rows with the manifest schema, corrupt raw lines)
     * so the pipeline can quarantine rejects to a side output. */
   def readLenient(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val r = readLenientManaged(spark, path)
+    (r.good, r.bad)
+  }
+
+  /** [[readLenient]] plus ownership of the cached scan: callers that
+    * run repeatedly in one session (q159 under Bench) must call
+    * [[LenientRead.release]] once done, or each invocation leaks a
+    * cache entry for the session lifetime. */
+  final case class LenientRead(good: DataFrame, bad: DataFrame,
+      private val raw: DataFrame) {
+    def release(): Unit = raw.unpersist()
+  }
+
+  def readLenientManaged(spark: SparkSession, path: String): LenientRead = {
     val schema = manifestSchema.add("_corrupt_record", StringType)
     val raw = spark.read.schema(schema)
       .option("mode", "PERMISSIVE")
@@ -53,7 +67,7 @@ object PackageJsonSource {
       .drop("_corrupt_record")
     val bad = raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw"))
-    (good, bad)
+    LenientRead(good, bad, raw)
   }
 
   case class GraphEntities(users: DataFrame, repos: DataFrame,
@@ -118,7 +132,17 @@ object PackageJsonSource {
     * query's input is the FORMAT, not a scale factor, so the query
     * (like its DuckDB oracle) reads this fixed path and ignores the
     * sf dir the driver passes. */
-  val FixturePath = "/root/repo/src/test/resources/manifests.jsonl"
+  val FixturePath: String = fixture("manifests.jsonl")
+
+  /** Resolve a committed fixture to an absolute path that is the SAME
+    * for the Spark read and the interpolated DuckDB oracle: an
+    * explicit `-Dgraft.fixtures.dir` wins; otherwise relative to the
+    * process cwd (sbt runs from the repo root), so checkouts at any
+    * location work. */
+  private def fixture(name: String): String = {
+    val dir = sys.props.getOrElse("graft.fixtures.dir", "src/test/resources")
+    new java.io.File(dir, name).getAbsolutePath
+  }
 
   /** q154: the reference's defining capability end-to-end — manifest
     * JSON → typed dependency edges → per-module typed in-degree
@@ -160,8 +184,7 @@ object PackageJsonSource {
     * detectable on both engines (Spark: `_corrupt_record IS NULL`;
     * DuckDB: `ignore_errors=true` nulls every column of a malformed
     * line, so `name IS NOT NULL`). */
-  val CorruptFixturePath =
-    "/root/repo/src/test/resources/corrupt_manifests.jsonl"
+  val CorruptFixturePath: String = fixture("corrupt_manifests.jsonl")
 
   /** q159: malformed-manifest quarantine oracle-checked — the
     * PERMISSIVE read splits the corrupt fixture into good/quarantined
@@ -171,10 +194,20 @@ object PackageJsonSource {
     * has no corrupt-record column). (reference: the miner's
     * catch-blocks, GitHubMinerHelper.ts) */
   def q159Quarantine(spark: SparkSession, dir: String): DataFrame = {
-    val (good, bad) = readLenient(spark, CorruptFixturePath)
-    good.agg(count(lit(1)).as("n_good"),
+    val r = readLenientManaged(spark, CorruptFixturePath)
+    // Materialize the (1-row) summary eagerly so the cached scan can
+    // be released per invocation instead of leaking for the session.
+    val row = r.good.agg(count(lit(1)).as("n_good"),
         sum(col("stargazers_count")).as("stars_good"))
-      .crossJoin(bad.agg(count(lit(1)).as("n_bad")))
+      .crossJoin(r.bad.agg(count(lit(1)).as("n_bad")))
+      .collect().toSeq
+    r.release()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(row, 1),
+      StructType(Seq(
+        StructField("n_good", LongType, nullable = false),
+        StructField("stars_good", LongType),
+        StructField("n_bad", LongType, nullable = false))))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -61,15 +61,36 @@ object ParquetSink {
     val orders = graft.Tables(spark, dir).orders
     val out = java.nio.file.Files
       .createTempDirectory("graft-sink-roundtrip").toString
-    writeIdempotent(orders, out, Seq("o_orderstatus"))
-    writeIdempotent(orders, out, Seq("o_orderstatus")) // rerun converges
-    spark.read.parquet(out)
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
-          .as("total_price"),
-        countDistinct(col("o_custkey")).as("n_customers"))
-      .orderBy("o_orderstatus")
+    try {
+      writeIdempotent(orders, out, Seq("o_orderstatus"))
+      writeIdempotent(orders, out, Seq("o_orderstatus")) // rerun converges
+      eager(spark.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total_price"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("o_orderstatus"))
+    } finally deleteRecursively(out)
+  }
+
+  /** Collect a SMALL (summary-sized) result so backing temp state can
+    * be deleted before the query result is handed to the caller. */
+  private def eager(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
+  }
+
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally walk.close()
+    }
   }
 
   /** q156: the bucketed sink oracle-checked END TO END — orders and
@@ -84,26 +105,36 @@ object ParquetSink {
     val t = graft.Tables(spark, dir)
     val tmp = java.nio.file.Files
       .createTempDirectory("graft-bucketed-roundtrip").toString
-    spark.sql("DROP TABLE IF EXISTS graft_orders_bkt")
-    spark.sql("DROP TABLE IF EXISTS graft_lineitem_bkt")
-    t.orders.select("o_orderkey", "o_orderstatus")
-      .write.mode("overwrite").format("parquet")
-      .option("path", s"$tmp/orders")
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_orders_bkt")
-    t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
-      .write.mode("overwrite").format("parquet")
-      .option("path", s"$tmp/lineitem")
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_lineitem_bkt")
-    spark.table("graft_lineitem_bkt")
-      .join(spark.table("graft_orders_bkt"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderstatus")
-      .agg(count(lit(1)).as("n_lines"),
-        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
-          .cast("decimal(18,4)")).cast("double").as("revenue"))
-      .orderBy("o_orderstatus")
+    // Per-run table names: concurrent sessions sharing a metastore
+    // must not collide, and nothing may stay registered after the
+    // query returns (the tables + temp data are this query's scratch).
+    val run = java.util.UUID.randomUUID().toString.replace("-", "")
+    val ordersTbl = s"graft_orders_bkt_$run"
+    val lineitemTbl = s"graft_lineitem_bkt_$run"
+    try {
+      t.orders.select("o_orderkey", "o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$tmp/orders")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordersTbl)
+      t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$tmp/lineitem")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lineitemTbl)
+      eager(spark.table(lineitemTbl)
+        .join(spark.table(ordersTbl),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy("o_orderstatus"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+      spark.sql(s"DROP TABLE IF EXISTS $lineitemTbl")
+      deleteRecursively(tmp)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
