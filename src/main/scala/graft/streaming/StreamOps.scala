@@ -71,10 +71,56 @@ object StreamOps {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("bucket")
 
+  // ---------------------------------------------------------------- q160
+  /** S5's batch projection, oracle-checked: an at-least-once stream is
+    * simulated by redelivering every 7th event as an EXACT copy (real
+    * redelivery re-sends the same payload), then deduped by event_id —
+    * the converged result `dropDuplicatesWithinWatermark` reaches once
+    * the watermark passes (reference semantic: the miner's Redis
+    * seen-set, src/RedisService.ts:1-86). The summary reports the
+    * deduped counts AND how many duplicate arrivals were removed, so a
+    * dedup that is a no-op (n_dups_removed=0) or over-drops (n too
+    * low) hash-mismatches. */
+  def q160StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val redelivered = ev.unionAll(ev.filter(col("event_id") % 7 === 0))
+    val deduped = redelivered.dropDuplicates("event_id")
+    deduped.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .join(redelivered.groupBy("event_type")
+        .agg(count(lit(1)).as("n_arrivals")), Seq("event_type"))
+      .withColumn("n_dups_removed", col("n_arrivals") - col("n"))
+      .drop("n_arrivals")
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------- q161
+  /** S3's batch shape, oracle-checked through [[Streaming.enrich]]
+    * itself: events stream-joined (broadcast left join — the same
+    * per-microbatch plan the streaming form uses) to a customer→nation
+    * dimension, then rolled up per nation. Unmatched users keep their
+    * events (left join) under 'UNKNOWN'. */
+  def q161StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val dim = t.customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(t.nation.select(col("n_nationkey"), col("n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    Streaming.enrich(t.events, dim, "user_id", "c_custkey")
+      .groupBy(coalesce(col("n_name"), lit("UNKNOWN")).as("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_windowed_agg" -> (q32WindowedAgg _),
     "q33_sessionization" -> (q33Sessionization _),
     "q40_windowed_users" -> (q40WindowedUsers _),
+    "q160_stream_dedup" -> (q160StreamDedup _),
+    "q161_stream_enrich" -> (q161StreamEnrich _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -107,6 +153,27 @@ object StreamOps {
       """SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS bucket,
         |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dedup restores the pre-redelivery table exactly, and the removed
+    // count equals the injected duplicate rule — both sides computable
+    // from `events` alone.
+    "q160_stream_dedup" ->
+      """SELECT event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(sum(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_dups_removed
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q161_stream_enrich" ->
+      """SELECT coalesce(n_name, 'UNKNOWN') AS nation,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |LEFT JOIN customer ON user_id = c_custkey
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }
