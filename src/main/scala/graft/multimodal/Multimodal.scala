@@ -161,8 +161,46 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---------------------------------------------------------------- q162
+  /** The REAL codec oracle-checked end to end: committed PNG/BMP
+    * payloads (generated in-process by tools/MakeImageFixture, no
+    * downloads) through [[ImageIoCodec]] decode → nearest-neighbor
+    * resize → [[extractFeatures]]. The oracle is the committed
+    * expected table, computed ANALYTICALLY from the designed pixel
+    * layouts — independent of the decode path, so a regression in
+    * PNG/BMP decode, sampling geometry, or luminance math
+    * hash-mismatches. The fixture also carries two undecodable
+    * payloads (truncated header, garbage bytes) with NO expected rows:
+    * quarantine-by-omission is part of the hash. */
+  val MediaFixturePath: String = fixturePath("media_fixture.parquet")
+  val MediaExpectedPath: String = fixturePath("media_features_expected.parquet")
+
+  private def fixturePath(name: String): String = {
+    val dir = sys.props.getOrElse("graft.fixtures.dir", "src/test/resources")
+    new java.io.File(dir, name).getAbsolutePath
+  }
+
+  def q162ImageDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(MediaFixturePath)
+      .select(col("doc_id"), col("data"), col("format")).as[MediaRecord]
+    val frames = decodeFrames(media, FramePixels, sampleEvery = 1,
+      mkCodec = () => new ImageIoCodec)
+    val cols = Seq(col("doc_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      col("features").getItem(2).cast("long").as("width"),
+      col("features").getItem(3).cast("long").as("height"),
+      round(col("features").getItem(0), 6).as("mean_px"),
+      round(col("features").getItem(1), 6).as("std_px")) ++
+      (0 until 8).map(b => col("features").getItem(4 + b).as(s"h$b"))
+    extractFeatures(frames.toDF())
+      .select(cols: _*)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_multimodal_features" -> (q90MultimodalFeatures _),
+    "q162_image_decode" -> (q162ImageDecode _),
   )
 
   /** DuckDB nibble value of hex char at 1-based position `pos`. */
@@ -170,6 +208,11 @@ object Multimodal {
     s"(strpos('0123456789abcdef', substr(m.h, $pos, 1)) - 1)"
 
   val oracleSql: Map[String, String] = Map(
+    "q162_image_decode" ->
+      s"""SELECT doc_id, frame_idx, width, height, mean_px, std_px,
+         |       h0, h1, h2, h3, h4, h5, h6, h7
+         |FROM read_parquet('$MediaExpectedPath')
+         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q90_multimodal_features" -> {
       val hexToLong = graft.text.TextOps.hexToLongSql _
       s"""WITH m AS (
