@@ -97,6 +97,23 @@ class PackageJsonSourceSpec extends SparkSpec {
       .select("k", "payload", "label").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
     assert(salted.toSeq == plain.toSeq)
+
+    // profile-driven variant: buckets per key derived from measured
+    // counts; hot key 1 gets >1 bucket, cold keys 1 — results still
+    // exactly the plain join's
+    val profile = graft.operators.Profile.skewProfile(
+      fact.select(col("k")), "k")
+    val byProfile = SkewJoin.saltedByProfile(fact, build, "k", "bk",
+        profile, targetPerBucket = 100)
+      .select("k", "payload", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted
+    assert(byProfile.toSeq == plain.toSeq)
+    // the hot key's derived bucket count spreads its 900 rows over
+    // ceil(900/100)=9 buckets
+    val hotSalts = SkewJoin.saltedByProfile(fact, build, "k", "bk",
+        profile, targetPerBucket = 100)
+      .filter(col("k") === 1L)
+    assert(hotSalts.count() == 900L)
   }
 
   test("manifest graph end-to-end: ingest → khop / pagerank / CC") {
