@@ -410,6 +410,77 @@ object Cores {
     settled.orderBy("node")
   }
 
+  /** Dense-graph coloring fallback — one q131 MIS per color sweep
+    * (the trade documented on [[greedyColoring]]: JP's wave depth is
+    * the priority-DAG depth, ~max-clique-deep on dense graphs, while
+    * MIS sweeps are bounded by the color count with O(log n) rounds
+    * each). Sweep t takes a maximal independent set S of the live
+    * induced subgraph and colors every v ∈ S with the mex of v's
+    * already-settled neighbors' colors — S is independent, so
+    * per-node mex never conflicts inside the sweep, and maximality
+    * guarantees every live node has a settled neighbor next sweep
+    * (progress). Deterministic: MIS uses the same fixed md5
+    * priorities as q131. Output schema matches [[greedyColoring]]
+    * ((node, color, wave)); the ASSIGNMENT may differ from sequential
+    * greedy — properness and determinism are the contract here, and
+    * the spec proves both plus the A/B sweep counts. */
+  private[graft] def misColoring(
+      nodes: DataFrame, undirected: DataFrame): DataFrame = {
+    val und = undirected.filter(col("src") =!= col("dst"))
+      .pipe(Checkpoints.cut)
+    var live = nodes.select("node").pipe(Checkpoints.cut)
+    var settled: DataFrame = null
+    var sweep = 0L
+    var nLive = live.count()
+    while (nLive > 0) {
+      sweep += 1
+      val liveEdges = und
+        .join(live.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(live.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .pipe(Checkpoints.cut)
+      val mis = maximalIndependentSet(live, liveEdges)
+        .filter(col("in_mis")).select("node")
+      val used =
+        if (settled == null) null
+        else und.join(mis.select(col("node").as("src")), Seq("src"), "left_semi")
+          .join(settled.select(col("node").as("dst"), col("color")), Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(collect_set(col("color")).as("cs"))
+      val colored = (if (used == null) mis.withColumn("cs",
+          array().cast("array<long>"))
+        else mis.join(used, Seq("node"), "left")
+          .withColumn("cs", coalesce(col("cs"), array().cast("array<long>"))))
+        .select(col("node"),
+          array_min(array_except(
+            sequence(lit(0L), size(col("cs")).cast("long")), col("cs")))
+            .as("color"),
+          lit(sweep).as("wave"))
+        .pipe(Checkpoints.cut)
+      settled = if (settled == null) colored else settled.union(colored)
+      val prevLive = live
+      live = live.join(colored.select("node"), Seq("node"), "left_anti")
+        .pipe(Checkpoints.cut)
+      Checkpoints.release(prevLive, liveEdges)
+      nLive = live.count()
+    }
+    Checkpoints.release(und, live)
+    settled.orderBy("node")
+  }
+
+  /** Density-routed coloring: average directed degree ≤
+    * `denseAvgDegree` → Jones–Plassmann waves (shallow on
+    * bounded-degree graphs, exact sequential-greedy agreement);
+    * above it → [[misColoring]] (wave count bounded by colors, not
+    * DAG depth). Two scalar counts decide — the measure-then-choose
+    * discipline (q102/E6's) applied to iteration depth. */
+  def coloringAuto(nodes: DataFrame, undirected: DataFrame,
+      denseAvgDegree: Double = 16.0): DataFrame = {
+    val v = nodes.count().max(1L)
+    val e = undirected.count()
+    if (e.toDouble / v > denseAvgDegree) misColoring(nodes, undirected)
+    else greedyColoring(nodes, undirected)
+  }
+
   def q136Coloring(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     greedyColoring(TradeGraph.nodes(t).select("node"),
