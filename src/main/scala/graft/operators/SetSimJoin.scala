@@ -160,8 +160,31 @@ object SetSimJoin {
     // broadcast and falls back to sort-merge over the (much larger)
     // candidate set. With stats intact the plan adapts: broadcast at
     // dimension-sized |items|, shuffle join at corpus scale.
-    val lists = items.select(col("id"),
+    val lists = tokenLists(items)
+    val cand = candidatePairs(lists, theta)
+    val jac: Column =
+      col("c").cast("double") / (col("na") + col("nb") - col("c"))
+    cand
+      .join(lists.select(col("id").as("a"), col("ws").as("wa")), Seq("a"))
+      .join(lists.select(col("id").as("b"), col("ws").as("wb")), Seq("b"))
+      .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("na", size(col("wa")).cast("long"))
+      .withColumn("nb", size(col("wb")).cast("long"))
+      .filter(jac >= theta)
+      .select(col("a"), col("b"), round(jac, 6).as("jac"))
+      .distinct()
+      .orderBy("a", "b")
+  }
+
+  private[graft] def tokenLists(items: DataFrame): DataFrame =
+    items.select(col("id"),
       array_distinct(split(col("name"), " ")).as("ws"))
+
+  /** The candidate-generation stage alone ((a, b) pairs surviving the
+    * prefix/position filters, pre-verification) — extracted so
+    * diagnostics (tools/ScalingSweep) can COUNT candidates at
+    * different scales without duplicating the generation logic. */
+  private[graft] def candidatePairs(lists: DataFrame, theta: Double): DataFrame = {
     val tok = lists.select(col("id"), explode(col("ws")).as("w"))
     val sz = lists.select(col("id"), size(col("ws")).cast("long").as("nn"))
     val f = tok.groupBy("w").agg(count(lit(1)).as("cf"))
@@ -220,18 +243,7 @@ object SetSimJoin {
         val keyed = Checkpoints.cut(prefix(1))
         blockedCandidates(keyed, Seq("w"), kTokens = 1, theta)
       }
-    val jac: Column =
-      col("c").cast("double") / (col("na") + col("nb") - col("c"))
     cand
-      .join(lists.select(col("id").as("a"), col("ws").as("wa")), Seq("a"))
-      .join(lists.select(col("id").as("b"), col("ws").as("wb")), Seq("b"))
-      .withColumn("c", size(array_intersect(col("wa"), col("wb"))).cast("long"))
-      .withColumn("na", size(col("wa")).cast("long"))
-      .withColumn("nb", size(col("wb")).cast("long"))
-      .filter(jac >= theta)
-      .select(col("a"), col("b"), round(jac, 6).as("jac"))
-      .distinct()
-      .orderBy("a", "b")
   }
 
   /** q99: exact jaccard-0.6 matches over part names — the catalog

@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Candidate-count diagnostic for the sf0.1 → sf1 scaling sweep
+  * (BENCH_SCALING.md): counts the CANDIDATE PAIRS each blocked/banded
+  * near-dup generator emits at a given SF dir, using the operators'
+  * own internal stages (no duplicated logic). Wall-times come from
+  * the standard Bench harness; this reports the volume that drives
+  * them, so a super-linear exponent can be attributed to generation
+  * vs verification.
+  *
+  * Usage: sbt "runMain graft.tools.ScalingSweep /root/testdata/sf0.1"
+  */
+object ScalingSweep {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Tables.configure(SparkSession.builder()
+        .appName("scaling-sweep").master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = graft.Tables(spark, dir)
+
+    def report(name: String, n: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val v = n
+      println(f"CAND $name%-14s $v%12d  (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      graft.Checkpoints.releaseAll(spark)
+    }
+
+    report("q99_pairs", {
+      val lists = graft.operators.SetSimJoin.tokenLists(
+        t.part.select(col("p_partkey").cast("long").as("id"),
+          col("p_name").as("name")))
+      graft.operators.SetSimJoin
+        .candidatePairs(lists, graft.operators.SetSimJoin.Theta).count()
+    })
+    report("q21_pairs", {
+      val d = graft.text.TextOps.docs(spark, dir)
+      val sig = graft.Checkpoints.cut(graft.text.TextOps.laneSigs(d, 2))
+      graft.text.TextOps.candidates(
+        graft.text.TextOps.bandRelation(sig, 3, 5)).distinct().count()
+    })
+    report("q22_pairs", {
+      val d = graft.text.TextOps.docs(spark, dir)
+      val sig = graft.Checkpoints.cut(graft.text.TextOps.laneSigs(d, 1))
+      graft.text.TextOps.candidates(
+        graft.text.TextOps.bandRelation(sig, 2, 4)).distinct().count()
+    })
+    report("copurchase_edges", graft.graph.CoPurchase.edges(t).count())
+    spark.stop()
+  }
+}

@@ -85,6 +85,34 @@ class TablesSchemaDriftSpec extends SparkSpec {
     }
   }
 
+  test("documents/embeddings physical types stay operator-compatible") {
+    // the text/similarity operator families depend on TYPE SEMANTICS,
+    // not just column presence: a regeneration that ships doc_id as
+    // string, embedding as list<double>, or label widened would change
+    // hash behavior (md5 of a cast) or float math silently — pin the
+    // type classes here so drift fails one named test (the events-ts
+    // lesson applied to the other driver-regenerated tables)
+    import org.apache.spark.sql.types._
+    val t = Tables(spark, sfDir())
+    val doc = t.documents.schema
+    def integral(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    assert(integral(doc("doc_id").dataType),
+      s"doc_id is ${doc("doc_id").dataType} — md5/xxhash keys change on a cast")
+    assert(doc("text").dataType == StringType)
+    assert(integral(doc("n_chars").dataType))
+    val emb = t.embeddings.schema
+    assert(integral(emb("vec_id").dataType))
+    emb("embedding").dataType match {
+      case ArrayType(FloatType, _) => () // the contract every operator assumes
+      case other => fail(s"embedding is $other — dot-product float math " +
+        "and the int8-quantization scale assume array<float>")
+    }
+    assert(integral(emb("label").dataType))
+  }
+
   test("events ts_us works on the driver's current sf0.001 fixture") {
     val e = Tables(spark, sfDir()).events
     // analysis must succeed and yield plausible epoch-µs magnitudes
