@@ -102,9 +102,18 @@ object MakeScaleData {
       "l_returnflag", "l_linestatus", "l_shipdate")
       .withColumn("l_linenumber", col("l_linenumber").cast("int"))
 
+    // p_name mirrors the source structure exactly: 2 words from an
+    // 8-adjective x 8-noun palette (~64 distinct names), so q99's
+    // identical-name groups — and therefore its inherently quadratic
+    // answer — scale the same way the driver corpus's do
+    val adjs = Array("large", "hot", "blue", "old", "cold", "dim",
+      "new", "red")
+    val nouns = Array("ring", "bolt", "plate", "cap", "screw", "nut",
+      "gear", "pin")
     val part = spark.range(0, nParts, 1, 32).map { p =>
       val r = new java.util.SplittableRandom(p * 69069L + 5)
-      (p, s"part-$p", s"Brand#${r.nextInt(5) + 1}${r.nextInt(5) + 1}",
+      (p, s"${adjs(r.nextInt(8))} ${nouns(r.nextInt(8))}",
+        s"Brand#${r.nextInt(5) + 1}${r.nextInt(5) + 1}",
         s"type${r.nextInt(150)}", r.nextInt(50) + 1,
         900.0 + (p % 2000) / 10.0)
     }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
