@@ -168,9 +168,24 @@ object KMeans {
     * every SF); a real embedding corpus runs 0.9+. */
   val SemDedupTau = 0.42
 
-  def q116SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val v = vecs(spark, dir)
-    val assign = assignments(v, K, Iters)
+  def q116SemanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedup(vecs(spark, dir), K)
+
+  /** [[semanticDedup]] with k DERIVED from the corpus: one cell per
+    * ~`targetCell` vectors (never below [[K]]), which is the "k scales
+    * with the corpus" contract from the SemDeDup Scaladoc made
+    * executable — cell populations stay ~targetCell at ANY corpus
+    * size, so the within-cell quadratic stays bounded per cell and
+    * total pair work stays ~n·targetCell (linear in n). The sweep
+    * (BENCH_SCALING.md) measures both this and the fixed-k form. */
+  def semanticDedupAuto(v: DataFrame, targetCell: Int = 500): DataFrame = {
+    val n = v.count()
+    val k = math.max(K.toLong, (n + targetCell - 1) / targetCell).toInt
+    semanticDedup(v, k)
+  }
+
+  private[graft] def semanticDedup(v: DataFrame, k: Int): DataFrame = {
+    val assign = assignments(v, k, Iters)
     val withE = assign.join(v, "vec_id")
     val pairs = withE.as("x").join(withE.as("y"),
         col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))

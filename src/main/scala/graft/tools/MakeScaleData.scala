@@ -120,6 +120,22 @@ object MakeScaleData {
       "p_retailprice")
       .withColumn("p_size", col("p_size").cast("int"))
 
+    // embeddings: unit-norm 64-dim pseudo-gaussian vectors (Box-Muller
+    // from the seeded stream), labels uniform 0..9 — the source table
+    // has NO label-cluster structure (measured intra ≈ inter cosine
+    // ≈ 0), so i.i.d. random directions are the faithful model
+    val nVecs = 2000L * mult
+    val embeddings = spark.range(0, nVecs, 1, 32).map { id =>
+      val r = new java.util.SplittableRandom(id * 104729L + 13)
+      val g = Array.fill(64) {
+        val u1 = math.max(r.nextDouble(), 1e-12); val u2 = r.nextDouble()
+        math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
+      }
+      val norm = math.sqrt(g.map(x => x * x).sum)
+      (id, g.map(x => (x / norm).toFloat), r.nextInt(10))
+    }.toDF("vec_id", "embedding", "label")
+      .withColumn("label", col("label").cast("int"))
+
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
@@ -127,6 +143,7 @@ object MakeScaleData {
     write(docs, "documents")
     write(lineitem, "lineitem")
     write(part, "part")
+    write(embeddings, "embeddings")
     spark.stop()
   }
 }

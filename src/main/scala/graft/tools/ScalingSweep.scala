@@ -52,6 +52,32 @@ object ScalingSweep {
         graft.text.TextOps.bandRelation(sig, 2, 4)).distinct().count()
     })
     report("copurchase_edges", graft.graph.CoPurchase.edges(t).count())
+
+    // ANN / embedding family: within-cell (SemDeDup) and LSH-bucket
+    // (q26) pair volumes computed from group sizes — Σ C(g,2), no
+    // pair materialization needed
+    val v = t.embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    def cellPairs(k: Int): Long =
+      graft.sim.KMeans.assignments(v, k, graft.sim.KMeans.Iters)
+        .groupBy("cell").agg(count(lit(1)).as("g"))
+        .agg(sum(expr("g * (g - 1) div 2"))).collect()(0).getLong(0)
+    report("q116_cell_pairs_k8", cellPairs(8))
+    report("q116_cell_pairs_auto", {
+      val n = v.count()
+      cellPairs(math.max(8L, (n + 499) / 500).toInt)
+    })
+    def bucketPairs(r: Int): Long =
+      graft.sim.Similarity
+        .bandedBuckets(v, r, graft.sim.Similarity.NeardupBands)
+        .groupBy("j", "bkt").agg(count(lit(1)).as("g"))
+        .agg(sum(expr("g * (g - 1) div 2"))).collect()(0).getLong(0)
+    report("q26_bucket_pairs", bucketPairs(graft.sim.Similarity.NeardupRows))
+    report("q26_bucket_pairs_auto", {
+      val n = v.count().max(1L)
+      bucketPairs(math.max(1,
+        math.ceil(math.log(n.toDouble / 250) / math.log(2.0)).toInt))
+    })
     spark.stop()
   }
 }
