@@ -115,12 +115,31 @@ object StreamOps {
       .orderBy("nation")
   }
 
+  // ---------------------------------------------------------------- q163
+  /** S6's batch shape, oracle-checked through
+    * [[Streaming.streamStreamJoin]] itself (`withWatermark` is a no-op
+    * on batch input, so the batch result IS the stream's converged
+    * output): each event matched to the same user's events in the
+    * following hour (inclusive, self-pair included — the streaming
+    * join's exact condition), rolled up per user. A horizon bug (open
+    * vs closed bounds, wrong interval arithmetic) shifts pair counts
+    * and hash-mismatches. */
+  def q163StreamJoinBatch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    Streaming.streamStreamJoin(ev, ev)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct("left_id").as("n_left"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_windowed_agg" -> (q32WindowedAgg _),
     "q33_sessionization" -> (q33Sessionization _),
     "q40_windowed_users" -> (q40WindowedUsers _),
     "q160_stream_dedup" -> (q160StreamDedup _),
     "q161_stream_enrich" -> (q161StreamEnrich _),
+    "q163_stream_join_batch" -> (q163StreamJoinBatch _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -174,6 +193,15 @@ object StreamOps {
         |FROM events
         |LEFT JOIN customer ON user_id = c_custkey
         |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q163_stream_join_batch" ->
+      """SELECT l.user_id,
+        |       CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(count(DISTINCT l.event_id) AS BIGINT) AS n_left
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -342,4 +342,24 @@ class PlanAuditSpec extends SparkSpec {
       s"corpus exploded more than once:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q161: the stream-static dim side is a broadcast hash join") {
+    val p = plan(graft.streaming.StreamOps.q161StreamEnrich(spark, sfDir()))
+    assert(p.contains("BroadcastHashJoin"),
+      s"enrichment dim not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q158: profile-driven salting broadcasts the bucket map, join stays equi") {
+    val p = plan(graft.operators.SkewJoin.q158SaltedJoin(spark, sfDir()))
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-key bucket relation not broadcast:\n$p")
+    // the profile's 1-row scalar-totals crossJoin(broadcast) is a
+    // legitimate BroadcastNestedLoopJoin; what must NOT appear is an
+    // unbroadcast cartesian or a non-equi fact join
+    assert(!p.contains("CartesianProduct"),
+      s"salted join degenerated to all-pairs:\n$p")
+    assert("SortMergeJoin Inner|ShuffledHashJoin Inner|BroadcastHashJoin Inner".r
+      .findFirstIn(p).nonEmpty, s"fact join not an equi join:\n$p")
+  }
 }
