@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsofJoin, Association, BloomJoin, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, SkewJoin, Skyline, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
-import graft.text.{CorpusOps, PolicyOps, TermOps, TextOps}
+import graft.text.{CorpusOps, PolicyOps, SpanOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
 import graft.streaming.StreamOps
 
@@ -30,7 +30,8 @@ object SparkEntry {
       graft.sources.ParquetSink.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
-      CorpusOps.queries ++ PolicyOps.queries ++ TermOps.queries ++
+      CorpusOps.queries ++ PolicyOps.queries ++ SpanOps.queries ++
+      TermOps.queries ++
       Similarity.queries ++ KMeans.queries ++
       StreamOps.queries
 
@@ -49,6 +50,7 @@ object SparkEntry {
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
       CoPurchase.oracleSql ++ Louvain.oracleSql ++
       TextOps.oracleSql ++
-      CorpusOps.oracleSql ++ PolicyOps.oracleSql ++ TermOps.oracleSql ++
+      CorpusOps.oracleSql ++ PolicyOps.oracleSql ++ SpanOps.oracleSql ++
+      TermOps.oracleSql ++
       Similarity.oracleSql ++ KMeans.oracleSql ++ StreamOps.oracleSql
 }

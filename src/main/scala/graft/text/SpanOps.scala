@@ -1,0 +1,182 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Character-SPAN operators over the document corpus: exact duplicate
+  * SPAN detection (the substring-level complement of the document-level
+  * dedup family q20–q23 — Lee et al. 2022, "Deduplicating Training
+  * Data Makes Language Models Better", arXiv:2107.06499) and
+  * stride-overlap context-window chunking (the pretokenization step
+  * that turns variable-length documents into fixed training windows).
+  *
+  * The reference corpus semantics these extend: the miner's exact-match
+  * idempotency (reference `src/InsertDataHelper.ts:1-116` inserts are
+  * keyed upserts — whole-record identity); span dedup generalizes that
+  * identity to WITHIN-record repeated content, which whole-document
+  * hashing cannot see.
+  */
+object SpanOps {
+
+  // ---------------------------------------------------------------- q164
+  /** Exact duplicate-span detection, window-gram formulation: a
+    * position is duplicated when the [[SpanGram]]-char window starting
+    * there occurs ≥2 times corpus-wide (any doc, including elsewhere in
+    * the same doc); per doc, duplicated positions merge into maximal
+    * spans (gaps-and-islands). Every duplicated substring of length
+    * ≥ [[SpanGram]] is the union of duplicated windows, so the merged
+    * spans cover EXACTLY the characters inside some corpus-repeated
+    * run of ≥ [[SpanGram]] chars — the suffix-array semantics of Lee
+    * et al. 2022 §3 at resolution [[SpanGram]], with zero recall loss
+    * at that length and no false positives.
+    *
+    * Scale shape: the gram relation is one row per char position
+    * (linear in corpus bytes); duplicate detection is ONE hash
+    * aggregation on the gram (map-side partial combine does the heavy
+    * lifting — unique grams, the overwhelming majority, collapse to
+    * count 1 locally); the count ≥ 2 filter prunes BEFORE the
+    * join-back, so the position join touches only the duplicated
+    * minority (~5 % of distinct grams here). The islands merge is a
+    * per-doc window — work bounded by document length. No stage holds
+    * more than a partition of grams; nothing is collected. At 100 TB
+    * the gram SHUFFLE is the cost driver; swapping the 40-byte gram
+    * for xxhash64(gram) as the aggregation key cuts shuffle bytes 5×
+    * (a 64-bit collision then marks a non-duplicated position at
+    * p ≈ n²/2⁶⁴ — the standard trade; kept exact here so the oracle
+    * shares the key).
+    */
+  val SpanGram = 40
+
+  private[graft] def duplicateSpans(d: DataFrame, k: Int): DataFrame = {
+    val pos = d.filter(length(col("s")) >= k)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, length(s) - $k + 1)")).as("pos"),
+        col("s"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(s, cast(pos as int), $k)").as("gram"))
+    val dup = pos.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("gram")
+    // duplicated positions only — the join-back is keyed on the gram
+    // (vocabulary-sized shuffle) and the dup side is the pre-filtered
+    // minority, so AQE may broadcast-convert it when small
+    val dupPos = pos.join(dup, "gram").select("doc_id", "pos")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val prevEnd = max(col("pos") + k).over(
+      byPos.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = dupPos
+      .withColumn("new_island",
+        when(prevEnd.isNull || col("pos") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(
+        byPos.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("doc_id", "island")
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + k).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  def q164SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    duplicateSpans(TextOps.docs(spark, dir), SpanGram)
+
+  // ---------------------------------------------------------------- q169
+  /** Stride-overlap context-window chunking: each document's token
+    * stream is cut into windows of [[ChunkWindow]] tokens advancing by
+    * [[ChunkStep]] ([[ChunkWindow]]−[[ChunkStep]] tokens of overlap —
+    * the HF `return_overflowing_tokens` shape). A window is emitted
+    * when it is the first OR when it adds at least one token beyond
+    * the previous window's coverage (start + window − step < n), so
+    * short documents yield exactly one window and no fully-redundant
+    * tail appears.
+    *
+    * Scale shape: pure per-row work — one `sequence` + `transform`
+    * over each document's own token list, no shuffle at all until the
+    * output sort. The output is ~n_tokens/step rows per document,
+    * linear in corpus tokens. */
+  val ChunkWindow = 32
+  val ChunkStep = 24
+
+  private[graft] def strideChunks(d: DataFrame, win: Int, step: Int): DataFrame =
+    d.select(col("doc_id"), split(col("s"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .select(col("doc_id"), col("n"),
+        explode(expr(
+          s"""transform(
+             |  filter(sequence(0, cast(greatest(ceil(n / $step), 1) as int) * $step, $step),
+             |         st -> st = 0 OR st + $win - $step < n),
+             |  st -> struct(
+             |    cast(st / $step as bigint) AS chunk_idx,
+             |    cast(st as bigint) AS start_tok,
+             |    cast(least($win, n - st) as bigint) AS n_chunk_tokens,
+             |    array_join(slice(ws, cast(st + 1 as int), $win), ' ') AS chunk_text))
+             |""".stripMargin)).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.start_tok"),
+        col("c.n_chunk_tokens"), col("c.chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+
+  def q169ChunkStride(spark: SparkSession, dir: String): DataFrame =
+    strideChunks(TextOps.docs(spark, dir), ChunkWindow, ChunkStep)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_substring_dedup" -> (q164SubstringDedup _),
+    "q169_chunk_stride" -> (q169ChunkStride _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q164_substring_dedup" ->
+      s"""WITH ${TextOps.normCte},
+         |pos AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |         substr(s, CAST(i AS INT), $SpanGram) AS gram
+         |  FROM n, unnest(generate_series(1, length(s) - $SpanGram + 1)) AS t(i)
+         |  WHERE length(s) >= $SpanGram),
+         |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+         |dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
+         |f AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN max(pos + $SpanGram) OVER (
+         |                PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |              IS NULL
+         |           OR pos > max(pos + $SpanGram) OVER (
+         |                PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |         THEN 1 ELSE 0 END AS new_island
+         |  FROM dp),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |  FROM f)
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + $SpanGram AS BIGINT) AS span_end,
+         |       CAST(max(pos) + $SpanGram - min(pos) AS BIGINT) AS span_len
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q169_chunk_stride" ->
+      s"""WITH ${TextOps.normCte},
+         |d AS (SELECT doc_id, string_split(s, ' ') AS ws,
+         |             len(string_split(s, ' ')) AS n
+         |      FROM n),
+         |st AS (
+         |  SELECT doc_id, ws, n, CAST(t.s AS BIGINT) AS start_tok
+         |  FROM d, unnest(generate_series(0,
+         |         CAST(greatest(ceil(n / $ChunkStep), 1) AS BIGINT) * $ChunkStep,
+         |         $ChunkStep)) AS t(s)
+         |  WHERE t.s = 0 OR t.s + $ChunkWindow - $ChunkStep < n)
+         |SELECT doc_id,
+         |       CAST(start_tok / $ChunkStep AS BIGINT) AS chunk_idx,
+         |       start_tok,
+         |       CAST(least($ChunkWindow, n - start_tok) AS BIGINT)
+         |         AS n_chunk_tokens,
+         |       array_to_string(
+         |         ws[CAST(start_tok + 1 AS INT) :
+         |            CAST(start_tok + least($ChunkWindow, n - start_tok) AS INT)],
+         |         ' ') AS chunk_text
+         |FROM st
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+  )
+}

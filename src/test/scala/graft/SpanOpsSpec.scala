@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.SpanOps
+
+class SpanOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force reference: a position is duplicated iff its k-window
+    * occurs ≥2 times corpus-wide; islands merged sequentially. */
+  private def refSpans(docs: Seq[(Long, String)], k: Int): Seq[(Long, Long, Long)] = {
+    val grams = for {
+      (id, s) <- docs if s.length >= k
+      i <- 0 to (s.length - k)
+    } yield (id, i, s.substring(i, i + k))
+    val counts = grams.groupBy(_._3).view.mapValues(_.size).toMap
+    val dup = grams.filter(g => counts(g._3) >= 2)
+    dup.groupBy(_._1).toSeq.flatMap { case (id, ps) =>
+      val sorted = ps.map(_._2).sorted
+      val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      for (p <- sorted) {
+        if (spans.nonEmpty && p <= spans.last._2) {
+          val (s0, e0) = spans.last
+          spans(spans.size - 1) = (s0, math.max(e0, p + k))
+        } else spans += ((p, p + k))
+      }
+      // reference uses 0-based starts; operator emits 1-based
+      spans.map { case (s, e) => (id, s + 1L, e + 1L) }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again ok"),
+    (2L, "zz the quick brown fox jumps over the lazy dog again and zz"),
+    (3L, "completely unique content with no repeats whatsoever here yes"),
+    (4L, "abcabcabcabcabcabcabcabcabcabcabcabc padding tail x"),
+    (5L, "abcabcabcabcabcabcabcabcabcabcabcabc padding tail y"),
+    (6L, "short"),
+  )
+
+  test("q164 spans == brute-force reference at k=12") {
+    val k = 12
+    val d = corpus.toDF("doc_id", "s")
+    val got = SpanOps.duplicateSpans(d, k)
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)]
+      .collect().toSeq.sortBy(t => (t._1, t._2))
+    assert(got == refSpans(corpus, k))
+    assert(got.nonEmpty) // fixture actually exercises the operator
+  }
+
+  test("q164 spans never overlap and respect the min length") {
+    val k = 12
+    val d = corpus.toDF("doc_id", "s")
+    val rows = SpanOps.duplicateSpans(d, k)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.groupBy(_._1).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._2, s"overlap: $a $b")
+        case _ =>
+      }
+    }
+    assert(rows.forall(r => r._4 >= k && r._4 == r._3 - r._2))
+  }
+
+  test("q169 chunks cover every token exactly and overlap by win-step") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // multi-chunk
+      (2L, (1 to 32).map(i => s"w$i").mkString(" ")),  // exactly one window
+      (3L, (1 to 33).map(i => s"u$i").mkString(" ")),  // one token spillover
+      (4L, "a b c"),                                    // short doc
+    ).toDF("doc_id", "s")
+    val win = SpanOps.ChunkWindow
+    val step = SpanOps.ChunkStep
+    val rows = SpanOps.strideChunks(docs, win, step)
+      .select("doc_id", "chunk_idx", "start_tok", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+    val byDoc = rows.groupBy(_._1)
+    // every doc represented, chunk 0 always present
+    assert(byDoc.keySet == Set(1L, 2L, 3L, 4L))
+    byDoc.foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.head._3 == 0L)
+      // consecutive starts advance by exactly step
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._3 == step)
+        case _ =>
+      }
+      // chunk text token count matches n_chunk_tokens
+      sorted.foreach { c =>
+        assert(c._5.split(" ").length.toLong == c._4)
+        assert(c._4 <= win)
+      }
+      // last chunk reaches the end of the doc; no redundant tail
+      val n = sorted.map(c => c._3 + c._4).max
+      val last = sorted.last
+      assert(last._3 + last._4 == n)
+      if (sorted.size > 1) assert(last._3 + win - step < n)
+    }
+    // doc 2 (exactly win tokens) and doc 4 (short) are single-chunk
+    assert(byDoc(2L).size == 1 && byDoc(4L).size == 1)
+    // doc 3: 33 tokens -> second window adds token 33
+    assert(byDoc(3L).size == 2 && byDoc(3L).map(_._4).toSet == Set(32L, 9L))
+  }
+}
