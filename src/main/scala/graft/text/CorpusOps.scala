@@ -463,8 +463,56 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q166
+  /** Deterministic training-order schedule: epoch 1 is CURRICULUM
+    * (short documents first — n_chars ascending, md5 shuffle within a
+    * length), epochs 2..[[ShuffleEpochs]] are independent seeded
+    * shuffles (md5 of "epoch:doc_id" — a different reproducible
+    * permutation per epoch, the standard epoch-reshuffle contract).
+    * `order_idx` is the GLOBAL training-step index across the whole
+    * schedule — what a data loader actually consumes.
+    *
+    * Scale shape: the sort is a range-partitioned total order (what
+    * `orderBy` compiles to — sampled bounds, no single reducer); the
+    * global index is then a per-partition offset scan (zipWithIndex),
+    * NOT an unpartitioned row_number window, which would funnel the
+    * corpus through one task. Because the (epoch, key, doc_id) order
+    * is total and strict, the index each row receives is its exact
+    * rank — independent of where the range bounds fall, so the output
+    * is identical at any partition count. */
+  val ShuffleEpochs = 3
+
+  private[graft] def epochSchedule(d: DataFrame, epochs: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val keyed = d
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr(s"sequence(1, $epochs)")).as("epoch"))
+      .withColumn("k", when(col("epoch") === 1,
+        concat(lpad(col("n_chars").cast("string"), 8, "0"), lit(":"),
+          md5(concat(lit("1:"), col("doc_id").cast("string")))))
+        .otherwise(md5(concat(col("epoch").cast("string"), lit(":"),
+          col("doc_id").cast("string")))))
+    val sorted = keyed
+      .select(col("epoch").cast("long").as("epoch"), col("doc_id"), col("k"))
+      .orderBy("epoch", "k", "doc_id")
+    val schema = StructType(Seq(
+      StructField("epoch", LongType, nullable = false),
+      StructField("order_idx", LongType, nullable = false),
+      StructField("doc_id", LongType, nullable = true)))
+    val rows = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row(r.getLong(0), i + 1L, r.getLong(1))
+    }
+    sorted.sparkSession.createDataFrame(rows, schema)
+      .orderBy("order_idx")
+  }
+
+  def q166EpochSchedule(spark: SparkSession, dir: String): DataFrame =
+    epochSchedule(graft.Tables(spark, dir).documents, ShuffleEpochs)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_repetition_scores" -> (q45RepetitionScores _),
+    "q166_epoch_schedule" -> (q166EpochSchedule _),
     "q46_decontamination" -> (q46Decontamination _),
     "q47_stratified_sample" -> (q47StratifiedSample _),
     "q51_top_quality_per_lang" -> (q51TopQualityPerLang _),
@@ -491,6 +539,23 @@ object CorpusOps {
       |       FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q166_epoch_schedule" ->
+      s"""WITH e AS (
+         |  SELECT doc_id, n_chars, CAST(t.e AS BIGINT) AS epoch,
+         |         CASE WHEN t.e = 1
+         |           THEN lpad(CAST(n_chars AS VARCHAR), 8, '0') || ':' ||
+         |                md5('1:' || CAST(doc_id AS VARCHAR))
+         |           ELSE md5(CAST(t.e AS VARCHAR) || ':' ||
+         |                    CAST(doc_id AS VARCHAR))
+         |         END AS k
+         |  FROM documents, unnest(generate_series(1, $ShuffleEpochs)) AS t(e))
+         |SELECT epoch,
+         |       CAST(row_number() OVER (ORDER BY epoch, k, doc_id) AS BIGINT)
+         |         AS order_idx,
+         |       doc_id
+         |FROM e
+         |ORDER BY order_idx""".stripMargin,
+
     "q45_repetition_scores" ->
       s"""WITH ${TextOps.normCte},
          |$wordCtes,

@@ -295,4 +295,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(1L)._2 == 1L && out(1L)._3)
     assert(!out(2L)._3 && !out(3L)._3)
   }
+
+  test("q166 schedule: per-epoch permutations, curriculum first, partition-invariant") {
+    val n = 97
+    val docs = (0 until n).map { i =>
+      (i.toLong, (i * 37 % 101 + 10).toLong) // varied n_chars
+    }.toDF("doc_id", "n_chars")
+    val out = CorpusOps.epochSchedule(docs, 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    // order_idx is the contiguous 1..3n global sequence
+    assert(out.map(_._2).sorted == (1L to 3L * n).toSeq)
+    // each epoch is a full permutation of the doc ids
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(1L, 2L, 3L))
+    byEpoch.values.foreach(e => assert(e.map(_._3).sorted == (0L until n).toSeq))
+    // epochs are ordered blocks: every epoch-1 step precedes epoch 2
+    assert(byEpoch(1L).map(_._2).max < byEpoch(2L).map(_._2).min)
+    // epoch 1 is the curriculum: n_chars non-decreasing along the order
+    val lenOf = docs.as[(Long, Long)].collect().toMap
+    val e1 = byEpoch(1L).sortBy(_._2).map(t => lenOf(t._3))
+    assert(e1.sliding(2).forall { case Seq(a, b) => a <= b; case _ => true })
+    // epochs 2 and 3 are DIFFERENT permutations (seeded reshuffle)
+    assert(byEpoch(2L).sortBy(_._2).map(_._3) !=
+      byEpoch(3L).sortBy(_._2).map(_._3))
+    // result is independent of the input partitioning
+    val repart = CorpusOps.epochSchedule(docs.repartition(13), 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(repart.sortBy(_._2) == out.sortBy(_._2))
+  }
 }
