@@ -200,7 +200,9 @@ object TermOps {
       .pipe(graft.Checkpoints.cut)
     var cur = wf
     val rules = Seq.newBuilder[(Long, String, String, Long)]
-    for (step <- 1 to k) {
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
       val best = cur
         .withColumn("a", split(expr("trim(BOTH '|' FROM sym)"), "\\|\\|"))
         .filter(size(col("a")) >= 2)
@@ -211,11 +213,16 @@ object TermOps {
         .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("lhs").asc, col("rhs").asc)
-        .limit(1).collect()(0)
-      val (lhs, rhs) = (best.getAs[String]("lhs"), best.getAs[String]("rhs"))
-      rules += ((step.toLong, lhs, rhs, best.getAs[Long]("cnt")))
-      cur = cur.withColumn("sym", replace(col("sym"),
-        lit(s"|$lhs||$rhs|"), lit(s"|$lhs$rhs|")))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (lhs, rhs) =
+          (best(0).getAs[String]("lhs"), best(0).getAs[String]("rhs"))
+        rules += ((step.toLong, lhs, rhs, best(0).getAs[Long]("cnt")))
+        cur = cur.withColumn("sym", replace(col("sym"),
+          lit(s"|$lhs||$rhs|"), lit(s"|$lhs$rhs|")))
+        step += 1
+      }
     }
     graft.Checkpoints.release(wf)
     rules.result()
@@ -232,6 +239,62 @@ object TermOps {
       .select(col("step"), col("lhs"), col("rhs"),
         concat(col("lhs"), col("rhs")).as("merged"), col("cnt"))
       .orderBy("step")
+  }
+
+  // ---------------------------------------------------------------- q168
+  /** BPE tokenizer APPLICATION — the other half of q129's train step:
+    * the [[BpeMerges]] learned rules are applied in rule order to the
+    * word-TYPE table (each rule is one literal `|a||b|` → `|ab|`
+    * replace under the shared representation contract documented at
+    * q129), then every document is costed under the trained
+    * tokenizer. Per doc: encodable word count, BPE token count,
+    * skipped (non `[a-z0-9]+`) word count, and the chars-per-token
+    * compression the tokenizer achieves.
+    *
+    * Scale shape: identical to q129 — the ONLY corpus-scale ops are
+    * the word-type aggregation and the final doc-keyed join of words
+    * against the encoded TYPE table (vocabulary-sized, word-keyed
+    * shuffle). The k replace passes run over the type table, not the
+    * corpus, so encode cost is independent of corpus size; the model
+    * (k rules) is the only collected state. */
+  private[graft] def applyMerges(wf: DataFrame,
+      rules: Seq[(Long, String, String, Long)]): DataFrame = {
+    val start = wf.withColumn("sym",
+      regexp_replace(col("word"), "(.)", "|$1|"))
+    rules.sortBy(_._1).foldLeft(start) { case (acc, (_, lhs, rhs, _)) =>
+      acc.withColumn("sym", replace(col("sym"),
+        lit(s"|$lhs||$rhs|"), lit(s"|$lhs$rhs|")))
+    }
+  }
+
+  def q168BpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeCost(TextOps.docs(spark, dir))
+
+  private[graft] def bpeEncodeCost(d: DataFrame): DataFrame = {
+    val words = d
+      .select(col("doc_id"), explode(split(col("s"), " ")).as("word"))
+    val enc0 = words.filter(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val rules = bpeMerges(enc0, BpeMerges)
+    val enc = applyMerges(enc0, rules)
+      .select(col("word"),
+        size(split(expr("trim(BOTH '|' FROM sym)"), "\\|\\|"))
+          .cast("long").as("n_sym"),
+        length(col("word")).cast("long").as("n_chars"))
+    val perDoc = words
+      .withColumn("ok", col("word").rlike("^[a-z0-9]+$"))
+      .join(enc, Seq("word"), "left") // word-keyed shuffle; q74's note
+      .groupBy("doc_id")
+      .agg(sum(when(col("ok"), 1L).otherwise(0L)).as("n_words"),
+        coalesce(sum(when(col("ok"), col("n_sym"))), lit(0L)).as("n_tokens"),
+        sum(when(col("ok"), lit(0L)).otherwise(1L)).as("n_skipped"),
+        coalesce(sum(when(col("ok"), col("n_chars"))), lit(0L)).as("nc"))
+    perDoc.select(col("doc_id"), col("n_words"), col("n_tokens"),
+      col("n_skipped"),
+      when(col("n_tokens") > 0,
+        round(col("nc").cast("double") / col("n_tokens"), 6))
+        .as("chars_per_token"))
+      .orderBy("doc_id")
   }
 
   // ---------------------------------------------------------------- q134
@@ -379,6 +442,7 @@ object TermOps {
     "q114_bm25" -> (q114Bm25 _),
     "q120_bigram_nll" -> (q120BigramNll _),
     "q129_bpe_merges" -> (q129BpeMerges _),
+    "q168_bpe_encode" -> (q168BpeEncode _),
     "q134_tfidf_cosine_knn" -> (q134TfidfCosineKnn _),
     "q144_lexical_diversity" -> (q144LexicalDiversity _),
     "q145_zipf_fit" -> (q145ZipfFit _),
@@ -421,7 +485,64 @@ object TermOps {
        |FROM ($union) ORDER BY step""".stripMargin
   }
 
+  /** q168's oracle: the q129 training recursion with the word carried
+    * through each merge step, then the per-document costing join. */
+  private def bpeEncodeSql(k: Int): String = {
+    val steps = (1 to k).map { t =>
+      s"""p$t AS (
+         |  SELECT ws[CAST(i AS INT)] AS lhs, ws[CAST(i AS INT) + 1] AS rhs,
+         |         CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(trim(sym, '|'), '||') AS ws
+         |        FROM v${t - 1}) t,
+         |       unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$t AS (
+         |  SELECT lhs, rhs FROM p$t
+         |  ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+         |v$t AS (
+         |  SELECT v.word, v.freq,
+         |         replace(v.sym, '|' || b.lhs || '||' || b.rhs || '|',
+         |                 '|' || b.lhs || b.rhs || '|') AS sym
+         |  FROM v${t - 1} v CROSS JOIN b$t b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${TextOps.normCte},
+       |wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(s, ' ')) AS word FROM n)
+       |  WHERE regexp_matches(word, '^[a-z0-9]+$$')
+       |  GROUP BY 1),
+       |v0 AS (SELECT word, freq,
+       |              regexp_replace(word, '(.)', '|\\1|', 'g') AS sym
+       |       FROM wf),
+       |$steps,
+       |enc AS (
+       |  SELECT word,
+       |         CAST(len(string_split(trim(sym, '|'), '||')) AS BIGINT) AS n_sym,
+       |         CAST(length(word) AS BIGINT) AS n_chars
+       |  FROM v$k),
+       |wu AS (SELECT doc_id, unnest(string_split(s, ' ')) AS word FROM n),
+       |j AS (
+       |  SELECT w.doc_id,
+       |         CASE WHEN regexp_matches(w.word, '^[a-z0-9]+$$')
+       |              THEN 1 ELSE 0 END AS ok,
+       |         e.n_sym, e.n_chars
+       |  FROM wu w LEFT JOIN enc e USING (word))
+       |SELECT doc_id,
+       |       CAST(sum(ok) AS BIGINT) AS n_words,
+       |       CAST(coalesce(sum(CASE WHEN ok = 1 THEN n_sym END), 0)
+       |            AS BIGINT) AS n_tokens,
+       |       CAST(sum(1 - ok) AS BIGINT) AS n_skipped,
+       |       CASE WHEN coalesce(sum(CASE WHEN ok = 1 THEN n_sym END), 0) > 0
+       |         THEN round(CAST(sum(CASE WHEN ok = 1 THEN n_chars END)
+       |                         AS DOUBLE) /
+       |                    sum(CASE WHEN ok = 1 THEN n_sym END), 6)
+       |       END AS chars_per_token
+       |FROM j GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q168_bpe_encode" -> bpeEncodeSql(BpeMerges),
     "q74_tfidf_terms" ->
       s"""WITH ${TextOps.normCte},
          |wu AS (SELECT doc_id, unnest(string_split(s, ' ')) AS word FROM n),

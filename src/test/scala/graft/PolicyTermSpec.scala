@@ -193,4 +193,38 @@ class PolicyTermSpec extends SparkSpec {
     assert(r.getDouble(2) == 1.791759, s"intercept ${r.getDouble(2)}")
     assert(r.getDouble(3) == 1.0, s"r2 ${r.getDouble(3)}")
   }
+
+  test("q168 applyMerges: rule-order literal replace, chars conserved") {
+    val wf = Seq(("lower", 5L), ("low", 3L), ("aaaa", 2L), ("x", 1L))
+      .toDF("word", "freq")
+    val rules = Seq((1L, "l", "o", 9L), (2L, "lo", "w", 8L), (3L, "a", "a", 2L))
+    val enc = TermOps.applyMerges(wf, rules)
+      .selectExpr("word", "trim(BOTH '|' FROM sym) AS t")
+      .as[(String, String)].collect().toMap
+    // merges compose in order: l+o -> lo, lo+w -> low
+    assert(enc("low") == "low")
+    assert(enc("lower") == "low||e||r")
+    // one replace pass per rule merges all non-overlapping pairs
+    assert(enc("aaaa") == "aa||aa")
+    assert(enc("x") == "x")
+    // character conservation: concatenated symbols == the word
+    enc.foreach { case (w, t) => assert(t.split("\\|\\|").mkString == w) }
+  }
+
+  test("q168 per-doc costing: token counts bounded and consistent") {
+    val docs = Seq(
+      (1L, "aa aa bb Nope!"), // one skipped word
+      (2L, "aa bb aa bb aa"),
+      (3L, "???"),            // nothing encodable
+    ).toDF("doc_id", "s")
+    val out = TermOps.bpeEncodeCost(docs)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    val (_, w1, t1, s1, c1) = out(1L)
+    assert(w1 == 3L && s1 == 1L)
+    assert(t1 >= w1 && t1 <= 6L) // between word count and char count
+    assert(c1.isDefined)
+    val (_, w3, t3, s3, c3) = out(3L)
+    assert(w3 == 0L && t3 == 0L && s3 == 1L && c3.isEmpty)
+  }
 }
