@@ -26,6 +26,7 @@ object SparkEntry {
       Association.queries ++
       SetSimJoin.queries ++ Skyline.queries ++ BloomJoin.queries ++
       graft.multimodal.Multimodal.queries ++
+      graft.multimodal.Audio.queries ++
       graft.sources.PackageJsonSource.queries ++
       graft.sources.ParquetSink.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       Association.oracleSql ++
       SetSimJoin.oracleSql ++ Skyline.oracleSql ++ BloomJoin.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
+      graft.multimodal.Audio.oracleSql ++
       graft.sources.PackageJsonSource.oracleSql ++
       graft.sources.ParquetSink.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
