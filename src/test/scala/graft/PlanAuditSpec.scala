@@ -350,6 +350,38 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q164: dup-gram detection aggregates before the equi join-back") {
+    val p = plan(graft.text.SpanOps.q164SubstringDedup(spark, sfDir()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"gram join-back degenerated to all-pairs:\n$p")
+    // duplicate detection must be a hash aggregate on the gram (with
+    // the count>=2 prune as a post-agg Filter), never a self-join
+    assert(p.contains("HashAggregate"), s"no gram aggregation:\n$p")
+    assert("SortMergeJoin Inner|ShuffledHashJoin Inner|BroadcastHashJoin Inner".r
+      .findFirstIn(p).nonEmpty, s"position join-back not an equi join:\n$p")
+  }
+
+  test("q165: NB scoring join is word-keyed equi; scalars broadcast") {
+    val p = plan(graft.text.Classify.q165NbLangConfusion(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"),
+      s"scoring degenerated to an unbroadcast cartesian:\n$p")
+    // the vocab x classes grid build and the one-row vocab-size /
+    // doc-count scalars are legitimate broadcast nested loops; the
+    // corpus-side scoring join must stay equi
+    assert("SortMergeJoin Inner|ShuffledHashJoin Inner|BroadcastHashJoin Inner".r
+      .findFirstIn(p).nonEmpty, s"tf-grid join not an equi join:\n$p")
+    assert(p.contains("BroadcastExchange"), s"scalars not broadcast:\n$p")
+  }
+
+  test("q169: chunking shuffles only for the output sort") {
+    val p = plan(graft.text.SpanOps.q169ChunkStride(spark, sfDir()))
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"in-row chunker shuffles data:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"in-row chunker hash-shuffles the corpus:\n$p")
+  }
+
   test("q158: profile-driven salting broadcasts the bucket map, join stays equi") {
     val p = plan(graft.operators.SkewJoin.q158SaltedJoin(spark, sfDir()))
     assert(p.contains("BroadcastHashJoin"),
