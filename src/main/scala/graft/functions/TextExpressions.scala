@@ -74,6 +74,50 @@ object SimhashSignature {
   * `array_distinct(transform(sequence(...), i -> substring(s, i, 5)))`,
   * which pays an interpreted lambda eval per position (HOFs are
   * CodegenFallback). Null for strings shorter than 5. */
+/** ALL overlapping k-code-point windows of a string WITH their
+  * 1-based start positions: `array<struct<pos int, gram string>>`,
+  * empty for sub-k strings. The q164 gram relation in ONE loop — the
+  * declarative form (`explode(sequence(1, length-k+1))` followed by a
+  * `substring` projection) duplicates the full document string
+  * through every exploded row before the substring prunes it; this
+  * emits only the 40-byte grams. Positions are CODE POINTS (Spark
+  * `substring`/DuckDB `substr` parity — see MinhashSignature). */
+case class PositionedGrams(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("gram", StringType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_positioned_grams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    if (cps.length < k)
+      return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](cps.length - k + 1)
+    var i = 0
+    while (i + k <= cps.length) {
+      out(i) = InternalRow(i + 1,
+        UTF8String.fromString(new String(cps, i, k)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PositionedGrams =
+    copy(child = newChild)
+}
+
+object PositionedGrams {
+  def apply(c: Column, k: Int): Column =
+    ColumnBridge.column(PositionedGrams(ColumnBridge.expression(c), k))
+}
+
 case class CharGrams(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

@@ -49,12 +49,14 @@ object SpanOps {
   val SpanGram = 40
 
   private[graft] def duplicateSpans(d: DataFrame, k: Int): DataFrame = {
-    val pos = d.filter(length(col("s")) >= k)
+    // single-loop gram expression (emits only the grams, not the doc
+    // string per position) + a lineage cut so the corpus-scale gram
+    // relation is computed ONCE for the dup agg and the join-back
+    val pos = graft.Checkpoints.cut(d.filter(length(col("s")) >= k)
       .select(col("doc_id"),
-        explode(expr(s"sequence(1, length(s) - $k + 1)")).as("pos"),
-        col("s"))
-      .select(col("doc_id"), col("pos"),
-        expr(s"substring(s, cast(pos as int), $k)").as("gram"))
+        explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        col("pg.gram").as("gram")))
     val dup = pos.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select("gram")

@@ -223,4 +223,23 @@ class ExpressionEquivalenceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
     assert(custom == hof)
   }
+
+  test("PositionedGrams == sequence/substring formulation, positions included") {
+    val texts = Seq("abcdefghij", "aaaa", "abc", "", "héllo wörld ok",
+      "x" * 50) ++ (0 until 40).map(i => s"doc $i padded out to here $i")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "s")
+    val k = 4
+    val custom = d.select(col("doc_id"),
+        graft.functions.PositionedGrams(col("s"), k).as("g"))
+      .selectExpr("doc_id", "transform(g, p -> concat(p.pos, ':', p.gram)) AS g")
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    val hof = d.selectExpr("doc_id",
+      s"""CASE WHEN length(s) >= $k
+         |THEN transform(sequence(1, length(s) - $k + 1),
+         |  i -> concat(i, ':', substring(s, i, $k)))
+         |ELSE array() END AS g""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(custom == hof)
+  }
 }
