@@ -83,6 +83,62 @@ object SpanOps {
   def q164SubstringDedup(spark: SparkSession, dir: String): DataFrame =
     duplicateSpans(TextOps.docs(spark, dir), SpanGram)
 
+  // ---------------------------------------------------------------- q170
+  /** Span SCRUB — the deliverable Lee et al. 2022 actually ship: the
+    * corpus with every duplicated span (q164's relation) cut out of
+    * every document. Semantics: ALL copies of duplicated content are
+    * removed (the conservative contract — decontamination-grade;
+    * keep-one-copy is a policy layer on top, selecting a
+    * representative doc per gram the way q43 picks dedup survivors).
+    *
+    * Scale shape: q164's span relation (linear, see L48) plus ONE
+    * per-doc window (lag over a doc's own spans → inter-span
+    * segments), a doc-keyed join to slice the segments, and an
+    * ordered per-doc reassembly (array_sort over the doc's few
+    * segments — never a corpus-scale collect). Untouched documents
+    * pass through via the anti-join side unchanged. */
+  private[graft] def scrubSpans(d: DataFrame, k: Int): DataFrame = {
+    val spans = duplicateSpans(d, k)
+    val byDoc = Window.partitionBy("doc_id").orderBy("span_start")
+    // segment BEFORE each span: [prev_end, span_start)
+    val pre = spans
+      .withColumn("seg_start",
+        lag(col("span_end"), 1, 1L).over(byDoc))
+      .select(col("doc_id"), col("seg_start"),
+        (col("span_start") - col("seg_start")).as("seg_len"))
+    // tail segment per doc: [max(span_end), end-of-doc]
+    val tail = spans.groupBy("doc_id")
+      .agg(max(col("span_end")).as("seg_start"),
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("removed_chars"))
+    val segs = pre.select(col("doc_id"), col("seg_start"), col("seg_len"))
+      .unionByName(tail.select(col("doc_id"), col("seg_start"),
+        lit(-1L).as("seg_len"))) // -1 = "to end of string"
+    val cut = segs.join(d.select(col("doc_id"), col("s")), "doc_id")
+      .select(col("doc_id"), col("seg_start"),
+        when(col("seg_len") >= 0,
+          expr("substring(s, cast(seg_start as int), cast(seg_len as int))"))
+          .otherwise(expr("substring(s, cast(seg_start as int))"))
+          .as("seg_text"))
+    val rebuilt = cut.groupBy("doc_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(seg_start, seg_text))), x -> x.seg_text)"),
+        "").as("scrubbed"))
+      .join(tail.select("doc_id", "n_spans", "removed_chars"), "doc_id")
+    val untouched = d.join(spans.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("s").as("scrubbed"),
+        lit(0L).as("n_spans"), lit(0L).as("removed_chars"))
+    rebuilt.unionByName(untouched)
+      .select(col("doc_id"), col("n_spans"), col("removed_chars"),
+        length(col("scrubbed")).cast("long").as("kept_chars"),
+        col("scrubbed"))
+      .orderBy("doc_id")
+  }
+
+  def q170SpanScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubSpans(TextOps.docs(spark, dir), SpanGram)
+
   // ---------------------------------------------------------------- q169
   /** Stride-overlap context-window chunking: each document's token
     * stream is cut into windows of [[ChunkWindow]] tokens advancing by
@@ -124,39 +180,88 @@ object SpanOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_substring_dedup" -> (q164SubstringDedup _),
     "q169_chunk_stride" -> (q169ChunkStride _),
+    "q170_span_scrub" -> (q170SpanScrub _),
   )
+
+  /** q164's span relation as reusable CTEs (through `sp`). */
+  private def spanCtes =
+    s"""${TextOps.normCte},
+       |pos AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |         substr(s, CAST(i AS INT), $SpanGram) AS gram
+       |  FROM n, unnest(generate_series(1, length(s) - $SpanGram + 1)) AS t(i)
+       |  WHERE length(s) >= $SpanGram),
+       |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+       |dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
+       |f AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN max(pos + $SpanGram) OVER (
+       |                PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |              IS NULL
+       |           OR pos > max(pos + $SpanGram) OVER (
+       |                PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |         THEN 1 ELSE 0 END AS new_island
+       |  FROM dp),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+       |  FROM f),
+       |sp AS (
+       |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |         CAST(max(pos) + $SpanGram AS BIGINT) AS span_end,
+       |         CAST(max(pos) + $SpanGram - min(pos) AS BIGINT) AS span_len
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q164_substring_dedup" ->
-      s"""WITH ${TextOps.normCte},
-         |pos AS (
-         |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |         substr(s, CAST(i AS INT), $SpanGram) AS gram
-         |  FROM n, unnest(generate_series(1, length(s) - $SpanGram + 1)) AS t(i)
-         |  WHERE length(s) >= $SpanGram),
-         |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
-         |dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
-         |f AS (
-         |  SELECT doc_id, pos,
-         |         CASE WHEN max(pos + $SpanGram) OVER (
-         |                PARTITION BY doc_id ORDER BY pos
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |              IS NULL
-         |           OR pos > max(pos + $SpanGram) OVER (
-         |                PARTITION BY doc_id ORDER BY pos
-         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |         THEN 1 ELSE 0 END AS new_island
-         |  FROM dp),
-         |isl AS (
-         |  SELECT doc_id, pos,
-         |         sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-         |  FROM f)
-         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-         |       CAST(max(pos) + $SpanGram AS BIGINT) AS span_end,
-         |       CAST(max(pos) + $SpanGram - min(pos) AS BIGINT) AS span_len
-         |FROM isl GROUP BY doc_id, island
-         |ORDER BY doc_id, span_start""".stripMargin,
+      s"""WITH $spanCtes
+         |SELECT doc_id, span_start, span_end, span_len
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin,
+
+    "q170_span_scrub" ->
+      s"""WITH $spanCtes,
+         |pre AS (
+         |  SELECT doc_id,
+         |         lag(span_end, 1, 1) OVER w AS seg_start,
+         |         span_start - lag(span_end, 1, 1) OVER w AS seg_len
+         |  FROM sp
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY span_start)),
+         |tl AS (
+         |  SELECT doc_id, max(span_end) AS seg_start,
+         |         CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(span_len) AS BIGINT) AS removed_chars
+         |  FROM sp GROUP BY doc_id),
+         |segs AS (
+         |  SELECT doc_id, seg_start, seg_len FROM pre
+         |  UNION ALL
+         |  SELECT doc_id, seg_start, CAST(-1 AS BIGINT) FROM tl),
+         |cut AS (
+         |  SELECT g.doc_id, g.seg_start,
+         |         CASE WHEN g.seg_len >= 0
+         |           THEN substr(n.s, CAST(g.seg_start AS INT),
+         |                       CAST(g.seg_len AS INT))
+         |           ELSE substr(n.s, CAST(g.seg_start AS INT))
+         |         END AS seg_text
+         |  FROM segs g JOIN n USING (doc_id)),
+         |rb AS (
+         |  SELECT doc_id,
+         |         coalesce(string_agg(seg_text, '' ORDER BY seg_start), '')
+         |           AS scrubbed
+         |  FROM cut GROUP BY doc_id),
+         |touched AS (
+         |  SELECT rb.doc_id, t.n_spans, t.removed_chars, rb.scrubbed
+         |  FROM rb JOIN tl t USING (doc_id)),
+         |untouched AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS n_spans,
+         |         CAST(0 AS BIGINT) AS removed_chars, s AS scrubbed
+         |  FROM n WHERE doc_id NOT IN (SELECT doc_id FROM sp))
+         |SELECT doc_id, n_spans, removed_chars,
+         |       CAST(length(scrubbed) AS BIGINT) AS kept_chars, scrubbed
+         |FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
+         |ORDER BY doc_id""".stripMargin,
 
     "q169_chunk_stride" ->
       s"""WITH ${TextOps.normCte},

@@ -64,6 +64,50 @@ class SpanOpsSpec extends SparkSpec {
     assert(rows.forall(r => r._4 >= k && r._4 == r._3 - r._2))
   }
 
+  test("q170 scrub removes exactly the spans and conserves characters") {
+    val k = 12
+    val d = corpus.toDF("doc_id", "s")
+    val spans = refSpans(corpus, k).groupBy(_._1)
+    val out = SpanOps.scrubSpans(d, k)
+      .select("doc_id", "n_spans", "removed_chars", "kept_chars", "scrubbed")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == corpus.map(_._1).toSet) // every doc present
+    corpus.foreach { case (id, s) =>
+      val (_, nSpans, removed, kept, scrubbed) = out(id)
+      val ref = spans.getOrElse(id, Seq.empty)
+      assert(nSpans == ref.size.toLong)
+      // scalar reference scrub: drop chars covered by any span
+      val covered = ref.flatMap { case (_, st, en) => (st - 1) until (en - 1) }.toSet
+      val expected = s.zipWithIndex.collect {
+        case (c, i) if !covered.contains(i) => c
+      }.mkString
+      assert(scrubbed == expected, s"doc $id scrub mismatch")
+      assert(removed == covered.size.toLong)
+      assert(kept + removed == s.length.toLong) // conservation
+    }
+    // the fixture actually removes something and keeps something
+    assert(out.values.exists(_._3 > 0) && out.values.forall(_._4 >= 0))
+  }
+
+  test("q170 scrubbed corpus has no remaining duplicated k-gram from removed content") {
+    val k = 12
+    val d = corpus.toDF("doc_id", "s")
+    val scrubbed = SpanOps.scrubSpans(d, k)
+      .select("doc_id", "scrubbed").as[(Long, String)].collect().toSeq
+    // conservative contract: every 40%+ duplicated run of length >= k
+    // was cut from ALL docs, so re-running detection on the scrubbed
+    // text finds only duplicates CREATED by the seam junctions
+    val again = refSpans(scrubbed, k)
+    val seams = again.map(_._1).toSet
+    // seam-created duplicates are possible but must not resurrect the
+    // original planted duplicates (docs 1,2 shared a 47-char run; the
+    // run itself must be gone from both)
+    val planted = "the quick brown fox jumps over the lazy dog"
+    scrubbed.foreach { case (_, s) => assert(!s.contains(planted.take(k))) }
+    assert(seams.subsetOf(scrubbed.map(_._1).toSet))
+  }
+
   test("q169 chunks cover every token exactly and overlap by win-step") {
     val docs = Seq(
       (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // multi-chunk
