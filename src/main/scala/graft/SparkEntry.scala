@@ -27,6 +27,7 @@ object SparkEntry {
       SetSimJoin.queries ++ Skyline.queries ++ BloomJoin.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.multimodal.Audio.queries ++
+      graft.multimodal.Video.queries ++
       graft.sources.PackageJsonSource.queries ++
       graft.sources.ParquetSink.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       SetSimJoin.oracleSql ++ Skyline.oracleSql ++ BloomJoin.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
       graft.multimodal.Audio.oracleSql ++
+      graft.multimodal.Video.oracleSql ++
       graft.sources.PackageJsonSource.oracleSql ++
       graft.sources.ParquetSink.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
