@@ -341,7 +341,47 @@ object Olap {
       .orderBy(col("gini").desc, col("n_name").asc)
   }
 
+  // ---------------------------------------------------------------- q177
+  /** TPC-H Q10 (returned-item reporting) — the canonical top-k
+    * customer report: revenue lost to returns in one quarter,
+    * attributed per customer, top 20. Plan shape: the returnflag
+    * filter and the quarter range both push to their scans (lineitem
+    * drops ~2/3 of rows, orders ~24× at the scan); nation broadcasts;
+    * lineitem⋈orders is the one fact-scale shuffle; the grouped
+    * relation is customer-sized and the global top-20 is a
+    * TakeOrderedAndProject (k rows per partition cross the final
+    * exchange, never the customer table). Revenue uses the library's
+    * money convention (4dp-rounded doubles summed as DECIMAL —
+    * accumulation-order-free, engine-exact). */
+  val Q10Start = "1995-10-01"
+  val Q10End = "1996-01-01"
+
+  def q177TpchQ10(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast("decimal(18,4)").as("rev"))
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit(Q10Start).cast("date") &&
+            col("o_orderdate") < lit(Q10End).cast("date"))
+          .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_name"),
+          col("c_acctbal"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+      .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_tpch_q10" -> (q177TpchQ10 _),
     "q138_gini_spend" -> (q138GiniSpend _),
     "q84_rollup" -> (q84Rollup _),
     "q85_moving_window" -> (q85MovingWindow _),
@@ -356,6 +396,19 @@ object Olap {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q177_tpch_q10" ->
+      s"""SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+         |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM customer c, orders o, lineitem l, nation n
+         |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+         |  AND c.c_nationkey = n.n_nationkey
+         |  AND l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= DATE '$Q10Start'
+         |  AND o.o_orderdate < DATE '$Q10End'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
     "q138_gini_spend" ->
       """WITH s AS (
         |  SELECT o_custkey AS ent,

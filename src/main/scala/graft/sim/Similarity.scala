@@ -363,9 +363,122 @@ object Similarity {
       .orderBy("la", "lb")
   }
 
+  // ---------------------------------------------------------------- q172
+  /** ANN recall audit — the acceptance test a similarity index must
+    * pass before it is trusted to dedup or retrieve: per audit query,
+    * exact brute-force top-[[AuditK]] vs the q41 IVF index's candidate
+    * set, reporting candidates probed (the cost proxy — IVF's whole
+    * bargain is `n_probed ≪ corpus`) and recall@k (the quality side
+    * of that bargain). Recall is ESTIMATED ON A BOUNDED QUERY SAMPLE
+    * ([[AuditQueries]] vectors) — the standard methodology (Jégou et
+    * al. 2011 eval protocol): the sample broadcasts, the corpus
+    * streams ONCE for the exact side (keyed top-k aggregate — only
+    * k pairs per query per partition cross the shuffle) and once for
+    * the cell assignment, so audit cost at 100 TB is two scans
+    * regardless of corpus size. The exact side deliberately does NOT
+    * reuse the index being audited. */
+  val AuditQueries = 20
+  val AuditK = 10
+
+  def q172AnnRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val v = vecs(spark, dir)
+    val q = v.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("q_vec"), col("e").as("qe"))
+    // ground truth: exact cosine top-k per audit query
+    val exact = v.join(broadcast(q), col("vec_id") =!= col("q_vec"))
+      .select(col("q_vec"), col("vec_id").as("cand"),
+        cosine(col("qe"), col("e")).as("sim"))
+      .groupBy("q_vec")
+      .agg(graft.functions.TopKAgg.topkKeyed(col("sim"), col("cand"), AuditK)
+        .as("tops"))
+      .select(col("q_vec"), explode(col("tops")).as("t"))
+      .select(col("q_vec"), col("t.id").as("cand"))
+    // the index under audit: q41's cell assignment + probe set
+    val corpus = v.withColumn("cell", cellOf(col("e")))
+      .select(col("vec_id").as("cand"), col("cell"))
+    val qDots = v.filter(col("vec_id") < AuditQueries)
+      .select(col("vec_id").as("q_vec"),
+        posexplode(array(cellDots(col("e")): _*)).as(Seq("cell", "d")))
+    val wq = Window.partitionBy("q_vec").orderBy(col("d").desc, col("cell").asc)
+    val probes = qDots.withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("q_vec"), col("cell"))
+    val cands = corpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("cand") =!= col("q_vec"))
+      .select("q_vec", "cand")
+    val nProbed = cands.groupBy("q_vec").agg(count(lit(1)).as("n_probed"))
+    val hits = exact.join(cands, Seq("q_vec", "cand"), "left_semi")
+      .groupBy("q_vec").agg(count(lit(1)).as("n_hit"))
+    q.select("q_vec")
+      .join(nProbed, Seq("q_vec"), "left").join(hits, Seq("q_vec"), "left")
+      .select(col("q_vec"),
+        coalesce(col("n_probed"), lit(0L)).as("n_probed"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / AuditK, 6)
+          .as("recall_at_k"))
+      .orderBy("q_vec")
+  }
+
+  // ---------------------------------------------------------------- q173
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE
+    * data-prep step): per anchor vector, the nearest SAME-label
+    * neighbor (the positive) and the [[MineNegK]] nearest
+    * DIFFERENT-label neighbors (the hard negatives — the confusable
+    * items a contrastive loss learns the most from), with the
+    * anchor-level margin (pos_sim − neg_sim; negative margin = the
+    * anchor's positive is outranked by an impostor, the label-noise
+    * smell q143 audits at class grain).
+    *
+    * Scale shape: anchors are the batch being mined — a bounded
+    * broadcast ([[MineQueries]] here); the corpus streams ONCE and
+    * both selections are keyed top-k AGGREGATES (k·anchors rows cross
+    * the shuffle, never corpus×anchors). Mining EVERY anchor at
+    * 100 TB swaps the broadcast for a blocked candidate generator —
+    * q41's IVF cells or q25's LSH bands — scoring only same-cell
+    * pairs; the per-anchor selection is unchanged. */
+  val MineQueries = 20
+  val MineNegK = 3
+
+  def q173HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("e"))
+    val q = v.filter(col("vec_id") < MineQueries)
+      .select(col("vec_id").as("q_vec"), col("label").as("q_label"),
+        col("e").as("qe"))
+    val scored = v.join(broadcast(q), col("vec_id") =!= col("q_vec"))
+      .select(col("q_vec"), col("q_label"),
+        col("vec_id").as("cand"), col("label").as("cand_label"),
+        cosine(col("qe"), col("e")).as("sim"))
+    val pos = scored.filter(col("cand_label") === col("q_label"))
+      .groupBy("q_vec")
+      .agg(graft.functions.TopKAgg.topkKeyed(col("sim"), col("cand"), 1)
+        .as("tops"))
+      .select(col("q_vec"), explode(col("tops")).as("t"))
+      .select(col("q_vec"), col("t.id").as("pos_id"), col("t.v").as("pos_sim"))
+    val negs = scored.filter(col("cand_label") =!= col("q_label"))
+      .groupBy("q_vec", "q_label")
+      .agg(graft.functions.TopKAgg.topkKeyed(col("sim"), col("cand"), MineNegK)
+        .as("tops"))
+      .select(col("q_vec"), col("q_label"),
+        posexplode(col("tops")).as(Seq("p", "t")))
+      .select(col("q_vec"), col("q_label").as("label"),
+        (col("p") + 1).cast("long").as("neg_rank"),
+        col("t.id").as("neg_id"), col("t.v").as("neg_sim"))
+    negs.join(pos, "q_vec")
+      .select(col("q_vec"), col("label"), col("pos_id"),
+        round(col("pos_sim"), 6).as("pos_sim"),
+        col("neg_rank"), col("neg_id"),
+        round(col("neg_sim"), 6).as("neg_sim"),
+        round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+      .orderBy("q_vec", "neg_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_centroid_separation" -> (q143CentroidSeparation _),
     "q128_semantic_decontamination" -> (q128SemanticDecontamination _),
+    "q172_ann_recall_audit" -> (q172AnnRecallAudit _),
+    "q173_hard_negatives" -> (q173HardNegatives _),
     "q127_embedding_outliers" -> (q127EmbeddingOutliers _),
     "q24_sim_topk" -> (q24SimTopk _),
     "q25_sim_ann_lsh" -> (q25SimAnnLsh _),
@@ -530,20 +643,7 @@ object Similarity {
 
     "q41_sim_ann_ivf" ->
       s"""WITH $vecCtes,
-         |cwt AS (SELECT c.c, d.d,
-         |    (${hexToLongSql("md5(CAST(c.c + 100 AS VARCHAR) || '_' || CAST(d.d AS VARCHAR))", 1, 4)}
-         |     / 65535.0) * 2.0 - 1.0 AS w
-         |  FROM (SELECT unnest(generate_series(0, ${IvfCells - 1})) AS c) c,
-         |       (SELECT unnest(generate_series(0, $Dims - 1)) AS d) d),
-         |dotc AS (SELECT vv.vec_id, cwt.c, sum(cwt.w * vv.x) AS s
-         |  FROM vv JOIN cwt ON cwt.d = vv.i - 1
-         |  GROUP BY 1, 2),
-         |cellr AS (SELECT vec_id, c,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rk
-         |  FROM dotc),
-         |corpus AS (SELECT vec_id, c AS cell FROM cellr WHERE rk = 1),
-         |probes AS (SELECT vec_id AS qv, c AS cell FROM cellr
-         |           WHERE rk <= $IvfProbes AND vec_id < 5),
+         |${ivfCtes(5)},
          |cand AS (SELECT p.qv AS av, x.vec_id AS bv
          |  FROM probes p JOIN corpus x ON x.cell = p.cell AND x.vec_id <> p.qv),
          |$pairSimSql,
@@ -553,5 +653,78 @@ object Similarity {
          |SELECT av AS q_vec, bv AS cand, round(sim, 6) AS sim,
          |       CAST(rk AS BIGINT) AS rank
          |FROM r WHERE rk <= 5 ORDER BY q_vec, rank""".stripMargin,
+
+    "q172_ann_recall_audit" ->
+      s"""WITH $vecCtes,
+         |${ivfCtes(AuditQueries)},
+         |cand AS (SELECT q.vec_id AS av, c.vec_id AS bv
+         |  FROM v q, v c WHERE q.vec_id < $AuditQueries AND c.vec_id <> q.vec_id),
+         |$pairSimSql,
+         |ex AS (SELECT av, bv FROM (
+         |    SELECT av, bv,
+         |      row_number() OVER (PARTITION BY av ORDER BY sim DESC, bv ASC) AS rk
+         |    FROM sims) z WHERE rk <= $AuditK),
+         |ic AS (SELECT p.qv AS av, x.vec_id AS bv
+         |  FROM probes p JOIN corpus x ON x.cell = p.cell AND x.vec_id <> p.qv),
+         |np AS (SELECT av, CAST(count(*) AS BIGINT) AS n_probed
+         |       FROM ic GROUP BY 1),
+         |ht AS (SELECT e.av, CAST(count(*) AS BIGINT) AS n_hit
+         |       FROM ex e JOIN ic ON ic.av = e.av AND ic.bv = e.bv
+         |       GROUP BY 1)
+         |SELECT q.vec_id AS q_vec,
+         |       coalesce(np.n_probed, CAST(0 AS BIGINT)) AS n_probed,
+         |       coalesce(ht.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+         |       round(CAST(coalesce(ht.n_hit, 0) AS DOUBLE) / $AuditK, 6)
+         |         AS recall_at_k
+         |FROM v q
+         |LEFT JOIN np ON np.av = q.vec_id
+         |LEFT JOIN ht ON ht.av = q.vec_id
+         |WHERE q.vec_id < $AuditQueries ORDER BY q_vec""".stripMargin,
+
+    "q173_hard_negatives" ->
+      s"""WITH $vecCtes,
+         |vl AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |cand AS (SELECT q.vec_id AS av, c.vec_id AS bv
+         |  FROM v q, v c WHERE q.vec_id < $MineQueries AND c.vec_id <> q.vec_id),
+         |$pairSimSql,
+         |s2 AS (SELECT s.av, s.bv, s.sim,
+         |         qa.label AS q_label, qb.label AS c_label
+         |       FROM sims s
+         |       JOIN vl qa ON qa.vec_id = s.av
+         |       JOIN vl qb ON qb.vec_id = s.bv),
+         |pos AS (SELECT av, bv AS pos_id, sim AS pos_sim FROM (
+         |    SELECT av, bv, sim,
+         |      row_number() OVER (PARTITION BY av ORDER BY sim DESC, bv ASC) AS rk
+         |    FROM s2 WHERE c_label = q_label) z WHERE rk = 1),
+         |neg AS (SELECT av, q_label, bv AS neg_id, sim AS neg_sim,
+         |         CAST(rk AS BIGINT) AS neg_rank FROM (
+         |    SELECT av, q_label, bv, sim,
+         |      row_number() OVER (PARTITION BY av ORDER BY sim DESC, bv ASC) AS rk
+         |    FROM s2 WHERE c_label <> q_label) z WHERE rk <= $MineNegK)
+         |SELECT n.av AS q_vec, n.q_label AS label, p.pos_id,
+         |       round(p.pos_sim, 6) AS pos_sim,
+         |       n.neg_rank, n.neg_id, round(n.neg_sim, 6) AS neg_sim,
+         |       round(p.pos_sim - n.neg_sim, 6) AS margin
+         |FROM neg n JOIN pos p ON p.av = n.av
+         |ORDER BY q_vec, neg_rank""".stripMargin,
   )
+
+  /** IVF coarse-quantizer CTEs (mirror of [[cellOf]]/[[cellDots]]):
+    * `corpus` = every vector's argmax cell, `probes` = the top-
+    * [[IvfProbes]] cells per query vector (`vec_id < qBound`). */
+  private def ivfCtes(qBound: Int): String =
+    s"""cwt AS (SELECT c.c, d.d,
+       |    (${hexToLongSql("md5(CAST(c.c + 100 AS VARCHAR) || '_' || CAST(d.d AS VARCHAR))", 1, 4)}
+       |     / 65535.0) * 2.0 - 1.0 AS w
+       |  FROM (SELECT unnest(generate_series(0, ${IvfCells - 1})) AS c) c,
+       |       (SELECT unnest(generate_series(0, $Dims - 1)) AS d) d),
+       |dotc AS (SELECT vv.vec_id, cwt.c, sum(cwt.w * vv.x) AS s
+       |  FROM vv JOIN cwt ON cwt.d = vv.i - 1
+       |  GROUP BY 1, 2),
+       |cellr AS (SELECT vec_id, c,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c ASC) AS rk
+       |  FROM dotc),
+       |corpus AS (SELECT vec_id, c AS cell FROM cellr WHERE rk = 1),
+       |probes AS (SELECT vec_id AS qv, c AS cell FROM cellr
+       |           WHERE rk <= $IvfProbes AND vec_id < $qBound)""".stripMargin
 }

@@ -1,0 +1,226 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.WordShingles
+
+/** Corpus-composition audits over the document corpus: cross-source
+  * n-gram contamination (how much two ingest sources share — the
+  * audit run before mixing sources into one training corpus, since a
+  * source pair with high overlap double-counts its content at
+  * whatever mixing weight each was assigned), per-document
+  * boilerplate scoring (the fraction of a document that is
+  * corpus-repeated content — the doc-grain complement of q164's
+  * position-grain span detection), and vocabulary OOV-rate audit
+  * (per-document coverage under the q56 vocabulary — the tokenizer
+  * sanity report).
+  *
+  * Reference corpus semantics these extend: the miner's per-source
+  * ingest identity (reference `src/GitHubMinerHelper.ts:1-150` tracks
+  * each crawl page as a source batch) — these operators audit what
+  * happens when such batches are unioned into one corpus.
+  */
+object SourceOps {
+
+  /** Shingle width shared by the overlap matrix and the boilerplate
+    * score — q46's decontamination width (8 words, the published
+    * decontamination convention). */
+  val AuditShingle = 8
+
+  // ---------------------------------------------------------------- q174
+  /** Cross-source contamination matrix: for every pair of ingest
+    * sources, the distinct-8-gram overlap (|G_a ∩ G_b|, both set
+    * sizes, Jaccard). The full matrix is emitted — zero-overlap pairs
+    * included — because the deliverable is the mixing-table audit,
+    * not a hit list.
+    *
+    * Scale shape: the gram relation is one pass (in-row shingling,
+    * then a distinct keyed on (source, gram) — map-side combine does
+    * most of it since a source's docs share boilerplate); the pair
+    * counts come from ONE gram-keyed aggregation into a bounded
+    * source-set array (≤ n_sources entries — sources are an
+    * operational enumeration, dozens not millions) whose in-row pair
+    * expansion is at most C(n_sources, 2) per gram. No gram-keyed
+    * self-join, so a universally-shared gram costs C(s,2) rows, not
+    * (docs-containing)². The final matrix is source² — driver-sized
+    * by construction. */
+  def q174SourceOverlap(spark: SparkSession, dir: String): DataFrame =
+    overlapMatrix(TextOps.docs(spark, dir), AuditShingle)
+
+  /** Core of q174 over (source, s) rows. */
+  private[graft] def overlapMatrix(d: DataFrame, k: Int): DataFrame = {
+    val sg = graft.Checkpoints.cut(
+      d.select(col("source"), explode(WordShingles(col("s"), k)).as("gram"))
+        .distinct())
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
+    // gram → sorted source set → in-row (a < b) pair expansion
+    val overlap = sg.groupBy("gram")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)), b ->
+          |    struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.select(col("source").as("src_a"), col("n").as("n_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    pairs.join(overlap, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_common"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // ---------------------------------------------------------------- q175
+  /** Per-document boilerplate score: the fraction of a document's
+    * distinct 8-grams that occur in at least one OTHER document —
+    * the doc-grain "how much of this is template/repeated content"
+    * metric (C4 and RefinedWeb both cut on exactly this family of
+    * signal). Documents of fewer than [[AuditShingle]] words carry no
+    * grams and are absent, as in the q46 convention.
+    *
+    * Scale shape: q164's gram-agg-then-join-back shape at word grain —
+    * ONE hash aggregation marks corpus-repeated grams (count ≥ 2 over
+    * the per-doc-distinct relation = doc frequency ≥ 2; map-side
+    * combine collapses the unique majority locally), the ≥2 filter
+    * prunes before the join-back, and the per-doc ratios are one
+    * grouped count each. The lineage cut computes the corpus-scale
+    * gram relation once for its three consumers. */
+  val BoilerplateTau = 0.5
+
+  def q175BoilerplateScore(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(TextOps.docs(spark, dir), AuditShingle)
+
+  /** Core of q175 over (doc_id, s) rows. */
+  private[graft] def boilerplate(d: DataFrame, k: Int): DataFrame = {
+    val sh = graft.Checkpoints.cut(
+      d.select(col("doc_id"), explode(WordShingles(col("s"), k)).as("gram")))
+    val rep = sh.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("gram")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dup = sh.join(rep, "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("boilerplate_ratio"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams")
+          >= BoilerplateTau).as("is_boilerplate"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- q176
+  /** Vocabulary OOV audit: per document, its token count and the
+    * count/rate of tokens OUTSIDE the q56 top-[[CorpusOps.VocabK]]
+    * vocabulary — the coverage report that decides whether a
+    * vocabulary (or tokenizer) is big enough for the corpus it will
+    * train on, and the per-language OOV skew that flags languages the
+    * vocabulary underserves.
+    *
+    * Scale shape: the vocabulary is model-sized by construction
+    * (top-K of a wordcount — ONE partial-agg pass over the corpus,
+    * then a K-row global top-k) and broadcasts; the scoring pass
+    * streams the corpus once through a broadcast left-join. Nothing
+    * corpus-scale shuffles on the word key twice. */
+  def q176OovAudit(spark: SparkSession, dir: String): DataFrame =
+    oovAudit(TextOps.docs(spark, dir), CorpusOps.VocabK)
+
+  /** Core of q176 over (doc_id, lang, s) rows. */
+  private[graft] def oovAudit(d: DataFrame, vocabK: Int): DataFrame = {
+    val vocab = d.select(explode(split(col("s"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc).limit(vocabK)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    d.select(col("doc_id"), col("lang"),
+        explode(split(col("s"), " ")).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_source_overlap" -> (q174SourceOverlap _),
+    "q175_boilerplate_score" -> (q175BoilerplateScore _),
+    "q176_oov_audit" -> (q176OovAudit _),
+  )
+
+  /** Distinct per-doc word-8-gram CTE (mirror of [[WordShingles]] at
+    * width [[AuditShingle]] — the q46 oracle's shingle SQL). */
+  private val gramCte =
+    s"""w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+       |g AS (SELECT DISTINCT doc_id,
+       |        array_to_string(ws[i:i + ${AuditShingle - 1}], ' ') AS gram
+       |      FROM w, unnest(generate_series(1,
+       |             greatest(len(ws) - ${AuditShingle - 1}, 0))) AS t(i))""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q174_source_overlap" ->
+      s"""WITH ${TextOps.normCte},
+         |$gramCte,
+         |sg AS (SELECT DISTINCT d.source, g.gram
+         |       FROM g JOIN documents d USING (doc_id)),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |       FROM sg GROUP BY 1),
+         |ov AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |       FROM sg a JOIN sg b
+         |         ON a.gram = b.gram AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         a.n AS n_a, b.n AS n_b
+         |       FROM sz a JOIN sz b ON a.source < b.source)
+         |SELECT pr.src_a, pr.src_b, pr.n_a, pr.n_b,
+         |       coalesce(ov.n_common, CAST(0 AS BIGINT)) AS n_common,
+         |       round(CAST(coalesce(ov.n_common, 0) AS DOUBLE) /
+         |             (pr.n_a + pr.n_b - coalesce(ov.n_common, 0)), 6)
+         |         AS jaccard
+         |FROM pr LEFT JOIN ov
+         |  ON ov.src_a = pr.src_a AND ov.src_b = pr.src_b
+         |ORDER BY 1, 2""".stripMargin,
+
+    "q175_boilerplate_score" ->
+      s"""WITH ${TextOps.normCte},
+         |$gramCte,
+         |rep AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |       FROM g GROUP BY 1),
+         |dd AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |       FROM g JOIN rep USING (gram) GROUP BY 1)
+         |SELECT pd.doc_id, pd.n_grams,
+         |       coalesce(dd.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+         |       round(CAST(coalesce(dd.n_dup, 0) AS DOUBLE) / pd.n_grams, 6)
+         |         AS boilerplate_ratio,
+         |       (CAST(coalesce(dd.n_dup, 0) AS DOUBLE) / pd.n_grams
+         |         >= $BoilerplateTau) AS is_boilerplate
+         |FROM pd LEFT JOIN dd USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q176_oov_audit" ->
+      s"""WITH ${TextOps.normCte},
+         |wcount AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(string_split(s, ' ')) AS word FROM n)
+         |  GROUP BY 1),
+         |voc AS (SELECT word FROM wcount
+         |        ORDER BY cnt DESC, word ASC LIMIT ${CorpusOps.VocabK}),
+         |tk AS (SELECT n.doc_id, d.lang,
+         |         unnest(string_split(n.s, ' ')) AS word
+         |       FROM n JOIN documents d USING (doc_id))
+         |SELECT tk.doc_id, tk.lang,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       CAST(sum(CASE WHEN voc.word IS NULL THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_oov,
+         |       round(CAST(sum(CASE WHEN voc.word IS NULL THEN 1 ELSE 0 END)
+         |                  AS DOUBLE) / count(*), 6) AS oov_rate
+         |FROM tk LEFT JOIN voc USING (word)
+         |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sim.Similarity
+import graft.text.SourceOps
+import graft.operators.Olap
+
+/** Specs for the corpus-composition audits (q174–q176), the ANN
+  * recall audit (q172), hard-negative mining (q173) and TPC-H Q10
+  * (q177) — each against an independent scalar reference. */
+class SourceSimAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // ---- shared scalar reference bits over the sf0.001 embeddings ----
+
+  private lazy val (vecById, labelById) = {
+    val rows = Tables(spark, sfDir()).embeddings.collect()
+    val v = rows.map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val l = rows.map(r => r.getAs[Long]("vec_id") ->
+      r.getAs[Int]("label").toLong).toMap
+    (v, l)
+  }
+
+  /** Ascending-dim accumulation — the DotProduct convention, so
+    * doubles match the operator bit-for-bit. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def cos(a: Array[Double], b: Array[Double]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  private def cellOf(e: Array[Double]): Int = {
+    val dots = (0 until Similarity.IvfCells).map { c =>
+      val w = (0 until Similarity.Dims)
+        .map(d => Similarity.hyperplane(100 + c, d)).toArray
+      dot(w, e)
+    }
+    dots.indexOf(dots.max) // first occurrence = smallest cell on ties
+  }
+
+  test("q172 recall audit == scalar IVF-vs-brute-force reference") {
+    val ids = vecById.keys.toSeq.sorted
+    val cells = ids.map(id => id -> cellOf(vecById(id))).toMap
+    val ref = ids.filter(_ < Similarity.AuditQueries).map { q =>
+      val qe = vecById(q)
+      val exact = ids.filter(_ != q)
+        .map(c => (c, cos(qe, vecById(c))))
+        .sortBy { case (c, s) => (-s, c) }.take(Similarity.AuditK)
+        .map(_._1).toSet
+      val probeDots = (0 until Similarity.IvfCells).map { c =>
+        val w = (0 until Similarity.Dims)
+          .map(d => Similarity.hyperplane(100 + c, d)).toArray
+        (c, dot(w, qe))
+      }
+      val probes = probeDots.sortBy { case (c, s) => (-s, c) }
+        .take(Similarity.IvfProbes).map(_._1).toSet
+      val cands = ids.filter(c => c != q && probes.contains(cells(c))).toSet
+      val nHit = (exact intersect cands).size.toLong
+      (q, cands.size.toLong, nHit,
+        round6(nHit.toDouble / Similarity.AuditK))
+    }
+    val got = Similarity.q172AnnRecallAudit(spark, sfDir())
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == ref)
+    assert(got.exists(_._4 < 1.0), "audit should catch some misses")
+    assert(got.exists(_._4 > 0.0), "audit should catch some hits")
+  }
+
+  test("q173 hard negatives == scalar mining reference") {
+    val ids = vecById.keys.toSeq.sorted
+    val ref = ids.filter(_ < Similarity.MineQueries).flatMap { q =>
+      val qe = vecById(q); val ql = labelById(q)
+      val scored = ids.filter(_ != q)
+        .map(c => (c, labelById(c), cos(qe, vecById(c))))
+        .sortBy { case (c, _, s) => (-s, c) }
+      val (posId, posSim) = scored.collectFirst {
+        case (c, l, s) if l == ql => (c, s) }.get
+      scored.filter(_._2 != ql).take(Similarity.MineNegK).zipWithIndex.map {
+        case ((c, _, s), i) =>
+          (q, ql, posId, round6(posSim), (i + 1).toLong, c, round6(s),
+            round6(posSim - s))
+      }
+    }
+    val got = Similarity.q173HardNegatives(spark, sfDir())
+      .as[(Long, Long, Long, Double, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got == ref)
+    assert(got.size == Similarity.MineQueries * Similarity.MineNegK)
+  }
+
+  // ---- text-side audits on inline fixtures ----
+
+  private def shingleSet(s: String, k: Int): Set[String] =
+    s.split(" ", -1).toSeq.sliding(k).filter(_.size == k)
+      .map(_.mkString(" ")).toSet
+
+  private val srcCorpus = Seq(
+    ("a", "one two three four five"),
+    ("a", "one two three nine ten"),
+    ("b", "one two three four six"),
+    ("b", "totally different words here now"),
+    ("c", "zz yy xx ww vv"),
+    ("c", "no overlap with anything else at all"),
+  )
+
+  test("q174 overlap matrix == scalar set reference (k=3, full matrix)") {
+    val k = 3
+    val bySrc = srcCorpus.groupBy(_._1).view
+      .mapValues(_.map(d => shingleSet(d._2, k)).reduce(_ ++ _)).toMap
+    val srcs = bySrc.keys.toSeq.sorted
+    val ref = (for {
+      a <- srcs; b <- srcs if a < b
+      ga = bySrc(a); gb = bySrc(b); common = (ga intersect gb).size.toLong
+    } yield (a, b, ga.size.toLong, gb.size.toLong, common,
+      round6(common.toDouble / (ga.size + gb.size - common))))
+      .sortBy(t => (t._1, t._2))
+    val got = SourceOps.overlapMatrix(
+      srcCorpus.toDF("source", "s"), k)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == ref)
+    assert(got.size == srcs.size * (srcs.size - 1) / 2) // zero pairs kept
+    assert(got.exists(_._5 > 0) && got.exists(_._5 == 0))
+  }
+
+  private val boilerCorpus = Seq(
+    (1L, "alpha beta gamma delta epsilon"),   // 2 of 3 grams shared w/ 2
+    (2L, "alpha beta gamma delta other"),
+    (3L, "unique content nothing shared here"),
+    (4L, "wo rd"),                            // < k words → no grams, absent
+  )
+
+  test("q175 boilerplate score == scalar doc-frequency reference (k=3)") {
+    val k = 3
+    val gramsByDoc = boilerCorpus.map { case (id, s) => id -> shingleSet(s, k) }
+      .filter(_._2.nonEmpty).toMap
+    val df = gramsByDoc.values.flatten.groupBy(identity).view
+      .mapValues(_.size).toMap
+    val ref = gramsByDoc.toSeq.sortBy(_._1).map { case (id, gs) =>
+      val dup = gs.count(g => df(g) >= 2).toLong
+      val ratio = dup.toDouble / gs.size
+      (id, gs.size.toLong, dup, round6(ratio), ratio >= SourceOps.BoilerplateTau)
+    }
+    val got = SourceOps.boilerplate(boilerCorpus.toDF("doc_id", "s"), k)
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(got == ref)
+    assert(!got.exists(_._1 == 4L)) // sub-k doc carries no grams
+    assert(got.exists(_._5) && got.exists(!_._5))
+  }
+
+  test("q176 OOV audit == scalar vocabulary reference (K=2)") {
+    val corpus = Seq(
+      (1L, "en", "aa aa bb cc"),
+      (2L, "de", "aa bb bb dd ee"),
+      (3L, "fr", "ff gg"),
+    )
+    // global counts: aa=3 bb=3 cc=1 dd=1 ee=1 ff=1 gg=1 → top2 = aa, bb
+    val vocab = Set("aa", "bb")
+    val ref = corpus.map { case (id, lang, s) =>
+      val ws = s.split(" ", -1).toSeq
+      val oov = ws.count(!vocab.contains(_)).toLong
+      (id, lang, ws.size.toLong, oov, round6(oov.toDouble / ws.size))
+    }
+    val got = SourceOps.oovAudit(corpus.toDF("doc_id", "lang", "s"), 2)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    assert(got == ref)
+  }
+
+  test("q177 TPC-H Q10 matches the SQL-path formulation") {
+    val t = Tables(spark, sfDir())
+    Seq("customer" -> t.customer, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "nation" -> t.nation)
+      .foreach { case (n, df) => df.createOrReplaceTempView(n) }
+    val ref = spark.sql(
+      s"""SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+         |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM customer c, orders o, lineitem l, nation n
+         |WHERE c.c_custkey = o.o_custkey AND l.l_orderkey = o.o_orderkey
+         |  AND c.c_nationkey = n.n_nationkey AND l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= DATE '${Olap.Q10Start}'
+         |  AND o.o_orderdate < DATE '${Olap.Q10End}'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin)
+      .as[(Long, String, String, Double, Double)].collect().toSeq
+    val got = Olap.q177TpchQ10(spark, sfDir())
+      .as[(Long, String, String, Double, Double)].collect().toSeq
+    assert(got == ref)
+    assert(got.nonEmpty && got.size <= 20)
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse)
+  }
+}
