@@ -382,6 +382,53 @@ class PlanAuditSpec extends SparkSpec {
       s"in-row chunker hash-shuffles the corpus:\n$p")
   }
 
+  test("q177: filters pushed to both scans, nation broadcast, top-20 is TakeOrdered") {
+    val p = plan(graft.operators.Olap.q177TpchQ10(spark, sfDir()))
+    val pfs = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(pfs.contains("l_returnflag"), s"returnflag not pushed: $pfs")
+    assert(pfs.contains("o_orderdate"), s"date range not pushed: $pfs")
+    assert(p.contains("BroadcastHashJoin"), s"nation not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 is a global sort, not a take-ordered:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q172/q173: query sample broadcast, selection is keyed top-k, no window") {
+    for (df <- Seq(
+        Similarity.q172AnnRecallAudit(spark, sfDir()),
+        Similarity.q173HardNegatives(spark, sfDir()))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"),
+        s"scoring degenerated to an unbroadcast cartesian:\n$p")
+      // the =!= scoring join must build the bounded query side
+      assert(p.contains("BroadcastNestedLoopJoin Inner BuildRight"),
+        s"query sample not broadcast:\n$p")
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString
+        .contains("partial_graft_topk_keyed"),
+        "top-k selection not a partial aggregate")
+    }
+  }
+
+  test("q174: pair expansion is in-row — no join keyed on the gram") {
+    val p = plan(graft.text.SourceOps.q174SourceOverlap(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"))
+    // (the in-row shingling itself sits behind the lineage cut — the
+    // ExistingRDD boundary — so it is not visible in this plan)
+    // a universally-shared gram must cost C(sources,2) rows, never a
+    // gram-keyed self-join — no join in the plan may key on the gram
+    val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
+    assert(keyLines.forall(!_.contains("gram")),
+      s"gram-keyed join found:\n${keyLines.mkString("\n")}")
+  }
+
+  test("q176: vocabulary joins the corpus as a broadcast") {
+    val p = plan(graft.text.SourceOps.q176OovAudit(spark, sfDir()))
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q158: profile-driven salting broadcasts the bucket map, join stays equi") {
     val p = plan(graft.operators.SkewJoin.q158SaltedJoin(spark, sfDir()))
     assert(p.contains("BroadcastHashJoin"),
