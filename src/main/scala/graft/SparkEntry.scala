@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AsofJoin, Association, BloomJoin, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, SkewJoin, Skyline, TypedEdges}
+import graft.operators.{AsofJoin, Association, BloomJoin, EntityResolution, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, SkewJoin, Skyline, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
 import graft.text.{Classify, CorpusOps, PolicyOps, SourceOps, SpanOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
@@ -25,6 +25,7 @@ object SparkEntry {
       SkewJoin.queries ++
       Association.queries ++
       SetSimJoin.queries ++ Skyline.queries ++ BloomJoin.queries ++
+      EntityResolution.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.multimodal.Audio.queries ++
       graft.multimodal.Video.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       SkewJoin.oracleSql ++
       Association.oracleSql ++
       SetSimJoin.oracleSql ++ Skyline.oracleSql ++ BloomJoin.oracleSql ++
+      EntityResolution.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
       graft.multimodal.Audio.oracleSql ++
       graft.multimodal.Video.oracleSql ++

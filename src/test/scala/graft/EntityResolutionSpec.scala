@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.EntityResolution
+
+class EntityResolutionSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Scalar reference: brute-force all-pairs Jaccard ≥ tau, union-find
+    * components labeled by min member, max-(price, -id) survivorship. */
+  private def refEr(rows: Seq[(Long, String, String, String, Long, Double)],
+      tau: Double): Seq[(Long, Long, Long, String, Double)] = {
+    val toks = rows.map(r =>
+      r._1 -> (r._2.split(" ").toSet ++ Set(r._3, r._4, s"sz${r._5}"))).toMap
+    val byId = rows.map(r => r._1 -> r).toMap
+    val parent = scala.collection.mutable.Map(toks.keys.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    val ids = toks.keys.toSeq.sorted
+    for { a <- ids; b <- ids if a < b } {
+      val (ta, tb) = (toks(a), toks(b))
+      val c = (ta intersect tb).size
+      if (c.toDouble / (ta.size + tb.size - c) >= tau)
+        parent(find(a)) = find(b)
+    }
+    ids.groupBy(find).map { case (_, members) =>
+      val entity = members.min
+      val canon = members.map(byId)
+        .minBy(r => (-r._6, r._1)) // max price, tie → min id
+      (entity, members.size.toLong, canon._1, canon._2, canon._6)
+    }.toSeq.sortBy(_._1)
+  }
+
+  private def toDf(rows: Seq[(Long, String, String, String, Long, Double)]) =
+    rows.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+      "p_retailprice")
+
+  test("q178 core == scalar union-find reference on a designed fixture") {
+    val rows = Seq(
+      // entity {1,2,3}: a transitive CHAIN — 1~2 (size differs),
+      // 2~3 (brand differs), but 1 vs 3 disagree on two fields;
+      // single-link clustering merges all three (the documented
+      // transitive semantic)
+      (1L, "red widget", "B1", "ECONOMY", 10L, 900.0),
+      (2L, "red widget", "B1", "ECONOMY", 11L, 905.0),
+      (3L, "red widget", "B2", "ECONOMY", 11L, 910.0),
+      // entity {4,5}: name-word order must not matter (sorted set)
+      (4L, "small ring", "B3", "SMALL", 7L, 800.0),
+      (5L, "ring small", "B3", "SMALL", 7L, 801.0),
+      // singletons: share too little with anything
+      (6L, "blue bolt", "B4", "LARGE", 3L, 700.0),
+      (7L, "green nut", "B5", "MEDIUM", 9L, 600.0),
+    )
+    val got = EntityResolution.resolveEntities(toDf(rows), EntityResolution.ErTau)
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    val ref = refEr(rows, EntityResolution.ErTau)
+    assert(got == ref)
+    val byEntity = got.map(r => r._1 -> r).toMap
+    assert(byEntity(1L)._2 == 3L, "chain 1~2~3 must merge")
+    assert(byEntity(1L)._3 == 3L, "canonical = max price member")
+    assert(byEntity(4L)._2 == 2L, "word order must not split an entity")
+    assert(byEntity(6L)._2 == 1L && byEntity(7L)._2 == 1L)
+  }
+
+  test("q178 on the sf0.001 batch == brute-force all-pairs reference") {
+    val rows = Tables(spark, sfDir()).part
+      .filter(col("p_partkey") < EntityResolution.ErBatch)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_type"), col("p_size").cast("long"), col("p_retailprice"))
+      .as[(Long, String, String, String, Long, Double)].collect().toSeq
+    val got = EntityResolution.q178EntityResolution(spark, sfDir())
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    assert(got == refEr(rows, EntityResolution.ErTau))
+    assert(got.exists(_._2 > 1), "fixture data must contain real merges")
+  }
+}
