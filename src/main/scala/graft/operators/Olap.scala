@@ -380,8 +380,68 @@ object Olap {
       .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
   }
 
+  // ---------------------------------------------------------------- q179
+  /** TPC-H Q1 (pricing summary report) — the benchmark's scan-and-
+    * aggregate staple and the purest throughput probe in the suite:
+    * ONE lineitem pass, the shipdate cutoff pushed to the scan, a
+    * 4-group hash aggregate whose partial (map-side) combine reduces
+    * each partition to |groups| rows before the only exchange. All
+    * money sums follow the library's round→DECIMAL convention and
+    * averages divide those exact decimal sums by exact counts in one
+    * terminal double op — accumulation-order-free, engine-exact. */
+  val Q1Cutoff = "1998-09-02"
+
+  def q179TpchQ1(spark: SparkSession, dir: String): DataFrame = {
+    val disc = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+      .cast("decimal(18,4)")
+    // extprice(2dp) x (1-disc)(2dp) x (1+tax)(2dp) has EXACTLY six
+    // decimal digits, so 6dp rounding is tie-free in both engines; a
+    // 4dp round would land exactly on .5 boundaries where double
+    // rounding conventions disagree (measured: ~1e-4 divergence)
+    val charge = round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      * (lit(1.0) + col("l_tax")), 6).cast("decimal(22,6)")
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") <= lit(Q1Cutoff).cast("date"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(round(col("l_quantity"), 2).cast("decimal(18,2)"))
+          .cast("double").as("sum_qty"),
+        sum(round(col("l_extendedprice"), 2).cast("decimal(18,2)"))
+          .cast("double").as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        round(sum(round(col("l_quantity"), 2).cast("decimal(18,2)"))
+          .cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(round(col("l_extendedprice"), 2).cast("decimal(18,2)"))
+          .cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(round(col("l_discount"), 4).cast("decimal(18,4)"))
+          .cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- q180
+  /** TPC-H Q6 (forecasting revenue change) — the pure filter-and-sum
+    * probe: every predicate (date year, discount band, quantity cap)
+    * pushes to the parquet scan, and the survivors fold into ONE
+    * decimal sum with map-side partials; a single scalar row crosses
+    * the wire. The float-literal discount band compares the same
+    * parquet doubles against the same literals in both engines. */
+  val Q6Year = "1996"
+
+  def q180TpchQ6(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(col("l_shipdate") >= lit(s"$Q6Year-01-01").cast("date") &&
+        col("l_shipdate") < lit(s"${Q6Year.toInt + 1}-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(round(col("l_extendedprice") * col("l_discount"), 4)
+        .cast("decimal(18,4)")).cast("double").as("revenue"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q177_tpch_q10" -> (q177TpchQ10 _),
+    "q179_tpch_q1" -> (q179TpchQ1 _),
+    "q180_tpch_q6" -> (q180TpchQ6 _),
     "q138_gini_spend" -> (q138GiniSpend _),
     "q84_rollup" -> (q84Rollup _),
     "q85_moving_window" -> (q85MovingWindow _),
@@ -396,6 +456,36 @@ object Olap {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q179_tpch_q1" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_qty,
+         |  CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+         |    AS DOUBLE) AS sum_base_price,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 4)
+         |    AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+         |    * (1 + l_tax), 6) AS DECIMAL(22,6))) AS DOUBLE) AS sum_charge,
+         |  round(CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+         |    AS DOUBLE) / count(*), 6) AS avg_qty,
+         |  round(CAST(sum(CAST(round(l_extendedprice, 2) AS DECIMAL(18,2)))
+         |    AS DOUBLE) / count(*), 6) AS avg_price,
+         |  round(CAST(sum(CAST(round(l_discount, 4) AS DECIMAL(18,4)))
+         |    AS DOUBLE) / count(*), 6) AS avg_disc,
+         |  CAST(count(*) AS BIGINT) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= DATE '$Q1Cutoff'
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q180_tpch_q6" ->
+      s"""SELECT CAST(sum(CAST(round(l_extendedprice * l_discount, 4)
+         |  AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= DATE '$Q6Year-01-01'
+         |  AND l_shipdate < DATE '${Q6Year.toInt + 1}-01-01'
+         |  AND l_discount >= 0.05 AND l_discount <= 0.07
+         |  AND l_quantity < 24""".stripMargin,
+
     "q177_tpch_q10" ->
       s"""SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
          |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)

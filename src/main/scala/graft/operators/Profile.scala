@@ -258,7 +258,40 @@ object Profile {
     madOutliers(Tables(spark, dir).events
       .select(col("event_type"), col("value")))
 
+  // ---------------------------------------------------------------- q181
+  /** k-anonymity audit (Sweeney 2002) — the re-identification check a
+    * data-release pipeline runs before publishing "anonymized"
+    * records: group the table by its quasi-identifier combination
+    * (here nation × market segment × account-balance band, the
+    * attributes an attacker can link from public sources) and report
+    * each group's population k. Groups with k < [[KAnonThreshold]]
+    * are re-identifiable — the release either suppresses them or
+    * coarsens the bands until every group clears k.
+    *
+    * Scale shape: ONE partial-agg pass over the table (map-side
+    * combine collapses each partition to its distinct QI combos);
+    * the grouped relation is |QI-value-space|-sized, not
+    * table-sized. Coarsening iterations re-run the same single agg
+    * with wider bands — no other plan shape exists at any scale. */
+  val KAnonThreshold = 5L
+  val KAnonBand = 2000.0
+
+  def q181KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymity(Tables(spark, dir).customer)
+
+  /** Core of q181 over (c_nationkey, c_mktsegment, c_acctbal) rows. */
+  private[graft] def kAnonymity(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / KAnonBand).cast("long").as("acctbal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "acctbal_band")
+      .agg(count(lit(1)).as("k"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("acctbal_band"),
+        col("k"), (col("k") < KAnonThreshold).as("is_reidentifiable"))
+      .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_k_anonymity" -> (q181KAnonymity _),
     "q148_winsorize" -> (q148Winsorize _),
     "q151_mad_outliers" -> (q151MadOutliers _),
     "q83_table_profile" -> (q83TableProfile _),
@@ -269,6 +302,14 @@ object Profile {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q181_k_anonymity" ->
+      s"""SELECT c_nationkey, c_mktsegment,
+         |       CAST(floor(c_acctbal / $KAnonBand) AS BIGINT) AS acctbal_band,
+         |       CAST(count(*) AS BIGINT) AS k,
+         |       (count(*) < $KAnonThreshold) AS is_reidentifiable
+         |FROM customer
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "q151_mad_outliers" ->
       s"""WITH m AS (
          |  SELECT event_type, quantile_cont("value", 0.5) AS med

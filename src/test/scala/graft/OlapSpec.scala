@@ -4,6 +4,7 @@ import graft.operators.Olap
 import org.apache.spark.sql.functions.col
 
 class OlapSpec extends SparkSpec {
+  import spark.implicits._
 
   test("rollup: levels nest exactly — nations sum to regions, regions to the grand total") {
     val rows = Olap.q84Rollup(spark, sfDir()).collect()
@@ -171,5 +172,57 @@ class OlapSpec extends SparkSpec {
       val g = r.getDouble(3)
       assert(g >= 0.0 && g < 1.0, s"${r.getString(0)}: $g")
     }
+  }
+
+  test("tpch q1: groups == scalar decimal reference") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def r(x: Double, s: Int) = JBD.valueOf(x).setScale(s, RM.HALF_UP)
+    val cutoff = java.time.LocalDateTime.parse(Olap.Q1Cutoff + "T00:00:00")
+    val rows = Tables(spark, sfDir()).lineitem
+      .select("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate").collect()
+      .filter(!_.getAs[java.time.LocalDateTime]("l_shipdate").isAfter(cutoff))
+    val ref = rows.groupBy(x => (x.getString(0), x.getString(1))).map {
+      case ((rf, ls), g) =>
+        val n = g.length
+        def sum(f: org.apache.spark.sql.Row => JBD): JBD =
+          g.map(f).reduce(_.add(_))
+        val sq = sum(x => r(x.getDouble(2), 2))
+        val sb = sum(x => r(x.getDouble(3), 2))
+        val sd = sum(x => r(x.getDouble(3) * (1 - x.getDouble(4)), 4))
+        val sc = sum(x => r(x.getDouble(3) * (1 - x.getDouble(4))
+          * (1 + x.getDouble(5)), 6))
+        val sdisc = sum(x => r(x.getDouble(4), 4))
+        def avg6(s: JBD) = JBD.valueOf(s.doubleValue() / n)
+          .setScale(6, RM.HALF_UP).doubleValue()
+        (rf, ls, sq.doubleValue(), sb.doubleValue(), sd.doubleValue(),
+          sc.doubleValue(), avg6(sq), avg6(sb), avg6(sdisc), n.toLong)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Olap.q179TpchQ1(spark, sfDir())
+      .as[(String, String, Double, Double, Double, Double, Double, Double,
+        Double, Long)].collect().toSeq
+    assert(got == ref)
+    assert(got.nonEmpty)
+  }
+
+  test("tpch q6: revenue == scalar decimal reference") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val lo = java.time.LocalDateTime.parse(Olap.Q6Year + "-01-01T00:00:00")
+    val hi = lo.plusYears(1)
+    val rows = Tables(spark, sfDir()).lineitem
+      .select("l_extendedprice", "l_discount", "l_quantity", "l_shipdate")
+      .collect()
+      .filter { x =>
+        val d = x.getAs[java.time.LocalDateTime]("l_shipdate")
+        !d.isBefore(lo) && d.isBefore(hi) &&
+          x.getDouble(1) >= 0.05 && x.getDouble(1) <= 0.07 &&
+          x.getDouble(2) < 24
+      }
+    val ref = rows.map(x => JBD.valueOf(x.getDouble(0) * x.getDouble(1))
+        .setScale(4, RM.HALF_UP))
+      .foldLeft(JBD.ZERO)(_.add(_)).doubleValue()
+    val got = Olap.q180TpchQ6(spark, sfDir()).collect()(0).getDouble(0)
+    assert(got == ref)
+    assert(got > 0.0)
   }
 }

@@ -138,4 +138,23 @@ class ProfileSpec extends SparkSpec {
     // every retained value is inside [p05, p95] by construction
     assert(r.getDouble(4) < r.getDouble(5))
   }
+
+  test("q181 k-anonymity: fixture groups, thresholds, negative-band floor") {
+    import spark.implicits._
+    val c = Seq(
+      // six records in one QI cell -> k=6, safe
+      (1L, "AUTO", 100.0), (1L, "AUTO", 150.0), (1L, "AUTO", 1999.0),
+      (1L, "AUTO", 0.0), (1L, "AUTO", 500.0), (1L, "AUTO", 900.0),
+      // lone record -> k=1, re-identifiable
+      (2L, "HOUSE", 2500.0),
+      // negative balance: floor(-994/2000) = -1, not 0
+      (3L, "AUTO", -994.0), (3L, "AUTO", -5.0),
+    ).toDF("c_nationkey", "c_mktsegment", "c_acctbal")
+    val got = graft.operators.Profile.kAnonymity(c)
+      .as[(Long, String, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, "AUTO", 0L, 6L, false),
+      (2L, "HOUSE", 1L, 1L, true),
+      (3L, "AUTO", -1L, 2L, true)))
+  }
 }
