@@ -147,10 +147,40 @@ object SourceOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q182
+  /** Corpus manifest / data card: per (source, language) stratum, the
+    * release-accounting row a dataset card publishes — document
+    * count, character and token volume, and an ORDER-FREE content
+    * fingerprint (XOR of per-document 60-bit md5 prefixes). The
+    * fingerprint makes the manifest a reproducibility contract: any
+    * single changed/added/dropped document flips it, and it is
+    * invariant to partitioning, ordering, and re-sharding — the
+    * properties a distributed rebuild can't promise for a
+    * concatenation hash. (Known XOR property: a pair of IDENTICAL
+    * docs cancels — read it alongside n_docs, which still moves;
+    * exact-dup accounting is q20's job.)
+    *
+    * Scale shape: ONE partial-agg pass; every per-doc term (length,
+    * token count, md5) is in-row; the grouped relation is
+    * strata-sized. The canonical 100 TB "describe what we shipped"
+    * operator. */
+  def q182CorpusManifest(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("nc"),
+        size(split(col("s"), " ")).cast("long").as("nt"),
+        conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("nt")).as("n_tokens"),
+        expr("bit_xor(fp)").as("content_fp"))
+      .orderBy("source", "lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_source_overlap" -> (q174SourceOverlap _),
     "q175_boilerplate_score" -> (q175BoilerplateScore _),
     "q176_oov_audit" -> (q176OovAudit _),
+    "q182_corpus_manifest" -> (q182CorpusManifest _),
   )
 
   /** Distinct per-doc word-8-gram CTE (mirror of [[WordShingles]] at
@@ -203,6 +233,19 @@ object SourceOps {
          |         >= $BoilerplateTau) AS is_boilerplate
          |FROM pd LEFT JOIN dd USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q182_corpus_manifest" ->
+      s"""WITH ${TextOps.normCte},
+         |f AS (SELECT d.source, d.lang,
+         |        CAST(length(d.text) AS BIGINT) AS nc,
+         |        CAST(len(string_split(n.s, ' ')) AS BIGINT) AS nt,
+         |        ${TextOps.hexToLongSql("md5(d.text)", 1, 15)} AS fp
+         |      FROM n JOIN documents d USING (doc_id))
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(nc) AS BIGINT) AS n_chars,
+         |       CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |       CAST(bit_xor(fp) AS BIGINT) AS content_fp
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q176_oov_audit" ->
       s"""WITH ${TextOps.normCte},

@@ -194,4 +194,31 @@ class SourceSimAuditSpec extends SparkSpec {
     assert(got.nonEmpty && got.size <= 20)
     assert(got.map(_._5) == got.map(_._5).sorted.reverse)
   }
+
+  test("q182 manifest fingerprint: scalar md5-xor reference on sf0.001") {
+    def fp(text: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables(spark, sfDir()).documents
+      .select("source", "lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val ref = docs.groupBy(d => (d._1, d._2)).map { case ((src, lang), ds) =>
+      val norm = ds.map(_._3.trim.toLowerCase.replaceAll("\\s+", " "))
+      (src, lang, ds.length.toLong,
+        ds.map(_._3.length.toLong).sum,
+        norm.map(_.split(" ", -1).length.toLong).sum,
+        ds.map(d => fp(d._3)).reduce(_ ^ _))
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = graft.text.SourceOps.q182CorpusManifest(spark, sfDir())
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == ref)
+    // the fingerprint must be order-free but content-sensitive:
+    // xor is commutative, and flipping any single doc flips the group
+    val g0 = ref.head
+    val flipped = g0._6 ^ fp("changed") ^ fp(docs
+      .find(d => (d._1, d._2) == (g0._1, g0._2)).get._3)
+    assert(flipped != g0._6)
+  }
 }
