@@ -176,7 +176,78 @@ object SourceOps {
         expr("bit_xor(fp)").as("content_fp"))
       .orderBy("source", "lang")
 
+  // ---------------------------------------------------------------- q183
+  /** Corpus-drift audit: pairwise Jensen–Shannon divergence between
+    * the unigram distributions of every two ingest sources — the
+    * DISTRIBUTIONAL complement of q174's set overlap (two sources can
+    * share every 8-gram yet weight topics completely differently; JS
+    * sees that, Jaccard can't). The full matrix is the
+    * mixture-design input: sources that diverge hard from the rest
+    * are the ones whose mixing weight actually changes the blend.
+    *
+    * Decomposition that keeps the join INNER: for words present in
+    * only one source, p·ln(p/(p/2)) = p·ln 2, so
+    * JS = Σ_shared ½(p·ln(p/m) + q·ln(q/m)) + ½·ln2·(2 − Σp − Σq)
+    * over shared words only — absent-side mass needs no full-outer
+    * join, just the shared-probability sums.
+    *
+    * Float discipline (the q165 contract): every per-word term is a
+    * pure function of exact integer ratios, rounded 6dp and summed
+    * as DECIMAL (order-free); the shared-mass sums round at 12dp;
+    * ½·ln2 is written as a literal halved in-plan (exact in IEEE).
+    * Scale shape: one wordcount agg; ONE word-keyed aggregation into
+    * a bounded per-word source array with in-row pair expansion (≤
+    * C(s,2) rows per word, no word-keyed self-join — the q174
+    * shape); pair rows are vocab × C(s,2) with sources an
+    * operational enumeration. The each-source-vs-corpus-mean form
+    * (O(vocab·s)) is the swap when s itself grows. */
+  def q183SourceDivergence(spark: SparkSession, dir: String): DataFrame =
+    divergenceCore(TextOps.docs(spark, dir))
+
+  /** Core of q183 over (source, s) rows. */
+  private[graft] def divergenceCore(d: DataFrame): DataFrame = {
+    val cnts = graft.Checkpoints.cut(
+      d.select(col("source"), explode(split(col("s"), " ")).as("word"))
+        .groupBy("source", "word").agg(count(lit(1)).as("cnt")))
+    val totals = cnts.groupBy("source").agg(sum(col("cnt")).as("n"))
+    val dist = cnts.join(totals, "source")
+      .select(col("source"), col("word"),
+        (col("cnt").cast("double") / col("n").cast("double")).as("p"))
+    val pairRows = dist.groupBy("word")
+      .agg(sort_array(collect_list(struct(col("source"), col("p")))).as("sp"))
+      .filter(size(col("sp")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sp, (a, i) ->
+          |  transform(slice(sp, i + 2, size(sp)), b ->
+          |    struct(a.source AS src_a, b.source AS src_b,
+          |           a.p AS pa, b.p AS pb))))""".stripMargin)).as("e"))
+      .select(col("e.src_a").as("src_a"), col("e.src_b").as("src_b"),
+        col("e.pa").as("pa"), col("e.pb").as("pb"))
+    val m = (col("pa") + col("pb")) / 2.0
+    val shared = pairRows
+      .select(col("src_a"), col("src_b"),
+        round(lit(0.5) * (col("pa") * log(col("pa") / m)
+          + col("pb") * log(col("pb") / m)), 6).as("term"),
+        round(col("pa"), 12).as("ra"), round(col("pb"), 12).as("rb"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"),
+        sum(col("term").cast("decimal(18,6)")).cast("double").as("sh"),
+        sum(col("ra").cast("decimal(20,12)")).cast("double").as("spa"),
+        sum(col("rb").cast("decimal(20,12)")).cast("double").as("spb"))
+    val pairs = totals.select(col("source").as("src_a"), col("n").as("n_a"))
+      .join(totals.select(col("source").as("src_b"), col("n").as("n_b")),
+        col("src_a") < col("src_b"))
+    pairs.join(shared, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("sh"), lit(0.0)) + lit(0.6931471805599453 / 2)
+          * (lit(2.0) - coalesce(col("spa"), lit(0.0))
+            - coalesce(col("spb"), lit(0.0))), 6).as("js_divergence"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_source_divergence" -> (q183SourceDivergence _),
     "q174_source_overlap" -> (q174SourceOverlap _),
     "q175_boilerplate_score" -> (q175BoilerplateScore _),
     "q176_oov_audit" -> (q176OovAudit _),
@@ -233,6 +304,43 @@ object SourceOps {
          |         >= $BoilerplateTau) AS is_boilerplate
          |FROM pd LEFT JOIN dd USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q183_source_divergence" ->
+      s"""WITH ${TextOps.normCte},
+         |tk AS (SELECT d.source, unnest(string_split(n.s, ' ')) AS word
+         |       FROM n JOIN documents d USING (doc_id)),
+         |wc AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n
+         |        FROM wc GROUP BY 1),
+         |dist AS (SELECT wc.source, wc.word,
+         |           CAST(wc.cnt AS DOUBLE) / t.n AS p
+         |         FROM wc JOIN tot t USING (source)),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         a.p AS pa, b.p AS pb
+         |       FROM dist a JOIN dist b
+         |         ON a.word = b.word AND a.source < b.source),
+         |ag AS (SELECT src_a, src_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared,
+         |         CAST(sum(CAST(round(0.5 * (pa * ln(pa / ((pa + pb) / 2))
+         |              + pb * ln(pb / ((pa + pb) / 2))), 6)
+         |            AS DECIMAL(18,6))) AS DOUBLE) AS sh,
+         |         CAST(sum(CAST(round(pa, 12) AS DECIMAL(20,12)))
+         |           AS DOUBLE) AS spa,
+         |         CAST(sum(CAST(round(pb, 12) AS DECIMAL(20,12)))
+         |           AS DOUBLE) AS spb
+         |       FROM pr GROUP BY 1, 2),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+         |            a.n AS n_a, b.n AS n_b
+         |          FROM tot a JOIN tot b ON a.source < b.source)
+         |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+         |       coalesce(ag.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+         |       round(coalesce(ag.sh, 0.0) + (0.6931471805599453 / 2)
+         |         * (2.0 - coalesce(ag.spa, 0.0) - coalesce(ag.spb, 0.0)), 6)
+         |         AS js_divergence
+         |FROM pairs p LEFT JOIN ag
+         |  ON ag.src_a = p.src_a AND ag.src_b = p.src_b
+         |ORDER BY 1, 2""".stripMargin,
 
     "q182_corpus_manifest" ->
       s"""WITH ${TextOps.normCte},

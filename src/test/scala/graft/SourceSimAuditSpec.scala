@@ -221,4 +221,27 @@ class SourceSimAuditSpec extends SparkSpec {
       .find(d => (d._1, d._2) == (g0._1, g0._2)).get._3)
     assert(flipped != g0._6)
   }
+
+  test("q183 JS divergence: bounds, zero on identical sources, ln2 on disjoint") {
+    import org.apache.spark.sql.functions.col
+    // build a corpus where two sources are IDENTICAL, one is DISJOINT
+    val rows = Seq(
+      (901L, "twin words alike here"), (902L, "more twin content words"),
+      (903L, "twin words alike here"), (904L, "more twin content words"),
+      (905L, "zz qq ww rr"), (906L, "ss tt uu vv"),
+    )
+    val docs = rows.map { case (id, t) =>
+      val src = if (id <= 902) "sA" else if (id <= 904) "sB" else "sC"
+      (id, t, src)
+    }.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.lower(col("text")).as("s"))
+    val got = graft.text.SourceOps.divergenceCore(docs)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => ((r._1, r._2), r._6)).toMap
+    assert(got(("sA", "sB")) == 0.0, "identical distributions must score 0")
+    assert(math.abs(got(("sA", "sC")) - math.log(2.0)) < 1e-5,
+      "disjoint vocabularies must score ln 2")
+    got.values.foreach(v => assert(v >= 0.0 && v <= math.log(2.0) + 1e-9))
+  }
 }
