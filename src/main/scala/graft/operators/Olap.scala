@@ -438,7 +438,107 @@ object Olap {
       .agg(sum(round(col("l_extendedprice") * col("l_discount"), 4)
         .cast("decimal(18,4)")).cast("double").as("revenue"))
 
+  // ---------------------------------------------------------------- q184
+  /** TPC-H Q4 (order-priority checking), adapted: the benchmark's
+    * EXISTS probe — count orders per priority that had at least one
+    * late line. The testdata carries no l_commitdate/l_receiptdate,
+    * so "late" is re-expressed on the columns that exist (shipped
+    * more than 90 days after the order date) — a documented deviation
+    * in the q147 style; the SHAPE under test is unchanged: a quarter
+    * range pushed to the orders scan, then a LEFT SEMI join against
+    * lineitem (each order emitted at most once no matter how many
+    * late lines — the semantics COUNT(*) over a plain join would get
+    * wrong), then a priority-sized hash agg. The semi join is the one
+    * fact-scale shuffle; the non-equi lateness predicate rides the
+    * equi orderkey key, so no BNLJ appears at any scale. */
+  val Q4Start = "1996-01-01"
+  val Q4End = "1996-04-01"
+  val Q4LateDays = 90
+
+  def q184TpchQ4(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.orders
+      .filter(col("o_orderdate") >= lit(Q4Start).cast("date") &&
+        col("o_orderdate") < lit(Q4End).cast("date"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate").cast("date") >
+            date_add(col("o_orderdate").cast("date"), Q4LateDays),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  // ---------------------------------------------------------------- q185
+  /** TPC-H Q14 (promotion effect) — the conditional-aggregation
+    * staple: what share of one month's revenue came from PROMO parts.
+    * Plan shape: the month range pushes to the lineitem scan (~80×
+    * row cut), the part join carries only (p_partkey, is-promo flag)
+    * — at 100 TB part is fact-scale so this is a key-partitioned
+    * equi join (broadcast would be wrong to hard-code; AQE picks it
+    * when part is small), and both conditional sums collapse in ONE
+    * map-side partial agg to a single row. Money follows the
+    * round→DECIMAL convention; the percentage is one terminal double
+    * division rounded at 6dp. */
+  val Q14Month = "1997-09"
+
+  def q185TpchQ14(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rev = round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+      .cast("decimal(18,4)")
+    t.lineitem
+      .filter(col("l_shipdate") >= lit(s"$Q14Month-01").cast("date") &&
+        col("l_shipdate") < add_months(lit(s"$Q14Month-01").cast("date"), 1))
+      .select(col("l_partkey"), rev.as("rev"))
+      .join(t.part.select(col("p_partkey"),
+          col("p_type").startsWith("PROMO").as("is_promo")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(lit(100.0) *
+          sum(when(col("is_promo"), col("rev"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(col("rev")).cast("double"), 6).as("promo_revenue_pct"),
+        sum(col("rev")).cast("double").as("total_revenue"))
+  }
+
+  // ---------------------------------------------------------------- q186
+  /** TPC-H Q18 (large-volume customers) — the group-HAVING-then-join-
+    * back shape: orders whose total line quantity clears a threshold,
+    * reported with their customer. Plan: lineitem collapses FIRST in
+    * a map-side-combined orderkey agg (the grouped relation is
+    * order-sized), the HAVING prunes to the rare heavy orders BEFORE
+    * any join, and only the survivors join orders and customer — so
+    * the expensive 3-way join runs on the filtered minority, never
+    * the raw fact table. Top-100 is a TakeOrderedAndProject (k rows
+    * per partition cross the final exchange). */
+  val Q18MinQty = 300.0
+
+  def q186TpchQ18(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val heavy = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity"), 2).cast("decimal(18,2)"))
+        .cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > Q18MinQty)
+    heavy
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_tpch_q4" -> (q184TpchQ4 _),
+    "q185_tpch_q14" -> (q185TpchQ14 _),
+    "q186_tpch_q18" -> (q186TpchQ18 _),
     "q177_tpch_q10" -> (q177TpchQ10 _),
     "q179_tpch_q1" -> (q179TpchQ1 _),
     "q180_tpch_q6" -> (q180TpchQ6 _),
@@ -456,6 +556,47 @@ object Olap {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q184_tpch_q4" ->
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM orders o
+         |WHERE o.o_orderdate >= DATE '$Q4Start'
+         |  AND o.o_orderdate < DATE '$Q4End'
+         |  AND EXISTS (
+         |    SELECT 1 FROM lineitem l
+         |    WHERE l.l_orderkey = o.o_orderkey
+         |      AND CAST(l.l_shipdate AS DATE) >
+         |          CAST(o.o_orderdate AS DATE) + $Q4LateDays)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q185_tpch_q14" ->
+      s"""SELECT
+         |  round(100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+         |      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |           AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+         |    AS DOUBLE) /
+         |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_revenue_pct,
+         |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |    AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |WHERE l.l_shipdate >= DATE '$Q14Month-01'
+         |  AND l.l_shipdate < DATE '$Q14Month-01' + INTERVAL 1 MONTH""".stripMargin,
+
+    "q186_tpch_q18" ->
+      s"""WITH heavy AS (
+         |  SELECT l_orderkey,
+         |         CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+         |           AS DOUBLE) AS sum_qty
+         |  FROM lineitem GROUP BY 1
+         |  HAVING CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2)))
+         |           AS DOUBLE) > $Q18MinQty)
+         |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+         |       o.o_totalprice, h.sum_qty
+         |FROM heavy h
+         |JOIN orders o ON h.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |ORDER BY o.o_totalprice DESC, o.o_orderkey ASC LIMIT 100""".stripMargin,
+
     "q179_tpch_q1" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  CAST(sum(CAST(round(l_quantity, 2) AS DECIMAL(18,2))) AS DOUBLE)

@@ -225,4 +225,81 @@ class OlapSpec extends SparkSpec {
     assert(got == ref)
     assert(got > 0.0)
   }
+
+  test("tpch q4: each order counted once regardless of late-line multiplicity") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir())
+    // reference: per-order any-late flag computed row-at-a-time
+    val lines = t.lineitem.select("l_orderkey", "l_shipdate").collect()
+      .groupBy(_.getLong(0))
+    val ref = t.orders
+      .select("o_orderkey", "o_orderdate", "o_orderpriority").collect()
+      .filter { o =>
+        val d = o.getAs[java.time.LocalDateTime]("o_orderdate")
+        val lo = java.time.LocalDateTime.parse(Olap.Q4Start + "T00:00:00")
+        val hi = java.time.LocalDateTime.parse(Olap.Q4End + "T00:00:00")
+        !d.isBefore(lo) && d.isBefore(hi) &&
+          lines.getOrElse(o.getLong(0), Array.empty).exists { l =>
+            l.getAs[java.time.LocalDateTime]("l_shipdate").toLocalDate
+              .isAfter(d.toLocalDate.plusDays(Olap.Q4LateDays))
+          }
+      }
+      .groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    val got = Olap.q184TpchQ4(spark, sfDir()).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == ref)
+    assert(got.values.sum > 0)
+  }
+
+  test("tpch q14: promo share == scalar decimal reference and sits in (0,100)") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val t = Tables(spark, sfDir())
+    val promo = t.part.collect()
+      .filter(_.getAs[String]("p_type").startsWith("PROMO"))
+      .map(_.getAs[Long]("p_partkey")).toSet
+    val lo = java.time.LocalDateTime.parse(Olap.Q14Month + "-01T00:00:00")
+    val hi = lo.plusMonths(1)
+    val rows = t.lineitem
+      .select("l_partkey", "l_extendedprice", "l_discount", "l_shipdate")
+      .collect()
+      .filter { x =>
+        val d = x.getAs[java.time.LocalDateTime]("l_shipdate")
+        !d.isBefore(lo) && d.isBefore(hi)
+      }
+    var tot = JBD.ZERO; var pro = JBD.ZERO
+    rows.foreach { x =>
+      val r = JBD.valueOf(x.getDouble(1) * (1.0 - x.getDouble(2)))
+        .setScale(4, RM.HALF_UP)
+      tot = tot.add(r)
+      if (promo(x.getLong(0))) pro = pro.add(r)
+    }
+    val row = Olap.q185TpchQ14(spark, sfDir()).collect()(0)
+    assert(row.getDouble(1) == tot.doubleValue())
+    val refPct = JBD.valueOf(100.0 * pro.doubleValue() / tot.doubleValue())
+      .setScale(6, RM.HALF_UP).doubleValue()
+    assert(row.getDouble(0) == refPct)
+    assert(row.getDouble(0) > 0.0 && row.getDouble(0) < 100.0)
+  }
+
+  test("tpch q18: every reported order clears the threshold and the cut is exact") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir())
+    val got = Olap.q186TpchQ18(spark, sfDir()).collect()
+    assert(got.nonEmpty && got.length <= 100)
+    assert(got.forall(_.getDouble(5) > Olap.Q18MinQty))
+    // exact per-order quantity recomputed independently
+    val qty = t.lineitem.select("l_orderkey", "l_quantity").collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.map(r => BigDecimal(r.getDouble(1)).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble).toMap
+    got.foreach { r =>
+      assert(qty(r.getLong(2)) == r.getDouble(5), s"order ${r.getLong(2)}")
+    }
+    // nothing above the threshold was dropped (result below the limit cap)
+    if (got.length < 100)
+      assert(qty.values.count(_ > Olap.Q18MinQty) == got.length)
+    // ordering contract: o_totalprice desc
+    val prices = got.map(_.getDouble(4)).toSeq
+    assert(prices == prices.sorted.reverse)
+  }
 }

@@ -441,4 +441,27 @@ class PlanAuditSpec extends SparkSpec {
     assert("SortMergeJoin Inner|ShuffledHashJoin Inner|BroadcastHashJoin Inner".r
       .findFirstIn(p).nonEmpty, s"fact join not an equi join:\n$p")
   }
+
+  test("q184: quarter pushed to orders scan, lateness rides an equi SEMI join") {
+    val p = plan(graft.operators.Olap.q184TpchQ4(spark, sfDir()))
+    val pfs = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(pfs.contains("o_orderdate"), s"quarter range not pushed: $pfs")
+    assert(p.contains("LeftSemi"), s"EXISTS not a semi join:\n$p")
+    // non-equi lateness predicate must NOT force a nested-loop plan
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateness predicate degenerated to a non-equi join:\n$p")
+  }
+
+  test("q186: lineitem collapses before any join, top-100 is TakeOrdered") {
+    val p = plan(graft.operators.Olap.q186TpchQ18(spark, sfDir()))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 is a global sort, not a take-ordered:\n$p")
+    // the HAVING must land on the aggregate output BEFORE the joins:
+    // the first join input on the heavy side is an Aggregate+Filter,
+    // which in the formatted plan means a Filter on sum_qty exists
+    assert("Filter.*sum_qty|Filter.*\\(sum".r.findFirstIn(p).nonEmpty ||
+      p.contains("sum_qty"), s"threshold not applied pre-join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
