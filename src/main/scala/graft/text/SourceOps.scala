@@ -246,7 +246,77 @@ object SourceOps {
       .orderBy("src_a", "src_b")
   }
 
+  // ---------------------------------------------------------------- q187
+  /** Distributed HyperLogLog cardinality audit (Flajolet et al. 2007):
+    * per-source distinct char-5-gram count, estimated from a 64-register
+    * HLL sketch and reported NEXT TO the exact count with the relative
+    * error — the "how big is this source's dedup keyspace" audit, and
+    * the acceptance test a sketch must pass before the exact side is
+    * dropped at scale.
+    *
+    * Why this exists when `approx_count_distinct` is built in: the
+    * register math here is ENGINE-PORTABLE (md5-derived buckets, not a
+    * private hash), so the same sketch computed by any engine merges
+    * with ours — the property a cross-system pipeline needs — and the
+    * whole computation is expressible in the oracle for a hash-exact
+    * check.
+    *
+    * Scale shape: the sketch side never materializes the distinct set —
+    * registers come from ONE (source, bucket) max-aggregation with
+    * map-side combine (64 rows per source survive per partition), state
+    * O(sources × 64) regardless of corpus size. The exact side (a
+    * distinct + count) is the expensive audit baseline by definition —
+    * at 100 TB it runs on the sampled audit slice or is dropped once
+    * the sketch is trusted; the sketch side IS the scale path.
+    *
+    * Numeric discipline: all register arithmetic is INTEGER — the
+    * harmonic sum Σ 2^(−M_j) is carried as Σ 2^(55−M_j), a BIGINT ≤
+    * 2^61, exact and order-free in both engines; the α·m²·2^55
+    * numerator is one double literal inlined identically into both
+    * plans; ln appears only in the final scalar (rounded 4dp). */
+  val HllM = 64
+  /** The m = 64 bias constant from the HLL paper. */
+  val HllAlpha = 0.709
+  private val HllWBits = 54 // 60-bit md5 prefix = 6 bucket bits + 54
+  private val HllNum: String = // α·m²·2^55 as an exact double literal
+    new java.math.BigDecimal(HllAlpha * (HllM.toDouble * HllM) *
+      math.pow(2, HllWBits + 1)).toPlainString
+
+  def q187HllCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val g = graft.Checkpoints.cut(
+      TextOps.docs(spark, dir)
+        .filter(length(col("s")) >= 5)
+        .select(col("source"),
+          explode(graft.functions.CharGrams(col("s"))).as("gram"))
+        .distinct())
+    val exact = g.groupBy("source").agg(count(lit(1)).as("n_exact"))
+    val mask = (1L << HllWBits) - 1
+    val regs = g
+      .select(col("source"),
+        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)")
+          .as("v"))
+      .select(col("source"), shiftright(col("v"), HllWBits).as("bucket"),
+        expr(s"instr(lpad(bin(v % ${mask + 1}), $HllWBits, '0'), '1')")
+          .as("pos"))
+      .select(col("source"), col("bucket"),
+        when(col("pos") === 0, HllWBits + 1).otherwise(col("pos")).as("rho"))
+      .groupBy("source", "bucket").agg(max(col("rho")).as("mj"))
+    val sketch = regs.groupBy("source").agg(
+      (sum(expr(s"shiftleft(cast(1 as bigint), ${HllWBits + 1} - mj)")) +
+        (lit(HllM) - count(lit(1))) * lit(1L << (HllWBits + 1))).as("sumt"),
+      (lit(HllM) - count(lit(1))).as("z"))
+    val raw = lit(HllNum).cast("double") / col("sumt")
+    val est = when(raw <= 2.5 * HllM && col("z") > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("z"))).otherwise(raw)
+    sketch.join(exact, "source")
+      .select(col("source"), col("n_exact"), round(est, 4).as("hll_est"))
+      .withColumn("rel_err_pct",
+        round(lit(100.0) * (col("hll_est") - col("n_exact")) / col("n_exact"), 4))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_hll_cardinality" -> (q187HllCardinality _),
     "q183_source_divergence" -> (q183SourceDivergence _),
     "q174_source_overlap" -> (q174SourceOverlap _),
     "q175_boilerplate_score" -> (q175BoilerplateScore _),
@@ -264,6 +334,41 @@ object SourceOps {
        |             greatest(len(ws) - ${AuditShingle - 1}, 0))) AS t(i))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q187_hll_cardinality" ->
+      s"""WITH ${TextOps.normCte},
+         |p AS (SELECT d.source, n.s,
+         |        unnest(generate_series(1, length(n.s) - 4)) AS i
+         |      FROM n JOIN documents d USING (doc_id)
+         |      WHERE length(n.s) >= 5),
+         |g AS (SELECT DISTINCT source, substr(s, CAST(i AS INT), 5) AS gram
+         |      FROM p),
+         |e AS (SELECT source, CAST(count(*) AS BIGINT) AS n_exact
+         |      FROM g GROUP BY 1),
+         |h AS (SELECT source, ${TextOps.hexToLongSql("md5(gram)", 1, 15)} AS v
+         |      FROM g),
+         |r AS (SELECT source, v // ${1L << HllWBits} AS bucket,
+         |        CASE WHEN strpos(lpad(bin(v % ${1L << HllWBits}),
+         |                 $HllWBits, '0'), '1') = 0 THEN ${HllWBits + 1}
+         |             ELSE strpos(lpad(bin(v % ${1L << HllWBits}),
+         |                 $HllWBits, '0'), '1') END AS rho
+         |      FROM h),
+         |m AS (SELECT source, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |sk AS (SELECT source,
+         |         sum(1::BIGINT << (${HllWBits + 1} - mj))
+         |           + ($HllM - count(*)) * (1::BIGINT << ${HllWBits + 1})
+         |           AS sumt,
+         |         $HllM - count(*) AS z
+         |       FROM m GROUP BY 1),
+         |est AS (SELECT sk.source, e.n_exact,
+         |          CASE WHEN $HllNum / sumt <= ${2.5 * HllM} AND z > 0
+         |               THEN $HllM.0 * ln($HllM.0 / z)
+         |               ELSE $HllNum / sumt END AS est
+         |        FROM sk JOIN e USING (source))
+         |SELECT source, n_exact, round(est, 4) AS hll_est,
+         |       round(100.0 * (round(est, 4) - n_exact) / n_exact, 4)
+         |         AS rel_err_pct
+         |FROM est ORDER BY source""".stripMargin,
+
     "q174_source_overlap" ->
       s"""WITH ${TextOps.normCte},
          |$gramCte,

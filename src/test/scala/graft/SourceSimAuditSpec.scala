@@ -244,4 +244,52 @@ class SourceSimAuditSpec extends SparkSpec {
       "disjoint vocabularies must score ln 2")
     got.values.foreach(v => assert(v >= 0.0 && v <= math.log(2.0) + 1e-9))
   }
+
+  // ------------------------------------------------------------- q187
+
+  test("q187: sketch estimate == scalar HLL reference on the same grams") {
+    val docs = Tables(spark, sfDir()).documents
+      .select(col("source"),
+        lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("s"))
+      .collect()
+    // scalar register construction mirroring the operator exactly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(g: String): Long =
+      java.lang.Long.parseLong(md.digest(g.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val bySource = docs.groupBy(_.getString(0)).view.mapValues { rows =>
+      rows.flatMap { r =>
+        val s = r.getString(1)
+        if (s.length < 5) Seq.empty
+        else (0 to s.length - 5).map(i => s.substring(i, i + 5))
+      }.toSet
+    }.toMap
+    val ref = bySource.map { case (src, grams) =>
+      val regs = new Array[Int](SourceOps.HllM)
+      grams.foreach { g =>
+        val v = hash60(g)
+        val bucket = (v >>> 54).toInt
+        val w = v & ((1L << 54) - 1)
+        val rho = if (w == 0) 55 else 54 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val sumT = regs.map(m => 1L << (55 - m)).sum
+      val z = regs.count(_ == 0)
+      val raw = SourceOps.HllAlpha * SourceOps.HllM * SourceOps.HllM *
+        math.pow(2, 55) / sumT
+      val est = if (raw <= 2.5 * SourceOps.HllM && z > 0)
+        SourceOps.HllM * math.log(SourceOps.HllM.toDouble / z) else raw
+      src -> (grams.size.toLong,
+        BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = SourceOps.q187HllCardinality(spark, sfDir()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == ref.keySet)
+    got.foreach { case (src, (exact, est)) =>
+      assert(exact == ref(src)._1, s"$src exact")
+      assert(math.abs(est - ref(src)._2) < 1e-6, s"$src estimate")
+      // m=64 standard error is ~13%; 4 sigma guards against a broken sketch
+      assert(math.abs(est - exact) / exact < 0.52, s"$src error implausible")
+    }
+  }
 }
