@@ -290,7 +290,49 @@ object Profile {
         col("k"), (col("k") < KAnonThreshold).as("is_reidentifiable"))
       .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
 
+  // ---------------------------------------------------------------- q188
+  /** l-diversity audit (Machanavajjhala et al. 2006) — the check
+    * k-anonymity misses: a group can be large (k-anonymous) yet
+    * reveal its sensitive attribute anyway when every member shares
+    * one value. QI here is nation × balance band (q181's bands with
+    * the segment REMOVED from the QI — it becomes the sensitive
+    * attribute); per group the audit reports distinct-l (how many
+    * sensitive values appear) and entropy-l (exp of the sensitive-
+    * value entropy — the EFFECTIVE number of distinct values, which
+    * distinct-l overstates when one value dominates). Groups below
+    * [[LDivThreshold]] distinct values are homogeneity-attackable.
+    *
+    * Scale shape: ONE partial-agg pass to the (QI, sensitive) grain
+    * (map-side combine collapses partitions to their distinct combos
+    * — the relation is value-space-sized, not table-sized), then a
+    * QI-grain agg over it. Entropy terms follow the library's float
+    * discipline: each (p·ln p) term rounds at 6dp into a DECIMAL sum
+    * (order-free, engine-exact); exp only in the final 4dp scalar. */
+  val LDivThreshold = 3L
+
+  def q188LDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(spark, dir).customer
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / KAnonBand).cast("long").as("acctbal_band"),
+        col("c_mktsegment"))
+      .groupBy("c_nationkey", "acctbal_band", "c_mktsegment")
+      .agg(count(lit(1)).as("c"))
+    val k = cnt.groupBy("c_nationkey", "acctbal_band")
+      .agg(sum(col("c")).as("k"))
+    cnt.join(k, Seq("c_nationkey", "acctbal_band"))
+      .withColumn("term",
+        round((col("c").cast("double") / col("k")) *
+          log(col("c").cast("double") / col("k")), 6).cast("decimal(18,6)"))
+      .groupBy("c_nationkey", "acctbal_band")
+      .agg(max(col("k")).as("k"),
+        count(lit(1)).as("l_distinct"),
+        round(exp(-sum(col("term")).cast("double")), 4).as("entropy_l"))
+      .withColumn("is_homogeneity_risk", col("l_distinct") < LDivThreshold)
+      .orderBy("c_nationkey", "acctbal_band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_l_diversity" -> (q188LDiversity _),
     "q181_k_anonymity" -> (q181KAnonymity _),
     "q148_winsorize" -> (q148Winsorize _),
     "q151_mad_outliers" -> (q151MadOutliers _),
@@ -302,6 +344,28 @@ object Profile {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q188_l_diversity" ->
+      s"""WITH cnt AS (
+         |  SELECT c_nationkey,
+         |         CAST(floor(c_acctbal / $KAnonBand) AS BIGINT) AS acctbal_band,
+         |         c_mktsegment, CAST(count(*) AS BIGINT) AS c
+         |  FROM customer GROUP BY 1, 2, 3),
+         |k AS (
+         |  SELECT c_nationkey, acctbal_band, sum(c) AS k
+         |  FROM cnt GROUP BY 1, 2),
+         |t AS (
+         |  SELECT cnt.c_nationkey, cnt.acctbal_band, k.k,
+         |         CAST(round((CAST(cnt.c AS DOUBLE) / k.k)
+         |           * ln(CAST(cnt.c AS DOUBLE) / k.k), 6)
+         |           AS DECIMAL(18,6)) AS term
+         |  FROM cnt JOIN k USING (c_nationkey, acctbal_band))
+         |SELECT c_nationkey, acctbal_band,
+         |       CAST(max(k) AS BIGINT) AS k,
+         |       CAST(count(*) AS BIGINT) AS l_distinct,
+         |       round(exp(-CAST(sum(term) AS DOUBLE)), 4) AS entropy_l,
+         |       (count(*) < $LDivThreshold) AS is_homogeneity_risk
+         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q181_k_anonymity" ->
       s"""SELECT c_nationkey, c_mktsegment,
          |       CAST(floor(c_acctbal / $KAnonBand) AS BIGINT) AS acctbal_band,

@@ -315,7 +315,69 @@ object SourceOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q189
+  /** Corpus snapshot diff — the release-to-release delta report a
+    * versioned dataset ships with its data card: which documents were
+    * added, removed, or changed between snapshot v1 and v2, per
+    * source, with the net character delta. The v2 snapshot is derived
+    * here deterministically from v1 (md5-keyed removal/edit/addition
+    * strata — the same pure-function-of-the-key discipline as q47's
+    * sampler) so both engines diff identical snapshots; a real
+    * pipeline points the same plan at two release directories.
+    *
+    * Scale shape: the diff NEVER touches the payloads — it is ONE
+    * doc_id-keyed full outer join of two manifest-grain relations
+    * (doc_id, source, fingerprint, n_chars), i.e. the q182 corpus
+    * manifest at doc grain. At 100 TB you diff the manifests, not
+    * the texts: fingerprints come from each release's single ingest
+    * pass, and the join state is two skinny columnsets. Change
+    * detection compares fingerprints, not text equality — exactly
+    * what a release diff does when payloads live in object storage. */
+  private val DiffIdSpace = 1000000000L
+
+  def q189SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Tables(spark, dir).documents
+      .select(col("doc_id"), col("source"), col("text"),
+        expr("cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+    val v1 = base.select(col("doc_id"), col("source"),
+      md5(col("text")).as("fp"), length(col("text")).cast("long").as("nc"))
+    // v2: ~9% removed (h%11=0), ~13% of the survivors edited (h%7=0),
+    // ~8% re-ingested under a new id (h%13=0) — an "added" stratum
+    val kept = base.filter(col("h") % 11 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("h") % 7 === 0, md5(concat(col("text"), lit(" rev2"))))
+          .otherwise(md5(col("text"))).as("fp"),
+        when(col("h") % 7 === 0, length(col("text")) + lit(5))
+          .otherwise(length(col("text"))).cast("long").as("nc"))
+    val added = base.filter(col("h") % 13 === 0)
+      .select((col("doc_id") + DiffIdSpace).as("doc_id"), col("source"),
+        md5(concat(lit("new "), col("text"))).as("fp"),
+        (length(col("text")) + lit(4)).cast("long").as("nc"))
+    val v2 = kept.unionByName(added)
+    val joined = v1.as("a").join(v2.as("b"),
+        col("a.doc_id") === col("b.doc_id"), "full_outer")
+      .select(
+        coalesce(col("a.source"), col("b.source")).as("source"),
+        when(col("a.doc_id").isNull, "added")
+          .when(col("b.doc_id").isNull, "removed")
+          .when(col("a.fp") =!= col("b.fp"), "changed")
+          .otherwise("unchanged").as("fate"),
+        (coalesce(col("b.nc"), lit(0L)) - coalesce(col("a.nc"), lit(0L)))
+          .as("dnc"))
+    joined.groupBy("source")
+      .agg(
+        sum(when(col("fate") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("fate") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("fate") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("fate") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(col("dnc")).as("char_delta"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_snapshot_diff" -> (q189SnapshotDiff _),
     "q187_hll_cardinality" -> (q187HllCardinality _),
     "q183_source_divergence" -> (q183SourceDivergence _),
     "q174_source_overlap" -> (q174SourceOverlap _),
@@ -334,6 +396,49 @@ object SourceOps {
        |             greatest(len(ws) - ${AuditShingle - 1}, 0))) AS t(i))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q189_snapshot_diff" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, source, text,
+         |         ${TextOps.hexToLongSql("md5(CAST(doc_id AS VARCHAR))", 1, 8)}
+         |           AS h
+         |  FROM documents),
+         |v1 AS (
+         |  SELECT doc_id, source, md5(text) AS fp,
+         |         CAST(length(text) AS BIGINT) AS nc
+         |  FROM base),
+         |kept AS (
+         |  SELECT doc_id, source,
+         |         CASE WHEN h % 7 = 0 THEN md5(text || ' rev2')
+         |              ELSE md5(text) END AS fp,
+         |         CAST(CASE WHEN h % 7 = 0 THEN length(text) + 5
+         |              ELSE length(text) END AS BIGINT) AS nc
+         |  FROM base WHERE h % 11 <> 0),
+         |added AS (
+         |  SELECT doc_id + $DiffIdSpace AS doc_id, source,
+         |         md5('new ' || text) AS fp,
+         |         CAST(length(text) + 4 AS BIGINT) AS nc
+         |  FROM base WHERE h % 13 = 0),
+         |v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM added),
+         |j AS (
+         |  SELECT coalesce(a.source, b.source) AS source,
+         |         CASE WHEN a.doc_id IS NULL THEN 'added'
+         |              WHEN b.doc_id IS NULL THEN 'removed'
+         |              WHEN a.fp <> b.fp THEN 'changed'
+         |              ELSE 'unchanged' END AS fate,
+         |         coalesce(b.nc, 0) - coalesce(a.nc, 0) AS dnc
+         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+         |SELECT source,
+         |  CAST(sum(CASE WHEN fate = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_added,
+         |  CAST(sum(CASE WHEN fate = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  CAST(sum(CASE WHEN fate = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_changed,
+         |  CAST(sum(CASE WHEN fate = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unchanged,
+         |  CAST(sum(dnc) AS BIGINT) AS char_delta
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q187_hll_cardinality" ->
       s"""WITH ${TextOps.normCte},
          |p AS (SELECT d.source, n.s,

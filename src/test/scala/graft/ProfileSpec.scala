@@ -157,4 +157,35 @@ class ProfileSpec extends SparkSpec {
       (2L, "HOUSE", 1L, 1L, true),
       (3L, "AUTO", -1L, 2L, true)))
   }
+
+  test("l-diversity: scalar reference, entropy bounded by distinct-l, flags exact") {
+    import org.apache.spark.sql.functions._
+    val rows = Tables(spark, sfDir()).customer
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / Profile.KAnonBand).cast("long").as("b"),
+        col("c_mktsegment")).collect()
+    val ref = rows.groupBy(r => (r.getInt(0), r.getLong(1))).map {
+      case (qi, members) =>
+        val bySeg = members.groupBy(_.getString(2)).view.mapValues(_.length)
+        val k = members.length
+        val h = -bySeg.values.map { c =>
+          val p = c.toDouble / k
+          BigDecimal(p * math.log(p))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.sum
+        qi -> (k.toLong, bySeg.size.toLong,
+          BigDecimal(math.exp(h)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Profile.q188LDiversity(spark, sfDir()).collect()
+    assert(got.length == ref.size)
+    got.foreach { r =>
+      val (k, l, e) = ref((r.getInt(0), r.getLong(1)))
+      assert(r.getLong(2) == k && r.getLong(3) == l, s"qi ${(r.getInt(0), r.getLong(1))}")
+      assert(math.abs(r.getDouble(4) - e) < 1e-9, s"entropy ${(r.getInt(0), r.getLong(1))}")
+      // entropy-l can never exceed distinct-l (Jensen) and is >= 1
+      assert(r.getDouble(4) <= l + 1e-9 && r.getDouble(4) >= 1.0 - 1e-9)
+      assert(r.getBoolean(5) == (l < Profile.LDivThreshold))
+    }
+  }
 }

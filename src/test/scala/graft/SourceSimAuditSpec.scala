@@ -292,4 +292,39 @@ class SourceSimAuditSpec extends SparkSpec {
       assert(math.abs(est - exact) / exact < 0.52, s"$src error implausible")
     }
   }
+
+  // ------------------------------------------------------------- q189
+
+  test("q189: fates partition both snapshots and the char delta is conserved") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    val docs = Tables(spark, sfDir()).documents
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    case class Ref(var add: Long = 0, var rem: Long = 0, var chg: Long = 0,
+      var unchg: Long = 0, var delta: Long = 0)
+    val ref = scala.collection.mutable.Map.empty[String, Ref]
+    docs.foreach { case (id, src, text) =>
+      val h = h32(id.toString)
+      val r = ref.getOrElseUpdate(src, Ref())
+      if (h % 11 == 0) { r.rem += 1; r.delta -= text.length }
+      else if (h % 7 == 0) { r.chg += 1; r.delta += 5 }
+      else r.unchg += 1
+      if (h % 13 == 0) { r.add += 1; r.delta += text.length + 4 }
+    }
+    val got = graft.text.SourceOps.q189SnapshotDiff(spark, sfDir()).collect()
+    assert(got.map(_.getString(0)).toSet == ref.keySet)
+    got.foreach { row =>
+      val r = ref(row.getString(0))
+      assert((row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+        == ((r.add, r.rem, r.chg, r.unchg)), s"fates ${row.getString(0)}")
+      assert(row.getLong(5) == r.delta, s"delta ${row.getString(0)}")
+    }
+    // every v1 doc has exactly one fate; fates cover both snapshots
+    val n1 = docs.length.toLong
+    val gotTot = got.map(r => r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
+    assert(gotTot == n1, "removed+changed+unchanged must partition v1")
+  }
 }
