@@ -168,6 +168,66 @@ object TermOps {
   def q120BigramNll(spark: SparkSession, dir: String): DataFrame =
     bigramNll(TextOps.docs(spark, dir))
 
+  // ---------------------------------------------------------------- q190
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen
+    * & Goodman 1999's interpolated form with fixed discount D=0.75) —
+    * the smoothing the KenLM-family perplexity filters actually use,
+    * where q120's add-one is the teaching baseline. Per document:
+    * mean −ln p_KN(w|u) over its bigrams, plus the perplexity, with
+    *
+    *   p_KN(w|u) = (c(u,w) − D)/c(u·) + D·N₁₊(u,·)/c(u·) · N₁₊(·,w)/T
+    *
+    * (c(u·) = u's occurrences as a context, N₁₊(u,·) = distinct
+    * continuations of u, N₁₊(·,w) = distinct contexts of w, T =
+    * distinct bigram types). The continuation term is what makes KN
+    * KN: a word frequent only inside one collocation ("Francisco")
+    * gets LOW novel-context probability no matter its raw count.
+    * Scoring the training corpus itself means every scored bigram
+    * has c(u,w) ≥ 1 > D — no zero-count branch exists in-plan.
+    *
+    * Scale shape: bigrams build IN-ROW from the word array; all four
+    * model relations are vocabulary-scale partial aggs off ONE cut
+    * bigram relation (c(u,w), c(u·), N₁₊(u,·) keyed by prev —
+    * computed in a single grouped pass — and N₁₊(·,w) keyed by cur);
+    * T is the only broadcast (a scalar). The scoring joins ride the
+    * prev/cur keys; nothing vocabulary-scale is ever broadcast
+    * (q74's note). Float discipline: one identical p expression in
+    * both engines (D=0.75 is exact binary), ln at score time only,
+    * 6dp on the final mean (q120's convention). */
+  val KnDiscount = 0.75
+
+  def kneserNeyNll(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("words", split(col("s"), " "))
+    val bg = graft.Checkpoints.cut(
+      d.filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(words) - 1), " +
+            "i -> struct(words[i-1] AS prev, words[i] AS cur))")).as("p"))
+        .select(col("doc_id"), col("p.prev").as("prev"), col("p.cur").as("cur")))
+    val bc = graft.Checkpoints.cut(
+      bg.groupBy("prev", "cur").agg(count(lit(1)).as("cb")))
+    // c(u·) and N1+(u,·) in one prev-keyed pass over the type table
+    val ctx = bc.groupBy("prev")
+      .agg(sum(col("cb")).as("cx"), count(lit(1)).as("n1u"))
+    val cont = bc.groupBy("cur").agg(count(lit(1)).as("ncw"))
+    val types = bc.agg(count(lit(1)).as("t"))
+    val p = (col("cb").cast("double") - lit(KnDiscount)) / col("cx") +
+      (lit(KnDiscount) * col("n1u") / col("cx")) *
+        (col("ncw").cast("double") / col("t"))
+    bg.join(bc, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .join(cont, Seq("cur"))
+      .crossJoin(broadcast(types))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(p)), 6).as("avg_kn_nll"))
+      .withColumn("ppl", round(exp(col("avg_kn_nll")), 4))
+      .orderBy("doc_id")
+  }
+
+  def q190KneserNey(spark: SparkSession, dir: String): DataFrame =
+    kneserNeyNll(TextOps.docs(spark, dir))
+
   // ---------------------------------------------------------------- q129
   /** BPE tokenizer training (Sennrich et al. 2016): learn the first
     * [[BpeMerges]] byte-pair merges from the corpus. The industrial
@@ -441,6 +501,7 @@ object TermOps {
     "q75_unigram_logprob" -> (q75UnigramLogprob _),
     "q114_bm25" -> (q114Bm25 _),
     "q120_bigram_nll" -> (q120BigramNll _),
+    "q190_kneser_ney" -> (q190KneserNey _),
     "q129_bpe_merges" -> (q129BpeMerges _),
     "q168_bpe_encode" -> (q168BpeEncode _),
     "q134_tfidf_cosine_knn" -> (q134TfidfCosineKnn _),
@@ -606,6 +667,35 @@ object TermOps {
          |FROM term GROUP BY 1
          |ORDER BY score DESC, doc_id ASC
          |LIMIT $Bm25TopK""".stripMargin,
+
+    "q190_kneser_ney" ->
+      s"""WITH ${TextOps.normCte},
+         |w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+         |pos AS (SELECT doc_id, ws,
+         |               unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM w WHERE len(ws) >= 2),
+         |bg AS (SELECT doc_id, ws[CAST(i AS INT)] AS prev,
+         |              ws[CAST(i AS INT) + 1] AS cur FROM pos),
+         |bc AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+         |       FROM bg GROUP BY 1, 2),
+         |ctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cx,
+         |               CAST(count(*) AS BIGINT) AS n1u
+         |        FROM bc GROUP BY 1),
+         |cont AS (SELECT cur, CAST(count(*) AS BIGINT) AS ncw
+         |         FROM bc GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bc),
+         |sc AS (SELECT g.doc_id,
+         |         (CAST(c.cb AS DOUBLE) - $KnDiscount) / x.cx
+         |           + ($KnDiscount * x.n1u / x.cx)
+         |             * (CAST(k.ncw AS DOUBLE) / tt.t) AS p
+         |       FROM bg g
+         |       JOIN bc c ON c.prev = g.prev AND c.cur = g.cur
+         |       JOIN ctx x ON x.prev = g.prev
+         |       JOIN cont k ON k.cur = g.cur, tt)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       round(avg(-ln(p)), 6) AS avg_kn_nll,
+         |       round(exp(round(avg(-ln(p)), 6)), 4) AS ppl
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q120_bigram_nll" ->
       s"""WITH ${TextOps.normCte},

@@ -227,4 +227,39 @@ class PolicyTermSpec extends SparkSpec {
     val (_, w3, t3, s3, c3) = out(3L)
     assert(w3 == 0L && t3 == 0L && s3 == 1L && c3.isEmpty)
   }
+
+  test("kneser-ney: hand-computed interpolated probabilities, continuation penalty") {
+    // corpus: doc1 "a b a b", doc2 "a b", doc3 "a c"
+    // bigram tokens: (a,b)x3, (b,a)x1, (a,c)x1  -> types T=3
+    // c(a.)=4, c(b.)=1 ; N1+(a,.)=2, N1+(b,.)=1
+    // N1+(.,b)=1, N1+(.,a)=1, N1+(.,c)=1
+    val d = frame(1L -> "a b a b", 2L -> "a b", 3L -> "a c")
+    val D = TermOps.KnDiscount
+    def p(cb: Long, cx: Long, n1u: Long, ncw: Long, t: Long): Double =
+      (cb - D) / cx + (D * n1u / cx) * (ncw.toDouble / t)
+    val pAB = p(3, 4, 2, 1, 3)
+    val pBA = p(1, 1, 1, 1, 3)
+    val pAC = p(1, 4, 2, 1, 3)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TermOps.kneserNeyNll(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - r6((-math.log(pAB) - math.log(pBA) - math.log(pAB)) / 3)) < 1e-6)
+    assert(out(2L) == ((1L, r6(-math.log(pAB)),
+      BigDecimal(math.exp(r6(-math.log(pAB)))).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(math.abs(out(3L)._2 - r6(-math.log(pAC))) < 1e-6)
+    // KN's point: the common continuation (a,b) is cheaper than the
+    // single-collocation bigram (a,c) sharing the same context
+    assert(pAB > pAC && out(3L)._2 > out(1L)._2)
+    // perplexity is exp of the mean NLL
+    out.values.foreach { case (_, nll, ppl) =>
+      assert(math.abs(ppl - math.exp(nll)) < 1e-3)
+    }
+    // probabilities are a proper partial distribution: sum over seen
+    // continuations of each context is <= 1
+    assert(pAB + pAC <= 1.0 + 1e-9 && pBA <= 1.0 + 1e-9)
+  }
 }
