@@ -54,6 +54,61 @@ object Similarity {
     * doubles (identical in both engines: same dot-product
     * accumulation order), rounding applies after selection, as in
     * the oracle. */
+  // ---------------------------------------------------------------- q191
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    * 2009) — the standard way production search combines a lexical
+    * ranker with a vector ranker without score calibration: each
+    * side contributes 1/(k + rank) for the documents on ITS top list
+    * (k = 60, the published constant), and the fused order depends
+    * only on RANKS — immune to the incomparable score scales that
+    * make linear score mixing fragile. Lexical side: q114's BM25 over
+    * the fixed query terms; vector side: cosine against a fixed query
+    * embedding. Both side lists are top-[[RrfSideK]].
+    *
+    * Scale shape: the lexical side is q114's plan (term-pruned scan,
+    * bounded idf broadcast); the vector side is ONE corpus stream
+    * against a broadcast single-row query with a [[graft.functions
+    * .TopKAgg]] partial top-k (k rows per partition shuffle — at
+    * 100 TB the exact scan swaps for the q41/q49 IVF candidate
+    * stream, same fusion). Rank windows run on the two BOUNDED side
+    * lists (≤ [[RrfSideK]] rows), never the corpus. Ranks are
+    * integers with total-order tie-breaks; sims round 6dp BEFORE
+    * ranking so a last-ulp float divergence cannot flip a rank. */
+  val RrfK = 60
+  val RrfSideK = 50
+  val RrfTopN = 20
+  val RrfQueryVec = 0L
+
+  def q191RrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val lexAll = graft.text.TermOps.bm25(
+      graft.text.TextOps.docs(spark, dir), graft.text.TermOps.Bm25Terms,
+      RrfSideK)
+    // bounded relation (≤ SideK rows): the global window is k-rows wide
+    val wl = Window.orderBy(col("score").desc, col("doc_id").asc)
+    val lex = lexAll.select(col("doc_id"), col("score"))
+      .withColumn("rank_lex", row_number().over(wl).cast("long"))
+      .drop("score")
+    val v = vecs(spark, dir)
+    val q = v.filter(col("vec_id") === RrfQueryVec).select(col("e").as("qe"))
+    val scored = v.filter(col("vec_id") =!= RrfQueryVec)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), round(cosine(col("qe"), col("e")), 6).as("sim"))
+    val vecTop = scored
+      .agg(graft.functions.TopKAgg.topkKeyed(col("sim"), col("vec_id"),
+        RrfSideK).as("tops"))
+      .select(posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("t.id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("rank_vec"))
+    lex.join(vecTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_lex"), col("rank_vec"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rank_vec")), lit(0.0)),
+          6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+      .limit(RrfTopN)
+  }
+
   def q24SimTopk(spark: SparkSession, dir: String): DataFrame = {
     val v = vecs(spark, dir)
     val q = v.filter(col("vec_id") < 5)
@@ -480,6 +535,7 @@ object Similarity {
     "q172_ann_recall_audit" -> (q172AnnRecallAudit _),
     "q173_hard_negatives" -> (q173HardNegatives _),
     "q127_embedding_outliers" -> (q127EmbeddingOutliers _),
+    "q191_rrf_fusion" -> (q191RrfFusion _),
     "q24_sim_topk" -> (q24SimTopk _),
     "q25_sim_ann_lsh" -> (q25SimAnnLsh _),
     "q26_embedding_neardup" -> (q26EmbeddingNeardup _),
@@ -603,6 +659,57 @@ object Similarity {
          |       CAST(sum(q.qv * q.qv) AS BIGINT) AS qnorm2
          |FROM m JOIN q ON q.vec_id = m.vec_id
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "q191_rrf_fusion" ->
+      s"""WITH ${graft.text.TextOps.normCte},
+         |wu AS (SELECT doc_id, unnest(string_split(s, ' ')) AS word FROM n),
+         |dl AS (SELECT doc_id,
+         |              CAST(len(string_split(s, ' ')) AS BIGINT) AS dl
+         |       FROM n),
+         |sc AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |       FROM dl),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+         |       FROM wu
+         |       WHERE word IN (${graft.text.TermOps.Bm25Terms
+                  .map("'" + _ + "'").mkString(", ")})
+         |       GROUP BY 1, 2),
+         |idf AS (SELECT word,
+         |               ln((sc.n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf,
+         |               sc.avgdl AS avgdl
+         |        FROM (SELECT word, CAST(count(*) AS BIGINT) AS df
+         |              FROM tf GROUP BY 1) d, sc),
+         |term AS (SELECT t.doc_id,
+         |                CAST(round(i.idf * (t.tf * 2.2)
+         |                  / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / i.avgdl)), 6)
+         |                  AS DECIMAL(18,6)) AS contrib
+         |         FROM tf t
+         |         JOIN idf i USING (word)
+         |         JOIN dl l ON l.doc_id = t.doc_id),
+         |lexs AS (SELECT doc_id, CAST(sum(contrib) AS DOUBLE) AS score
+         |         FROM term GROUP BY 1),
+         |lr AS (SELECT doc_id,
+         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+         |           AS BIGINT) AS rank_lex
+         |       FROM lexs ORDER BY rank_lex LIMIT $RrfSideK),
+         |$vecCtes,
+         |qv AS (SELECT i, x FROM vv WHERE vec_id = $RrfQueryVec),
+         |qn AS (SELECT nrm FROM nrm WHERE vec_id = $RrfQueryVec),
+         |dq AS (SELECT a.vec_id, sum(a.x * q.x) AS d
+         |       FROM vv a JOIN qv q ON a.i = q.i
+         |       WHERE a.vec_id <> $RrfQueryVec GROUP BY 1),
+         |sims AS (SELECT dq.vec_id, round(dq.d / (na.nrm * qn.nrm), 6) AS sim
+         |         FROM dq JOIN nrm na ON na.vec_id = dq.vec_id, qn),
+         |vr AS (SELECT vec_id AS doc_id,
+         |         CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC)
+         |           AS BIGINT) AS rank_vec
+         |       FROM sims ORDER BY rank_vec LIMIT $RrfSideK)
+         |SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+         |       l.rank_lex, r.rank_vec,
+         |       round(coalesce(1.0 / ($RrfK + l.rank_lex), 0)
+         |         + coalesce(1.0 / ($RrfK + r.rank_vec), 0), 6) AS rrf_score
+         |FROM lr l FULL OUTER JOIN vr r ON l.doc_id = r.doc_id
+         |ORDER BY rrf_score DESC, doc_id ASC LIMIT $RrfTopN""".stripMargin,
 
     "q24_sim_topk" ->
       s"""WITH $vecCtes,

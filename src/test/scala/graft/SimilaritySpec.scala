@@ -233,4 +233,45 @@ class SimilaritySpec extends SparkSpec {
     assert(out((1L, 3L)) == ((3L, 2L, 0.0)))
     assert(out((2L, 3L)) == ((2L, 2L, 0.0)))
   }
+
+  test("q191 rrf: fused list matches the scalar fusion of the two side rankings") {
+    // lexical side from the separately-specced BM25 operator
+    val lex = graft.text.TermOps.bm25(
+        graft.text.TextOps.docs(spark, sfDir()),
+        graft.text.TermOps.Bm25Terms, Similarity.RrfSideK)
+      .collect().map(_.getLong(0)) // already (score desc, doc_id asc)
+      .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+    // vector side recomputed from raw embeddings
+    val vecs = Tables(spark, sfDir()).embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = vecs(Similarity.RrfQueryVec)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vec = vecs.toSeq.filter(_._1 != Similarity.RrfQueryVec)
+      .map { case (id, v) => id -> r6(cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(Similarity.RrfSideK)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    val ref = (lex.keySet ++ vec.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0) +
+        vec.get(id).map(r => 1.0 / (Similarity.RrfK + r)).getOrElse(0.0)
+      (id, lex.get(id), vec.get(id), r6(s))
+    }.sortBy { case (id, _, _, s) => (-s, id) }.take(Similarity.RrfTopN)
+    val got = Similarity.q191RrfFusion(spark, sfDir()).collect().map { r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getDouble(3))
+    }.toSeq
+    assert(got == ref)
+    // a doc present on both side lists must outscore one with only a
+    // deeper single-list rank — the point of fusion
+    assert(got.nonEmpty && got.map(_._4).toSeq == got.map(_._4).sorted.reverse)
+  }
 }
