@@ -376,7 +376,48 @@ object SourceOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q192
+  /** Temperature-scaled mixture weights (the mT5/XLM-R multilingual
+    * sampling formula, Xue et al. 2021: q_s ∝ p_s^α with α < 1) — the
+    * step that turns the q182 manifest into a sampling TABLE: raw
+    * token shares are flattened so low-resource sources are
+    * up-sampled, and each source's expected epoch count under a token
+    * budget is reported (the repetition-risk column — an epoch count
+    * ≫ 1 on a small source is how a mixture silently memorizes it).
+    *
+    * Scale shape: ONE corpus pass to source-grain token counts (the
+    * q182 partial agg); everything after runs on the sources-sized
+    * relation (dozens of rows) with two scalar broadcasts. Float
+    * discipline: pow only on source-grain scalars, each share term
+    * 6dp-rounded into the DECIMAL normalizer sum (order-free), one
+    * terminal division per output column. */
+  val MixAlpha = 0.3
+  val MixBudgetTokens = 1000000L
+
+  def q192TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val tok = TextOps.docs(spark, dir)
+      .select(col("source"),
+        size(split(col("s"), " ")).cast("long").as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+    val total = tok.agg(sum(col("n_tokens")).as("n_total"))
+    val t = tok.crossJoin(broadcast(total))
+      .withColumn("p_raw",
+        round(col("n_tokens").cast("double") / col("n_total"), 6))
+      .withColumn("t_alpha",
+        round(pow(col("n_tokens").cast("double") / col("n_total"), MixAlpha), 6)
+          .cast("decimal(18,6)"))
+    val z = t.agg(sum(col("t_alpha")).as("z"))
+    t.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("p_raw"),
+        round(col("t_alpha").cast("double") / col("z").cast("double"), 6)
+          .as("w_alpha"))
+      .withColumn("expected_epochs",
+        round(col("w_alpha") * MixBudgetTokens / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_temperature_mix" -> (q192TemperatureMix _),
     "q189_snapshot_diff" -> (q189SnapshotDiff _),
     "q187_hll_cardinality" -> (q187HllCardinality _),
     "q183_source_divergence" -> (q183SourceDivergence _),
@@ -396,6 +437,26 @@ object SourceOps {
        |             greatest(len(ws) - ${AuditShingle - 1}, 0))) AS t(i))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q192_temperature_mix" ->
+      s"""WITH ${TextOps.normCte},
+         |tok AS (SELECT d.source,
+         |          CAST(sum(len(string_split(n.s, ' '))) AS BIGINT)
+         |            AS n_tokens
+         |        FROM n JOIN documents d USING (doc_id) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS n_total FROM tok),
+         |t AS (SELECT source, n_tokens,
+         |        round(CAST(n_tokens AS DOUBLE) / n_total, 6) AS p_raw,
+         |        CAST(round(pow(CAST(n_tokens AS DOUBLE) / n_total,
+         |          $MixAlpha), 6) AS DECIMAL(18,6)) AS t_alpha
+         |      FROM tok, tot),
+         |z AS (SELECT sum(t_alpha) AS z FROM t)
+         |SELECT source, n_tokens, p_raw,
+         |       round(CAST(t_alpha AS DOUBLE) / CAST(z.z AS DOUBLE), 6)
+         |         AS w_alpha,
+         |       round(round(CAST(t_alpha AS DOUBLE) / CAST(z.z AS DOUBLE), 6)
+         |         * $MixBudgetTokens / n_tokens, 6) AS expected_epochs
+         |FROM t, z ORDER BY source""".stripMargin,
+
     "q189_snapshot_diff" ->
       s"""WITH base AS (
          |  SELECT doc_id, source, text,

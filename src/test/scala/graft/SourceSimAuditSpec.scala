@@ -327,4 +327,31 @@ class SourceSimAuditSpec extends SparkSpec {
     val gotTot = got.map(r => r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
     assert(gotTot == n1, "removed+changed+unchanged must partition v1")
   }
+
+  // ------------------------------------------------------------- q192
+
+  test("q192: temperature flattening — weights sum to 1 and compress raw shares") {
+    val got = graft.text.SourceOps.q192TemperatureMix(spark, sfDir()).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // weights are a distribution (up to the per-source 6dp rounds)
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-4)
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4)
+    // α < 1 compresses: every source's weight is pulled toward uniform
+    val u = 1.0 / got.length
+    got.foreach { case (src, _, p, w, _) =>
+      if (p > u) assert(w <= p + 1e-9, s"$src above-uniform must shrink")
+      if (p < u) assert(w >= p - 1e-9, s"$src below-uniform must grow")
+    }
+    // expected epochs: w·B/n, scalar recheck
+    got.foreach { case (src, n, _, w, e) =>
+      val ref = BigDecimal(w * graft.text.SourceOps.MixBudgetTokens / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(e == ref, s"$src epochs")
+    }
+    // ordering of weights preserves ordering of sizes (monotone transform)
+    val bySize = got.sortBy(_._2).map(_._4)
+    assert(bySize.zip(bySize.tail).forall { case (a, b) => a <= b + 1e-9 })
+  }
 }
