@@ -592,7 +592,56 @@ object EventOps {
       col("event_type"), col("ts_us")))
   }
 
+  // ---------------------------------------------------------------- q193
+  /** Windowed HLL distinct users — q40's hourly distinct-user report
+    * with the q187 sketch running NEXT TO the exact count. The point
+    * at scale: the exact side needs a (bucket, user) DISTINCT — a
+    * dedup shuffle whose state is the distinct set itself — while
+    * the sketch side is ONE max-aggregation straight off the raw
+    * events (register max is idempotent under duplicates, so dedup
+    * is free), with O(buckets × 64) state. In streaming form the
+    * registers are also window-MERGEABLE: a tumbling window's sketch
+    * is the bucket-wise max of its panes, which is why this shape
+    * survives `mapGroupsWithState` where exact distinct cannot.
+    *
+    * Small windows land in the linear-counting regime (raw ≤ 2.5m)
+    * — the audit exercises the correction branch q187's big sets
+    * skip. Same integer register discipline as q187. */
+  def q193WindowedHllUsers(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.SourceOps.{HllM, HllNum, HllWBits}
+    val ev = Tables(spark, dir).events
+      .withColumn("bucket",
+        floor(expr("ts_us div 1000") / lit(3600000.0)).cast("long"))
+      .select(col("bucket"), col("user_id"))
+    val exact = ev.distinct().groupBy("bucket")
+      .agg(count(lit(1)).as("n_exact"))
+    val mask = (1L << HllWBits) - 1
+    val regs = ev
+      .select(col("bucket"),
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("v"))
+      .select(col("bucket"), shiftright(col("v"), HllWBits).as("reg"),
+        expr(s"instr(lpad(bin(v % ${mask + 1}), $HllWBits, '0'), '1')")
+          .as("pos"))
+      .select(col("bucket"), col("reg"),
+        when(col("pos") === 0, HllWBits + 1).otherwise(col("pos")).as("rho"))
+      .groupBy("bucket", "reg").agg(max(col("rho")).as("mj"))
+    val sketch = regs.groupBy("bucket").agg(
+      (sum(expr(s"shiftleft(cast(1 as bigint), ${HllWBits + 1} - mj)")) +
+        (lit(HllM) - count(lit(1))) * lit(1L << (HllWBits + 1))).as("sumt"),
+      (lit(HllM) - count(lit(1))).as("z"))
+    val raw = lit(HllNum).cast("double") / col("sumt")
+    val est = when(raw <= 2.5 * HllM && col("z") > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("z"))).otherwise(raw)
+    sketch.join(exact, "bucket")
+      .select(col("bucket"), col("n_exact"), round(est, 4).as("hll_est"))
+      .withColumn("rel_err_pct",
+        round(lit(100.0) * (col("hll_est") - col("n_exact")) / col("n_exact"), 4))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_windowed_hll_users" -> (q193WindowedHllUsers _),
     "q125_ab_lift" -> (q125AbLift _),
     "q119_journey_paths" -> (q119JourneyPaths _),
     "q80_funnel" -> (q80Funnel _),
@@ -610,6 +659,43 @@ object EventOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q193_windowed_hll_users" -> {
+      import graft.text.SourceOps.{HllM, HllNum, HllWBits}
+      s"""WITH ev AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS bucket,
+         |         user_id
+         |  FROM events),
+         |e AS (SELECT bucket, CAST(count(DISTINCT user_id) AS BIGINT)
+         |        AS n_exact
+         |      FROM ev GROUP BY 1),
+         |h AS (SELECT bucket,
+         |        ${graft.text.TextOps.hexToLongSql(
+                    "md5(CAST(user_id AS VARCHAR))", 1, 15)} AS v
+         |      FROM ev),
+         |r AS (SELECT bucket, v // ${1L << HllWBits} AS reg,
+         |        CASE WHEN strpos(lpad(bin(v % ${1L << HllWBits}),
+         |                 $HllWBits, '0'), '1') = 0 THEN ${HllWBits + 1}
+         |             ELSE strpos(lpad(bin(v % ${1L << HllWBits}),
+         |                 $HllWBits, '0'), '1') END AS rho
+         |      FROM h),
+         |m AS (SELECT bucket, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |sk AS (SELECT bucket,
+         |         sum(1::BIGINT << (${HllWBits + 1} - mj))
+         |           + ($HllM - count(*)) * (1::BIGINT << ${HllWBits + 1})
+         |           AS sumt,
+         |         $HllM - count(*) AS z
+         |       FROM m GROUP BY 1),
+         |est AS (SELECT sk.bucket, e.n_exact,
+         |          CASE WHEN $HllNum / sumt <= ${2.5 * HllM} AND z > 0
+         |               THEN $HllM.0 * ln($HllM.0 / z)
+         |               ELSE $HllNum / sumt END AS est
+         |        FROM sk JOIN e USING (bucket))
+         |SELECT bucket, n_exact, round(est, 4) AS hll_est,
+         |       round(100.0 * (round(est, 4) - n_exact) / n_exact, 4)
+         |         AS rel_err_pct
+         |FROM est ORDER BY bucket""".stripMargin
+    },
+
     "q125_ab_lift" ->
       """WITH a AS (SELECT event_type, CAST(user_id % 2 AS INT) AS arm
         |           FROM events),

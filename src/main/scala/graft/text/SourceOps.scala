@@ -277,8 +277,8 @@ object SourceOps {
   val HllM = 64
   /** The m = 64 bias constant from the HLL paper. */
   val HllAlpha = 0.709
-  private val HllWBits = 54 // 60-bit md5 prefix = 6 bucket bits + 54
-  private val HllNum: String = // α·m²·2^55 as an exact double literal
+  private[graft] val HllWBits = 54 // 60-bit md5 prefix = 6 bucket bits + 54
+  private[graft] val HllNum: String = // α·m²·2^55 as an exact double literal
     new java.math.BigDecimal(HllAlpha * (HllM.toDouble * HllM) *
       math.pow(2, HllWBits + 1)).toPlainString
 

@@ -271,4 +271,46 @@ class EventOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("peak_hour_up") == 11L)
     assert(math.abs(r.getAs[Double]("peak_up") - 12.0) < 1e-9)
   }
+
+  test("q193: sketch matches scalar registers from DISTINCT users (dup idempotence)") {
+    import org.apache.spark.sql.functions._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def hash60(s: String): Long =
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    // reference built from the DEDUPED (bucket, user) pairs — the
+    // operator reads RAW events; equality proves register max is
+    // idempotent under duplicate arrivals, the scale claim
+    val pairs = Tables(spark, sfDir()).events
+      .select(floor(expr("ts_us div 1000") / lit(3600000.0)).cast("long")
+        .as("b"), col("user_id")).distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val ref = pairs.groupBy(_._1).map { case (b, us) =>
+      val regs = new Array[Int](64)
+      us.map(_._2).distinct.foreach { u =>
+        val v = hash60(u.toString)
+        val bucket = (v >>> 54).toInt
+        val w = v & ((1L << 54) - 1)
+        val rho = if (w == 0) 55
+          else 54 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val sumT = regs.map(m => 1L << (55 - m)).sum
+      val z = regs.count(_ == 0)
+      val raw = 0.709 * 64 * 64 * math.pow(2, 55) / sumT
+      val est = if (raw <= 160.0 && z > 0) 64.0 * math.log(64.0 / z) else raw
+      b -> (us.map(_._2).distinct.length.toLong,
+        BigDecimal(est).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = EventOps.q193WindowedHllUsers(spark, sfDir()).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (b, (exact, est)) =>
+      assert(got(b)._1 == exact, s"bucket $b exact")
+      assert(math.abs(got(b)._2 - est) < 1e-6, s"bucket $b estimate")
+    }
+    // tiny windows sit in the linear-counting regime and stay accurate
+    val errs = got.map { case (b, (e, s)) => math.abs(s - e) / e }
+    assert(errs.sum / errs.size < 0.15, "mean window error implausible for LC regime")
+  }
 }
