@@ -331,7 +331,62 @@ object Profile {
       .orderBy("c_nationkey", "acctbal_band")
   }
 
+  // ---------------------------------------------------------------- q194
+  /** Deterministic-sample quantile audit — per event type, the
+    * nearest-rank p50/p90/p99 of `value` estimated from an md5-keyed
+    * ~10 % row sample, reported NEXT TO the exact quantiles with the
+    * relative error: the L63/V46 acceptance-test pattern applied to
+    * quantiles (trust the cheap estimator only after measuring it
+    * against the exact baseline). The sample rule is a pure function
+    * of the event key (q47's sampler discipline) — reproducible on
+    * any engine, any layout, any retry.
+    *
+    * Nearest-rank quantiles (value at rank ⌈q·n⌉ under the total
+    * order (value, event_id)) — NO interpolation, so both engines
+    * select the same physical row and the compare is exact, the q105
+    * ntile logic at probe grain. Scale shape: both sides are per-key
+    * windows (partitioned by event_type — the q85 shape, never a
+    * global sort); the exact side is by definition the expensive
+    * audit baseline, the sample side is the scale path (10× fewer
+    * rows through the same plan). */
+  val QAuditProbes: Seq[Double] = Seq(0.5, 0.9, 0.99)
+  val QAuditMod = 10L
+
+  def q194SampleQuantileAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), col("value"), col("event_id"))
+    val probesDf = QAuditProbes.map(q => s"${q}D").mkString("array(", ",", ")")
+
+    def side(d: DataFrame, vCol: String, nCol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+      val ranked = d.withColumn("rk", row_number().over(w).cast("long"))
+      val n = d.groupBy("event_type").agg(count(lit(1)).as(nCol))
+      val targets = n.select(col("event_type"), col(nCol),
+          explode(expr(probesDf)).as("q"))
+        .withColumn("target", ceil(col("q") * col(nCol)).cast("long"))
+      ranked.join(targets,
+          Seq("event_type")).filter(col("rk") === col("target"))
+        .select(col("event_type"), col("q"), col(nCol),
+          col("value").as(vCol))
+    }
+
+    val exact = side(ev, "exact_v", "n_exact")
+    val sampled = side(
+      ev.filter(
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint)")
+          % QAuditMod === 0),
+      "sample_v", "n_sample")
+    exact.join(sampled, Seq("event_type", "q"))
+      .select(col("event_type"), col("q"), col("n_exact"), col("n_sample"),
+        col("exact_v"), col("sample_v"),
+        round(lit(100.0) * (col("sample_v") - col("exact_v")) / col("exact_v"), 4)
+          .as("rel_err_pct"))
+      .orderBy("event_type", "q")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_sample_quantile_audit" -> (q194SampleQuantileAudit _),
     "q188_l_diversity" -> (q188LDiversity _),
     "q181_k_anonymity" -> (q181KAnonymity _),
     "q148_winsorize" -> (q148Winsorize _),
@@ -344,6 +399,47 @@ object Profile {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q194_sample_quantile_audit" -> {
+      val hexId = graft.text.TextOps.hexToLongSql(
+        "md5(CAST(event_id AS VARCHAR))", 1, 8)
+      val probes = QAuditProbes.mkString("[", ", ", "]")
+      s"""WITH ev AS (SELECT event_type, "value", event_id FROM events),
+         |ex AS (SELECT event_type, "value", event_id,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY "value" ASC, event_id ASC) AS rk
+         |       FROM ev),
+         |exn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact
+         |        FROM ev GROUP BY 1),
+         |ext AS (SELECT event_type, n_exact, q,
+         |          CAST(ceil(q * n_exact) AS BIGINT) AS target
+         |        FROM exn, unnest($probes) AS t(q)),
+         |exq AS (SELECT e.event_type, t.q, t.n_exact,
+         |          e."value" AS exact_v
+         |        FROM ex e JOIN ext t ON t.event_type = e.event_type
+         |          AND e.rk = t.target),
+         |sv AS (SELECT event_type, "value", event_id FROM ev
+         |       WHERE ($hexId) % $QAuditMod = 0),
+         |sr AS (SELECT event_type, "value", event_id,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY "value" ASC, event_id ASC) AS rk
+         |       FROM sv),
+         |svn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sample
+         |        FROM sv GROUP BY 1),
+         |svt AS (SELECT event_type, n_sample, q,
+         |          CAST(ceil(q * n_sample) AS BIGINT) AS target
+         |        FROM svn, unnest($probes) AS t(q)),
+         |svq AS (SELECT s.event_type, t.q, t.n_sample,
+         |          s."value" AS sample_v
+         |        FROM sr s JOIN svt t ON t.event_type = s.event_type
+         |          AND s.rk = t.target)
+         |SELECT e.event_type, e.q, e.n_exact, s.n_sample,
+         |       e.exact_v, s.sample_v,
+         |       round(100.0 * (s.sample_v - e.exact_v) / e.exact_v, 4)
+         |         AS rel_err_pct
+         |FROM exq e JOIN svq s ON s.event_type = e.event_type AND s.q = e.q
+         |ORDER BY 1, 2""".stripMargin
+    },
+
     "q188_l_diversity" ->
       s"""WITH cnt AS (
          |  SELECT c_nationkey,

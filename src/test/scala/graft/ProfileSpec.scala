@@ -188,4 +188,37 @@ class ProfileSpec extends SparkSpec {
       assert(r.getBoolean(5) == (l < Profile.LDivThreshold))
     }
   }
+
+  test("q194: nearest-rank quantiles match a scalar sort, sample is the md5 stratum") {
+    import org.apache.spark.sql.functions._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h32(s: String): Long =
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString, 16)
+    val rows = Tables(spark, sfDir()).events
+      .select(col("event_type"), col("value"), col("event_id")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    def nearestRank(xs: Seq[(Double, Long)], q: Double): Double = {
+      val sorted = xs.sortBy(identity)
+      sorted(math.ceil(q * sorted.length).toLong.toInt - 1)._1
+    }
+    val got = Profile.q194SampleQuantileAudit(spark, sfDir()).collect()
+    assert(got.length == 5 * Profile.QAuditProbes.length)
+    got.foreach { r =>
+      val t = r.getString(0); val q = r.getDouble(1)
+      val all = rows.filter(_._1 == t).map(x => (x._2, x._3)).toSeq
+      val samp = rows.filter(x => x._1 == t &&
+        h32(x._3.toString) % Profile.QAuditMod == 0).map(x => (x._2, x._3)).toSeq
+      assert(r.getLong(2) == all.length && r.getLong(3) == samp.length, s"$t n")
+      assert(r.getDouble(4) == nearestRank(all, q), s"$t/$q exact")
+      assert(r.getDouble(5) == nearestRank(samp, q), s"$t/$q sample")
+    }
+    // gross-sanity band only: at sf0.001 a type's sample is ~20 rows,
+    // so the medians can legitimately drift tens of percent — the
+    // operator's JOB is to report exactly that error
+    val medians = got.filter(_.getDouble(1) == 0.5)
+    medians.foreach { r =>
+      assert(math.abs(r.getDouble(6)) < 150.0, s"${r.getString(0)} sampler broken")
+    }
+  }
 }
