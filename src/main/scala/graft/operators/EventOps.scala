@@ -640,7 +640,96 @@ object EventOps {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------- q195
+  /** Incremental aggregate maintenance — the materialized-view delta
+    * pattern: a per-type report (count, decimal revenue, min, max,
+    * HLL distinct users) maintained by MERGING a base snapshot's
+    * state with a delta batch's state, verified IN-PLAN against the
+    * full recompute. The events split base/delta by an md5 stratum of
+    * the event key (the q47 discipline), standing in for
+    * yesterday's-snapshot + today's-batch.
+    *
+    * The point: every column the view carries must be ALGEBRAIC —
+    * count/sum merge by +, min/max by least/greatest, and distinct
+    * users merges ONLY because the state is HLL registers (bucket-wise
+    * max — lossless under merge, so the maintained estimate equals
+    * the recomputed estimate EXACTLY, not approximately). A naive
+    * view with COUNT(DISTINCT) has no mergeable state and forces the
+    * full recompute this operator exists to avoid; `merge_exact` and
+    * `sketch_exact` pin both claims as output columns, hash-checked.
+    *
+    * Scale shape: each side is ONE partial agg to type grain +
+    * O(types × 64) register rows; the merge is a types-sized join.
+    * At 100 TB the base state is READ (it was persisted), not
+    * recomputed — the recompute here exists to prove the algebra. */
+  def q195DeltaAggMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.SourceOps.{HllM, HllNum, HllWBits}
+    val ev = Tables(spark, dir).events
+      .select(col("event_type"), col("value"), col("user_id"),
+        expr("cast(conv(substring(md5(cast(event_id as string)), 1, 8), 16, 10) as bigint)")
+          .as("h"))
+    val base = ev.filter(col("h") % 5 =!= 0)
+    val delta = ev.filter(col("h") % 5 === 0)
+
+    def scalars(d: DataFrame, p: String): DataFrame =
+      d.groupBy("event_type").agg(
+        count(lit(1)).as(s"${p}_n"),
+        sum(round(col("value"), 2).cast("decimal(18,2)")).as(s"${p}_t"),
+        min(col("value")).as(s"${p}_mn"),
+        max(col("value")).as(s"${p}_mx"))
+
+    val mask = (1L << HllWBits) - 1
+    def regs(d: DataFrame): DataFrame = d
+      .select(col("event_type"),
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)")
+          .as("v"))
+      .select(col("event_type"), shiftright(col("v"), HllWBits).as("reg"),
+        expr(s"instr(lpad(bin(v % ${mask + 1}), $HllWBits, '0'), '1')").as("pos"))
+      .select(col("event_type"), col("reg"),
+        when(col("pos") === 0, HllWBits + 1).otherwise(col("pos")).as("rho"))
+      .groupBy("event_type", "reg").agg(max(col("rho")).as("mj"))
+
+    def estimate(r: DataFrame, out: String): DataFrame = {
+      val sk = r.groupBy("event_type").agg(
+        (sum(expr(s"shiftleft(cast(1 as bigint), ${HllWBits + 1} - mj)")) +
+          (lit(HllM) - count(lit(1))) * lit(1L << (HllWBits + 1))).as("sumt"),
+        (lit(HllM) - count(lit(1))).as("z"))
+      val raw = lit(HllNum).cast("double") / col("sumt")
+      sk.select(col("event_type"),
+        round(when(raw <= 2.5 * HllM && col("z") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("z")))
+          .otherwise(raw), 4).as(out))
+    }
+
+    // maintained: merge the two states (+, least/greatest, register max)
+    val merged = scalars(base, "b")
+      .join(scalars(delta, "d"), Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+        (coalesce(col("b_t"), lit(0).cast("decimal(18,2)")) +
+          coalesce(col("d_t"), lit(0).cast("decimal(18,2)"))).as("t"),
+        least(col("b_mn"), col("d_mn")).as("mn"),
+        greatest(col("b_mx"), col("d_mx")).as("mx"))
+    val mergedRegs = regs(base).unionByName(regs(delta))
+      .groupBy("event_type", "reg").agg(max(col("mj")).as("mj"))
+    val mergedEst = estimate(mergedRegs, "hll_users")
+    // full recompute — exists to prove the algebra
+    val full = scalars(ev, "f")
+    val fullEst = estimate(regs(ev), "f_est")
+    merged.join(mergedEst, "event_type")
+      .join(full, "event_type").join(fullEst, "event_type")
+      .select(col("event_type"), col("n"),
+        col("t").cast("double").as("total"), col("mn").as("vmin"),
+        col("mx").as("vmax"), col("hll_users"),
+        (col("n") === col("f_n") && col("t") === col("f_t") &&
+          col("mn") === col("f_mn") && col("mx") === col("f_mx"))
+          .as("merge_exact"),
+        (col("hll_users") === col("f_est")).as("sketch_exact"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_delta_agg_maintenance" -> (q195DeltaAggMaintenance _),
     "q193_windowed_hll_users" -> (q193WindowedHllUsers _),
     "q125_ab_lift" -> (q125AbLift _),
     "q119_journey_paths" -> (q119JourneyPaths _),
@@ -659,6 +748,65 @@ object EventOps {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q195_delta_agg_maintenance" -> {
+      import graft.text.SourceOps.{HllM, HllNum, HllWBits}
+      val M = 1L << HllWBits
+      def regCtes(src: String, p: String) =
+        s"""${p}h AS (SELECT event_type, ${graft.text.TextOps.hexToLongSql(
+             "md5(CAST(user_id AS VARCHAR))", 1, 15)} AS v FROM $src),
+           |${p}r AS (SELECT event_type, v // $M AS reg,
+           |  CASE WHEN strpos(lpad(bin(v % $M), $HllWBits, '0'), '1') = 0
+           |       THEN ${HllWBits + 1}
+           |       ELSE strpos(lpad(bin(v % $M), $HllWBits, '0'), '1')
+           |  END AS rho FROM ${p}h),
+           |${p}m AS (SELECT event_type, reg, max(rho) AS mj
+           |          FROM ${p}r GROUP BY 1, 2)""".stripMargin
+      def estCte(regsrc: String, p: String) =
+        s"""${p}sk AS (SELECT event_type,
+           |  sum(1::BIGINT << (${HllWBits + 1} - mj))
+           |    + ($HllM - count(*)) * (1::BIGINT << ${HllWBits + 1}) AS sumt,
+           |  $HllM - count(*) AS z FROM $regsrc GROUP BY 1),
+           |${p}e AS (SELECT event_type,
+           |  round(CASE WHEN $HllNum / sumt <= ${2.5 * HllM} AND z > 0
+           |        THEN $HllM.0 * ln($HllM.0 / z)
+           |        ELSE $HllNum / sumt END, 4) AS est FROM ${p}sk)""".stripMargin
+      def sc(src: String, p: String) =
+        s"""$p AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |  sum(CAST(round("value", 2) AS DECIMAL(18,2))) AS t,
+           |  min("value") AS mn, max("value") AS mx
+           |FROM $src GROUP BY 1)""".stripMargin
+      s"""WITH ev AS (SELECT event_type, "value", user_id,
+         |  ${graft.text.TextOps.hexToLongSql(
+              "md5(CAST(event_id AS VARCHAR))", 1, 8)} AS h
+         |FROM events),
+         |b AS (SELECT * FROM ev WHERE h % 5 <> 0),
+         |d AS (SELECT * FROM ev WHERE h % 5 = 0),
+         |${sc("b", "sb")},
+         |${sc("d", "sd")},
+         |${sc("ev", "sf")},
+         |mg AS (SELECT coalesce(sb.event_type, sd.event_type) AS event_type,
+         |  coalesce(sb.n, 0) + coalesce(sd.n, 0) AS n,
+         |  coalesce(sb.t, 0) + coalesce(sd.t, 0) AS t,
+         |  least(sb.mn, sd.mn) AS mn, greatest(sb.mx, sd.mx) AS mx
+         |  FROM sb FULL OUTER JOIN sd ON sb.event_type = sd.event_type),
+         |${regCtes("b", "b")},
+         |${regCtes("d", "d")},
+         |${regCtes("ev", "f")},
+         |mm AS (SELECT event_type, reg, max(mj) AS mj
+         |       FROM (SELECT * FROM bm UNION ALL SELECT * FROM dm)
+         |       GROUP BY 1, 2),
+         |${estCte("mm", "m")},
+         |${estCte("fm", "f")}
+         |SELECT mg.event_type, mg.n, CAST(mg.t AS DOUBLE) AS total,
+         |  mg.mn AS vmin, mg.mx AS vmax, me.est AS hll_users,
+         |  (mg.n = sf.n AND mg.t = sf.t AND mg.mn = sf.mn
+         |    AND mg.mx = sf.mx) AS merge_exact,
+         |  (me.est = fe.est) AS sketch_exact
+         |FROM mg JOIN me USING (event_type) JOIN sf USING (event_type)
+         |  JOIN fe USING (event_type)
+         |ORDER BY 1""".stripMargin
+    },
+
     "q193_windowed_hll_users" -> {
       import graft.text.SourceOps.{HllM, HllNum, HllWBits}
       s"""WITH ev AS (

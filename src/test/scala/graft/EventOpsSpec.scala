@@ -313,4 +313,27 @@ class EventOpsSpec extends SparkSpec {
     val errs = got.map { case (b, (e, s)) => math.abs(s - e) / e }
     assert(errs.sum / errs.size < 0.15, "mean window error implausible for LC regime")
   }
+
+  test("q195: maintained state equals recompute, scalars match a reference") {
+    import org.apache.spark.sql.functions._
+    val got = EventOps.q195DeltaAggMaintenance(spark, sfDir()).collect()
+    assert(got.length == 5)
+    // the operator's own in-plan proofs must hold
+    got.foreach { r =>
+      assert(r.getBoolean(6), s"${r.getString(0)} scalar merge not exact")
+      assert(r.getBoolean(7), s"${r.getString(0)} register merge not exact")
+    }
+    // independent recompute of the scalar columns (decimal discipline)
+    val rows = Tables(spark, sfDir()).events
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    rows.groupBy(_._1).foreach { case (t, vs) =>
+      val r = got.find(_.getString(0) == t).get
+      assert(r.getLong(1) == vs.length)
+      val tot = vs.map { case (_, v) => BigDecimal(v).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+      assert(r.getDouble(2) == tot, s"$t total")
+      assert(r.getDouble(3) == vs.map(_._2).min && r.getDouble(4) == vs.map(_._2).max)
+    }
+  }
 }
