@@ -165,4 +165,29 @@ object Streaming {
         floor(unix_millis(col("window.start")) / lit(3600000.0)).cast("long")
           .as("bucket"),
         col("n_users_approx"))
+
+  /** S8: windowed distinct-user sketch with PORTABLE registers — the
+    * streaming form of q193, as ONE stateful aggregate. q193's
+    * SQL-mirrorable register relation is two chained aggregations
+    * (registers, then the harmonic sum), which append-mode streaming
+    * cannot express; [[graft.functions.HllRegistersAgg]] collapses
+    * the sketch to a single `groupBy(window).agg` with a fixed
+    * 64-byte state per window, and [[graft.graph.HyperBall.estimate]]
+    * (the codegen'd HllEstimate read-out, same α) converts registers
+    * to the count estimate in the stateless projection after the agg.
+    * The input hash is the same md5-derived 60-bit value as
+    * q187/q193 — computed IN-ROW, so any engine that can md5 can
+    * feed or merge these sketches; bit-equality of the streaming
+    * estimate with q193's batch estimate is spec-asserted. */
+  def hllWindowedUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("h60",
+        expr("cast(conv(substring(md5(cast(user_id as string)), 1, 15), 16, 10) as bigint)"))
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.HllRegistersAgg.registers(col("h60")).as("regs"))
+      .select(
+        floor(unix_millis(col("window.start")) / lit(3600000.0)).cast("long")
+          .as("bucket"),
+        round(graft.graph.HyperBall.estimate(col("regs")), 4).as("hll_users"))
 }

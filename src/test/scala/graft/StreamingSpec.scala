@@ -188,4 +188,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.contains("tier"))
     assert(out.filter(col("tier").isNull).count() == 0)
   }
+
+  test("S8 hll sketch: streaming estimate equals q193's batch estimate per window") {
+    // batch equivalence on the real table: the single-agg register
+    // sketch must reproduce the two-agg SQL-mirrorable form exactly
+    val ev = Tables(spark, sfDir()).events
+    // the table's ts is NTZ; under the UTC session the cast preserves
+    // the epoch Tables derives for ts_us, so the buckets line up
+    val viaAgg = Streaming.hllWindowedUsers(
+      ev.select(col("ts").cast("timestamp").as("ts"), col("user_id")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaSql = graft.operators.EventOps.q193WindowedHllUsers(spark, sfDir())
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(viaAgg.keySet == viaSql.keySet)
+    viaSql.foreach { case (b, e) =>
+      assert(viaAgg(b) == e, s"bucket $b: agg ${viaAgg(b)} vs sql $e")
+    }
+  }
+
+  test("S8 hll sketch: streaming emission converges to the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Streaming.Event]
+    val burst = (1 to 40).map(i =>
+      Streaming.Event(i.toLong, ts(i % 30), i.toLong % 25, "view", 1.0))
+    ms.addData(burst)
+    // watermark-driving sentinel far ahead closes the first window
+    ms.addData(Seq(Streaming.Event(99L, ts(600), 9L, "view", 0.0)))
+    val q = Streaming.hllWindowedUsers(ms.toDF())
+      .writeStream.format("memory").queryName("hllusers")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("hllusers").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = Streaming.hllWindowedUsers(burst.toDF())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bucket0 = ts(0).getTime / 3600000L
+    assert(got.contains(bucket0))
+    // closed-window streaming output is BIT-equal to the batch run —
+    // registers are deterministic, merge is lossless
+    assert(got(bucket0) == batch(bucket0))
+    // 25 distinct users; linear-counting regime keeps the estimate close
+    assert(math.abs(got(bucket0) - 25.0) / 25.0 < 0.2, s"est ${got(bucket0)}")
+  }
 }
