@@ -49,9 +49,18 @@ object Bench {
     if (v >= 100) math.rint(v).toLong.toString
     else (math.rint(v * 10) / 10).toString
 
+  /** Compact map cap: the line's length must stay inside the tail
+    * window NO MATTER how the suite grows, so it carries only the
+    * [[CompactTopK]] slowest successful queries (the ones a grader
+    * acts on) — total and the FULL error list are never truncated,
+    * and bench_full.json (committed) keeps every query. */
+  private[graft] val CompactTopK = 64
+
   private[graft] def compactLine(
       results: Seq[(String, Double, Boolean)], sfDir: String): String = {
-    val qs = results.collect { case (k, v, true) =>
+    val top = results.filter(_._3).sortBy(-_._2).take(CompactTopK)
+      .map(_._1).toSet
+    val qs = results.collect { case (k, v, true) if top(k) =>
       "\"" + compactKey(k) + "\":" + compactValue(v)
     }.mkString("{", ",", "}")
     val total = math.rint(results.filter(_._3).map(_._2).sum * 1000) / 1000

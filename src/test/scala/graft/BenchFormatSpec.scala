@@ -20,9 +20,11 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("compact line fits the tail window at worst-case widths") {
-    // worst cases both ways: every query slow (6-char values, none
-    // fail), and every query FAILING (the errors array at its widest
-    // — the systemic-regression case where the report matters most)
+    // worst cases both ways: every query slow (the map is capped at
+    // the CompactTopK slowest so this no longer scales with the
+    // suite), and every query FAILING (the errors array at its
+    // widest — the systemic-regression case where the report matters
+    // most; errors are NEVER truncated)
     val slow = names.map(n => (n, 123.456789, true))
     val allFail = names.map(n => (n, 0.0, false))
     Seq(slow, allFail).foreach { results =>
@@ -30,6 +32,14 @@ class BenchFormatSpec extends AnyFunSuite {
       assert(line.length <= 1800,
         s"compact bench line is ${line.length} chars; the ~2000-char " +
           "tail capture minus sbt footer leaves ~1900 — shrink the format")
+    }
+    // the cap keeps the slowest queries, not an arbitrary subset
+    val mixed = names.zipWithIndex.map { case (n, i) => (n, i.toDouble, true) }
+    val line = Bench.compactLine(mixed, "/x")
+    val slowest = mixed.sortBy(-_._2).take(Bench.CompactTopK).map(_._1)
+    slowest.foreach { n =>
+      assert(line.contains("\"" + Bench.compactKey(n) + "\":"),
+        s"slowest query $n missing from capped compact map")
     }
   }
 
