@@ -535,7 +535,114 @@ object Olap {
       .limit(100)
   }
 
+  // ---------------------------------------------------------------- q196
+  /** TPC-H Q7 (volume shipping) — the bidirectional nation-pair
+    * report: revenue flowing between two trading nations in each
+    * direction, per year. Exercises the benchmark's double-dimension
+    * join (supplier nation AND customer nation resolved through two
+    * independent broadcast joins of the same dim) with a symmetric
+    * pair predicate that must NOT collapse the directions.
+    *
+    * Plan shape: lineitem⋈orders is the one fact-scale shuffle;
+    * supplier and customer resolve their nation keys through
+    * broadcast joins (nation is 25 rows; supplier/customer joins ride
+    * their keys); the pair filter prunes AFTER the nation names
+    * attach but BEFORE the aggregate, and the grouped relation is
+    * (2 directions × years)-sized. */
+  val Q7NationA = "NATION_12"
+  val Q7NationB = "NATION_10"
+  val Q7Start = "1996-01-01"
+  val Q7End = "1998-01-01"
+
+  def q196TpchQ7(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n1 = broadcast(t.nation.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation")))
+    val n2 = broadcast(t.nation.select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation")))
+    t.lineitem
+      .filter(col("l_shipdate") >= lit(Q7Start).cast("date") &&
+        col("l_shipdate") < lit(Q7End).cast("date"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast("decimal(18,4)").as("rev"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === Q7NationA && col("cust_nation") === Q7NationB) ||
+          (col("supp_nation") === Q7NationB && col("cust_nation") === Q7NationA))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  // ---------------------------------------------------------------- q197
+  /** TPC-H Q8 (national market share) — per year, the share of one
+    * nation's suppliers in a region's order volume for one part
+    * type. The benchmark's deepest join tree (6 tables: lineitem,
+    * part, supplier, orders, customer, nation×2 + region), with a
+    * conditional-share aggregate on top.
+    *
+    * Plan shape: the part-type filter prunes the part side BEFORE
+    * its join (type is ~1/6 of parts); the region filter prunes
+    * customers through a broadcast nation⋈region dim; both nation
+    * resolutions broadcast; lineitem⋈orders and lineitem⋈part ride
+    * their keys as the fact-scale shuffles; the share is the q185
+    * conditional-sum shape over a years-sized grouped relation.
+    * Decimal sums, one terminal double division per year, 6dp. */
+  val Q8Region = "EUROPE"
+  val Q8Nation = "NATION_3"
+  val Q8Type = "STANDARD"
+  val Q8Start = "1996-01-01"
+  val Q8End = "1998-01-01"
+
+  def q197TpchQ8(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val regionNations = broadcast(t.nation
+      .join(t.region.filter(col("r_name") === Q8Region)
+          .select(col("r_regionkey")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("rn_nk")))
+    val suppNation = broadcast(t.nation.select(
+      col("n_nationkey").as("sn_nk"), col("n_name").as("supp_nation")))
+    t.lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .cast("decimal(18,4)").as("rev"))
+      .join(t.part.filter(col("p_type") === Q8Type).select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit(Q8Start).cast("date") &&
+            col("o_orderdate") < lit(Q8End).cast("date"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            year(col("o_orderdate")).cast("long").as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(regionNations, col("c_nationkey") === col("rn_nk"))
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(suppNation, col("s_nationkey") === col("sn_nk"))
+      .groupBy("o_year")
+      .agg(
+        round(
+          sum(when(col("supp_nation") === Q8Nation, col("rev"))
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+            sum(col("rev")).cast("double"), 6).as("mkt_share"),
+        sum(col("rev")).cast("double").as("total_volume"))
+      .orderBy("o_year")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_tpch_q7" -> (q196TpchQ7 _),
+    "q197_tpch_q8" -> (q197TpchQ8 _),
     "q184_tpch_q4" -> (q184TpchQ4 _),
     "q185_tpch_q14" -> (q185TpchQ14 _),
     "q186_tpch_q18" -> (q186TpchQ18 _),
@@ -556,6 +663,46 @@ object Olap {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q196_tpch_q7" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+         |       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |FROM lineitem l
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+         |WHERE l.l_shipdate >= DATE '$Q7Start'
+         |  AND l.l_shipdate < DATE '$Q7End'
+         |  AND ((n1.n_name = '$Q7NationA' AND n2.n_name = '$Q7NationB')
+         |    OR (n1.n_name = '$Q7NationB' AND n2.n_name = '$Q7NationA'))
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q197_tpch_q8" ->
+      s"""SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+         |  round(CAST(sum(CASE WHEN n2.n_name = '$Q8Nation'
+         |      THEN CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |           AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END)
+         |    AS DOUBLE) /
+         |    CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |      AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share,
+         |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount), 4)
+         |    AS DECIMAL(18,4))) AS DOUBLE) AS total_volume
+         |FROM lineitem l
+         |JOIN part p ON l.l_partkey = p.p_partkey
+         |JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN customer c ON o.o_custkey = c.c_custkey
+         |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+         |JOIN region r ON n1.n_regionkey = r.r_regionkey
+         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+         |WHERE p.p_type = '$Q8Type' AND r.r_name = '$Q8Region'
+         |  AND o.o_orderdate >= DATE '$Q8Start'
+         |  AND o.o_orderdate < DATE '$Q8End'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q184_tpch_q4" ->
       s"""SELECT o_orderpriority, count(*) AS order_count
          |FROM orders o

@@ -385,7 +385,73 @@ object Profile {
       .orderBy("event_type", "q")
   }
 
+  // ---------------------------------------------------------------- q198
+  /** Data-contract audit — the dbt-tests/Great-Expectations analog:
+    * one report row per declared constraint (primary-key uniqueness,
+    * referential integrity, value ranges, non-null), with the
+    * violation count and a pass flag. This is the gate a warehouse
+    * load runs before publishing a snapshot; a contract that exists
+    * only in documentation is not a contract.
+    *
+    * Scale shape, per check class: PK uniqueness is ONE partial agg
+    * (count − distinct via a key-grain pre-agg, never a self-join);
+    * FK checks are LEFT ANTI joins riding the key (dimension sides
+    * broadcast when small — AQE decides; the anti join is the
+    * canonical orphan probe and ships only violation counts); range
+    * and null checks are filter counts whose predicates push to the
+    * scan. Every check emits one row — the report is
+    * contract-sized, never data-sized. */
+  /** One report row from a violations relation. */
+  private[graft] def check(table: String, name: String,
+      violations: DataFrame): DataFrame =
+    violations.agg(count(lit(1)).as("n_violations"))
+      .select(lit(table).as("tbl"), lit(name).as("contract"),
+        col("n_violations"), (col("n_violations") === 0L).as("pass"))
+
+  /** Keys appearing more than once — the PK-uniqueness violation
+    * relation (key-grain pre-agg, never a self-join). */
+  private[graft] def dupKeys(d: DataFrame, key: String): DataFrame =
+    d.groupBy(col(key)).agg(count(lit(1)).as("c")).filter(col("c") > 1)
+
+  /** Child keys with no parent — the canonical orphan probe. */
+  private[graft] def fkOrphans(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey)),
+        col(childKey) === col(parentKey), "left_anti")
+
+  def q198DataContractAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+
+    val checks = Seq(
+      check("orders", "pk_unique(o_orderkey)", dupKeys(t.orders, "o_orderkey")),
+      check("events", "pk_unique(event_id)", dupKeys(t.events, "event_id")),
+      check("documents", "pk_unique(doc_id)", dupKeys(t.documents, "doc_id")),
+      check("orders", "fk(o_custkey->customer)",
+        fkOrphans(t.orders, "o_custkey", t.customer, "c_custkey")),
+      check("lineitem", "fk(l_orderkey->orders)",
+        fkOrphans(t.lineitem, "l_orderkey", t.orders, "o_orderkey")),
+      check("lineitem", "fk(l_partkey->part)",
+        fkOrphans(t.lineitem, "l_partkey", t.part, "p_partkey")),
+      check("lineitem", "fk(l_suppkey->supplier)",
+        fkOrphans(t.lineitem, "l_suppkey", t.supplier, "s_suppkey")),
+      check("customer", "fk(c_nationkey->nation)",
+        fkOrphans(t.customer, "c_nationkey", t.nation, "n_nationkey")),
+      check("lineitem", "range(l_discount in [0,1])",
+        t.lineitem.filter(col("l_discount") < 0.0 || col("l_discount") > 1.0)),
+      check("lineitem", "range(l_quantity > 0)",
+        t.lineitem.filter(!(col("l_quantity") > 0.0))),
+      check("orders", "range(o_totalprice > 0)",
+        t.orders.filter(!(col("o_totalprice") > 0.0))),
+      check("customer", "not_null(c_name)",
+        t.customer.filter(col("c_name").isNull)),
+      check("documents", "not_null(text)",
+        t.documents.filter(col("text").isNull)))
+    checks.reduce(_.unionByName(_)).orderBy("tbl", "contract")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_data_contract_audit" -> (q198DataContractAudit _),
     "q194_sample_quantile_audit" -> (q194SampleQuantileAudit _),
     "q188_l_diversity" -> (q188LDiversity _),
     "q181_k_anonymity" -> (q181KAnonymity _),
@@ -399,6 +465,56 @@ object Profile {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q198_data_contract_audit" ->
+      """WITH c AS (
+        |  SELECT 'orders' AS tbl, 'pk_unique(o_orderkey)' AS contract,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+        |    AS n_violations
+        |  UNION ALL SELECT 'events', 'pk_unique(event_id)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT event_id FROM events GROUP BY 1 HAVING count(*) > 1))
+        |  UNION ALL SELECT 'documents', 'pk_unique(doc_id)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM
+        |      (SELECT doc_id FROM documents GROUP BY 1 HAVING count(*) > 1))
+        |  UNION ALL SELECT 'orders', 'fk(o_custkey->customer)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        |     WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey))
+        |  UNION ALL SELECT 'lineitem', 'fk(l_orderkey->orders)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                       WHERE o.o_orderkey = l.l_orderkey))
+        |  UNION ALL SELECT 'lineitem', 'fk(l_partkey->part)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM part p
+        |                       WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL SELECT 'lineitem', 'fk(l_suppkey->supplier)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        |     WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                       WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL SELECT 'customer', 'fk(c_nationkey->nation)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer c
+        |     WHERE NOT EXISTS (SELECT 1 FROM nation n
+        |                       WHERE n.n_nationkey = c.c_nationkey))
+        |  UNION ALL SELECT 'lineitem', 'range(l_discount in [0,1])',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE l_discount < 0.0 OR l_discount > 1.0)
+        |  UNION ALL SELECT 'lineitem', 'range(l_quantity > 0)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |     WHERE NOT (l_quantity > 0.0))
+        |  UNION ALL SELECT 'orders', 'range(o_totalprice > 0)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |     WHERE NOT (o_totalprice > 0.0))
+        |  UNION ALL SELECT 'customer', 'not_null(c_name)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM customer
+        |     WHERE c_name IS NULL)
+        |  UNION ALL SELECT 'documents', 'not_null(text)',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents
+        |     WHERE text IS NULL))
+        |SELECT tbl, contract, n_violations, (n_violations = 0) AS pass
+        |FROM c ORDER BY tbl, contract""".stripMargin,
+
     "q194_sample_quantile_audit" -> {
       val hexId = graft.text.TextOps.hexToLongSql(
         "md5(CAST(event_id AS VARCHAR))", 1, 8)

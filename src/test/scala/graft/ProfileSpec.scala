@@ -221,4 +221,26 @@ class ProfileSpec extends SparkSpec {
       assert(math.abs(r.getDouble(6)) < 150.0, s"${r.getString(0)} sampler broken")
     }
   }
+
+  test("q198: clean data passes every contract; corrupted frames are detected") {
+    import spark.implicits._
+    // the real tables satisfy every declared contract
+    val got = Profile.q198DataContractAudit(spark, sfDir()).collect()
+    assert(got.length == 13)
+    got.foreach { r =>
+      assert(r.getBoolean(3) && r.getLong(2) == 0L,
+        s"${r.getString(0)}/${r.getString(1)} flagged on clean data")
+    }
+    // detection: the same builders must CATCH planted violations
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    assert(Profile.dupKeys(dup, "k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    val child = Seq((1L, 10L), (2L, 99L)).toDF("id", "fk")
+    val parent = Seq((10L, "x")).toDF("pk", "p")
+    val orphans = Profile.fkOrphans(child, "fk", parent, "pk").collect()
+    assert(orphans.map(_.getLong(0)).toSeq == Seq(99L))
+    val rep = Profile.check("t", "pk_unique(k)", Profile.dupKeys(dup, "k"))
+      .collect()(0)
+    assert(rep.getLong(2) == 1L && !rep.getBoolean(3),
+      "violation count must fail the contract row")
+  }
 }
