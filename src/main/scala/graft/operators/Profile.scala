@@ -450,7 +450,49 @@ object Profile {
     checks.reduce(_.unionByName(_)).orderBy("tbl", "contract")
   }
 
+  // ---------------------------------------------------------------- q200
+  /** Differentially-private release of the q181 QI histogram (Dwork
+    * et al. 2006 Laplace mechanism): each group count — a
+    * sensitivity-1 query — is released with Laplace(1/ε) noise via
+    * the inverse-CDF transform, plus the clamped non-negative
+    * integer a publication actually ships. Completes the privacy
+    * family: q181 measures re-identifiability, q188 measures
+    * homogeneity, this RELEASES under an ε budget.
+    *
+    * Determinism caveat, stated loudly: the uniform draw is an
+    * md5-hash of the QI key — reproducible on any engine/layout/
+    * retry, which is what makes the release oracle-checkable and the
+    * calibration testable, and what makes this NOT a private
+    * mechanism as committed (a hash of public group keys is
+    * predictable). Production swaps the one `u` column for a secure
+    * RNG; the mechanism shape, sensitivity accounting, and ε
+    * calibration — the parts worth testing — are unchanged.
+    *
+    * Scale shape: q181's single partial-agg pass, then in-row noise
+    * on the QI-space-sized relation. */
+  val DpEpsilon = 1.0
+
+  def q200DpNoisedRelease(spark: SparkSession, dir: String): DataFrame = {
+    val grouped = Tables(spark, dir).customer
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / KAnonBand).cast("long").as("acctbal_band"))
+      .groupBy("c_nationkey", "c_mktsegment", "acctbal_band")
+      .agg(count(lit(1)).as("k"))
+    val u = (expr(
+      "cast(conv(substring(md5(concat(cast(c_nationkey as string), ':', " +
+        "c_mktsegment, ':', cast(acctbal_band as string))), 1, 15), 16, 10) " +
+        "as double)") + 0.5) / lit(math.pow(2, 60))
+    val noise = when(u < 0.5, log(u * 2.0) / DpEpsilon)
+      .otherwise(-log((lit(1.0) - u) * 2.0) / DpEpsilon)
+    grouped
+      .withColumn("noised_k", round(col("k") + noise, 4))
+      .withColumn("released_k",
+        greatest(lit(0L), round(col("k") + noise, 0).cast("long")))
+      .orderBy("c_nationkey", "c_mktsegment", "acctbal_band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_dp_noised_release" -> (q200DpNoisedRelease _),
     "q198_data_contract_audit" -> (q198DataContractAudit _),
     "q194_sample_quantile_audit" -> (q194SampleQuantileAudit _),
     "q188_l_diversity" -> (q188LDiversity _),
@@ -465,6 +507,29 @@ object Profile {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q200_dp_noised_release" -> {
+      val uSql = "((" + graft.text.TextOps.hexToLongSql(
+        "md5(CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment || ':' || " +
+          "CAST(acctbal_band AS VARCHAR))", 1, 15) +
+        s") + 0.5) / ${new java.math.BigDecimal(math.pow(2, 60)).toPlainString}"
+      s"""WITH g AS (
+         |  SELECT c_nationkey, c_mktsegment,
+         |         CAST(floor(c_acctbal / $KAnonBand) AS BIGINT) AS acctbal_band,
+         |         CAST(count(*) AS BIGINT) AS k
+         |  FROM customer GROUP BY 1, 2, 3),
+         |nz AS (
+         |  SELECT c_nationkey, c_mktsegment, acctbal_band, k,
+         |         CASE WHEN ($uSql) < 0.5
+         |              THEN ln(($uSql) * 2.0) / $DpEpsilon
+         |              ELSE -ln((1.0 - ($uSql)) * 2.0) / $DpEpsilon
+         |         END AS noise
+         |  FROM g)
+         |SELECT c_nationkey, c_mktsegment, acctbal_band, k,
+         |       round(k + noise, 4) AS noised_k,
+         |       greatest(0, CAST(round(k + noise, 0) AS BIGINT)) AS released_k
+         |FROM nz ORDER BY 1, 2, 3""".stripMargin
+    },
+
     "q198_data_contract_audit" ->
       """WITH c AS (
         |  SELECT 'orders' AS tbl, 'pk_unique(o_orderkey)' AS contract,

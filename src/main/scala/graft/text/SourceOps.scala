@@ -416,7 +416,53 @@ object SourceOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q199
+  /** Per-source scorecard — the one-page table a data-sourcing
+    * decision actually reads: volume, exact-duplicate exposure
+    * (share of the source's docs whose text also appears elsewhere
+    * in the corpus — the q20 dedup signal at source grain), token
+    * volume, and language concentration (the dominant language and
+    * its share). Each column is a signal the suite already audits at
+    * its own grain; the scorecard is the source-grain join of them.
+    *
+    * Scale shape: ONE corpus pass computes the per-doc terms in-row
+    * (md5 fingerprint, token count); the dup-group relation is a
+    * fingerprint-keyed partial agg (count≥2 prune before join-back,
+    * the q175 shape); language argmax runs on the (source × langs)
+    * relation via a source-keyed window — value-space-sized, never
+    * corpus-sized. */
+  def q199SourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Checkpoints.cut(TextOps.docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        md5(col("text")).as("fp"),
+        size(split(col("s"), " ")).cast("long").as("nt")))
+    val dupFps = d.groupBy("fp").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select("fp")
+    val dupPerSource = d.join(dupFps, "fp")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    val base = d.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("nt")).as("n_tokens"))
+    val langCnt = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("c").desc, col("lang").asc)
+    val topLang = langCnt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"),
+        col("c").as("top_lang_n"))
+    base.join(dupPerSource, Seq("source"), "left")
+      .join(topLang, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("dup_rate"),
+        col("top_lang"),
+        round(col("top_lang_n").cast("double") / col("n_docs"), 6)
+          .as("top_lang_share"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_source_scorecard" -> (q199SourceScorecard _),
     "q192_temperature_mix" -> (q192TemperatureMix _),
     "q189_snapshot_diff" -> (q189SnapshotDiff _),
     "q187_hll_cardinality" -> (q187HllCardinality _),
@@ -437,6 +483,35 @@ object SourceOps {
        |             greatest(len(ws) - ${AuditShingle - 1}, 0))) AS t(i))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q199_source_scorecard" ->
+      s"""WITH ${TextOps.normCte},
+         |d AS (SELECT n.doc_id, doc.source, doc.lang, md5(doc.text) AS fp,
+         |        CAST(len(string_split(n.s, ' ')) AS BIGINT) AS nt
+         |      FROM n JOIN documents doc USING (doc_id)),
+         |dupf AS (SELECT fp FROM d GROUP BY fp HAVING count(*) > 1),
+         |dups AS (SELECT source, CAST(count(*) AS BIGINT) AS n_dup
+         |         FROM d JOIN dupf USING (fp) GROUP BY 1),
+         |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |           CAST(sum(nt) AS BIGINT) AS n_tokens
+         |         FROM d GROUP BY 1),
+         |lc AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+         |       FROM d GROUP BY 1, 2),
+         |tl AS (SELECT source, lang AS top_lang, c AS top_lang_n
+         |       FROM (SELECT source, lang, c,
+         |               row_number() OVER (PARTITION BY source
+         |                 ORDER BY c DESC, lang ASC) AS rk
+         |             FROM lc) WHERE rk = 1)
+         |SELECT b.source, b.n_docs, b.n_tokens,
+         |       round(CAST(coalesce(dups.n_dup, 0) AS DOUBLE) / b.n_docs, 6)
+         |         AS dup_rate,
+         |       tl.top_lang,
+         |       round(CAST(tl.top_lang_n AS DOUBLE) / b.n_docs, 6)
+         |         AS top_lang_share
+         |FROM base b
+         |LEFT JOIN dups ON dups.source = b.source
+         |JOIN tl ON tl.source = b.source
+         |ORDER BY b.source""".stripMargin,
+
     "q192_temperature_mix" ->
       s"""WITH ${TextOps.normCte},
          |tok AS (SELECT d.source,

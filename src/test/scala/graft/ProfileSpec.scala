@@ -243,4 +243,33 @@ class ProfileSpec extends SparkSpec {
     assert(rep.getLong(2) == 1L && !rep.getBoolean(3),
       "violation count must fail the contract row")
   }
+
+  test("q200: noise is the scalar inverse-CDF Laplace draw, calibrated to b=1/eps") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(md.digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.take(15), 16)
+    val got = Profile.q200DpNoisedRelease(spark, sfDir()).collect()
+    assert(got.nonEmpty)
+    var absSum = 0.0
+    got.foreach { r =>
+      val key = s"${r.getInt(0)}:${r.getString(1)}:${r.getLong(2)}"
+      val u = (h60(key) + 0.5) / math.pow(2, 60)
+      val noise = (if (u < 0.5) math.log(u * 2.0)
+        else -math.log((1.0 - u) * 2.0)) / Profile.DpEpsilon
+      val refNoised = BigDecimal(r.getLong(3) + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(4) == refNoised, s"$key noised")
+      val refReleased = math.max(0L,
+        BigDecimal(r.getLong(3) + noise)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      assert(r.getLong(5) == refReleased, s"$key released")
+      assert(r.getLong(5) >= 0L)
+      absSum += math.abs(r.getDouble(4) - r.getLong(3))
+    }
+    // Laplace(b=1) has E|noise| = b: the empirical mean must sit near 1
+    val meanAbs = absSum / got.length
+    assert(meanAbs > 0.5 && meanAbs < 1.6,
+      s"mean |noise| $meanAbs implausible for Laplace(1)")
+  }
 }

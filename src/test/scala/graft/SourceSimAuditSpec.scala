@@ -354,4 +354,35 @@ class SourceSimAuditSpec extends SparkSpec {
     val bySize = got.sortBy(_._2).map(_._4)
     assert(bySize.zip(bySize.tail).forall { case (a, b) => a <= b + 1e-9 })
   }
+
+  // ------------------------------------------------------------- q199
+
+  test("q199: scorecard columns match a scalar recompute per source") {
+    val docs = Tables(spark, sfDir()).documents
+      .select(col("doc_id"), col("source"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    val fpCount = docs.groupBy(_._4).view.mapValues(_.length).toMap
+    def tokens(t: String): Long =
+      t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").length.toLong
+    val got = graft.text.SourceOps.q199SourceScorecard(spark, sfDir())
+      .collect()
+    assert(got.map(_.getString(0)).toSet == docs.map(_._2).toSet)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val mine = docs.filter(_._2 == src)
+      assert(r.getLong(1) == mine.length)
+      assert(r.getLong(2) == mine.map(d => tokens(d._4)).sum, s"$src tokens")
+      val nDup = mine.count(d => fpCount(d._4) > 1)
+      val refDup = BigDecimal(nDup.toDouble / mine.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == refDup, s"$src dup_rate")
+      // argmax with (count desc, lang asc) tie-break
+      val byLang = mine.groupBy(_._3).view.mapValues(_.length).toSeq
+        .sortBy { case (l, c) => (-c, l) }
+      assert(r.getString(4) == byLang.head._1, s"$src top_lang")
+      val refShare = BigDecimal(byLang.head._2.toDouble / mine.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == refShare, s"$src top_lang_share")
+    }
+  }
 }
