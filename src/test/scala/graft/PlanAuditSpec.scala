@@ -453,6 +453,17 @@ class PlanAuditSpec extends SparkSpec {
       s"lateness predicate degenerated to a non-equi join:\n$p")
   }
 
+  test("q197: deep join tree stays equi-join, type+date filters pushed, dims broadcast") {
+    val p = plan(graft.operators.Olap.q197TpchQ8(spark, sfDir()))
+    val pfs = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(pfs.contains("p_type"), s"part type not pushed: $pfs")
+    assert(pfs.contains("o_orderdate"), s"date range not pushed: $pfs")
+    assert(p.contains("BroadcastHashJoin"), s"nation/region dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"6-table tree degenerated to a non-equi join:\n$p")
+  }
+
   test("q186: lineitem collapses before any join, top-100 is TakeOrdered") {
     val p = plan(graft.operators.Olap.q186TpchQ18(spark, sfDir()))
     assert(p.contains("TakeOrderedAndProject"),
