@@ -12,8 +12,9 @@ import org.apache.spark.sql.functions._
   * data-volume scaling, not a distribution shift. Deterministic: every
   * value derives from SplittableRandom(row id); no wall clock.
   *
-  * Generates ONLY the tables those queries read (documents, lineitem,
-  * part) — this is a bench corpus, not a TESTDATA replacement.
+  * Generates ONLY the tables the sweeps read (documents, lineitem,
+  * part, embeddings, events) — a bench corpus, not a TESTDATA
+  * replacement.
   *
   * Usage: sbt "runMain graft.tools.MakeScaleData /tmp/sf1 10"
   */
@@ -136,6 +137,23 @@ object MakeScaleData {
     }.toDF("vec_id", "embedding", "label")
       .withColumn("label", col("label").cast("int"))
 
+    // events: the driver table's measured character — a FIXED 30-day
+    // calendar window (scaling adds rows and users, not days — the SF
+    // convention), 5 near-uniform event types, uniform user draw
+    // (1500 users per 100k events), value U(0,100] at 2dp, {"k": N}
+    // props. Event-family scaling then measures volume, not drift.
+    val nEvents = 100000L * mult
+    val nUsers = 1500L * mult
+    val types = Array("click", "error", "purchase", "signup", "view")
+    val events = spark.range(0, nEvents, 1, 64).map { id =>
+      val r = new java.util.SplittableRandom(id * 2862933555777941757L + 17)
+      val ts = new java.sql.Timestamp(
+        1704067200000L + r.nextLong(30L * 24 * 3600 * 1000))
+      (id, ts, r.nextLong(nUsers), types(r.nextInt(5)),
+        math.rint((0.01 + r.nextDouble() * 99.99) * 100) / 100,
+        s"""{"k": ${r.nextInt(100)}}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
@@ -144,6 +162,7 @@ object MakeScaleData {
     write(lineitem, "lineitem")
     write(part, "part")
     write(embeddings, "embeddings")
+    write(events, "events")
     spark.stop()
   }
 }
