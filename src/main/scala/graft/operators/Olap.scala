@@ -640,7 +640,74 @@ object Olap {
       .orderBy("o_year")
   }
 
+  // ---------------------------------------------------------------- q201
+  /** TPC-H Q13 (customer distribution) — the outer-join histogram:
+    * how many customers placed 0, 1, 2, … orders. The shape under
+    * test is the LEFT OUTER join that must keep orderless customers
+    * (an inner join silently drops the 0-bucket — the classic Q13
+    * mistake) followed by two stacked aggregations: per-customer
+    * order counts, then the count-of-counts histogram.
+    *
+    * Plan: customer LEFT JOIN orders rides the customer key (one
+    * fact-scale shuffle); the first agg collapses to customer grain
+    * with map-side combine; the histogram agg runs on the
+    * customer-sized relation. */
+  def q201TpchQ13(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.customer.select(col("c_custkey"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // ---------------------------------------------------------------- q202
+  /** TPC-H Q22 (global sales opportunity), adapted: customers with
+    * above-average positive balances and NO ORDER SINCE [[Q22Cutoff]]
+    * — the lapsed-high-value-customer report. The verbatim "never
+    * ordered" form returns zero rows on this data (every customer
+    * has ordered — 75 orders/customer), so the anti-join side is
+    * date-restricted, which is also Q22's actual business intent
+    * (spending power, not buying). Documented deviation, q147/q184
+    * style; the SHAPE under test is unchanged: a global scalar
+    * subquery (the positive-balance average) feeding a filter, plus
+    * NOT EXISTS as a LEFT ANTI join.
+    *
+    * Plan: the scalar average broadcasts as a single row; the anti
+    * join rides the customer key; the grouped relation is
+    * nation-sized. Money follows the round→DECIMAL convention for
+    * the balance sum. */
+  val Q22Cutoff = "2000-01-01"
+
+  def q202TpchQ22(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    // the threshold is ONE IEEE division of an exact decimal sum by an
+    // exact count — accumulation-order-free, so the boundary compare
+    // below cannot flip between engines (a plain double avg could
+    // drift an ulp and move a boundary customer across the filter)
+    val avgBal = t.customer.filter(col("c_acctbal") > 0.0)
+      .agg((sum(round(col("c_acctbal"), 2).cast("decimal(18,2)"))
+        .cast("double") / count(lit(1))).as("avg_bal"))
+    t.customer.select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t.orders
+          .filter(col("o_orderdate") >= lit(Q22Cutoff).cast("date"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(round(col("c_acctbal"), 2).cast("decimal(18,2)"))
+          .cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_tpch_q13" -> (q201TpchQ13 _),
+    "q202_tpch_q22" -> (q202TpchQ22 _),
     "q196_tpch_q7" -> (q196TpchQ7 _),
     "q197_tpch_q8" -> (q197TpchQ8 _),
     "q184_tpch_q4" -> (q184TpchQ4 _),
@@ -663,6 +730,28 @@ object Olap {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q201_tpch_q13" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c.c_custkey,
+        |             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer c
+        |      LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        |      GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q202_tpch_q22" ->
+      """SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2)))
+        |         AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c.c_acctbal > (SELECT CAST(sum(CAST(round(c_acctbal, 2)
+        |                       AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |                     FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= DATE '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q196_tpch_q7" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

@@ -381,4 +381,40 @@ class OlapSpec extends SparkSpec {
       assert(r.getDouble(1) == share, s"year $y")
     }
   }
+
+  test("tpch q13: count-of-counts conserves customers and orders") {
+    val t = Tables(spark, sfDir())
+    val got = Olap.q201TpchQ13(spark, sfDir()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // Σ custdist = n_customers (the LEFT OUTER keeps orderless ones)
+    assert(got.map(_._2).sum == t.customer.count())
+    // Σ c_count·custdist = n_orders (every order counted exactly once)
+    assert(got.map { case (c, d) => c * d }.sum == t.orders.count())
+    // histogram buckets are distinct
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
+  test("tpch q22: lapsed high-balance customers — scalar threshold and anti-join") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir())
+    val cust = t.customer
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val pos = cust.map(_._3).filter(_ > 0.0)
+    val thr = pos.map(v => BigDecimal(v).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / pos.length
+    val cutoff = java.time.LocalDateTime.parse(Olap.Q22Cutoff + "T00:00:00")
+    val active = t.orders.select("o_custkey", "o_orderdate").collect()
+      .filter(!_.getAs[java.time.LocalDateTime]("o_orderdate").isBefore(cutoff))
+      .map(_.getLong(0)).toSet
+    val refRows = cust.filter(c => c._3 > thr && !active(c._1))
+    val ref = refRows.groupBy(_._2).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(r => BigDecimal(r._3).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble)
+    }.toMap
+    val got = Olap.q202TpchQ22(spark, sfDir()).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == ref.keySet && got.nonEmpty)
+    ref.foreach { case (nk, v) => assert(got(nk) == v, s"nation $nk") }
+  }
 }
