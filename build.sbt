@@ -1,5 +1,16 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+// The bench harness parses the LAST line of stdout as JSON; sbt's
+// "[success] Total time: ..." banner otherwise trails graft.Bench's
+// compact JSON line and breaks that parse (BENCH_r01..r08 all
+// recorded parsed:null for exactly this reason).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// ... and sbt's logger prefixes every forked-process line with
+// "[info] ", which equally breaks a strict JSON parse of that line.
+// StdoutOutput hands the forked JVM the real stdout: Bench's JSON
+// line arrives raw AND last.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 name := "githubminerspark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
