@@ -17,12 +17,14 @@ import graft.Tables
   * Pipeline stages (each its own scale argument):
   *  1. SIGNATURE — each record's attribute token set (sorted name
   *     words + brand + type + size token): one in-row projection.
-  *  2. BLOCKING — leave-one-out keys: each record emits its token
-  *     set minus one element, once per element. For records with t
-  *     tokens a pair agreeing on ≥ t−1 tokens MUST share a
-  *     leave-one-out key (drop any shared-complement element from
-  *     both sides), so candidate generation is COMPLETE for
-  *     [[ErTau]] ≥ (t−1)/(t+1) — here 0.6 with t = 5 — while a pair
+  *  2. BLOCKING — drop-zero + leave-one-out keys: each record emits
+  *     its full token set once AND the set minus one element, once
+  *     per element. A pair agreeing on ≥ max(na, nb) − 1 tokens MUST
+  *     share a key — equal sizes via matching leave-one-out keys,
+  *     sizes differing by one via the larger side's leave-one-out
+  *     meeting the smaller side's drop-zero — so candidate generation
+  *     is COMPLETE for [[ErTau]] ≥ (t−1)/(t+1) — here 0.6 with
+  *     t = 5 — even when array_distinct shrinks a signature; a pair
   *     sharing fewer tokens shares NO key when token classes are
   *     disjoint (name words / brand / type / size never collide by
   *     construction), so the generator is also nearly EXACT: at the
@@ -73,11 +75,24 @@ object EntityResolution {
     val sigs = graft.Checkpoints.cut(
       signatures(parts).select(col("id"), col("toks"),
         size(col("toks")).as("nt")))
-    // leave-one-out blocking keys (drop the i-th token, join the rest)
+    // Blocking keys: the full token set (drop-zero) PLUS each
+    // leave-one-out subset (drop the i-th token, join the rest).
+    // Leave-one-out alone is only complete for EQUAL-size signatures
+    // — array_distinct makes sizes vary (a repeated name word), and a
+    // subset pair (4-token sig ⊂ 5-token sig, Jaccard 4/5 ≥ tau)
+    // shares no key when one side emits 3-token keys and the other
+    // 4-token keys. The drop-zero key closes exactly that gap: the
+    // larger side's leave-one-out key (dropping its extra token)
+    // equals the smaller side's full set. Guarantee: candidate
+    // generation is complete for pairs with ≥ max(na, nb) − 1 tokens
+    // in common (⟺ Jaccard ≥ (t−1)/(t+1)); size gaps ≥ 2 are below
+    // [[ErTau]] for this signature family anyway (J ≤ t/(t+2) only
+    // when agreement is total, which the gap rules out).
     val keys = sigs.select(col("id"), explode(expr(
-      """transform(sequence(1, size(toks)), i ->
-        |  array_join(concat(slice(toks, 1, i - 1),
-        |                    slice(toks, i + 1, size(toks))), '|'))"""
+      """concat(array(array_join(toks, '|')),
+        |  transform(sequence(1, size(toks)), i ->
+        |    array_join(concat(slice(toks, 1, i - 1),
+        |                      slice(toks, i + 1, size(toks))), '|')))"""
         .stripMargin)).as("k"))
     val cand = keys.as("x").join(keys.as("y"),
         col("x.k") === col("y.k") && col("x.id") < col("y.id"))
@@ -137,7 +152,9 @@ object EntityResolution {
          |  FROM pt),
          |tk AS (SELECT id, unnest(toks) AS tok FROM rec),
          |sz AS (SELECT id, CAST(len(toks) AS BIGINT) AS nt FROM rec),
-         |ks AS (SELECT id,
+         |ks AS (SELECT id, array_to_string(toks, '|') AS k FROM rec
+         |       UNION ALL
+         |       SELECT id,
          |         array_to_string(list_concat(toks[1:i - 1],
          |           toks[i + 1:len(toks)]), '|') AS k
          |       FROM rec, unnest(generate_series(1, len(toks))) AS t(i)),

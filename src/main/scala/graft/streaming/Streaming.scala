@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -189,5 +189,25 @@ object Streaming {
       .select(
         floor(unix_millis(col("window.start")) / lit(3600000.0)).cast("long")
           .as("bucket"),
-        round(graft.graph.HyperBall.estimate(col("regs")), 4).as("hll_users"))
+        round(hllEstimateExact("regs"), 4).as("hll_users"))
+
+  /** q193's EXACT-integer readout over a register array: the harmonic
+    * sum is a BIGINT Σ 2^(W+1−r) (registers span rho ≤ W+1 = 55, so
+    * the 2^-r terms exceed a double's 53-bit mantissa span — a float
+    * accumulation like HllEstimate's can land one ulp off q193's
+    * integer form and flip a .00005 rounding boundary in the
+    * spec-pinned streaming-vs-batch bit-equality), followed by the
+    * single HllNum / sumt division and the identical linear-counting
+    * branch. Interpreted HOFs, but evaluated once per WINDOW row. */
+  private def hllEstimateExact(regs: String): Column = {
+    import graft.text.SourceOps.{HllM, HllNum, HllWBits}
+    val sumt = expr(
+      s"""aggregate($regs, cast(0 as bigint),
+         |  (acc, r) -> acc + shiftleft(cast(1 as bigint), ${HllWBits + 1} - r))"""
+        .stripMargin)
+    val z = size(expr(s"filter($regs, r -> r = 0)"))
+    val raw = lit(HllNum).cast("double") / sumt
+    when(raw <= 2.5 * HllM && z > 0,
+      lit(HllM.toDouble) * log(lit(HllM.toDouble) / z)).otherwise(raw)
+  }
 }

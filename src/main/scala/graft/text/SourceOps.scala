@@ -333,7 +333,11 @@ object SourceOps {
     * pass, and the join state is two skinny columnsets. Change
     * detection compares fingerprints, not text equality — exactly
     * what a release diff does when payloads live in object storage. */
-  private val DiffIdSpace = 1000000000L
+  // Synthetic "added" docs live in the NEGATED id namespace
+  // (-doc_id - 1): real doc_ids are non-negative, so the added
+  // stratum can never collide with a v1 id in the full-outer join —
+  // a fixed positive offset (the old +1e9) silently misclassifies
+  // rows the day a corpus carries ids ≥ the offset.
 
   def q189SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val base = graft.Tables(spark, dir).documents
@@ -351,7 +355,7 @@ object SourceOps {
         when(col("h") % 7 === 0, length(col("text")) + lit(5))
           .otherwise(length(col("text"))).cast("long").as("nc"))
     val added = base.filter(col("h") % 13 === 0)
-      .select((col("doc_id") + DiffIdSpace).as("doc_id"), col("source"),
+      .select((-col("doc_id") - 1).as("doc_id"), col("source"),
         md5(concat(lit("new "), col("text"))).as("fp"),
         (length(col("text")) + lit(4)).cast("long").as("nc"))
     val v2 = kept.unionByName(added)
@@ -550,7 +554,7 @@ object SourceOps {
          |              ELSE length(text) END AS BIGINT) AS nc
          |  FROM base WHERE h % 11 <> 0),
          |added AS (
-         |  SELECT doc_id + $DiffIdSpace AS doc_id, source,
+         |  SELECT -doc_id - 1 AS doc_id, source,
          |         md5('new ' || text) AS fp,
          |         CAST(length(text) + 4 AS BIGINT) AS nc
          |  FROM base WHERE h % 13 = 0),

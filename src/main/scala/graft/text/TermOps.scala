@@ -192,8 +192,9 @@ object TermOps {
     * T is the only broadcast (a scalar). The scoring joins ride the
     * prev/cur keys; nothing vocabulary-scale is ever broadcast
     * (q74's note). Float discipline: one identical p expression in
-    * both engines (D=0.75 is exact binary), ln at score time only,
-    * 6dp on the final mean (q120's convention). */
+    * both engines (D=0.75 is exact binary), each -ln(p) term rounded
+    * at 12dp and summed as DECIMAL (order-free, q183's convention),
+    * 6dp on the final mean. */
   val KnDiscount = 0.75
 
   def kneserNeyNll(docs: DataFrame): DataFrame = {
@@ -214,14 +215,21 @@ object TermOps {
     val p = (col("cb").cast("double") - lit(KnDiscount)) / col("cx") +
       (lit(KnDiscount) * col("n1u") / col("cx")) *
         (col("ncw").cast("double") / col("t"))
+    // Float discipline (q183's convention): round each -ln(p) term at
+    // 12dp and sum as DECIMAL — an avg() over raw doubles makes the
+    // accumulation order partition-dependent, and a boundary doc can
+    // flip the 6dp digit vs the oracle under a different partitioning.
     bg.join(bc, Seq("prev", "cur"))
       .join(ctx, Seq("prev"))
       .join(cont, Seq("cur"))
       .crossJoin(broadcast(types))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log(p)), 6).as("avg_kn_nll"))
+        sum(round(-log(p), 12).cast("decimal(25,12)")).as("snll"))
+      .withColumn("avg_kn_nll",
+        round(col("snll").cast("double") / col("n_bigrams"), 6))
       .withColumn("ppl", round(exp(col("avg_kn_nll")), 4))
+      .select("doc_id", "n_bigrams", "avg_kn_nll", "ppl")
       .orderBy("doc_id")
   }
 
@@ -691,11 +699,14 @@ object TermOps {
          |       FROM bg g
          |       JOIN bc c ON c.prev = g.prev AND c.cur = g.cur
          |       JOIN ctx x ON x.prev = g.prev
-         |       JOIN cont k ON k.cur = g.cur, tt)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |       round(avg(-ln(p)), 6) AS avg_kn_nll,
-         |       round(exp(round(avg(-ln(p)), 6)), 4) AS ppl
-         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+         |       JOIN cont k ON k.cur = g.cur, tt),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         round(CAST(sum(CAST(round(-ln(p), 12) AS DECIMAL(25,12)))
+         |             AS DOUBLE) / count(*), 6) AS avg_kn_nll
+         |       FROM sc GROUP BY 1)
+         |SELECT doc_id, n_bigrams, avg_kn_nll,
+         |       round(exp(avg_kn_nll), 4) AS ppl
+         |FROM ag ORDER BY 1""".stripMargin,
 
     "q120_bigram_nll" ->
       s"""WITH ${TextOps.normCte},

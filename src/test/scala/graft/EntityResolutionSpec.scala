@@ -50,6 +50,13 @@ class EntityResolutionSpec extends SparkSpec {
       // singletons: share too little with anything
       (6L, "blue bolt", "B4", "LARGE", 3L, 700.0),
       (7L, "green nut", "B5", "MEDIUM", 9L, 600.0),
+      // entity {8,9}: a SUBSET pair — 8's repeated name word
+      // array_distincts to a 4-token signature contained in 9's
+      // 5-token one (J = 4/5 ≥ tau). Leave-one-out keys alone never
+      // pair these (3-token keys vs 4-token keys); the drop-zero
+      // full-set key must catch it.
+      (8L, "gear gear", "B6", "TINY", 5L, 500.0),
+      (9L, "gold gear", "B6", "TINY", 5L, 501.0),
     )
     val got = EntityResolution.resolveEntities(toDf(rows), EntityResolution.ErTau)
       .as[(Long, Long, Long, String, Double)].collect().toSeq
@@ -60,6 +67,8 @@ class EntityResolutionSpec extends SparkSpec {
     assert(byEntity(1L)._3 == 3L, "canonical = max price member")
     assert(byEntity(4L)._2 == 2L, "word order must not split an entity")
     assert(byEntity(6L)._2 == 1L && byEntity(7L)._2 == 1L)
+    assert(byEntity(8L)._2 == 2L,
+      "subset pair (4-token sig ⊂ 5-token sig) must block together")
   }
 
   test("q178 on the sf0.001 batch == brute-force all-pairs reference") {
