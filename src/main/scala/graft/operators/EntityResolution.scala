@@ -69,35 +69,40 @@ object EntityResolution {
         array(col("p_brand"), col("p_type"),
           concat(lit("sz"), col("p_size").cast("string")))))).as("toks"))
 
-  /** Core over any (p_partkey, p_name, p_brand, p_type, p_size,
-    * p_retailprice) relation. Output: one row per resolved entity. */
-  private[graft] def resolveEntities(parts: DataFrame, tau: Double): DataFrame = {
-    val sigs = graft.Checkpoints.cut(
+  /** (id, toks, nt) signature relation, checkpoint-cut (fetched by
+    * both candidate generation and verification). */
+  private def sigRelation(parts: DataFrame): DataFrame =
+    graft.Checkpoints.cut(
       signatures(parts).select(col("id"), col("toks"),
         size(col("toks")).as("nt")))
-    // Blocking keys: the full token set (drop-zero) PLUS each
-    // leave-one-out subset (drop the i-th token, join the rest).
-    // Leave-one-out alone is only complete for EQUAL-size signatures
-    // — array_distinct makes sizes vary (a repeated name word), and a
-    // subset pair (4-token sig ⊂ 5-token sig, Jaccard 4/5 ≥ tau)
-    // shares no key when one side emits 3-token keys and the other
-    // 4-token keys. The drop-zero key closes exactly that gap: the
-    // larger side's leave-one-out key (dropping its extra token)
-    // equals the smaller side's full set. Guarantee: candidate
-    // generation is complete for pairs with ≥ max(na, nb) − 1 tokens
-    // in common (⟺ Jaccard ≥ (t−1)/(t+1)); size gaps ≥ 2 are below
-    // [[ErTau]] for this signature family anyway (J ≤ t/(t+2) only
-    // when agreement is total, which the gap rules out).
-    val keys = sigs.select(col("id"), explode(expr(
+
+  /** Blocking keys: the full token set (drop-zero) PLUS each
+    * leave-one-out subset (drop the i-th token, join the rest).
+    * Leave-one-out alone is only complete for EQUAL-size signatures
+    * — array_distinct makes sizes vary (a repeated name word), and a
+    * subset pair (4-token sig ⊂ 5-token sig, Jaccard 4/5 ≥ tau)
+    * shares no key when one side emits 3-token keys and the other
+    * 4-token keys. The drop-zero key closes exactly that gap: the
+    * larger side's leave-one-out key (dropping its extra token)
+    * equals the smaller side's full set. Guarantee: candidate
+    * generation is complete for pairs with ≥ max(na, nb) − 1 tokens
+    * in common (⟺ Jaccard ≥ (t−1)/(t+1)); size gaps ≥ 2 are below
+    * [[ErTau]] for this signature family anyway (J ≤ t/(t+2) only
+    * when agreement is total, which the gap rules out). */
+  private def blockingKeys(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), explode(expr(
       """concat(array(array_join(toks, '|')),
         |  transform(sequence(1, size(toks)), i ->
         |    array_join(concat(slice(toks, 1, i - 1),
         |                      slice(toks, i + 1, size(toks))), '|')))"""
         .stripMargin)).as("k"))
-    val cand = keys.as("x").join(keys.as("y"),
-        col("x.k") === col("y.k") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
-    val pairs = cand
+
+  /** Exact token-set Jaccard ≥ tau over candidate (a, b) rows only
+    * (in-row array_intersect; the two joins are the signature
+    * fetches). */
+  private def verifiedPairs(sigs: DataFrame, cand: DataFrame,
+      tau: Double): DataFrame =
+    cand
       .join(sigs.select(col("id").as("a"), col("toks").as("ta"),
         col("nt").as("na")), "a")
       .join(sigs.select(col("id").as("b"), col("toks").as("tb"),
@@ -108,35 +113,132 @@ object EntityResolution {
       .filter(col("c").cast("double") /
         (col("na") + col("nb") - col("c")) >= tau)
       .select("a", "b")
+
+  /** (node, component) over records appearing in ≥1 edge — the
+    * corpus-sized singleton majority never enters the loop (the q44
+    * contract). Components are labeled by minimum member id. */
+  private def matchComponents(pairs: DataFrame): DataFrame = {
     val und = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val matched = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node"))).distinct()
-    val comp = graft.graph.Algorithms.connectedComponents(matched, und)
+    graft.graph.Algorithms.connectedComponents(matched, und)
+  }
+
+  /** Survivorship over the full record set: singletons label
+    * themselves; one max(struct) per entity — no window over the
+    * registry. `registryBound` (incremental form) adds the entity's
+    * fate: every member below the bound → `unchanged`, every member
+    * at-or-above → `new`, mixed → `grew`. */
+  private def survive(parts: DataFrame, comp: DataFrame,
+      registryBound: Option[Long]): DataFrame = {
     val labeled = parts.select(col("p_partkey").as("id"), col("p_name"),
         col("p_retailprice"))
       .join(comp.select(col("node").as("id"), col("component")),
         Seq("id"), "left")
       .select(col("id"), col("p_name"), col("p_retailprice"),
         coalesce(col("component"), col("id")).as("entity"))
-    labeled.groupBy("entity")
+    val base = labeled.groupBy("entity")
       .agg(count(lit(1)).as("n_records"),
         // canonical = highest retail price, ties to the smaller key;
         // (price, -id) is unique per record so the name payload
         // rides along without ever deciding the order
         max(struct(col("p_retailprice").as("v"), (-col("id")).as("ni"),
-          col("p_name").as("nm"))).as("m"))
-      .select(col("entity"), col("n_records"),
+          col("p_name").as("nm"))).as("m"),
+        min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val out = registryBound match {
+      case Some(rb) => base.select(col("entity"), col("n_records"),
+        when(col("mx") < rb, "unchanged")
+          .when(col("mn") >= rb, "new")
+          .otherwise("grew").as("status"),
         (-col("m.ni")).as("canonical_id"), col("m.nm").as("canonical_name"),
         col("m.v").as("canonical_price"))
-      .orderBy("entity")
+      case None => base.select(col("entity"), col("n_records"),
+        (-col("m.ni")).as("canonical_id"), col("m.nm").as("canonical_name"),
+        col("m.v").as("canonical_price"))
+    }
+    out.orderBy("entity")
+  }
+
+  /** Core over any (p_partkey, p_name, p_brand, p_type, p_size,
+    * p_retailprice) relation. Output: one row per resolved entity. */
+  private[graft] def resolveEntities(parts: DataFrame, tau: Double): DataFrame = {
+    val sigs = sigRelation(parts)
+    val keys = blockingKeys(sigs)
+    val cand = keys.as("x").join(keys.as("y"),
+        col("x.k") === col("y.k") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    survive(parts, matchComponents(verifiedPairs(sigs, cand, tau)), None)
+  }
+
+  /** INCREMENTAL entity resolution — the production daily shape
+    * (q87's batch-vs-corpus pattern for structured records): resolve
+    * a new BATCH (id ≥ registryBound) against the standing resolved
+    * REGISTRY (id < registryBound). Candidate generation is
+    * restricted to pairs TOUCHING the batch — the batch side's
+    * blocking keys join the full key relation, so the cost per
+    * increment is O(batch keys × blocked collisions), independent of
+    * registry-internal pair volume. The registry's own connectivity
+    * enters as its stored (record → entity) MEMBERSHIP edges — a
+    * connectivity-preserving contraction of the registry's match
+    * graph (each member is linked to its min-id label), which is what
+    * a production registry persists; registry×registry pairs are
+    * never regenerated. Survivorship merges batch records into
+    * existing entities (a batch record bridging two registry entities
+    * merges them, labeled by the global min member — the single-link
+    * transitive semantic). Equality with the GLOBAL resolution over
+    * registry ∪ batch is exact — global match pairs = registry pairs
+    * ∪ batch-touching pairs, and the contraction preserves components
+    * — which is why the q203 oracle can be the global recursive-CTE
+    * form (the spec also pins it against [[resolveEntities]]).
+    *
+    * Here the membership edges are recomputed from the registry slice
+    * (the harness has no persisted store — q87's corpus-fingerprint
+    * convention); a deployment feeds yesterday's membership table
+    * straight in. */
+  private[graft] def resolveIncremental(parts: DataFrame,
+      registryBound: Long, tau: Double): DataFrame = {
+    val sigs = sigRelation(parts)
+    val keys = blockingKeys(sigs)
+    val cand = keys.filter(col("id") >= registryBound).as("x")
+      .join(keys.as("y"),
+        col("x.k") === col("y.k") && col("x.id") =!= col("y.id"))
+      .select(least(col("x.id"), col("y.id")).as("a"),
+        greatest(col("x.id"), col("y.id")).as("b")).distinct()
+    val newPairs = verifiedPairs(sigs, cand, tau)
+    // the standing registry's stored (record → entity) memberships
+    val regSigs = sigRelation(parts.filter(col("p_partkey") < registryBound))
+    val regKeys = blockingKeys(regSigs)
+    val regCand = regKeys.as("x").join(regKeys.as("y"),
+        col("x.k") === col("y.k") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val regEdges = matchComponents(verifiedPairs(regSigs, regCand, tau))
+      .select(col("node").as("a"), col("component").as("b"))
+      .filter(col("a") =!= col("b"))
+    survive(parts, matchComponents(newPairs.union(regEdges)),
+      Some(registryBound))
   }
 
   def q178EntityResolution(spark: SparkSession, dir: String): DataFrame =
     resolveEntities(
       Tables(spark, dir).part.filter(col("p_partkey") < ErBatch), ErTau)
 
+  /** Registry = the part keyspace's first decile, increment = the
+    * second — SF-relative so every driver SF carries a non-degenerate
+    * batch (absolute bounds empty out at small SFs). The decile scope
+    * also keeps the match graph in the single-entity-component regime
+    * ([[ErBatch]]'s note): measured max component 12 at sf0.1's
+    * 4000-record union. */
+  def q203IncrementalEr(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir).part
+    val rb = (part.agg(max(col("p_partkey")).cast("long")).first()
+      .getLong(0) + 1) / 10
+    resolveIncremental(
+      part.filter(col("p_partkey") < 2 * rb), rb, ErTau)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_entity_resolution" -> (q178EntityResolution _),
+    "q203_incremental_er" -> (q203IncrementalEr _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -185,6 +287,67 @@ object EntityResolution {
          |cnt AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_records
          |        FROM reg GROUP BY 1)
          |SELECT c.entity, c.n_records, r.id AS canonical_id,
+         |       r.p_name AS canonical_name,
+         |       r.p_retailprice AS canonical_price
+         |FROM cnt c JOIN reg r ON r.entity = c.entity AND r.rk = 1
+         |ORDER BY c.entity""".stripMargin,
+
+    // The GLOBAL resolution over registry ∪ batch (the incremental
+    // form is exactly equal to it — resolveIncremental's Scaladoc),
+    // plus the per-entity fate from member-id strata.
+    "q203_incremental_er" ->
+      s"""WITH RECURSIVE b AS (
+         |  SELECT CAST((max(p_partkey) + 1) // 10 AS BIGINT) AS rb
+         |  FROM part),
+         |pt AS (SELECT p.* FROM part p, b WHERE p.p_partkey < 2 * b.rb),
+         |rec AS (
+         |  SELECT p_partkey AS id,
+         |         list_sort(list_distinct(list_concat(
+         |           string_split(p_name, ' '),
+         |           [p_brand, p_type, 'sz' || CAST(p_size AS VARCHAR)])))
+         |           AS toks
+         |  FROM pt),
+         |tk AS (SELECT id, unnest(toks) AS tok FROM rec),
+         |sz AS (SELECT id, CAST(len(toks) AS BIGINT) AS nt FROM rec),
+         |ks AS (SELECT id, array_to_string(toks, '|') AS k FROM rec
+         |       UNION ALL
+         |       SELECT id,
+         |         array_to_string(list_concat(toks[1:i - 1],
+         |           toks[i + 1:len(toks)]), '|') AS k
+         |       FROM rec, unnest(generate_series(1, len(toks))) AS t(i)),
+         |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+         |         FROM ks x JOIN ks y ON x.k = y.k AND x.id < y.id),
+         |inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS c
+         |          FROM cand c
+         |          JOIN tk ta ON ta.id = c.a
+         |          JOIN tk tb ON tb.id = c.b AND tb.tok = ta.tok
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT i.a, i.b FROM inter i
+         |          JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+         |          WHERE CAST(i.c AS DOUBLE) / (sa.nt + sb.nt - i.c)
+         |                >= $ErTau),
+         |und AS (SELECT a AS src, b AS dst FROM pairs
+         |        UNION SELECT b, a FROM pairs),
+         |reach AS (
+         |  SELECT p_partkey AS node, p_partkey AS peer FROM pt
+         |  UNION
+         |  SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.peer),
+         |ent AS (SELECT node AS id, CAST(min(peer) AS BIGINT) AS entity
+         |        FROM reach GROUP BY 1),
+         |reg AS (SELECT e.entity, p.p_partkey AS id, p.p_name,
+         |          p.p_retailprice,
+         |          row_number() OVER (PARTITION BY e.entity
+         |            ORDER BY p.p_retailprice DESC, p.p_partkey ASC) AS rk
+         |        FROM ent e JOIN pt p ON p.p_partkey = e.id),
+         |cnt AS (SELECT r.entity, CAST(count(*) AS BIGINT) AS n_records,
+         |          max(CASE WHEN r.id < b.rb THEN 1 ELSE 0 END) AS has_old,
+         |          max(CASE WHEN r.id >= b.rb THEN 1 ELSE 0 END) AS has_new
+         |        FROM reg r, b GROUP BY 1)
+         |SELECT c.entity, c.n_records,
+         |       CASE WHEN c.has_old = 1 AND c.has_new = 1 THEN 'grew'
+         |            WHEN c.has_old = 1 THEN 'unchanged'
+         |            ELSE 'new' END AS status,
+         |       r.id AS canonical_id,
          |       r.p_name AS canonical_name,
          |       r.p_retailprice AS canonical_price
          |FROM cnt c JOIN reg r ON r.entity = c.entity AND r.rk = 1

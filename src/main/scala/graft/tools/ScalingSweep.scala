@@ -25,7 +25,11 @@ object ScalingSweep {
     spark.sparkContext.setLogLevel("WARN")
     val t = graft.Tables(spark, dir)
 
+    // optional metric filter: args(1) = comma-separated substrings
+    val only: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).toSet else Set.empty
     def report(name: String, n: => Long): Unit = {
+      if (only.nonEmpty && !only.exists(name.contains)) return
       val t0 = System.nanoTime()
       val v = n
       println(f"CAND $name%-14s $v%12d  (${(System.nanoTime() - t0) / 1e9}%.1f s)")
@@ -51,6 +55,18 @@ object ScalingSweep {
       graft.text.TextOps.candidates(
         graft.text.TextOps.bandRelation(sig, 2, 4)).distinct().count()
     })
+    def autoBandPairs(bands: Int, perDoc: Int): Long = {
+      val d = graft.text.TextOps.docs(spark, dir)
+      val r = graft.text.TextOps.autoRank(
+        d.count(), perDoc, graft.text.TextOps.AutoBgJ)
+      val sig = graft.Checkpoints.cut(
+        graft.text.TextOps.laneSigs(d, (bands * r + 7) / 8))
+      println(s"  (auto r = $r)")
+      graft.text.TextOps.candidates(
+        graft.text.TextOps.bandRelation(sig, bands, r)).distinct().count()
+    }
+    report("q21_pairs_auto", autoBandPairs(3, 25))
+    report("q22_pairs_auto", autoBandPairs(2, 100))
     report("copurchase_edges", graft.graph.CoPurchase.edges(t).count())
 
     // ANN / embedding family: within-cell (SemDeDup) and LSH-bucket

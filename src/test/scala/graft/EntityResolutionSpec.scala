@@ -71,6 +71,56 @@ class EntityResolutionSpec extends SparkSpec {
       "subset pair (4-token sig ⊂ 5-token sig) must block together")
   }
 
+  test("q203 incremental: bridge merge, statuses, equality with global") {
+    val rb = 5L
+    val rows = Seq(
+      // registry entities {1} and {2}: NOT matches of each other
+      // (J = 3/7 < 0.6) — only batch record 5 bridges them
+      (1L, "alpha beta", "B1", "T1", 1L, 100.0),
+      (2L, "alpha beta", "B2", "T2", 1L, 101.0),
+      // registry singleton that nothing in the batch touches
+      (4L, "solo thing", "B9", "T9", 9L, 50.0),
+      // batch: 5 matches BOTH 1 and 2 (J = 4/6 each) — the classic
+      // incremental complication: one increment record merging two
+      // standing entities; the union must relabel to the global min
+      (5L, "alpha beta", "B1", "T2", 1L, 102.0),
+      // batch-only pair → a NEW entity
+      (6L, "dup item", "B5", "T5", 5L, 70.0),
+      (7L, "dup item", "B5", "T5", 6L, 71.0),
+    )
+    val inc = EntityResolution.resolveIncremental(
+        toDf(rows), rb, EntityResolution.ErTau)
+      .as[(Long, Long, String, Long, String, Double)].collect().toSeq
+    val byEntity = inc.map(r => r._1 -> r).toMap
+    assert(byEntity(1L)._2 == 3L && byEntity(1L)._3 == "grew",
+      "batch bridge must merge the two registry entities under the global min")
+    assert(byEntity(4L)._3 == "unchanged" && byEntity(4L)._2 == 1L)
+    assert(byEntity(6L)._2 == 2L && byEntity(6L)._3 == "new")
+    // incremental == global resolution over registry ∪ batch, exactly
+    val global = EntityResolution.resolveEntities(
+        toDf(rows), EntityResolution.ErTau)
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    assert(inc.map(r => (r._1, r._2, r._4, r._5, r._6)) == global)
+  }
+
+  test("q203 on the sf corpus == global resolution + member-strata status") {
+    val part = Tables(spark, sfDir()).part
+    val rb = (part.agg(max(col("p_partkey")).cast("long")).first()
+      .getLong(0) + 1) / 10
+    val inc = EntityResolution.q203IncrementalEr(spark, sfDir())
+      .as[(Long, Long, String, Long, String, Double)].collect().toSeq
+    val global = EntityResolution.resolveEntities(
+        part.filter(col("p_partkey") < 2 * rb), EntityResolution.ErTau)
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    assert(inc.map(r => (r._1, r._2, r._4, r._5, r._6)) == global)
+    inc.foreach { r =>
+      assert(Set("unchanged", "new", "grew")(r._3))
+      // entity label below the bound can only be 'new' if... never:
+      // a label is the min member, so a 'new' entity's label is ≥ rb
+      if (r._3 == "new") assert(r._1 >= rb) else assert(r._1 < rb)
+    }
+  }
+
   test("q178 on the sf0.001 batch == brute-force all-pairs reference") {
     val rows = Tables(spark, sfDir()).part
       .filter(col("p_partkey") < EntityResolution.ErBatch)
