@@ -198,9 +198,36 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---------------------------------------------------------------- q204
+  /** LOSSY-codec coverage for the q162 family: committed JPEG
+    * payloads through the same [[ImageIoCodec]] path. JPEG decode is
+    * not bit-deterministic across decoder implementations, so the
+    * oracle checks only decoder-INDEPENDENT properties — dimensions,
+    * frame count, frame size, and quarantine-by-omission (the
+    * truncated JPEG must yield NO row) — while MultimodalSpec asserts
+    * the pixel-level sanity (solid-color luminance within JPEG
+    * quantization tolerance) that a hash cannot. */
+  val JpegFixturePath: String = fixturePath("media_jpeg_fixture.parquet")
+  val JpegExpectedPath: String = fixturePath("media_jpeg_expected.parquet")
+
+  def q204JpegDecode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = spark.read.parquet(JpegFixturePath)
+      .select(col("doc_id"), col("data"), col("format")).as[MediaRecord]
+    decodeFrames(media, FramePixels, sampleEvery = 1,
+        mkCodec = () => new ImageIoCodec)
+      .toDF()
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        size(col("pixels")).cast("long").as("n_px"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q90_multimodal_features" -> (q90MultimodalFeatures _),
     "q162_image_decode" -> (q162ImageDecode _),
+    "q204_jpeg_decode" -> (q204JpegDecode _),
   )
 
   /** DuckDB nibble value of hex char at 1-based position `pos`. */
@@ -212,6 +239,10 @@ object Multimodal {
       s"""SELECT doc_id, frame_idx, width, height, mean_px, std_px,
          |       h0, h1, h2, h3, h4, h5, h6, h7
          |FROM read_parquet('$MediaExpectedPath')
+         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q204_jpeg_decode" ->
+      s"""SELECT doc_id, frame_idx, width, height, n_px
+         |FROM read_parquet('$JpegExpectedPath')
          |ORDER BY doc_id, frame_idx""".stripMargin,
     "q90_multimodal_features" -> {
       val hexToLong = graft.text.TextOps.hexToLongSql _

@@ -40,15 +40,18 @@ object SpanOps {
     * minority (~5 % of distinct grams here). The islands merge is a
     * per-doc window — work bounded by document length. No stage holds
     * more than a partition of grams; nothing is collected. At 100 TB
-    * the gram SHUFFLE is the cost driver; swapping the 40-byte gram
-    * for xxhash64(gram) as the aggregation key cuts shuffle bytes 5×
-    * (a 64-bit collision then marks a non-duplicated position at
-    * p ≈ n²/2⁶⁴ — the standard trade; kept exact here so the oracle
-    * shares the key).
+    * the gram SHUFFLE is the cost driver; [[duplicateSpansHashed]]
+    * swaps the 40-byte gram for xxhash64(gram) as the aggregation AND
+    * join-back key, cutting shuffle bytes ~5× (a 64-bit collision
+    * then marks a non-duplicated position at p ≈ n²/2⁶⁴ — the
+    * standard trade). The oracled row stays exact so DuckDB shares
+    * the key; the hashed form is the opt-in 100 TB entry point, with
+    * suite-scale agreement spec-pinned (the auto-blocker convention).
     */
   val SpanGram = 40
 
-  private[graft] def duplicateSpans(d: DataFrame, k: Int): DataFrame = {
+  private[graft] def duplicateSpans(d: DataFrame, k: Int,
+      hashGramKey: Boolean = false): DataFrame = {
     // single-loop gram expression (emits only the grams, not the doc
     // string per position) + a lineage cut so the corpus-scale gram
     // relation is computed ONCE for the dup agg and the join-back
@@ -56,7 +59,8 @@ object SpanOps {
       .select(col("doc_id"),
         explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"),
-        col("pg.gram").as("gram")))
+        (if (hashGramKey) xxhash64(col("pg.gram"))
+         else col("pg.gram")).as("gram")))
     val dup = pos.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select("gram")
@@ -82,6 +86,16 @@ object SpanOps {
 
   def q164SubstringDedup(spark: SparkSession, dir: String): DataFrame =
     duplicateSpans(TextOps.docs(spark, dir), SpanGram)
+
+  /** [[duplicateSpans]] with the gram key REPLACED by xxhash64(gram)
+    * before the cut: the corpus-scale shuffle ships 8-byte keys
+    * instead of k-byte strings (the documented ~5× cut at k = 40).
+    * Identical output unless two distinct grams collide in 64 bits
+    * (p ≈ n²/2⁶⁴; a collision can only ADD a spurious duplicated
+    * position). Spec-pinned bit-equal to the exact form at suite
+    * scale. */
+  def duplicateSpansHashed(d: DataFrame, k: Int): DataFrame =
+    duplicateSpans(d, k, hashGramKey = true)
 
   // ---------------------------------------------------------------- q170
   /** Span SCRUB — the deliverable Lee et al. 2022 actually ship: the

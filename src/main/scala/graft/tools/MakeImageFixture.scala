@@ -121,6 +121,35 @@ object MakeImageFixture {
     writeSingle(expRows, expSchema,
       "src/test/resources/media_features_expected.parquet")
     println(s"wrote ${mediaRows.size} media rows / ${expRows.size} expected rows")
+
+    // LOSSY family (q204): JPEG payloads in their own fixture pair.
+    // JPEG decode is not bit-deterministic across decoders, so the
+    // committed expectation covers only decoder-INDEPENDENT
+    // properties — dims, frame count, frame size, and quarantine-by-
+    // omission; the pixel-level sanity check (solid-color luminance
+    // within quantization tolerance) lives in MultimodalSpec where it
+    // can assert a tolerance instead of a hash.
+    val jpegs = Seq(
+      Img(1L, "jpg", 20, 10, (_, _) => (90, 150, 210)),     // solid mid-tone
+      Img(2L, "jpg", 32, 16,                                 // two-tone halves
+        (x, _) => if (x < 16) (30, 30, 30) else (220, 220, 220)),
+    )
+    val jpegBytes = encode(jpegs.head)
+    val jpegRows = jpegs.map(im => Row(im.docId, encode(im), im.format)) :+
+      Row(3L, jpegBytes.take(20), "jpg") // truncated: quarantined
+    val jpegExpSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_px", LongType, nullable = false)))
+    val jpegExpRows = jpegs.map(im =>
+      Row(im.docId, 0L, im.w.toLong, im.h.toLong, TargetPixels.toLong))
+    writeSingle(jpegRows, mediaSchema,
+      "src/test/resources/media_jpeg_fixture.parquet")
+    writeSingle(jpegExpRows, jpegExpSchema,
+      "src/test/resources/media_jpeg_expected.parquet")
+    println(s"wrote ${jpegRows.size} jpeg rows / ${jpegExpRows.size} expected rows")
     spark.stop()
   }
 }

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.multimodal.Multimodal
 import graft.text.TextOps
 
@@ -117,6 +119,31 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(1L).pixels.forall(_ == 0.0f), "black decodes to 0")
     assert(frames(2L).pixels.forall(p => math.abs(p - 1.0f) < 1e-6), "white decodes to 1")
     assert(frames(3L).pixels.forall(p => math.abs(p - 128f / 255f) < 1e-3), "mid gray")
+  }
+
+  test("q204: JPEG decode — dims exact, luminance within quantization tolerance") {
+    // the committed lossy fixture: decode must reproduce dims/frame
+    // count exactly (the oracled properties) AND land pixel values
+    // within JPEG quantization error of the designed colors — the
+    // part a cross-decoder hash cannot pin, asserted here with a
+    // tolerance instead
+    val rows = Multimodal.q204JpegDecode(spark, sfDir()).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L),
+      "two decodable JPEGs, truncated one quarantined")
+    assert(rows.forall(_.getLong(4) == 16L))
+    val media = spark.read.parquet(Multimodal.JpegFixturePath)
+      .select(col("doc_id"), col("data"), col("format"))
+      .as[Multimodal.MediaRecord]
+    val frames = Multimodal.decodeFrames(media, targetPixels = 16,
+        mkCodec = () => new Multimodal.ImageIoCodec)
+      .collect().map(f => f.doc_id -> f).toMap
+    // designed solid color (90,150,210) → Rec.601 luminance
+    val lum = (0.299f * 90 + 0.587f * 150 + 0.114f * 210) / 255.0f
+    assert(frames(1L).pixels.forall(p => math.abs(p - lum) < 0.02f),
+      "solid JPEG must decode within quantization tolerance of designed luminance")
+    // two-tone halves: dark side dark, bright side bright
+    val px2 = frames(2L).pixels
+    assert(px2.take(2).forall(_ < 0.3f) && px2.slice(2, 4).forall(_ > 0.6f))
   }
 
   test("ImageIoCodec frames flow through extractFeatures unchanged") {
