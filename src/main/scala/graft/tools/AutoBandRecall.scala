@@ -23,9 +23,13 @@ object AutoBandRecall {
     spark.sparkContext.setLogLevel("WARN")
     val d = graft.text.TextOps.docs(spark, dir)
 
-    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select("a", "b").collect()
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = {
+      val t0 = System.nanoTime()
+      val s = df.select("a", "b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(f"  (pairSet ${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      s
+    }
 
     def report(name: String, fixed: Set[(Long, Long)],
         auto: Set[(Long, Long)]): Unit = {
