@@ -417,4 +417,213 @@ class OlapSpec extends SparkSpec {
     assert(got.keySet == ref.keySet && got.nonEmpty)
     ref.foreach { case (nk, v) => assert(got(nk) == v, s"nation $nk") }
   }
+
+  private def asLong(r: org.apache.spark.sql.Row, name: String): Long =
+    r.getAs[Number](name).longValue
+
+  private def dec(v: Double, scale: Int): BigDecimal =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+
+  test("tpch q15: max-revenue supplier(s) == scalar decimal reference") {
+    val lo = java.time.LocalDateTime.parse(Olap.Q15Start + "T00:00:00")
+    val hi = java.time.LocalDateTime.parse(Olap.Q15End + "T00:00:00")
+    val rev = Tables(spark, sfDir()).lineitem
+      .select("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .collect()
+      .filter { x =>
+        val d = x.getAs[java.time.LocalDateTime]("l_shipdate")
+        !d.isBefore(lo) && d.isBefore(hi)
+      }
+      .groupBy(x => asLong(x, "l_suppkey")).view.mapValues(_.map(x =>
+        dec(x.getAs[Double]("l_extendedprice") *
+          (1.0 - x.getAs[Double]("l_discount")), 4)).sum).toMap
+    val mx = rev.values.max
+    val expect = rev.filter(_._2 == mx).keySet
+    val got = Olap.q205TpchQ15(spark, sfDir()).collect()
+    assert(got.map(r => asLong(r, "s_suppkey")).toSet == expect)
+    got.foreach(r => assert(r.getAs[Double]("total_revenue") == mx.toDouble))
+    assert(got.nonEmpty)
+  }
+
+  test("tpch q17: small-quantity revenue == scalar reference") {
+    val t = Tables(spark, sfDir())
+    val pk = t.part.collect().filter(p =>
+        p.getAs[String]("p_brand") == Olap.Q17Brand &&
+        p.getAs[String]("p_type") == Olap.Q17Type)
+      .map(p => asLong(p, "p_partkey")).toSet
+    val li = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      .collect().filter(x => pk(asLong(x, "l_partkey")))
+    val avgQ = li.groupBy(x => asLong(x, "l_partkey")).view.mapValues { rs =>
+      rs.map(r => dec(r.getAs[Double]("l_quantity"), 2)).sum.toDouble / rs.length
+    }.toMap
+    val ref = li.filter(x => x.getAs[Double]("l_quantity") <
+        0.2 * avgQ(asLong(x, "l_partkey")))
+      .map(x => dec(x.getAs[Double]("l_extendedprice"), 2))
+      .sum.toDouble / 7.0
+    val got = Olap.q206TpchQ17(spark, sfDir()).collect()(0)
+    if (li.nonEmpty)
+      assert(got.getAs[Double]("avg_yearly") ==
+        dec(ref, 4).toDouble || (ref == 0.0 && got.isNullAt(0)))
+  }
+
+  test("tpch q19: disjunctive-band revenue == scalar reference") {
+    val t = Tables(spark, sfDir())
+    val parts = t.part.collect().map(p => asLong(p, "p_partkey") ->
+      ((p.getAs[String]("p_brand"), asLong(p, "p_size")))).toMap
+    val ref = t.lineitem
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .collect()
+      .filter { x =>
+        val (b, sz) = parts(asLong(x, "l_partkey"))
+        val q = x.getAs[Double]("l_quantity")
+        (b == "Brand#12" && sz >= 1 && sz <= 10 && q >= 1 && q <= 11) ||
+        (b == "Brand#15" && sz >= 11 && sz <= 25 && q >= 10 && q <= 20) ||
+        (b == "Brand#24" && sz >= 26 && sz <= 50 && q >= 20 && q <= 30)
+      }
+      .map(x => dec(x.getAs[Double]("l_extendedprice") *
+        (1.0 - x.getAs[Double]("l_discount")), 4))
+      .sum.toDouble
+    val got = Olap.q207TpchQ19(spark, sfDir()).collect()(0)
+    if (!got.isNullAt(0)) assert(got.getAs[Double]("revenue") == ref)
+  }
+
+  test("tpch q11: every reported part clears the mean-multiple threshold, none missed") {
+    val t = Tables(spark, sfDir())
+    val regKeys = t.region.collect()
+      .filter(_.getAs[String]("r_name") == Olap.Q11Region)
+      .map(r => asLong(r, "r_regionkey")).toSet
+    val region = t.nation.collect()
+      .filter(r => regKeys(asLong(r, "n_regionkey")))
+      .map(r => asLong(r, "n_nationkey")).toSet
+    val supp = t.supplier.collect()
+      .filter(r => region(asLong(r, "s_nationkey")))
+      .map(r => asLong(r, "s_suppkey")).toSet
+    val value = t.lineitem
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .collect().filter(x => supp(asLong(x, "l_suppkey")))
+      .groupBy(x => asLong(x, "l_partkey")).view.mapValues(_.map(x =>
+        dec(x.getAs[Double]("l_extendedprice") *
+          (1.0 - x.getAs[Double]("l_discount")), 4)).sum).toMap
+    val thr = value.values.sum.toDouble / value.size * Olap.Q11MeanMult
+    val expect = value.filter(_._2.toDouble > thr)
+    val got = Olap.q208TpchQ11(spark, sfDir()).collect()
+      .map(r => asLong(r, "p_partkey") -> r.getAs[Double]("value")).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (k, v) => assert(got(k) == v.toDouble) }
+    assert(got.nonEmpty, "threshold must be non-degenerate at this SF")
+  }
+
+  test("tpch q16: supplier counts == distinct-pair reference, exclusions applied") {
+    val t = Tables(spark, sfDir())
+    val bad = t.supplier.collect().filter(_.getAs[Double]("s_acctbal") < 0)
+      .map(r => asLong(r, "s_suppkey")).toSet
+    val sizes = Olap.Q16Sizes.map(_.toLong).toSet
+    val pmeta = t.part.collect().map(p => asLong(p, "p_partkey") ->
+      ((p.getAs[String]("p_brand"), p.getAs[String]("p_type"),
+        asLong(p, "p_size")))).toMap
+    val ref = t.lineitem.select("l_partkey", "l_suppkey").collect()
+      .map(x => (asLong(x, "l_partkey"), asLong(x, "l_suppkey"))).distinct
+      .filter { case (pk, sk) =>
+        val (b, ty, sz) = pmeta(pk)
+        !bad(sk) && b != Olap.Q16ExcludedBrand &&
+          !ty.startsWith("PROMO") && sizes(sz)
+      }
+      .groupBy { case (pk, _) => pmeta(pk) }.view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = Olap.q209TpchQ16(spark, sfDir()).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[String]("p_type"),
+        asLong(r, "p_size")) -> r.getAs[Long]("supplier_cnt")).toMap
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("tpch q21: per-order aggregate form == correlated exists/not-exists reference") {
+    val t = Tables(spark, sfDir())
+    val odate = t.orders.collect()
+      .filter(_.getAs[String]("o_orderstatus") == "F")
+      .map(o => asLong(o, "o_orderkey") ->
+        o.getAs[java.time.LocalDateTime]("o_orderdate").toLocalDate).toMap
+    val byOrder = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .collect().filter(x => odate.contains(asLong(x, "l_orderkey")))
+      .groupBy(x => asLong(x, "l_orderkey"))
+    // the literal benchmark semantics, supplier by supplier: s is
+    // charged for order o iff s shipped late in o AND there EXISTS a
+    // line of o from another supplier AND there does NOT EXIST a LATE
+    // line of o from another supplier
+    val ref = byOrder.toSeq.flatMap { case (ok, lines) =>
+      val d = odate(ok)
+      def late(x: org.apache.spark.sql.Row) =
+        x.getAs[java.time.LocalDateTime]("l_shipdate").toLocalDate
+          .isAfter(d.plusDays(Olap.Q4LateDays))
+      val supps = lines.map(x => asLong(x, "l_suppkey")).distinct
+      supps.filter { sVal =>
+        lines.exists(x => asLong(x, "l_suppkey") == sVal && late(x)) &&
+        lines.exists(x => asLong(x, "l_suppkey") != sVal) &&
+        !lines.exists(x => asLong(x, "l_suppkey") != sVal && late(x))
+      }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Olap.q210TpchQ21(spark, sfDir()).collect()
+      .map(r => asLong(r, "s_suppkey") -> r.getAs[Long]("numwait")).toMap
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("tpch q9: nation-year profit == scalar decimal reference") {
+    val t = Tables(spark, sfDir())
+    val pmeta = t.part.collect()
+      .filter(_.getAs[String]("p_type") == Olap.Q9Type)
+      .map(p => asLong(p, "p_partkey") -> p.getAs[Double]("p_retailprice")).toMap
+    val oyear = t.orders.collect().map(o => asLong(o, "o_orderkey") ->
+      o.getAs[java.time.LocalDateTime]("o_orderdate").getYear.toLong).toMap
+    val snat = t.supplier.collect().map(r =>
+      asLong(r, "s_suppkey") -> asLong(r, "s_nationkey")).toMap
+    val nname = t.nation.collect().map(r =>
+      asLong(r, "n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val ref = t.lineitem
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .collect().filter(x => pmeta.contains(asLong(x, "l_partkey")))
+      .groupBy(x => (nname(snat(asLong(x, "l_suppkey"))),
+        oyear(asLong(x, "l_orderkey")))).view
+      .mapValues(_.map { x =>
+        dec(x.getAs[Double]("l_extendedprice") *
+          (1.0 - x.getAs[Double]("l_discount")), 4) -
+        dec(0.5 * pmeta(asLong(x, "l_partkey")) *
+          x.getAs[Double]("l_quantity"), 4)
+      }.sum.toDouble).toMap
+    val got = Olap.q211TpchQ9(spark, sfDir()).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("o_year")) ->
+        r.getAs[Double]("sum_profit")).toMap
+    assert(got == ref && got.nonEmpty)
+  }
+
+  test("tpch q12: latency bands conserve the year's lines and split by priority") {
+    val t = Tables(spark, sfDir())
+    val lo = java.time.LocalDateTime.parse(Olap.Q12Year + "-01-01T00:00:00")
+    val hi = lo.plusYears(1)
+    val orders = t.orders.collect()
+      .filter { o =>
+        val d = o.getAs[java.time.LocalDateTime]("o_orderdate")
+        !d.isBefore(lo) && d.isBefore(hi)
+      }
+      .map(o => asLong(o, "o_orderkey") ->
+        ((o.getAs[java.time.LocalDateTime]("o_orderdate").toLocalDate,
+          o.getAs[String]("o_orderpriority")))).toMap
+    val ref = t.lineitem.select("l_orderkey", "l_shipdate").collect()
+      .flatMap { x =>
+        orders.get(asLong(x, "l_orderkey")).map { case (d, prio) =>
+          val days = java.time.temporal.ChronoUnit.DAYS.between(d,
+            x.getAs[java.time.LocalDateTime]("l_shipdate").toLocalDate)
+          val band = if (days <= 30) "FAST"
+            else if (days <= 90) "NORMAL" else "LATE"
+          val hiPrio = prio == "1-URGENT" || prio == "2-HIGH"
+          (band, hiPrio)
+        }
+      }
+      .groupBy(_._1).view.mapValues(rs =>
+        (rs.count(_._2).toLong, rs.count(!_._2).toLong)).toMap
+    val got = Olap.q212TpchQ12(spark, sfDir()).collect()
+      .map(r => r.getAs[String]("latency_band") ->
+        ((r.getAs[Long]("high_line_count"), r.getAs[Long]("low_line_count"))))
+      .toMap
+    assert(got == ref && got.nonEmpty)
+  }
 }
