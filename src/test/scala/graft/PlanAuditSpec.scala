@@ -475,4 +475,41 @@ class PlanAuditSpec extends SparkSpec {
       p.contains("sum_qty"), s"threshold not applied pre-join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q207: OR-of-ANDs stays a residual on the keyed join — no BNLJ") {
+    val p = plan(graft.operators.Olap.q207TpchQ19(spark, sfDir()))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"disjunctive predicate degenerated the partkey equi join:\n$p")
+  }
+
+  test("q205/q208: scalar-subquery thresholds broadcast as single rows") {
+    for (df <- Seq(graft.operators.Olap.q205TpchQ15(spark, sfDir()),
+        graft.operators.Olap.q208TpchQ11(spark, sfDir()))) {
+      val p = plan(df)
+      // the 1-row aggregate side must be the BUILD side of a broadcast
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), s"scalar not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    }
+  }
+
+  test("q210: exists/not-exists collapse is one orderkey agg, no correlated rescans") {
+    val p = plan(graft.operators.Olap.q210TpchQ21(spark, sfDir()))
+    // lineitem is scanned exactly once (the correlated-subquery form
+    // reads it three times); the formatted plan lists each scan twice
+    // (tree node + detail section)
+    val liScans = "Scan parquet[^\n]*lineitem".r.findAllIn(p).length
+    assert(liScans <= 2, s"lineitem scanned ${liScans / 2}× — correlated rescan shape:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 not take-ordered:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q212: year range reaches the orders scan") {
+    val p = plan(graft.operators.Olap.q212TpchQ12(spark, sfDir()))
+    val pfs = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(pfs.contains("o_orderdate"), s"year range not pushed: $pfs")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
