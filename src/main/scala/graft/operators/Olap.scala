@@ -747,7 +747,7 @@ object Olap {
     * later gates, each threshold ONE exact decimal-sum / count
     * division (order-free, so the boundary compare can't flip between
     * engines). The brand/type filter prunes part BEFORE its join. */
-  val Q17Brand = "Brand#23"
+  val Q17Brand = "Brand#19"
   val Q17Type = "MEDIUM"
 
   def q206TpchQ17(spark: SparkSession, dir: String): DataFrame = {
@@ -975,7 +975,119 @@ object Olap {
       .orderBy(col("latency_band"))
   }
 
+  // ---------------------------------------------------------------- q213
+  /** TPC-H Q2 (minimum-cost supplier), partsupp supply cost adapted
+    * to the supplier's best (minimum) traded UNIT price for the part
+    * from lineitem — the RAW IEEE quotient l_extendedprice /
+    * l_quantity, min'd: division and min are bit-identical across
+    * engines and order-free, so the correlated "equals the minimum"
+    * compare is exact WITHOUT rounding. (Rounding the quotient is the
+    * trap: a quotient on a .00005 decimal boundary — measured at
+    * sf0.1, 4864.11/24 = 202.67125 — ties HALF_UP vs half-even
+    * differently per engine; sums need the decimal discipline,
+    * min does not.) Shape: Q2's correlated min-cost subquery becomes the
+    * q206 group-then-join-back — ONE (part, supplier)-keyed agg over
+    * the size/type- and region-pruned trade slice, a part-keyed min
+    * over that bounded relation, and an equality join-back; the
+    * size/type filter prunes part BEFORE its fact join and the region
+    * filter rides broadcast nation/region dims. Top-100 by account
+    * balance, benchmark style, on a tie-free total order
+    * (s_name unique, p_partkey breaks same-supplier ties). */
+  val Q2Type = "ECONOMY"
+  val Q2SizeLo = 10
+  val Q2SizeHi = 30
+  val Q2Region = "ASIA"
+
+  def q213TpchQ2(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val supp = t.supplier
+      .join(broadcast(t.nation.join(
+          t.region.filter(col("r_name") === Q2Region)
+            .select(col("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name"))
+    val p = t.part
+      .filter(col("p_type") === Q2Type &&
+        col("p_size").between(Q2SizeLo, Q2SizeHi))
+      .select(col("p_partkey"), col("p_name"))
+    val cost = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(supp.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"))
+      .agg(min(col("unit_cost")).as("supply_cost"))
+    val best = cost.groupBy(col("p_partkey").as("bp"))
+      .agg(min(col("supply_cost")).as("min_cost"))
+    cost.join(best, col("p_partkey") === col("bp") &&
+        col("supply_cost") === col("min_cost"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------- q214
+  /** TPC-H Q20 (potential part promotion), availability adapted to
+    * the supplier's shipped quantity of the part OUTSIDE the promo
+    * year (no partsupp availqty — documented stand-in): region
+    * suppliers holding some product-family part (name-SUFFIX match,
+    * the analog of Q20's 'forest%' prefix on adjective-noun part
+    * names) whose out-of-year quantity exceeds [[Q20Mult]] × the
+    * in-year quantity, with in-year > 0. Shape: Q20's nested
+    * per-(supplier, part) correlated agg — BOTH quantity sums are ONE
+    * conditional decimal agg over the name- and region-pruned slice
+    * (order-free), the outer EXISTS is a distinct-supplier
+    * projection, and part/region prune BEFORE the fact join. */
+  val Q20Suffix = "widget"
+  val Q20Year = 1997
+  val Q20Mult = 2
+  val Q20Region = "EUROPE"
+
+  def q214TpchQ20(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val supp = t.supplier
+      .join(broadcast(t.nation.join(
+          t.region.filter(col("r_name") === Q20Region)
+            .select(col("r_regionkey")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+    val p = t.part.filter(col("p_name").endsWith(Q20Suffix))
+      .select(col("p_partkey"))
+    val inYear =
+      col("l_shipdate") >= lit(s"$Q20Year-01-01").cast("date") &&
+        col("l_shipdate") < lit(s"${Q20Year + 1}-01-01").cast("date")
+    val q = round(col("l_quantity"), 2).cast("decimal(18,2)")
+    val zero = lit(0).cast("decimal(18,2)")
+    val qualified = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey"), col("l_shipdate"),
+        col("l_quantity"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(supp.select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(when(inYear, q).otherwise(zero)).as("in_qty"),
+        sum(when(inYear, zero).otherwise(q)).as("out_qty"))
+      .filter(col("in_qty") > 0 &&
+        col("out_qty") > lit(Q20Mult) * col("in_qty"))
+      .select(col("l_suppkey")).distinct()
+    qualified.join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal").cast("double").as("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_tpch_q2" -> (q213TpchQ2 _),
+    "q214_tpch_q20" -> (q214TpchQ20 _),
     "q205_tpch_q15" -> (q205TpchQ15 _),
     "q206_tpch_q17" -> (q206TpchQ17 _),
     "q207_tpch_q19" -> (q207TpchQ19 _),
@@ -1008,6 +1120,62 @@ object Olap {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q213_tpch_q2" ->
+      s"""WITH supp AS (
+         |  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+         |  FROM supplier s
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name = '$Q2Region'),
+         |cost AS (
+         |  SELECT l.l_partkey AS p_partkey, p.p_name, l.l_suppkey,
+         |         min(l.l_extendedprice / l.l_quantity) AS supply_cost
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |  JOIN supp ON l.l_suppkey = supp.s_suppkey
+         |  WHERE p.p_type = '$Q2Type'
+         |    AND p.p_size BETWEEN $Q2SizeLo AND $Q2SizeHi
+         |  GROUP BY 1, 2, 3),
+         |best AS (
+         |  SELECT p_partkey AS bp, min(supply_cost) AS min_cost
+         |  FROM cost GROUP BY 1)
+         |SELECT s.s_acctbal, s.s_name, s.n_name, c.p_partkey, c.p_name,
+         |       c.supply_cost
+         |FROM cost c
+         |JOIN best b ON c.p_partkey = b.bp AND c.supply_cost = b.min_cost
+         |JOIN supp s ON c.l_suppkey = s.s_suppkey
+         |ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, c.p_partkey
+         |LIMIT 100""".stripMargin,
+
+    "q214_tpch_q20" ->
+      s"""WITH supp AS (
+         |  SELECT s.s_suppkey, s.s_name, s.s_acctbal
+         |  FROM supplier s
+         |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE r.r_name = '$Q20Region'),
+         |qty AS (
+         |  SELECT l.l_suppkey, l.l_partkey,
+         |    sum(CASE WHEN l.l_shipdate >= DATE '$Q20Year-01-01'
+         |              AND l.l_shipdate < DATE '${Q20Year + 1}-01-01'
+         |         THEN CAST(round(l.l_quantity, 2) AS DECIMAL(18,2))
+         |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS in_qty,
+         |    sum(CASE WHEN l.l_shipdate >= DATE '$Q20Year-01-01'
+         |              AND l.l_shipdate < DATE '${Q20Year + 1}-01-01'
+         |         THEN CAST(0 AS DECIMAL(18,2))
+         |         ELSE CAST(round(l.l_quantity, 2) AS DECIMAL(18,2)) END)
+         |      AS out_qty
+         |  FROM lineitem l
+         |  JOIN part p ON l.l_partkey = p.p_partkey
+         |  JOIN supp ON l.l_suppkey = supp.s_suppkey
+         |  WHERE p.p_name LIKE '%$Q20Suffix'
+         |  GROUP BY 1, 2)
+         |SELECT DISTINCT s.s_suppkey, s.s_name,
+         |       CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+         |FROM qty q JOIN supp s ON q.l_suppkey = s.s_suppkey
+         |WHERE q.in_qty > 0 AND q.out_qty > $Q20Mult * q.in_qty
+         |ORDER BY s.s_name""".stripMargin,
+
     "q205_tpch_q15" ->
       s"""WITH rev AS (
          |  SELECT l_suppkey,

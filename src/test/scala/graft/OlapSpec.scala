@@ -626,4 +626,79 @@ class OlapSpec extends SparkSpec {
       .toMap
     assert(got == ref && got.nonEmpty)
   }
+
+  test("tpch q2: min-cost join-back == correlated-min scalar reference") {
+    val t = Tables(spark, sfDir())
+    val regKeys = t.region.collect()
+      .filter(_.getAs[String]("r_name") == Olap.Q2Region)
+      .map(r => asLong(r, "r_regionkey")).toSet
+    val nat = t.nation.collect()
+      .filter(n => regKeys(asLong(n, "n_regionkey")))
+      .map(n => asLong(n, "n_nationkey")).toSet
+    val suppName = t.supplier.collect()
+      .filter(s => nat(asLong(s, "s_nationkey")))
+      .map(s => asLong(s, "s_suppkey") -> s.getAs[String]("s_name")).toMap
+    val pk = t.part.collect().filter { p =>
+      val sz = asLong(p, "p_size")
+      p.getAs[String]("p_type") == Olap.Q2Type &&
+        sz >= Olap.Q2SizeLo && sz <= Olap.Q2SizeHi
+    }.map(p => asLong(p, "p_partkey")).toSet
+    val cost = t.lineitem
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .collect()
+      .filter(x => pk(asLong(x, "l_partkey")) &&
+        suppName.contains(asLong(x, "l_suppkey")))
+      .groupBy(x => (asLong(x, "l_partkey"), asLong(x, "l_suppkey"))).view
+      .mapValues(_.map(x => x.getAs[Double]("l_extendedprice") /
+        x.getAs[Double]("l_quantity")).min).toMap
+    val minPer = cost.groupBy(_._1._1).view.mapValues(_.values.min).toMap
+    val expect = cost.collect {
+      case ((p, s), c) if c == minPer(p) => (p, suppName(s)) -> c
+    }.toMap
+    // at this SF the full answer is far below the top-100 cut, so the
+    // limit is inert and set equality is the complete check
+    assert(expect.size <= 100, "reference outgrew the limit — pick a smaller slice")
+    val got = Olap.q213TpchQ2(spark, sfDir()).collect()
+      .map(r => (asLong(r, "p_partkey"), r.getAs[String]("s_name")) ->
+        r.getAs[Double]("supply_cost")).toMap
+    assert(got.keySet == expect.keySet && got.nonEmpty)
+    expect.foreach { case (k, c) => assert(got(k) == c, s"pair $k") }
+  }
+
+  test("tpch q20: promo-year availability filter == nested-agg scalar reference") {
+    val t = Tables(spark, sfDir())
+    val regKeys = t.region.collect()
+      .filter(_.getAs[String]("r_name") == Olap.Q20Region)
+      .map(r => asLong(r, "r_regionkey")).toSet
+    val nat = t.nation.collect()
+      .filter(n => regKeys(asLong(n, "n_regionkey")))
+      .map(n => asLong(n, "n_nationkey")).toSet
+    val supp = t.supplier.collect()
+      .filter(s => nat(asLong(s, "s_nationkey")))
+      .map(s => asLong(s, "s_suppkey")).toSet
+    val pk = t.part.collect()
+      .filter(_.getAs[String]("p_name").endsWith(Olap.Q20Suffix))
+      .map(p => asLong(p, "p_partkey")).toSet
+    val lo = java.time.LocalDateTime.parse(s"${Olap.Q20Year}-01-01T00:00:00")
+    val hi = lo.plusYears(1)
+    val expect = t.lineitem
+      .select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
+      .collect()
+      .filter(x => pk(asLong(x, "l_partkey")) && supp(asLong(x, "l_suppkey")))
+      .groupBy(x => (asLong(x, "l_suppkey"), asLong(x, "l_partkey"))).view
+      .mapValues { rs =>
+        val (in, out) = rs.partition { x =>
+          val d = x.getAs[java.time.LocalDateTime]("l_shipdate")
+          !d.isBefore(lo) && d.isBefore(hi)
+        }
+        (in.map(x => dec(x.getAs[Double]("l_quantity"), 2)).sum,
+          out.map(x => dec(x.getAs[Double]("l_quantity"), 2)).sum)
+      }
+      .collect { case ((s, _), (inQ, outQ))
+        if inQ > 0 && outQ > Olap.Q20Mult * inQ => s }
+      .toSet
+    val got = Olap.q214TpchQ20(spark, sfDir()).collect()
+      .map(r => asLong(r, "s_suppkey")).toSet
+    assert(got == expect && got.nonEmpty)
+  }
 }

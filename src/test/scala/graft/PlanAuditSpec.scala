@@ -505,6 +505,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q213: part size/type prune reaches the scan, dims broadcast, min-cost join-back keyed") {
+    val p = plan(graft.operators.Olap.q213TpchQ2(spark, sfDir()))
+    val pfs = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(pfs.contains("p_type") && pfs.contains("p_size"),
+      s"part prune not pushed: $pfs")
+    assert(p.contains("BroadcastHashJoin"), s"dims not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 not take-ordered:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"min-cost equality join degenerated:\n$p")
+  }
+
+  test("q214: name-suffix prune reaches the part scan, one lineitem pass") {
+    val p = plan(graft.operators.Olap.q214TpchQ20(spark, sfDir()))
+    val pfs = "PushedFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).mkString(";")
+    assert(pfs.contains("p_name"), s"suffix match not pushed: $pfs")
+    // both quantity sums come from ONE conditional agg — lineitem is
+    // scanned once (each scan appears twice in the formatted plan)
+    val liScans = "Scan parquet[^\n]*lineitem".r.findAllIn(p).length
+    assert(liScans <= 2, s"lineitem scanned ${liScans / 2}× — correlated rescan shape:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q212: year range reaches the orders scan") {
     val p = plan(graft.operators.Olap.q212TpchQ12(spark, sfDir()))
     val pfs = "PushedFilters: \\[([^\\]]*)\\]".r
