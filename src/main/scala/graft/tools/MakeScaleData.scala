@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   * data-volume scaling, not a distribution shift. Deterministic: every
   * value derives from SplittableRandom(row id); no wall clock.
   *
-  * Generates ONLY the tables the sweeps read (documents, lineitem,
-  * part, embeddings, events) — a bench corpus, not a TESTDATA
-  * replacement.
+  * Generates the tables the sweeps read (documents, lineitem, part,
+  * embeddings, events, plus the TPC-H companions orders / customer /
+  * supplier / nation / region for Part 7) — a bench corpus, not a
+  * TESTDATA replacement.
   *
   * Usage: sbt "runMain graft.tools.MakeScaleData /tmp/sf1 10"
   */
@@ -96,7 +97,13 @@ object MakeScaleData {
           r.nextInt(11) / 100.0, r.nextInt(9) / 100.0,
           if (r.nextInt(2) == 0) "N" else "R",
           if (r.nextInt(2) == 0) "O" else "F",
-          new java.sql.Timestamp(694224000000L + r.nextLong(94608000000L)))
+          // testdata's shipdate window (1995-01-01 + ~2500 d) so the
+          // TPC-H queries' date literals are non-degenerate at scale.
+          // Safe to retarget: shipdate is the LAST draw per line (no
+          // other column's value shifts) and no committed scaling
+          // number reads it (q99 reads part names, the co-purchase
+          // family reads orderkey/partkey only).
+          new java.sql.Timestamp(788918400000L + r.nextLong(216000000000L)))
       }
     }.toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",
@@ -111,12 +118,19 @@ object MakeScaleData {
       "new", "red")
     val nouns = Array("ring", "bolt", "plate", "cap", "screw", "nut",
       "gear", "pin")
+    // brand/type/size/price mirror testdata's scheme (Brand#1..25,
+    // the 6 type values, size 1..50, price 900–999.9) so the TPC-H
+    // queries' literal filters stay non-degenerate at scale; p_name's
+    // draws come FIRST, so the q99-committed name distribution is
+    // bit-identical to the earlier corpus revisions
+    val ptypes = Array("ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL",
+      "STANDARD")
     val part = spark.range(0, nParts, 1, 32).map { p =>
       val r = new java.util.SplittableRandom(p * 69069L + 5)
       (p, s"${adjs(r.nextInt(8))} ${nouns(r.nextInt(8))}",
-        s"Brand#${r.nextInt(5) + 1}${r.nextInt(5) + 1}",
-        s"type${r.nextInt(150)}", r.nextInt(50) + 1,
-        900.0 + (p % 2000) / 10.0)
+        s"Brand#${r.nextInt(25) + 1}",
+        ptypes(r.nextInt(6)), r.nextInt(50) + 1,
+        900.0 + (p % 1000) / 10.0)
     }.toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size",
       "p_retailprice")
       .withColumn("p_size", col("p_size").cast("int"))
@@ -154,6 +168,55 @@ object MakeScaleData {
         s"""{"k": ${r.nextInt(100)}}""")
     }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
 
+    // --- TPC-H companions (Part 7 of BENCH_SCALING.md) -------------
+    // Measured testdata character: o_orderdate and l_shipdate are
+    // INDEPENDENT uniforms over the same ~6.6-year window (lead-day
+    // quantiles at sf0.1 are uniform ±2100 d around +47), statuses
+    // and priorities uniform, acctbal U[-1000, 10000] (~8% negative
+    // suppliers — Q16's exclusion stays non-degenerate), custkeys
+    // uniform. nation/region are FIXED-size dims at every multiplier
+    // (the TPC-H convention).
+    val nCust = 15000L * mult
+    val nSupp = nParts / 10 // matches lineitem's l_suppkey domain
+    val statuses = Array("O", "P", "F")
+    val prios = Array("1-URGENT", "2-HIGH", "3-MEDIUM",
+      "4-NOT SPECIFIED", "5-LOW")
+    val segs = Array("AUTOMOBILE", "BUILDING", "FURNITURE",
+      "HOUSEHOLD", "MACHINERY")
+
+    val orders = spark.range(0, nOrders, 1, 64).map { o =>
+      val r = new java.util.SplittableRandom(o * 9176212931L + 23)
+      (o, r.nextLong(nCust),
+        statuses(r.nextInt(3)),
+        math.rint((1000.0 + r.nextDouble() * 499000.0) * 100) / 100,
+        new java.sql.Timestamp(788918400000L + r.nextLong(207360000000L)),
+        prios(r.nextInt(5)))
+    }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+
+    val customer = spark.range(0, nCust, 1, 32).map { c =>
+      val r = new java.util.SplittableRandom(c * 2246822519L + 29)
+      (c, f"Customer#$c%09d", r.nextInt(25),
+        math.rint((-1000.0 + r.nextDouble() * 11000.0) * 100) / 100,
+        segs(r.nextInt(5)))
+    }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+      "c_mktsegment")
+      .withColumn("c_nationkey", col("c_nationkey").cast("int"))
+
+    val supplier = spark.range(0, nSupp, 1, 8).map { s =>
+      val r = new java.util.SplittableRandom(s * 3266489917L + 31)
+      (s, f"Supplier#$s%09d", r.nextInt(25),
+        math.rint((-1000.0 + r.nextDouble() * 11000.0) * 100) / 100)
+    }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+      .withColumn("s_nationkey", col("s_nationkey").cast("int"))
+
+    val nation = (0 until 25)
+      .map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((0, "AFRICA"), (1, "AMERICA"), (2, "ASIA"),
+      (3, "EUROPE"), (4, "MIDDLE EAST"))
+      .toDF("r_regionkey", "r_name")
+
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"wrote $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
@@ -163,6 +226,11 @@ object MakeScaleData {
     write(part, "part")
     write(embeddings, "embeddings")
     write(events, "events")
+    write(orders, "orders")
+    write(customer, "customer")
+    write(supplier, "supplier")
+    write(nation, "nation")
+    write(region, "region")
     spark.stop()
   }
 }
