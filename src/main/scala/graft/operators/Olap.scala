@@ -1045,7 +1045,10 @@ object Olap {
     * conditional decimal agg over the name- and region-pruned slice
     * (order-free), the outer EXISTS is a distinct-supplier
     * projection, and part/region prune BEFORE the fact join. */
-  val Q20Suffix = "widget"
+  // "bolt" exists in BOTH the testdata and the bench-corpus noun
+  // palettes — a suffix absent from the scale corpus would turn the
+  // Part 7 scaling row into an empty-prune measurement
+  val Q20Suffix = "bolt"
   val Q20Year = 1997
   val Q20Mult = 2
   val Q20Region = "EUROPE"
