@@ -205,9 +205,15 @@ object EntityResolution {
       .select(least(col("x.id"), col("y.id")).as("a"),
         greatest(col("x.id"), col("y.id")).as("b")).distinct()
     val newPairs = verifiedPairs(sigs, cand, tau)
-    // the standing registry's stored (record → entity) memberships
-    val regSigs = sigRelation(parts.filter(col("p_partkey") < registryBound))
-    val regKeys = blockingKeys(regSigs)
+    // the standing registry's stored (record → entity) memberships.
+    // signatures and blocking keys are ROW-WISE, so the registry
+    // slice is a filter over the already-cut relations rather than a
+    // second scan + signature + checkpoint of 90% of the input
+    // (A/B'd equal wall at sf0.1 — the query's cost is the two
+    // iterative CC loops, the q58-class tiny-graph scheduling
+    // overhead — but one checkpoint replaces two)
+    val regSigs = sigs.filter(col("id") < registryBound)
+    val regKeys = keys.filter(col("id") < registryBound)
     val regCand = regKeys.as("x").join(regKeys.as("y"),
         col("x.k") === col("y.k") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
