@@ -47,11 +47,19 @@ object SourceOps {
   def q174SourceOverlap(spark: SparkSession, dir: String): DataFrame =
     overlapMatrix(TextOps.docs(spark, dir), AuditShingle)
 
-  /** Core of q174 over (source, s) rows. */
-  private[graft] def overlapMatrix(d: DataFrame, k: Int): DataFrame = {
-    val sg = graft.Checkpoints.cut(
+  /** Distinct (source, gram) word-shingle relation, checkpoint-cut
+    * (shared by the exact overlap matrix and its sketched form). */
+  private[graft] def sourceGrams(d: DataFrame, k: Int): DataFrame =
+    graft.Checkpoints.cut(
       d.select(col("source"), explode(WordShingles(col("s"), k)).as("gram"))
         .distinct())
+
+  /** Core of q174 over (source, s) rows. */
+  private[graft] def overlapMatrix(d: DataFrame, k: Int): DataFrame =
+    overlapFromGrams(sourceGrams(d, k))
+
+  /** q174's exact matrix over an already-built (source, gram) relation. */
+  private[graft] def overlapFromGrams(sg: DataFrame): DataFrame = {
     val sizes = sg.groupBy("source").agg(count(lit(1)).as("n"))
     // gram → sorted source set → in-row (a < b) pair expansion
     val overlap = sg.groupBy("gram")
@@ -465,7 +473,85 @@ object SourceOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- q215
+  /** Sketched cross-source overlap — HLL SET ALGEBRA, the 100 TB path
+    * for q174's exact matrix: per-source HLL registers over the SAME
+    * distinct word-shingle relation q174 audits, pairwise |A∪B| from
+    * register-wise max (HLL union is LOSSLESS — the merged registers
+    * ARE the sketch of A∪B, Flajolet et al. 2007), |A∩B| by
+    * inclusion–exclusion, sketched Jaccard beside q174's exact one.
+    * The exact columns make this a q187-style error REPORT; a 100 TB
+    * deployment keeps only the register path: ONE gram pass →
+    * sources×64 registers → C(s,2)×64 register-max rows — no
+    * gram-keyed pair relation at all, which is what makes the
+    * estimator usable where the exact matrix (whose cost is the
+    * shared-gram volume) is not. Inclusion–exclusion can go slightly
+    * negative on near-disjoint pairs (the union estimate absorbs both
+    * sketches' errors); clamped at 0, the production-sketch-library
+    * convention. All estimates are 4dp-rounded BEFORE combining so
+    * the derived columns are bit-stable across engines. */
+  def q215SketchOverlap(spark: SparkSession, dir: String): DataFrame =
+    sketchOverlap(TextOps.docs(spark, dir), AuditShingle)
+
+  private[graft] def sketchOverlap(d: DataFrame, k: Int): DataFrame = {
+    val sg = sourceGrams(d, k)
+    val exact = overlapFromGrams(sg)
+    val mask = (1L << HllWBits) - 1
+    val regs = graft.Checkpoints.cut(sg
+      .select(col("source"),
+        expr("cast(conv(substring(md5(gram), 1, 15), 16, 10) as bigint)")
+          .as("v"))
+      .select(col("source"), shiftright(col("v"), HllWBits).as("bucket"),
+        expr(s"instr(lpad(bin(v % ${mask + 1}), $HllWBits, '0'), '1')")
+          .as("pos"))
+      .select(col("source"), col("bucket"),
+        when(col("pos") === 0, HllWBits + 1).otherwise(col("pos")).as("rho"))
+      .groupBy("source", "bucket").agg(max(col("rho")).as("mj")))
+    def estOf(grouped: DataFrame, keys: Seq[String], out: String): DataFrame = {
+      val sketch = grouped.groupBy(keys.map(col): _*).agg(
+        (sum(expr(s"shiftleft(cast(1 as bigint), ${HllWBits + 1} - mj)")) +
+          (lit(HllM) - count(lit(1))) * lit(1L << (HllWBits + 1))).as("sumt"),
+        (lit(HllM) - count(lit(1))).as("z"))
+      val raw = lit(HllNum).cast("double") / col("sumt")
+      sketch.select(keys.map(col) :+
+        round(when(raw <= 2.5 * HllM && col("z") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("z")))
+          .otherwise(raw), 4).as(out): _*)
+    }
+    val single = estOf(regs, Seq("source"), "est")
+    val pairs = regs.select(col("source")).distinct()
+      .select(col("source").as("src_a"))
+      .join(regs.select(col("source").as("src_b")).distinct(),
+        col("src_a") < col("src_b"))
+    // the pair relation is C(s,2) — broadcast it along both legs;
+    // union registers are register-wise max over the two sources'
+    // register sets (rows: C(s,2) × 64, bounded by the source count)
+    val unionRegs = regs.join(broadcast(pairs),
+        col("source") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("bucket"), col("mj"))
+      .union(regs.join(broadcast(pairs), col("source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("bucket"), col("mj")))
+      .groupBy("src_a", "src_b", "bucket").agg(max(col("mj")).as("mj"))
+    val unionEst = estOf(unionRegs, Seq("src_a", "src_b"), "hll_union")
+    val interRaw = greatest(lit(0.0),
+      col("hll_a") + col("hll_b") - col("hll_union"))
+    exact
+      .join(single.select(col("source").as("src_a"), col("est").as("hll_a")),
+        Seq("src_a"))
+      .join(single.select(col("source").as("src_b"), col("est").as("hll_b")),
+        Seq("src_b"))
+      .join(unionEst, Seq("src_a", "src_b"))
+      .withColumn("hll_common", round(interRaw, 4))
+      .withColumn("hll_jaccard",
+        round(col("hll_common") / col("hll_union"), 6))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"), col("jaccard"), col("hll_a"), col("hll_b"),
+        col("hll_union"), col("hll_common"), col("hll_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_sketch_overlap" -> (q215SketchOverlap _),
     "q199_source_scorecard" -> (q199SourceScorecard _),
     "q192_temperature_mix" -> (q192TemperatureMix _),
     "q189_snapshot_diff" -> (q189SnapshotDiff _),
@@ -578,6 +664,76 @@ object SourceOps {
          |    AS n_unchanged,
          |  CAST(sum(dnc) AS BIGINT) AS char_delta
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q215_sketch_overlap" ->
+      s"""WITH ${TextOps.normCte},
+         |$gramCte,
+         |sg AS (SELECT DISTINCT d.source, g.gram
+         |       FROM g JOIN documents d USING (doc_id)),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+         |       FROM sg GROUP BY 1),
+         |ov AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         CAST(count(*) AS BIGINT) AS n_common
+         |       FROM sg a JOIN sg b
+         |         ON a.gram = b.gram AND a.source < b.source
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         a.n AS n_a, b.n AS n_b
+         |       FROM sz a JOIN sz b ON a.source < b.source),
+         |h AS (SELECT source, ${TextOps.hexToLongSql("md5(gram)", 1, 15)} AS v
+         |      FROM sg),
+         |r AS (SELECT source, v // ${1L << HllWBits} AS bucket,
+         |        CASE WHEN strpos(lpad(bin(v % ${1L << HllWBits}),
+         |                 $HllWBits, '0'), '1') = 0 THEN ${HllWBits + 1}
+         |             ELSE strpos(lpad(bin(v % ${1L << HllWBits}),
+         |                 $HllWBits, '0'), '1') END AS rho
+         |      FROM h),
+         |m AS (SELECT source, bucket, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |sk AS (SELECT source,
+         |         sum(1::BIGINT << (${HllWBits + 1} - mj))
+         |           + ($HllM - count(*)) * (1::BIGINT << ${HllWBits + 1})
+         |           AS sumt,
+         |         $HllM - count(*) AS z
+         |       FROM m GROUP BY 1),
+         |es AS (SELECT source,
+         |         round(CASE WHEN $HllNum / sumt <= ${2.5 * HllM} AND z > 0
+         |               THEN $HllM.0 * ln($HllM.0 / z)
+         |               ELSE $HllNum / sumt END, 4) AS est
+         |       FROM sk),
+         |up AS (SELECT pr.src_a, pr.src_b, m.bucket, m.mj
+         |       FROM pr JOIN m ON m.source = pr.src_a
+         |       UNION ALL
+         |       SELECT pr.src_a, pr.src_b, m.bucket, m.mj
+         |       FROM pr JOIN m ON m.source = pr.src_b),
+         |um AS (SELECT src_a, src_b, bucket, max(mj) AS mj
+         |       FROM up GROUP BY 1, 2, 3),
+         |usk AS (SELECT src_a, src_b,
+         |          sum(1::BIGINT << (${HllWBits + 1} - mj))
+         |            + ($HllM - count(*)) * (1::BIGINT << ${HllWBits + 1})
+         |            AS sumt,
+         |          $HllM - count(*) AS z
+         |        FROM um GROUP BY 1, 2),
+         |ue AS (SELECT src_a, src_b,
+         |         round(CASE WHEN $HllNum / sumt <= ${2.5 * HllM} AND z > 0
+         |               THEN $HllM.0 * ln($HllM.0 / z)
+         |               ELSE $HllNum / sumt END, 4) AS hll_union
+         |       FROM usk)
+         |SELECT pr.src_a, pr.src_b, pr.n_a, pr.n_b,
+         |       coalesce(ov.n_common, CAST(0 AS BIGINT)) AS n_common,
+         |       round(CAST(coalesce(ov.n_common, 0) AS DOUBLE) /
+         |             (pr.n_a + pr.n_b - coalesce(ov.n_common, 0)), 6)
+         |         AS jaccard,
+         |       ea.est AS hll_a, eb.est AS hll_b, ue.hll_union,
+         |       round(greatest(0.0, ea.est + eb.est - ue.hll_union), 4)
+         |         AS hll_common,
+         |       round(round(greatest(0.0, ea.est + eb.est - ue.hll_union), 4)
+         |             / ue.hll_union, 6) AS hll_jaccard
+         |FROM pr
+         |LEFT JOIN ov ON ov.src_a = pr.src_a AND ov.src_b = pr.src_b
+         |JOIN es ea ON ea.source = pr.src_a
+         |JOIN es eb ON eb.source = pr.src_b
+         |JOIN ue ON ue.src_a = pr.src_a AND ue.src_b = pr.src_b
+         |ORDER BY pr.src_a, pr.src_b""".stripMargin,
 
     "q187_hll_cardinality" ->
       s"""WITH ${TextOps.normCte},

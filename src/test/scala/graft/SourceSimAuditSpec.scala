@@ -385,4 +385,46 @@ class SourceSimAuditSpec extends SparkSpec {
       assert(r.getDouble(5) == refShare, s"$src top_lang_share")
     }
   }
+
+  test("q215: estimates track the exact overlap within sketch error") {
+    val rows = SourceOps.sketchOverlap(
+      graft.text.TextOps.docs(spark, sfDir()), SourceOps.AuditShingle)
+      .collect()
+    assert(rows.length == 190) // C(20, 2) source pairs
+    rows.foreach { r =>
+      val na = r.getAs[Long]("n_a"); val nb = r.getAs[Long]("n_b")
+      val nc = r.getAs[Long]("n_common")
+      val ha = r.getAs[Double]("hll_a"); val hb = r.getAs[Double]("hll_b")
+      val hu = r.getAs[Double]("hll_union")
+      val hc = r.getAs[Double]("hll_common")
+      // m = 64 registers -> rse ≈ 1.04/√64 ≈ 13%; allow 4σ + slack
+      assert(math.abs(ha - na) <= 0.52 * na + 2, s"hll_a $ha vs $na")
+      assert(math.abs(hb - nb) <= 0.52 * nb + 2, s"hll_b $hb vs $nb")
+      val union = na + nb - nc
+      assert(math.abs(hu - union) <= 0.52 * union + 2, s"hll_union $hu vs $union")
+      assert(hc >= 0.0, "inclusion-exclusion clamp")
+      assert(r.getAs[Double]("hll_jaccard") >= 0.0)
+    }
+  }
+
+  test("q215: register merge is lossless — pair union == physically merged source") {
+    // relabel src1 into src0 and re-run: the single-source estimate of
+    // the merged source must EQUAL the pair's union estimate from the
+    // unmerged run (HLL union is exact at the register level, so the
+    // two paths compute identical registers -> identical 4dp doubles)
+    val base = graft.text.TextOps.docs(spark, sfDir())
+      .filter(col("source").isin("src0", "src1", "src2"))
+    val orig = SourceOps.sketchOverlap(base, SourceOps.AuditShingle)
+      .collect()
+    val u12 = orig.find(r => r.getString(0) == "src0" &&
+      r.getString(1) == "src1").get.getAs[Double]("hll_union")
+    val merged = SourceOps.sketchOverlap(
+      base.withColumn("source",
+        when(col("source") === "src1", "src0").otherwise(col("source"))),
+      SourceOps.AuditShingle).collect()
+    val mergedEst = merged.find(r => r.getString(0) == "src0" &&
+      r.getString(1) == "src2").get.getAs[Double]("hll_a")
+    assert(mergedEst == u12,
+      s"merged-source estimate $mergedEst != pair union estimate $u12")
+  }
 }
