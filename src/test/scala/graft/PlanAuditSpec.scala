@@ -530,6 +530,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q215: bounded pair relation broadcast, no cartesian on the register path") {
+    val p = plan(graft.text.SourceOps.sketchOverlap(
+      graft.text.TextOps.docs(spark, sfDir()), graft.text.SourceOps.AuditShingle))
+    assert(p.contains("BroadcastHashJoin"), s"pair relation not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
   test("q212: year range reaches the orders scan") {
     val p = plan(graft.operators.Olap.q212TpchQ12(spark, sfDir()))
     val pfs = "PushedFilters: \\[([^\\]]*)\\]".r
