@@ -133,6 +133,66 @@ object StreamOps {
       .orderBy("user_id")
   }
 
+  // ------------------------------------------------------- q216 / q217
+  /** Monotone run counter so repeated invocations (Verify + Bench in
+    * one session) get distinct memory-sink table names. */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run a [[Streaming]] transform as a REAL Structured Streaming
+    * query over the events parquet: file source → stateful aggregate
+    * (state store) → memory sink, `Trigger.AvailableNow` + complete
+    * mode so the final table is the converged answer on bounded input
+    * — the form a DuckDB oracle can check. Append-mode watermark
+    * semantics (eviction, closed-window emission) are pinned
+    * separately by StreamingSpec's MemoryStream runs; this entry
+    * point is what upgrades S7/S8 from spec-only to oracle-checked.
+    *
+    * Scale shape: identical to the production streaming job — the
+    * only local-mode concession is the memory sink (a cluster writes
+    * to a real sink); state is partitioned by group key across
+    * `spark.sql.shuffle.partitions` state-store partitions. */
+  private def runAvailableNow(spark: SparkSession, dir: String, tag: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    require(
+      spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "streaming event queries cast NTZ ts to timestamp: requires " +
+        "spark.sql.session.timeZone=UTC (call Tables.configure on the builder)")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the load path must be a GLOB: for a plain single-file path
+    // FileStreamSource force-sets basePath to the file itself, which
+    // partition discovery rejects ("basePath must be a directory")
+    val src = spark.readStream.schema(schema)
+      .parquet(s"$dir/events.[p]arquet")
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val name = s"${tag}_${streamRuns.incrementAndGet()}"
+    val q = transform(src).writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** S7 oracled: [[Streaming.hoppingCounts]] executed as an actual
+    * streaming query (state store + AvailableNow), oracle-mirrored by
+    * the 6-way window expansion in SQL. Spark's `window(6h, 1h)` puts
+    * an event in hour b into starts b-5..b (no clamping), which is
+    * exactly the cross-join-with-offsets relation DuckDB computes. */
+  def q216HoppingStream(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, dir, "q216_hop")(Streaming.hoppingCounts)
+      .orderBy("window_start_hour")
+
+  /** S8 oracled: [[Streaming.hllWindowedUsers]] executed as an actual
+    * streaming query — the portable-register HLL sketch as ONE
+    * stateful aggregate per window — checked against the register
+    * relation spelled out in SQL (same md5-derived 60-bit hash, same
+    * exact-BIGINT harmonic sum, same linear-counting branch). */
+  def q217HllStream(spark: SparkSession, dir: String): DataFrame =
+    runAvailableNow(spark, dir, "q217_hll")(Streaming.hllWindowedUsers)
+      .orderBy("bucket")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_windowed_agg" -> (q32WindowedAgg _),
     "q33_sessionization" -> (q33Sessionization _),
@@ -140,6 +200,8 @@ object StreamOps {
     "q160_stream_dedup" -> (q160StreamDedup _),
     "q161_stream_enrich" -> (q161StreamEnrich _),
     "q163_stream_join_batch" -> (q163StreamJoinBatch _),
+    "q216_hopping_stream" -> (q216HoppingStream _),
+    "q217_hll_stream" -> (q217HllStream _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -203,5 +265,47 @@ object StreamOps {
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Spark's window(6h, 1h): an event in epoch-hour b belongs to the
+    // 6 windows starting at hours b-5..b — the cross-join expansion.
+    "q216_hopping_stream" ->
+      """WITH e AS (SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS b
+        |           FROM events)
+        |SELECT b - k AS window_start_hour,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM e CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS k) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // q193's register relation per tumbling hour, estimate-only: the
+    // streaming single-agg sketch must land on the identical value.
+    "q217_hll_stream" -> {
+      import graft.text.SourceOps.{HllM, HllNum, HllWBits}
+      s"""WITH ev AS (
+         |  SELECT CAST(floor(epoch_ms(ts) / 3600000.0) AS BIGINT) AS bucket,
+         |         user_id
+         |  FROM events),
+         |h AS (SELECT bucket,
+         |        ${graft.text.TextOps.hexToLongSql(
+                    "md5(CAST(user_id AS VARCHAR))", 1, 15)} AS v
+         |      FROM ev),
+         |r AS (SELECT bucket, v // ${1L << HllWBits} AS reg,
+         |        CASE WHEN strpos(lpad(bin(v % ${1L << HllWBits}),
+         |                 $HllWBits, '0'), '1') = 0 THEN ${HllWBits + 1}
+         |             ELSE strpos(lpad(bin(v % ${1L << HllWBits}),
+         |                 $HllWBits, '0'), '1') END AS rho
+         |      FROM h),
+         |m AS (SELECT bucket, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |sk AS (SELECT bucket,
+         |         sum(1::BIGINT << (${HllWBits + 1} - mj))
+         |           + ($HllM - count(*)) * (1::BIGINT << ${HllWBits + 1})
+         |           AS sumt,
+         |         $HllM - count(*) AS z
+         |       FROM m GROUP BY 1)
+         |SELECT bucket,
+         |       round(CASE WHEN $HllNum / sumt <= ${2.5 * HllM} AND z > 0
+         |                  THEN $HllM.0 * ln($HllM.0 / z)
+         |                  ELSE $HllNum / sumt END, 4) AS hll_users
+         |FROM sk ORDER BY bucket""".stripMargin
+    },
   )
 }

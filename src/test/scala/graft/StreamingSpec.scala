@@ -206,6 +206,25 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q216/q217 oracled entries run REAL streaming and converge to the batch plans") {
+    // q216: file source → window(6h,1h) state store → memory sink must
+    // equal the batch-mode run of the SAME transform on the SAME table
+    val got216 = StreamOps.q216HoppingStream(spark, sfDir())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables(spark, sfDir()).events
+      .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+    val want216 = Streaming.hoppingCounts(ev)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got216 == want216)
+    // q217: the streaming single-agg HLL readout must be BIT-equal to
+    // q193's two-agg SQL-mirrorable estimate per window
+    val got217 = StreamOps.q217HllStream(spark, sfDir())
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want217 = graft.operators.EventOps.q193WindowedHllUsers(spark, sfDir())
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got217 == want217)
+  }
+
   test("S8 hll sketch: streaming emission converges to the batch answer") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Streaming.Event]
