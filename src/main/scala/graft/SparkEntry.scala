@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsofJoin, Association, BloomJoin, EntityResolution, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, SkewJoin, Skyline, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain}
-import graft.text.{Classify, CorpusOps, PolicyOps, SourceOps, SpanOps, TermOps, TextOps}
+import graft.text.{Classify, CorpusOps, EditOps, PolicyOps, SourceOps, SpanOps, TermOps, TextOps}
 import graft.sim.{KMeans, Similarity}
 import graft.streaming.StreamOps
 
@@ -34,7 +34,7 @@ object SparkEntry {
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ TextOps.queries ++
       CorpusOps.queries ++ PolicyOps.queries ++ SpanOps.queries ++
-      SourceOps.queries ++
+      SourceOps.queries ++ EditOps.queries ++
       Classify.queries ++ TermOps.queries ++
       Similarity.queries ++ KMeans.queries ++
       StreamOps.queries
@@ -58,7 +58,7 @@ object SparkEntry {
       CoPurchase.oracleSql ++ Louvain.oracleSql ++
       TextOps.oracleSql ++
       CorpusOps.oracleSql ++ PolicyOps.oracleSql ++ SpanOps.oracleSql ++
-      SourceOps.oracleSql ++
+      SourceOps.oracleSql ++ EditOps.oracleSql ++
       Classify.oracleSql ++ TermOps.oracleSql ++
       Similarity.oracleSql ++ KMeans.oracleSql ++ StreamOps.oracleSql
 }

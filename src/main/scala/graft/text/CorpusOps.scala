@@ -81,6 +81,72 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q219
+  /** Contamination ATTRIBUTION: q46 reports how contaminated each
+    * corpus document is against the benchmark POOL; this operator
+    * reports WHICH benchmark document leaked into which corpus
+    * document — the asymmetric shingle-containment join
+    * |bench ∩ corpus| / |bench| ≥ θ, the pairwise evidence a
+    * decontamination audit attaches to each removal.
+    *
+    * Prefix filtering makes it exact WITHOUT the all-pairs product:
+    * order each benchmark doc's shingles by (global frequency,
+    * shingle) — rarest first — and emit only its first
+    * ℓ = n − ⌈θ·n⌉ + 1 as join keys. A pair at containment ≥ θ
+    * shares c ≥ ⌈θ·n⌉ shingles, and at most n − ℓ = ⌈θ·n⌉ − 1 of the
+    * benchmark doc's shingles lie outside its prefix, so at least
+    * one SHARED shingle is a prefix key; the corpus side indexes ALL
+    * its shingles (containment puts no lower bound on the corpus
+    * doc's share, so its side cannot be pruned) — candidate
+    * generation is complete at any θ.
+    *
+    * Scale shape: the benchmark is ≪ corpus by construction, so the
+    * prefix relation broadcasts; the corpus-side explode is q46's
+    * linear scan; candidates are bounded by prefix-shingle rarity
+    * (8-gram shingles are near-unique — a boilerplate shingle is by
+    * definition frequent and therefore never in a rarest-first
+    * prefix); verification is in-row `array_intersect` on candidate
+    * pairs only. */
+  val ContainTheta = 0.5
+
+  def q219ContainmentJoin(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(TextOps.docs(spark, dir), BenchmarkCutoff, ContainTheta)
+
+  /** The containment join over any (doc_id, s) frame: benchmark side =
+    * doc_id < cutoff, corpus side = the rest. */
+  private[graft] def containmentPairs(docs: DataFrame, cutoff: Long,
+      theta: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("cf", "g")
+    val sh = graft.Checkpoints.cut(docs
+      .select(col("doc_id"), WordShingles(col("s"), ShingleWidth).as("gs"))
+      .withColumn("n", size(col("gs")).cast("long")))
+    val tok = sh.select(col("doc_id"), explode(col("gs")).as("g"))
+    val freq = tok.groupBy("g").agg(count(lit(1)).as("cf"))
+    val pref = tok.filter(col("doc_id") < cutoff)
+      .join(freq, "g")
+      .select(col("doc_id"), col("g"), row_number().over(w).as("r"))
+      .join(sh.select(col("doc_id"), col("n")), "doc_id")
+      .filter(col("r") <=
+        col("n") - ceil(lit(theta) * col("n")).cast("long") + 1)
+    val cand = pref.select(col("doc_id").as("bench_id"), col("g"))
+      .join(tok.filter(col("doc_id") >= cutoff)
+        .select(col("doc_id").as("doc_id"), col("g")), "g")
+      .select("bench_id", "doc_id").distinct()
+    cand
+      .join(sh.select(col("doc_id").as("bench_id"), col("gs").as("gb"),
+        col("n").as("n_shingles")), Seq("bench_id"))
+      .join(sh.select(col("doc_id"), col("gs").as("gc")), Seq("doc_id"))
+      .withColumn("n_shared",
+        size(array_intersect(col("gb"), col("gc"))).cast("long"))
+      .withColumn("containment",
+        round(col("n_shared").cast("double") / col("n_shingles"), 6))
+      .filter(col("containment") >= theta)
+      .select(col("bench_id"), col("doc_id"), col("n_shingles"),
+        col("n_shared"), col("containment"))
+      .orderBy("bench_id", "doc_id")
+  }
+
   // ---------------------------------------------------------------- q47
   /** Deterministic stratified sampling: per-language keep rates, with
     * the keep decision a pure function of doc_id (md5-derived uniform
@@ -525,6 +591,7 @@ object CorpusOps {
     "q110_collocations" -> (q110Collocations _),
     "q123_weighted_sample" -> (q123WeightedSample _),
     "q130_dsir_weights" -> (q130DsirWeights _),
+    "q219_containment_join" -> (q219ContainmentJoin _),
   )
 
   // ------------------------------------------------------------ oracles
@@ -602,6 +669,43 @@ object CorpusOps {
          |       round(CAST(h.n_hits AS DOUBLE) / s.n_shingles, 6) AS contamination
          |FROM hits h JOIN ns s ON h.doc_id = s.doc_id
          |ORDER BY h.doc_id""".stripMargin,
+
+    // same shingle relation as q46, same rarest-first prefix ranking,
+    // exact containment on candidates; filter on the ROUNDED value so
+    // both engines take the same branch at a boundary
+    "q219_containment_join" ->
+      s"""WITH ${TextOps.normCte},
+         |w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+         |g AS (SELECT DISTINCT doc_id,
+         |        array_to_string(ws[i:i + ${ShingleWidth - 1}], ' ') AS gram
+         |      FROM w, unnest(generate_series(1,
+         |             greatest(len(ws) - ${ShingleWidth - 1}, 0))) AS t(i)),
+         |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |f AS (SELECT gram, count(*) AS cf FROM g GROUP BY 1),
+         |pre AS (
+         |  SELECT q.doc_id, q.gram FROM (
+         |    SELECT g.doc_id, g.gram,
+         |           row_number() OVER (PARTITION BY g.doc_id
+         |             ORDER BY f.cf, g.gram) AS r
+         |    FROM g JOIN f USING (gram)
+         |    WHERE g.doc_id < $BenchmarkCutoff) q
+         |  JOIN ns ON ns.doc_id = q.doc_id
+         |  WHERE q.r <= ns.n - CAST(ceil($ContainTheta * ns.n) AS BIGINT) + 1),
+         |cand AS (
+         |  SELECT DISTINCT p.doc_id AS bench_id, c.doc_id
+         |  FROM pre p JOIN g c ON c.gram = p.gram
+         |  WHERE c.doc_id >= $BenchmarkCutoff),
+         |inter AS (
+         |  SELECT cd.bench_id, cd.doc_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM cand cd
+         |  JOIN g gb ON gb.doc_id = cd.bench_id
+         |  JOIN g gc ON gc.doc_id = cd.doc_id AND gc.gram = gb.gram
+         |  GROUP BY 1, 2)
+         |SELECT i.bench_id, i.doc_id, ns.n AS n_shingles, i.c AS n_shared,
+         |       round(CAST(i.c AS DOUBLE) / ns.n, 6) AS containment
+         |FROM inter i JOIN ns ON ns.doc_id = i.bench_id
+         |WHERE round(CAST(i.c AS DOUBLE) / ns.n, 6) >= $ContainTheta
+         |ORDER BY 1, 2""".stripMargin,
 
     "q51_top_quality_per_lang" -> {
       val en = TextOps.langLexicon.toMap.apply("en")

@@ -323,4 +323,45 @@ class CorpusOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(repart.sortBy(_._2) == out.sortBy(_._2))
   }
+
+  test("q219 containment join finds planted leaks, exact vs brute force") {
+    // bench doc 1 fully inside corpus doc 10; bench doc 2 half-inside
+    // corpus doc 11 (exactly at theta on shingles is avoided — the
+    // planted overlap is either full or far below theta)
+    val benchA = (1 to 12).map(i => s"tok$i").mkString(" ")      // 5 shingles
+    val benchB = (21 to 32).map(i => s"tok$i").mkString(" ")
+    val fixture = Seq(
+      1L -> benchA,
+      2L -> benchB,
+      10L -> (benchA + " " + (41 to 60).map(i => s"pad$i").mkString(" ")),
+      11L -> ((21 to 28).map(i => s"tok$i").mkString(" ") + " " +
+        (61 to 80).map(i => s"pad$i").mkString(" ")),           // 1 of B's 5
+      12L -> (81 to 110).map(i => s"oth$i").mkString(" "),
+    ).toDF("doc_id", "s")
+    val got = CorpusOps.containmentPairs(fixture, 10L, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toList
+    assert(got == List((1L, 10L, 1.0)))
+    // corpus-scale: q219 equals brute-force bench x corpus containment
+    val docs = graft.text.TextOps.docs(spark, sfDir())
+      .select("doc_id", "s").as[(Long, String)].collect()
+    def shingles(s: String): Set[String] = {
+      val ws = s.split(" ", -1)
+      if (ws.length < CorpusOps.ShingleWidth) Set.empty
+      else ws.sliding(CorpusOps.ShingleWidth).map(_.mkString(" ")).toSet
+    }
+    val bench = docs.filter(_._1 < CorpusOps.BenchmarkCutoff)
+    val corpus = docs.filter(_._1 >= CorpusOps.BenchmarkCutoff)
+    val want = (for {
+      (bid, bs) <- bench; gb = shingles(bs) if gb.nonEmpty
+      (cid, cs) <- corpus
+      c = (gb intersect shingles(cs)).size
+      cont = BigDecimal(c.toDouble / gb.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cont >= CorpusOps.ContainTheta
+    } yield (bid, cid, cont)).toSet
+    val real = CorpusOps.q219ContainmentJoin(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(real == want)
+    assert(real.nonEmpty)
+  }
 }
