@@ -112,15 +112,20 @@ object CorpusOps {
   def q219ContainmentJoin(spark: SparkSession, dir: String): DataFrame =
     containmentPairs(TextOps.docs(spark, dir), BenchmarkCutoff, ContainTheta)
 
-  /** The containment join over any (doc_id, s) frame: benchmark side =
-    * doc_id < cutoff, corpus side = the rest. */
-  private[graft] def containmentPairs(docs: DataFrame, cutoff: Long,
+  /** (doc_id, gs, n) — checkpoint-cut distinct-shingle relation
+    * (fetched by candidate generation AND both verify legs). */
+  private[graft] def shingleRelation(docs: DataFrame): DataFrame =
+    graft.Checkpoints.cut(docs
+      .select(col("doc_id"), WordShingles(col("s"), ShingleWidth).as("gs"))
+      .withColumn("n", size(col("gs")).cast("long")))
+
+  /** The candidate stage alone ((bench_id, doc_id) pairs meeting on a
+    * prefix shingle, pre-verification) — extracted so
+    * tools/ScalingSweep can count candidates at scale. */
+  private[graft] def containmentCandidates(sh: DataFrame, cutoff: Long,
       theta: Double): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("cf", "g")
-    val sh = graft.Checkpoints.cut(docs
-      .select(col("doc_id"), WordShingles(col("s"), ShingleWidth).as("gs"))
-      .withColumn("n", size(col("gs")).cast("long")))
     val tok = sh.select(col("doc_id"), explode(col("gs")).as("g"))
     val freq = tok.groupBy("g").agg(count(lit(1)).as("cf"))
     val pref = tok.filter(col("doc_id") < cutoff)
@@ -129,10 +134,18 @@ object CorpusOps {
       .join(sh.select(col("doc_id"), col("n")), "doc_id")
       .filter(col("r") <=
         col("n") - ceil(lit(theta) * col("n")).cast("long") + 1)
-    val cand = pref.select(col("doc_id").as("bench_id"), col("g"))
+    pref.select(col("doc_id").as("bench_id"), col("g"))
       .join(tok.filter(col("doc_id") >= cutoff)
         .select(col("doc_id").as("doc_id"), col("g")), "g")
       .select("bench_id", "doc_id").distinct()
+  }
+
+  /** The containment join over any (doc_id, s) frame: benchmark side =
+    * doc_id < cutoff, corpus side = the rest. */
+  private[graft] def containmentPairs(docs: DataFrame, cutoff: Long,
+      theta: Double): DataFrame = {
+    val sh = shingleRelation(docs)
+    val cand = containmentCandidates(sh, cutoff, theta)
     cand
       .join(sh.select(col("doc_id").as("bench_id"), col("gs").as("gb"),
         col("n").as("n_shingles")), Seq("bench_id"))

@@ -69,6 +69,50 @@ object ScalingSweep {
     report("q22_pairs_auto", autoBandPairs(2, 100))
     report("copurchase_edges", graft.graph.CoPurchase.edges(t).count())
 
+    report("q218_pairs", {
+      val pre = graft.Checkpoints.cut(graft.text.EditOps.prefixes(
+        graft.text.TextOps.docs(spark, dir)))
+      graft.text.EditOps.candidatePairs(pre).count()
+    })
+    report("q218_matches", {
+      graft.text.EditOps.q218EditNeardup(spark, dir).count()
+    })
+    report("q218_pairs_auto", {
+      // the class-split auto form: long docs at the grown geometry,
+      // the padded short tail at the base oracled geometry (naive
+      // grown-for-all measured WORSE — pure-'#' hot keys, see
+      // EditOps.editNeardupAuto scaladoc)
+      val d = graft.text.TextOps.docs(spark, dir)
+      val L = graft.text.EditOps.autoSegLen(d.count())
+      println(s"  (auto segLen = $L)")
+      if (L == graft.text.EditOps.SegLen) {
+        val pre = graft.Checkpoints.cut(graft.text.EditOps.prefixes(d))
+        graft.text.EditOps.candidatePairs(pre).count()
+      } else {
+        val (lng, sht) = graft.text.EditOps.autoClasses(d, L)
+        val preL = graft.Checkpoints.cut(graft.text.EditOps.prefixes(
+          lng, graft.text.EditOps.NSeg * L))
+        val preS = graft.Checkpoints.cut(graft.text.EditOps.prefixes(sht))
+        graft.text.EditOps.candidatePairs(preL, L).count() +
+          graft.text.EditOps.candidatePairs(preS).count()
+      }
+    })
+    // q219's bench stratum (doc_id < 50) shares no word-8-gram with
+    // the scale corpus (no planted contamination there), which would
+    // measure an empty prune; plant a deterministic bench of 50 FULL
+    // COPIES of evenly-strided corpus docs (ids < 0, cutoff 0) so the
+    // candidate stage does real work at every scale
+    report("q219_pairs", {
+      val d = graft.text.TextOps.docs(spark, dir).select("doc_id", "s")
+      val stride = d.count() / 50
+      val bench = d.filter(col("doc_id") % stride === 0 &&
+          col("doc_id") < stride * 50)
+        .select((-(col("doc_id") / stride) - 1).as("doc_id"), col("s"))
+      val sh = graft.text.CorpusOps.shingleRelation(d.unionByName(bench))
+      graft.text.CorpusOps.containmentCandidates(sh, 0L,
+        graft.text.CorpusOps.ContainTheta).count()
+    })
+
     // ANN / embedding family: within-cell (SemDeDup) and LSH-bucket
     // (q26) pair volumes computed from group sizes — Σ C(g,2), no
     // pair materialization needed

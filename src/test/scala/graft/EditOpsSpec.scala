@@ -60,6 +60,22 @@ class EditOpsSpec extends SparkSpec {
     assert(has(1L, 5L), "mixed k-edit pair missed")
   }
 
+  test("auto segment length collapses to the oracled geometry at suite scale") {
+    // n = 5000 (sf0.1) -> ceil(ln(2500)/ln(1/0.6)) = 16 = SegLen
+    assert(EditOps.autoSegLen(5000L) == EditOps.SegLen)
+    // and grows with the corpus (the linearity knob)
+    assert(EditOps.autoSegLen(50000L) > EditOps.SegLen)
+    assert(EditOps.autoSegLen(150000L) >= EditOps.autoSegLen(50000L))
+    // auto form == the oracled row at the suite's largest SF
+    val docs = graft.text.TextOps.docs(spark, sfDir("0.1"))
+    val auto = EditOps.editNeardupAuto(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val fixed = EditOps.q218EditNeardup(spark, sfDir("0.1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(auto == fixed)
+    assert(auto.nonEmpty)
+  }
+
   test("q218 on the corpus equals brute force at sf0.001") {
     val docs = graft.text.TextOps.docs(spark, sfDir())
       .select("doc_id", "s").as[(Long, String)].collect()
