@@ -544,4 +544,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(pfs.contains("o_orderdate"), s"year range not pushed: $pfs")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q218: candidate generation is an equi join on (index, segment key)") {
+    val p = plan(graft.text.EditOps.q218EditNeardup(spark, sfDir()))
+    // PassJoin's scale claim: seg×probe meet ONLY through the hash
+    // relation on (i, k) — the doc_id inequality must ride as a
+    // residual on that equi join, never demote it to a nested loop
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"seg/probe met through a nested loop:\n$p")
+    val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
+    assert(keyLines.exists(l => l.contains("i") && l.contains("k")),
+      s"no (i, k)-keyed join found:\n${keyLines.mkString("\n")}")
+  }
+
+  test("q219: candidates meet on the gram, verify legs stay keyed") {
+    val p = plan(graft.text.CorpusOps.q219ContainmentJoin(spark, sfDir()))
+    // batch×corpus shape: the only corpus-wide meeting point is the
+    // equi join on the prefix gram g; the per-doc prefix-filter
+    // window partitions by doc_id (no global sort); verification
+    // joins back by id, never re-pairing on text
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
+    assert(keyLines.exists(_.contains("g")),
+      s"no gram-keyed candidate join:\n${keyLines.mkString("\n")}")
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(!_.matches(".*partitionBy=\\[\\].*")),
+      s"unpartitioned window (global sort):\n${winLines.mkString("\n")}")
+  }
 }
