@@ -57,8 +57,52 @@ object PolicyOps {
   def q73PolicyFilter(spark: SparkSession, dir: String): DataFrame =
     policyReport(TextOps.docs(spark, dir)).orderBy("doc_id")
 
+  // ---------------------------------------------------------------- q220
+  /** The md5-hex prefix class selecting the harness's deterministic
+    * phrase blocklist (~25% of the corpus's bigram vocabulary). */
+  val PhraseClassMax = "3"
+
+  /** The harness's stand-in PHRASE blocklist: every corpus bigram
+    * whose md5 hex digest starts with '0'–[[PhraseClassMax]], sorted.
+    * A deployment feeds its own list straight into [[phraseScan]] —
+    * the derivation here only manufactures a deterministic multi-word
+    * list at every SF (the q203-membership / q121-codebook
+    * convention). Bounded by the bigram vocabulary, collected once. */
+  private[graft] def derivedBlocklist(docs: DataFrame): Seq[String] =
+    docs.withColumn("words", split(col("s"), " "))
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(words) - 1), " +
+          "i -> concat(words[i-1], ' ', words[i]))")).as("bigram"))
+      .distinct()
+      .filter(substring(md5(col("bigram")), 1, 1) <= PhraseClassMax)
+      .orderBy("bigram")
+      .collect().map(_.getString(0)).toSeq
+
+  /** Per-doc multi-phrase blocklist report: one
+    * [[graft.functions.PhraseHits]] automaton pass per document —
+    * O(len + matches) per doc regardless of blocklist size, zero
+    * shuffle (vs the q73 regex alternation's O(len·terms) and the
+    * explode+join's corpus-grain shuffle; wall A/B in
+    * tools/ScalingSweep). */
+  private[graft] def phraseScan(docs: DataFrame,
+      phrases: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.PhraseHits(col("s"), phrases).as("h"))
+      .select(col("doc_id"), col("h.n_hits").as("n_hits"),
+        col("h.n_terms").cast("long").as("n_terms"))
+      .withColumn("flagged", col("n_hits") > 0)
+      .orderBy("doc_id")
+
+  /** q220: the large-blocklist policy scan over the corpus. */
+  def q220BlocklistScan(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir)
+    phraseScan(d, derivedBlocklist(d))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_policy_filter" -> (q73PolicyFilter _),
+    "q220_blocklist_scan" -> (q220BlocklistScan _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -83,5 +127,25 @@ object PolicyOps {
          |       (n_blocked > 0 OR n_emails + n_ips + n_phones > 0) AS dropped
          |FROM r ORDER BY doc_id""".stripMargin
     },
+    // blocklist membership re-derived in SQL (md5-prefix class over
+    // the bigram vocabulary); occurrences = adjacent word pairs, the
+    // whole-word-aligned definition the automaton matches
+    "q220_blocklist_scan" ->
+      s"""WITH ${TextOps.normCte},
+         |w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+         |bg AS (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram
+         |       FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0)))
+         |              AS t(i)),
+         |h AS (SELECT doc_id,
+         |        CAST(count(*) AS BIGINT) AS n_hits,
+         |        CAST(count(DISTINCT bigram) AS BIGINT) AS n_terms
+         |      FROM bg WHERE substr(md5(bigram), 1, 1) <= '$PhraseClassMax'
+         |      GROUP BY 1)
+         |SELECT n.doc_id,
+         |       coalesce(h.n_hits, 0) AS n_hits,
+         |       coalesce(h.n_terms, 0) AS n_terms,
+         |       coalesce(h.n_hits, 0) > 0 AS flagged
+         |FROM n LEFT JOIN h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -113,6 +113,70 @@ object ScalingSweep {
         graft.text.CorpusOps.ContainTheta).count()
     })
 
+    // q220 wall A/B at this scale: total hits computed three ways —
+    // the automaton projection, a single regex alternation over all
+    // phrases (O(len·terms) per doc; also UNDERCOUNTS back-to-back
+    // occurrences, since a consumed match eats the shared delimiter
+    // even with zero-width boundaries — the completeness gap is part
+    // of the automaton's case), and the bigram explode + join
+    // (corpus-grain shuffle; count-exact, the spec's equality
+    // partner). The printed times are the comparison.
+    if (only.isEmpty || only.exists("q220".contains(_)) ||
+        only.exists(o => "q220_hits".contains(o) || o.contains("q220"))) {
+      val d220 = graft.text.TextOps.docs(spark, dir)
+      // derivation forced OUTSIDE the timed reports: the A/B compares
+      // the scan forms, not the (shared, harness-only) list build
+      val phrases = graft.text.PolicyOps.derivedBlocklist(d220)
+      println(s"  (${phrases.length} phrases)")
+      report("q220_hits_ac", {
+        graft.text.PolicyOps.phraseScan(d220, phrases)
+          .agg(sum("n_hits")).collect()(0).getLong(0)
+      })
+      report("q220_hits_regex", {
+        val pat = "(?<=^| )(" +
+          phrases.map(java.util.regex.Pattern.quote).mkString("|") +
+          ")(?= |$)"
+        d220.select(regexp_count(col("s"), lit(pat)).cast("long").as("h"))
+          .agg(sum("h")).collect()(0).getLong(0)
+      })
+      report("q220_hits_join", {
+        val bl = d220.sparkSession.createDataFrame(
+          d220.sparkSession.sparkContext.parallelize(
+            phrases.map(org.apache.spark.sql.Row(_))),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("bigram",
+              org.apache.spark.sql.types.StringType))))
+        d220.withColumn("words", split(col("s"), " "))
+          .filter(size(col("words")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(words) - 1), " +
+              "i -> concat(words[i-1], ' ', words[i]))")).as("bigram"))
+          .join(bl, "bigram").count()
+      })
+      // blocklist-SIZE scaling on a fixed corpus: t grown past the
+      // bigram vocabulary with synthetic never-matching phrases
+      // (hits stay constant — the rows time the SCAN cost in t).
+      // The automaton claim is wall flat in t; the alternation's is
+      // O(len·t). The cached d220 keeps the corpus read out of the
+      // comparison.
+      val dc = d220.cache(); dc.count()
+      for (t <- Seq(1000, 10000, 50000)) {
+        val ps = phrases ++
+          (0 until (t - phrases.length)).map(i => s"zqx$i wvu$i")
+        report(s"q220_t${t}_ac",
+          graft.text.PolicyOps.phraseScan(dc, ps)
+            .agg(sum("n_hits")).collect()(0).getLong(0))
+        report(s"q220_t${t}_regex", {
+          val pat = "(?<=^| )(" +
+            ps.map(java.util.regex.Pattern.quote).mkString("|") +
+            ")(?= |$)"
+          dc.select(regexp_count(col("s"), lit(pat)).cast("long").as("h"))
+            .agg(sum("h")).collect()(0).getLong(0)
+        })
+      }
+      dc.unpersist()
+    }
+
     // ANN / embedding family: within-cell (SemDeDup) and LSH-bucket
     // (q26) pair volumes computed from group sizes — Σ C(g,2), no
     // pair materialization needed

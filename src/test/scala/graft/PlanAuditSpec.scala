@@ -558,6 +558,17 @@ class PlanAuditSpec extends SparkSpec {
       s"no (i, k)-keyed join found:\n${keyLines.mkString("\n")}")
   }
 
+  test("q220: blocklist scan is a pure projection — no join, one output sort") {
+    val d = graft.text.TextOps.docs(spark, sfDir())
+    val p = plan(graft.text.PolicyOps.phraseScan(d, Seq("a b", "c d")))
+    // the whole point of the automaton: corpus-grain work is one
+    // in-row expression pass; no join, no aggregate, no shuffle
+    // beyond the doc_id output ordering
+    assert(!p.contains("Join"), s"join crept into the scan:\n$p")
+    assert(!p.contains("HashAggregate"), s"aggregate crept in:\n$p")
+    assert(p.contains("graft_phrase_hits"), s"expression not in plan:\n$p")
+  }
+
   test("q219: candidates meet on the gram, verify legs stay keyed") {
     val p = plan(graft.text.CorpusOps.q219ContainmentJoin(spark, sfDir()))
     // batch×corpus shape: the only corpus-wide meeting point is the

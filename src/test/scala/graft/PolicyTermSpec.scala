@@ -262,4 +262,60 @@ class PolicyTermSpec extends SparkSpec {
     // continuations of each context is <= 1
     assert(pAB + pAC <= 1.0 + 1e-9 && pBA <= 1.0 + 1e-9)
   }
+
+  // ------------------------------------------------------------- q220
+
+  private def scan(phrases: Seq[String], rows: (Long, String)*) =
+    PolicyOps.phraseScan(frame(rows: _*), phrases).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))).toMap
+
+  test("phrase scan counts whole-word-aligned occurrences incl. overlaps") {
+    val out = scan(Seq("a b", "b a", "x"),
+      1L -> "a b a b a",   // "a b" twice, "b a" twice (shared spaces)
+      2L -> "xa b xx ax",  // no whole-word match anywhere
+      3L -> "x",           // single word, at both string edges
+      4L -> "c x c x c")
+    assert(out(1L) == ((4L, 2L, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((0L, 0L, false)))
+    assert(out(3L) == ((1L, 1L, true)))
+    assert(out(4L) == ((2L, 1L, true)))
+  }
+
+  test("phrase scan handles nested/suffix phrases via the output chain") {
+    // "b c" is a suffix of "a b c" — one pass must report both
+    val out = scan(Seq("a b c", "b c", "c"),
+      1L -> "a b c d",
+      2L -> "b c")
+    assert(out(1L) == ((3L, 3L, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 2L, true)))
+  }
+
+  test("q220 equals the bigram explode + join formulation on the corpus") {
+    for (sf <- Seq("0.001", "0.01")) {
+      val d = graft.text.TextOps.docs(spark, sfDir(sf))
+      val phrases = PolicyOps.derivedBlocklist(d)
+      assert(phrases.nonEmpty && phrases == phrases.sorted)
+      val got = PolicyOps.phraseScan(d, phrases).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bg = d.withColumn("words", split(col("s"), " "))
+        .filter(size(col("words")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(words) - 1), " +
+            "i -> concat(words[i-1], ' ', words[i]))")).as("bigram"))
+        .filter(substring(md5(col("bigram")), 1, 1) <= PolicyOps.PhraseClassMax)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"),
+          countDistinct(col("bigram")).as("n_terms"))
+      val hits = bg.collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val want = d.select("doc_id").collect().map(_.getLong(0)).toSet
+        .map((id: Long) => hits.get(id) match {
+          case Some((h, t)) => (id, h, t)
+          case None => (id, 0L, 0L)
+        })
+      assert(got == want)
+      assert(got.exists(_._2 > 0), "degenerate: no blocklist hit at all")
+    }
+  }
 }
