@@ -100,9 +100,32 @@ object PolicyOps {
     phraseScan(d, derivedBlocklist(d))
   }
 
+  // ---------------------------------------------------------------- q221
+  /** Per-doc blocklist REDACTION (word-coverage semantics — see
+    * [[graft.functions.PhraseRedact]]): every word covered by any
+    * phrase occurrence becomes `<term>`; the report ships the
+    * redacted text's fingerprint, q73's convention. Same one-pass /
+    * zero-shuffle shape as [[phraseScan]]. */
+  private[graft] def phraseRedact(docs: DataFrame,
+      phrases: Seq[String]): DataFrame =
+    docs.select(col("doc_id"),
+        graft.functions.PhraseRedact(col("s"), phrases).as("r"))
+      .select(col("doc_id"),
+        col("r.n_covered").cast("long").as("n_covered"),
+        md5(col("r.red")).as("redacted_fp"))
+      .withColumn("flagged", col("n_covered") > 0)
+      .orderBy("doc_id")
+
+  /** q221: the large-blocklist redaction over the corpus. */
+  def q221BlocklistRedact(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir)
+    phraseRedact(d, derivedBlocklist(d))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_policy_filter" -> (q73PolicyFilter _),
     "q220_blocklist_scan" -> (q220BlocklistScan _),
+    "q221_blocklist_redact" -> (q221BlocklistRedact _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -146,6 +169,35 @@ object PolicyOps {
          |       coalesce(h.n_terms, 0) AS n_terms,
          |       coalesce(h.n_hits, 0) > 0 AS flagged
          |FROM n LEFT JOIN h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // word-coverage redaction as a positions join: a word is covered
+    // iff it is the left or right member of a blocklisted adjacent
+    // pair; the redacted text is re-aggregated in word order
+    "q221_blocklist_redact" ->
+      s"""WITH ${TextOps.normCte},
+         |w AS (SELECT doc_id, string_split(s, ' ') AS ws FROM n),
+         |wp AS (SELECT doc_id, i, ws[i] AS word
+         |       FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+         |bgp AS (SELECT doc_id, i
+         |        FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0)))
+         |               AS t(i)
+         |        WHERE substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 1)
+         |                <= '$PhraseClassMax'),
+         |cov AS (SELECT doc_id, i FROM bgp
+         |        UNION SELECT doc_id, i + 1 FROM bgp),
+         |red AS (SELECT wp.doc_id,
+         |          CAST(count(cov.i) AS BIGINT) AS n_covered,
+         |          string_agg(
+         |            CASE WHEN cov.i IS NOT NULL THEN '<term>'
+         |                 ELSE wp.word END, ' ' ORDER BY wp.i) AS red
+         |        FROM wp LEFT JOIN cov
+         |          ON wp.doc_id = cov.doc_id AND wp.i = cov.i
+         |        GROUP BY 1)
+         |SELECT n.doc_id,
+         |       coalesce(red.n_covered, 0) AS n_covered,
+         |       md5(coalesce(red.red, n.s)) AS redacted_fp,
+         |       coalesce(red.n_covered, 0) > 0 AS flagged
+         |FROM n LEFT JOIN red USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -569,6 +569,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_phrase_hits"), s"expression not in plan:\n$p")
   }
 
+  test("q221: redaction is a pure projection — no join, one output sort") {
+    val d = graft.text.TextOps.docs(spark, sfDir())
+    val p = plan(graft.text.PolicyOps.phraseRedact(d, Seq("a b", "c d")))
+    assert(!p.contains("Join"), s"join crept into the redaction:\n$p")
+    assert(!p.contains("HashAggregate"), s"aggregate crept in:\n$p")
+    assert(p.contains("graft_phrase_redact"), s"expression not in plan:\n$p")
+  }
+
   test("q219: candidates meet on the gram, verify legs stay keyed") {
     val p = plan(graft.text.CorpusOps.q219ContainmentJoin(spark, sfDir()))
     // batch×corpus shape: the only corpus-wide meeting point is the

@@ -291,6 +291,65 @@ class PolicyTermSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2L, true)))
   }
 
+  private def redact(phrases: Seq[String], s: String): (String, Long) = {
+    val row = frame(1L -> s).select(
+      graft.functions.PhraseRedact(col("s"), phrases).as("r"))
+      .select("r.red", "r.n_covered").collect().head
+    // the query-shape fingerprint agrees with md5 of the raw text
+    val fp = PolicyOps.phraseRedact(frame(1L -> s), phrases)
+      .collect().head.getString(2)
+    val want = frame(1L -> s).sparkSession.range(1)
+      .select(md5(lit(row.getString(0)))).collect().head.getString(0)
+    assert(fp == want)
+    (row.getString(0), row.getInt(1).toLong)
+  }
+
+  test("phrase redaction covers every word of every occurrence, overlaps union") {
+    assert(redact(Seq("a b", "b a"), "a b a b a") ==
+      (("<term> <term> <term> <term> <term>", 5L)))
+    assert(redact(Seq("a b"), "x a b y a b") ==
+      (("x <term> <term> y <term> <term>", 4L)))
+    assert(redact(Seq("a b c", "c"), "z a b c z") ==
+      (("z <term> <term> <term> z", 3L)))
+    assert(redact(Seq("q r"), "no match here") == (("no match here", 0L)))
+    // boundary: phrase words must match whole words
+    assert(redact(Seq("a b"), "xa b a bx") == (("xa b a bx", 0L)))
+  }
+
+  test("q221 equals the positions-join coverage formulation on the corpus") {
+    for (sf <- Seq("0.001", "0.01")) {
+      val d = graft.text.TextOps.docs(spark, sfDir(sf))
+      val phrases = PolicyOps.derivedBlocklist(d)
+      val got = PolicyOps.phraseRedact(d, phrases).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      // positions-join reference: covered = member of a blocklisted
+      // adjacent pair (the harness list is all bigrams)
+      val wp = d.withColumn("ws", split(col("s"), " "))
+        .select(col("doc_id"), col("ws"),
+          explode(expr("sequence(1, size(ws))")).as("i"))
+        .select(col("doc_id"), col("i"), expr("ws[i-1]").as("word"),
+          expr("""i < size(ws) AND
+            substring(md5(concat(ws[i-1], ' ', ws[i])), 1, 1) <= '3'""")
+            .as("left_hit"),
+          expr("""i > 1 AND
+            substring(md5(concat(ws[i-2], ' ', ws[i-1])), 1, 1) <= '3'""")
+            .as("right_hit"))
+        .withColumn("cov", col("left_hit") || col("right_hit"))
+      val want = wp.select(col("doc_id"), col("cov"),
+          struct(col("i"), when(col("cov"), "<term>")
+            .otherwise(col("word")).as("w")).as("p"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("cov"), 1L).otherwise(0L)).as("n_covered"),
+          collect_list("p").as("ps"))
+        .select(col("doc_id"), col("n_covered"),
+          md5(array_join(expr("transform(sort_array(ps), x -> x.w)"), " "))
+            .as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(got == want)
+      assert(got.exists(_._2 > 0), "degenerate: nothing redacted")
+    }
+  }
+
   test("q220 equals the bigram explode + join formulation on the corpus") {
     for (sf <- Seq("0.001", "0.01")) {
       val d = graft.text.TextOps.docs(spark, sfDir(sf))
