@@ -91,6 +91,13 @@ object GraftFunctions {
     e.eval().asInstanceOf[Number].doubleValue
   }
 
+  private def foldStringSeq(e: Expression): Seq[String] = {
+    require(e.foldable, "string-array argument must be a literal")
+    e.eval().asInstanceOf[ArrayData]
+      .toObjectArray(org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
+  }
+
   /** The full SQL surface of graft's custom expressions: (name,
     * implementing class, builder). Shared by [[register]] and
     * [[graft.GraftExtensions]] so the temp-function and
@@ -113,6 +120,10 @@ object GraftFunctions {
       e => Int8QuantStats(e(0))),
     ("graft_hll_estimate", classOf[HllEstimate],
       e => HllEstimate(e(0), foldDouble(e(1)))),
+    ("graft_phrase_hits", classOf[PhraseHits],
+      e => PhraseHits(e(0), foldStringSeq(e(1)))),
+    ("graft_phrase_redact", classOf[PhraseRedact],
+      e => PhraseRedact(e(0), foldStringSeq(e(1)))),
     // aggregate: the analyzer wraps a returned AggregateFunction in
     // an AggregateExpression, same as the built-in max/min builders
     ("graft_topk", classOf[TopKAgg],

@@ -194,7 +194,9 @@ class ExpressionEquivalenceSpec extends SparkSpec {
         |  size(graft_grams('abcdef')) AS ng,
         |  size(graft_word_shingles('a b c d', 2)) AS nsh,
         |  graft_repetition_stats('a a b').n_words AS nw,
-        |  graft_int8_quant_stats(array(1.0d, -2.0d)).qnorm2 AS qn
+        |  graft_int8_quant_stats(array(1.0d, -2.0d)).qnorm2 AS qn,
+        |  graft_phrase_hits('a b a', array('a b', 'b a')).n_hits AS ph,
+        |  graft_phrase_redact('x a b y', array('a b')).red AS pr
         |""".stripMargin).first()
     assert(r.getDouble(0) == 11.0)
     assert(r.getInt(1) == 2)   // grams of 'abcdef': 2 distinct 5-grams
@@ -203,6 +205,8 @@ class ExpressionEquivalenceSpec extends SparkSpec {
     assert(r.getInt(4) == 3)   // 'a b','b c','c d'
     assert(r.getInt(5) == 3)
     assert(r.getLong(6) == 127L * 127 + 64L * 64) // q = [64, -127]
+    assert(r.getLong(7) == 2L)  // 'a b' + 'b a' in 'a b a'
+    assert(r.getString(8) == "x <term> <term> y")
     // the aggregate registers too (used in GROUP BY context)
     val tops = spark.sql(
       """SELECT g, graft_topk(v, 2) AS t
