@@ -246,4 +246,54 @@ class ExpressionEquivalenceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
     assert(custom == hof)
   }
+
+  test("PhraseHits/PhraseRedact == brute-force word-window reference (randomized)") {
+    // tiny alphabet maximizes overlapping/nested/back-to-back matches
+    val rnd = new scala.util.Random(41L)
+    def word() = ("" + ('a' + rnd.nextInt(3)).toChar) * (1 + rnd.nextInt(2))
+    val texts = (0 until 120).map { _ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => word()).mkString(" ")
+    }
+    val phrases = new scala.util.Random(43L).shuffle(
+      (for {
+        l <- 1 to 3
+        _ <- 1 to 6
+      } yield (0 until l).map(_ => word()).mkString(" ")).distinct.toList
+    ).take(12)
+    // brute force: try every phrase at every word offset
+    def ref(s: String): (Long, Int, String, Int) = {
+      val ws = s.split(" ", -1)
+      val covered = new Array[Boolean](ws.length)
+      var hits = 0L
+      val seen = scala.collection.mutable.Set.empty[Int]
+      for ((p, pi) <- phrases.zipWithIndex) {
+        val pw = p.split(" ", -1)
+        for (o <- 0 to ws.length - pw.length
+             if ws.slice(o, o + pw.length).sameElements(pw)) {
+          hits += 1
+          seen += pi
+          (o until o + pw.length).foreach(covered(_) = true)
+        }
+      }
+      val red = ws.zipWithIndex
+        .map { case (w, i) => if (covered(i)) "<term>" else w }
+        .mkString(" ")
+      (hits, seen.size, red, covered.count(identity))
+    }
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "s")
+    val got = d.select(col("doc_id"),
+        graft.functions.PhraseHits(col("s"), phrases).as("h"),
+        graft.functions.PhraseRedact(col("s"), phrases).as("r"))
+      .select(col("doc_id"), col("h.n_hits"), col("h.n_terms"),
+        col("r.red"), col("r.n_covered"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getInt(2), r.getString(3), r.getInt(4)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"mismatch on doc $i: '$t'")
+    }
+    // the random family must actually exercise matches
+    assert(texts.map(ref).map(_._1).sum > 50, "degenerate random family")
+  }
 }
