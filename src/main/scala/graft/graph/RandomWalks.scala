@@ -1,0 +1,125 @@
+package graft.graph
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** MULTI-walk corpus generation over the trade graph — DeepWalk's
+  * γ-walks-per-node sampling (Perozzi et al. 2014, KDD §4.1), the
+  * member [[Cores.walkPaths]] (q78) cannot express: q78's step hash
+  * is md5(NODE:step), so every walk starting at a node is the SAME
+  * walk, while an embedding corpus needs diverging siblings.
+  * (Reference lineage: documentation/queries.md's multi-hop
+  * `DEPENDS_ON` walks — the sampled-trajectory member.)
+  *
+  * The "random" choice is a HASH seeded by the WALK, not an RNG: the
+  * transition out of (walk_id, step) picks out-edge rank
+  * `md5(walk_id ':' step) mod outdeg + 1` over the (cnt desc, dst)
+  * ranked adjacency (preference-ordered, where q78 ranks by id).
+  * That keeps the corpus a pure function of the graph — reproducible
+  * across engines, layouts, retries and partitionings (the q194/q123
+  * sampler-determinism discipline) — and expressible in a DuckDB
+  * recursive CTE, so the full trajectory table is oracle-checkable.
+  * Sinks TERMINATE the walk (q78 carries forward — both semantics
+  * exist in the wild; the CTE recursion stops naturally here).
+  *
+  * Scale shape: each of the [[WalkLen]] steps is ONE equi join of the
+  * frontier (|walks| rows, constant across steps) against the ranked
+  * adjacency keyed by src; no hint is forced, so AQE broadcasts the
+  * nations-sized adjacency at suite scale, while a billion-edge
+  * adjacency shuffle-joins on src with the frontier co-partitioned.
+  * Walks at sink nodes terminate (the inner join drops them — same
+  * semantics as the CTE recursion). The step count is a bounded
+  * static unroll, not a data-dependent driver loop.
+  */
+object RandomWalks {
+
+  /** Steps per walk (trajectory has [[WalkLen]] + 1 rows max). */
+  val WalkLen = 8
+
+  /** Seeded walks started per node. */
+  val WalksPerNode = 4
+
+  /** (src, dst, rk, od): out-edges ranked (cnt desc, dst asc) with
+    * the out-degree alongside — the relation the hash picks from. */
+  private[graft] def adjacency(t: Tables): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(col("cnt").desc, col("dst").asc)
+    TradeGraph.edges(t)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("od",
+        count(lit(1)).over(Window.partitionBy("src")).cast("long"))
+      .select("src", "dst", "rk", "od")
+  }
+
+  /** The walk table over any seed/adjacency pair (spec entry point).
+    * `seeds` carries (walk_id, node); `adj` carries (src, dst, rk,
+    * od). Output: (walk_id, step, node) for step 0..len. */
+  private[graft] def walkTable(seeds: DataFrame, adj: DataFrame,
+      len: Int): DataFrame = {
+    val a = graft.Checkpoints.cut(adj)
+    var cur = seeds.select(col("walk_id"), col("node"))
+    val acc = ArrayBuffer(
+      cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
+    for (s <- 1 to len) {
+      val pick = expr(
+        s"""cast(conv(substring(md5(concat(cast(walk_id as string),
+           |  ':', '${s - 1}')), 1, 15), 16, 10) as bigint)""".stripMargin)
+      cur = cur.join(a, col("node") === col("src"))
+        .filter(col("rk") === pick % col("od") + 1)
+        .select(col("walk_id"), col("dst").as("node"))
+      acc += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
+    }
+    acc.reduce(_.unionByName(_)).orderBy("walk_id", "step")
+  }
+
+  /** q222: [[WalksPerNode]] walks of [[WalkLen]] steps from every
+    * nation over the trade graph. */
+  def q222RandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val seeds = t.nation
+      .select(col("n_nationkey").cast("long").as("node"))
+      .select(col("node"),
+        explode(expr(s"sequence(0, ${WalksPerNode - 1})")).as("w"))
+      .select((col("node") * WalksPerNode + col("w")).as("walk_id"),
+        col("node"))
+    walkTable(seeds, adjacency(t), WalkLen)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_random_walks" -> (q222RandomWalks _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q222_random_walks" -> {
+      val pick = graft.text.TextOps.hexToLongSql(
+        "md5(CAST(w.walk_id AS VARCHAR) || ':' || CAST(w.step AS VARCHAR))",
+        1, 15)
+      s"""WITH RECURSIVE ${TradeGraph.sqlCte},
+         |adj AS (
+         |  SELECT src, dst,
+         |         CAST(row_number() OVER (PARTITION BY src
+         |                                 ORDER BY cnt DESC, dst ASC)
+         |              AS BIGINT) AS rk,
+         |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS od
+         |  FROM trade),
+         |seeds AS (
+         |  SELECT CAST(n_nationkey AS BIGINT) * $WalksPerNode + t.w AS walk_id,
+         |         CAST(0 AS BIGINT) AS step,
+         |         CAST(n_nationkey AS BIGINT) AS node
+         |  FROM nation, unnest(generate_series(0, ${WalksPerNode - 1}))
+         |         AS t(w)),
+         |walk AS (
+         |  SELECT walk_id, step, node FROM seeds
+         |  UNION ALL
+         |  SELECT w.walk_id, w.step + 1, a.dst
+         |  FROM walk w JOIN adj a ON a.src = w.node
+         |  WHERE w.step < $WalkLen
+         |    AND a.rk = $pick % a.od + 1)
+         |SELECT walk_id, step, node FROM walk
+         |ORDER BY walk_id, step""".stripMargin
+    },
+  )
+}

@@ -577,6 +577,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_phrase_redact"), s"expression not in plan:\n$p")
   }
 
+  test("q222: every walk step is a keyed frontier join, nothing cartesian") {
+    val p = plan(graft.graph.RandomWalks.q222RandomWalks(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // the rank pick must ride the node=src equi join as a filter,
+    // never force a theta join
+    val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
+    assert(keyLines.exists(_.contains("node#")) &&
+      keyLines.exists(_.contains("src#")),
+      s"no node=src keyed join:\n${keyLines.mkString("\n")}")
+  }
+
   test("q219: candidates meet on the gram, verify legs stay keyed") {
     val p = plan(graft.text.CorpusOps.q219ContainmentJoin(spark, sfDir()))
     // batch×corpus shape: the only corpus-wide meeting point is the
