@@ -54,10 +54,12 @@ object RandomWalks {
       .select("src", "dst", "rk", "od")
   }
 
-  /** The walk table over any seed/adjacency pair (spec entry point).
-    * `seeds` carries (walk_id, node); `adj` carries (src, dst, rk,
-    * od). Output: (walk_id, step, node) for step 0..len. */
-  private[graft] def walkTable(seeds: DataFrame, adj: DataFrame,
+  /** Unsorted walk rows over any seed/adjacency pair — the relation
+    * downstream consumers (q223's skip-gram pairs) join on walk_id,
+    * where a global sort would be a wasted exchange. `seeds` carries
+    * (walk_id, node); `adj` carries (src, dst, rk, od). Output:
+    * (walk_id, step, node) for step 0..len. */
+  private[graft] def walkRows(seeds: DataFrame, adj: DataFrame,
       len: Int): DataFrame = {
     val a = graft.Checkpoints.cut(adj)
     var cur = seeds.select(col("walk_id"), col("node"))
@@ -72,8 +74,14 @@ object RandomWalks {
         .select(col("walk_id"), col("dst").as("node"))
       acc += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
     }
-    acc.reduce(_.unionByName(_)).orderBy("walk_id", "step")
+    acc.reduce(_.unionByName(_))
   }
+
+  /** The walk table over any seed/adjacency pair (spec entry point):
+    * [[walkRows]] in presentation order. */
+  private[graft] def walkTable(seeds: DataFrame, adj: DataFrame,
+      len: Int): DataFrame =
+    walkRows(seeds, adj, len).orderBy("walk_id", "step")
 
   /** q222: [[WalksPerNode]] walks of [[WalkLen]] steps from every
     * nation over the trade graph. */
@@ -92,34 +100,41 @@ object RandomWalks {
     "q222_random_walks" -> (q222RandomWalks _),
   )
 
+  /** The recursive CTE block ending in `walk(walk_id, step, node)` —
+    * the exact trajectory relation, shared by q222's oracle and the
+    * embedding-training oracle built on the same corpus (q223). Must
+    * follow a `WITH RECURSIVE` keyword. */
+  private[graft] def walkCteSql: String = {
+    val pick = graft.text.TextOps.hexToLongSql(
+      "md5(CAST(w.walk_id AS VARCHAR) || ':' || CAST(w.step AS VARCHAR))",
+      1, 15)
+    s"""${TradeGraph.sqlCte},
+       |adj AS (
+       |  SELECT src, dst,
+       |         CAST(row_number() OVER (PARTITION BY src
+       |                                 ORDER BY cnt DESC, dst ASC)
+       |              AS BIGINT) AS rk,
+       |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS od
+       |  FROM trade),
+       |seeds AS (
+       |  SELECT CAST(n_nationkey AS BIGINT) * $WalksPerNode + t.w AS walk_id,
+       |         CAST(0 AS BIGINT) AS step,
+       |         CAST(n_nationkey AS BIGINT) AS node
+       |  FROM nation, unnest(generate_series(0, ${WalksPerNode - 1}))
+       |         AS t(w)),
+       |walk AS (
+       |  SELECT walk_id, step, node FROM seeds
+       |  UNION ALL
+       |  SELECT w.walk_id, w.step + 1, a.dst
+       |  FROM walk w JOIN adj a ON a.src = w.node
+       |  WHERE w.step < $WalkLen
+       |    AND a.rk = $pick % a.od + 1)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "q222_random_walks" -> {
-      val pick = graft.text.TextOps.hexToLongSql(
-        "md5(CAST(w.walk_id AS VARCHAR) || ':' || CAST(w.step AS VARCHAR))",
-        1, 15)
-      s"""WITH RECURSIVE ${TradeGraph.sqlCte},
-         |adj AS (
-         |  SELECT src, dst,
-         |         CAST(row_number() OVER (PARTITION BY src
-         |                                 ORDER BY cnt DESC, dst ASC)
-         |              AS BIGINT) AS rk,
-         |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS od
-         |  FROM trade),
-         |seeds AS (
-         |  SELECT CAST(n_nationkey AS BIGINT) * $WalksPerNode + t.w AS walk_id,
-         |         CAST(0 AS BIGINT) AS step,
-         |         CAST(n_nationkey AS BIGINT) AS node
-         |  FROM nation, unnest(generate_series(0, ${WalksPerNode - 1}))
-         |         AS t(w)),
-         |walk AS (
-         |  SELECT walk_id, step, node FROM seeds
-         |  UNION ALL
-         |  SELECT w.walk_id, w.step + 1, a.dst
-         |  FROM walk w JOIN adj a ON a.src = w.node
-         |  WHERE w.step < $WalkLen
-         |    AND a.rk = $pick % a.od + 1)
+    "q222_random_walks" ->
+      s"""WITH RECURSIVE $walkCteSql
          |SELECT walk_id, step, node FROM walk
-         |ORDER BY walk_id, step""".stripMargin
-    },
+         |ORDER BY walk_id, step""".stripMargin,
   )
 }

@@ -589,6 +589,27 @@ class PlanAuditSpec extends SparkSpec {
       s"no node=src keyed join:\n${keyLines.mkString("\n")}")
   }
 
+  test("q223: skip-gram pairs meet on walk_id, PPMI/projection joins stay keyed") {
+    // the pair stage (audited pre-cut — the Checkpoints.cut in
+    // ppmiRows truncates lineage in the full plan): the corpus-wide
+    // meeting point is the walk_id equi join, the ±window band rides
+    // it as a residual
+    import spark.implicits._
+    val walks = Seq((1L, 0L, 10L), (1L, 1L, 11L)).toDF("walk_id", "step", "node")
+    val pp = plan(graft.graph.NodeEmbeddings.skipGramPairs(walks, 2))
+    assert(!pp.contains("CartesianProduct"), s"cartesian pair stage:\n$pp")
+    val keyLines = pp.linesIterator.filter(_.contains("keys")).toSeq
+    assert(keyLines.exists(_.contains("walk_id#")),
+      s"no walk_id-keyed pair join:\n${keyLines.mkString("\n")}")
+    // the full query: PPMI marginals join on u/v; the only
+    // nested-loop legs are the broadcast scalar total and the
+    // broadcast 16-row dim relation — both bounded by construction
+    val p = plan(graft.graph.NodeEmbeddings.q223NodeEmbeddings(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected nested-loop legs ($bnlj):\n$p")
+  }
+
   test("q219: candidates meet on the gram, verify legs stay keyed") {
     val p = plan(graft.text.CorpusOps.q219ContainmentJoin(spark, sfDir()))
     // batch×corpus shape: the only corpus-wide meeting point is the
