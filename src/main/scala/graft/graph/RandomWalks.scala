@@ -100,14 +100,17 @@ object RandomWalks {
     "q222_random_walks" -> (q222RandomWalks _),
   )
 
-  /** The recursive CTE block ending in `walk(walk_id, step, node)` —
-    * the exact trajectory relation, shared by q222's oracle and the
-    * embedding-training oracle built on the same corpus (q223). Must
-    * follow a `WITH RECURSIVE` keyword. */
-  private[graft] def walkCteSql: String = {
-    val pick = graft.text.TextOps.hexToLongSql(
-      "md5(CAST(w.walk_id AS VARCHAR) || ':' || CAST(w.step AS VARCHAR))",
-      1, 15)
+  /** The step-transition pick, as SQL over a `walk`-aliased row `w`:
+    * md5(walk_id ':' step) as a 60-bit integer (the same hash the
+    * Spark loop computes). */
+  private[graft] def pickSql: String = graft.text.TextOps.hexToLongSql(
+    "md5(CAST(w.walk_id AS VARCHAR) || ':' || CAST(w.step AS VARCHAR))",
+    1, 15)
+
+  /** trade + ranked adjacency + γ-per-nation seeds — the non-recursive
+    * CTE prefix shared by q222's first-order oracle and q224's
+    * second-order one. */
+  private[graft] def adjSeedsCteSql: String =
     s"""${TradeGraph.sqlCte},
        |adj AS (
        |  SELECT src, dst,
@@ -121,15 +124,21 @@ object RandomWalks {
        |         CAST(0 AS BIGINT) AS step,
        |         CAST(n_nationkey AS BIGINT) AS node
        |  FROM nation, unnest(generate_series(0, ${WalksPerNode - 1}))
-       |         AS t(w)),
+       |         AS t(w))""".stripMargin
+
+  /** The recursive CTE block ending in `walk(walk_id, step, node)` —
+    * the exact trajectory relation, shared by q222's oracle and the
+    * embedding-training oracle built on the same corpus (q223). Must
+    * follow a `WITH RECURSIVE` keyword. */
+  private[graft] def walkCteSql: String =
+    s"""$adjSeedsCteSql,
        |walk AS (
        |  SELECT walk_id, step, node FROM seeds
        |  UNION ALL
        |  SELECT w.walk_id, w.step + 1, a.dst
        |  FROM walk w JOIN adj a ON a.src = w.node
        |  WHERE w.step < $WalkLen
-       |    AND a.rk = $pick % a.od + 1)""".stripMargin
-  }
+       |    AND a.rk = $pickSql % a.od + 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q222_random_walks" ->

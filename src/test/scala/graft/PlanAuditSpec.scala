@@ -589,6 +589,18 @@ class PlanAuditSpec extends SparkSpec {
       s"no node=src keyed join:\n${keyLines.mkString("\n")}")
   }
 
+  test("q224: adj2 build and every walk step stay keyed, interval test rides as residual") {
+    val p = plan(graft.graph.Node2Vec.q224Node2vecWalks(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+    // the frontier must meet adj2 on the (prev, cur) state key — the
+    // [lo, hi) interval test is a residual, never the join condition
+    val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
+    assert(keyLines.exists(l => l.contains("prev#") && l.contains("node#")) &&
+      keyLines.exists(l => l.contains("p2#") && l.contains("c2#")),
+      s"no (prev,cur)-keyed step join:\n${keyLines.mkString("\n")}")
+  }
+
   test("q223: skip-gram pairs meet on walk_id, PPMI/projection joins stay keyed") {
     // the pair stage (audited pre-cut — the Checkpoints.cut in
     // ppmiRows truncates lineage in the full plan): the corpus-wide
