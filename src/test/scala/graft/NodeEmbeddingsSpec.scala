@@ -67,6 +67,77 @@ class NodeEmbeddingsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  /** Tie-corrected Mann–Whitney AUC, scalar side. */
+  private def aucRef(scored: Seq[(BigDecimal, Boolean)]): Double = {
+    val byScore = scored.groupBy(_._1).toSeq.sortBy(_._1)
+    var cum = 0L
+    var posRankSum = 0.0
+    for ((_, grp) <- byScore) {
+      val c = grp.length
+      val cp = grp.count(_._2)
+      posRankSum += cp * (cum + (c + 1) / 2.0)
+      cum += c
+    }
+    val p = scored.count(_._2).toLong
+    val n = scored.length - p
+    val u = posRankSum - p * (p + 1) / 2.0
+    BigDecimal(u / (p * n)).setScale(6, Half).toDouble
+  }
+
+  test("linkAuc matches a scalar Mann–Whitney reference on a designed fixture") {
+    // 3 nodes, d = 2; unit-norm rows with deliberate cosine ties:
+    // ww(1,2) = 1.0, every pair touching node 3 scores 0.0, so the
+    // average-rank tie path is exercised on the ww side; the wc side
+    // gets md5-sign-dependent scores recomputed scalar-side.
+    val emb = Seq(
+      (1L, 0L, 1.0), (1L, 1L, 0.0),
+      (2L, 0L, 1.0), (2L, 1L, 0.0),
+      (3L, 0L, 0.0), (3L, 1L, 1.0))
+    val edges = Seq((1L, 2L), (1L, 3L))
+    val embDf = emb.toDF("node", "dim", "emb")
+    val r = graph.NodeEmbeddings.linkAuc(embDf, edges.toDF("src", "dst"))
+      .collect().head
+
+    val vecs = emb.groupBy(_._1).map { case (n, rs) =>
+      n -> rs.sortBy(_._2).map(x => BigDecimal(x._3).setScale(6, Half))
+    }
+    val nodes = vecs.keys.toSeq.sorted
+    val pairs = for (u <- nodes; v <- nodes if u != v) yield (u, v)
+    val eset = edges.toSet
+    val ww = pairs.map { case (u, v) =>
+      (vecs(u).zip(vecs(v)).map { case (a, b) => a * b }.sum,
+        eset.contains((u, v)))
+    }
+    val wc = pairs.map { case (u, v) =>
+      (vecs(u).zipWithIndex.map { case (e, d) =>
+        e * signOf(v, d.toLong)
+      }.sum, eset.contains((u, v)))
+    }
+    assert(r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("n_neg") == 4L)
+    assert(r.getAs[Double]("auc_ww") == aucRef(ww))
+    assert(r.getAs[Double]("auc_wc") == aucRef(wc))
+    // the designed ww ties: four 0.0s (avg rank 2.5), two 1.0s (avg
+    // rank 5.5); positives hold {2.5, 5.5} -> U = 5, AUC = 5/8
+    assert(r.getAs[Double]("auc_ww") == 0.625)
+  }
+
+  test("q225 audits the trained table: both AUCs in [0,1], wc beats ww on the trade graph") {
+    val r = graph.NodeEmbeddings.q225EmbeddingLinkAuc(spark, sfDir())
+      .collect().head
+    assert(r.getAs[Long]("n_pos") > 0L)
+    assert(r.getAs[Long]("n_neg") > 0L)
+    val wc = r.getAs[Double]("auc_wc")
+    val ww = r.getAs[Double]("auc_ww")
+    assert(wc >= 0.0 && wc <= 1.0, s"auc_wc $wc")
+    assert(ww >= 0.0 && ww <= 1.0, s"auc_ww $ww")
+    // the factorization's own link score must retain real signal
+    // (the word-word cosine measures role similarity instead — on
+    // the hub-heavy trade graph it lands BELOW wc; see Scaladoc)
+    assert(wc > 0.5, s"word-context AUC $wc lost the PPMI signal")
+    assert(wc > ww, s"wc $wc should beat ww $ww here")
+  }
+
   test("q223 rows are unit-norm per node across all dims") {
     val rows = NodeEmbeddings.q223NodeEmbeddings(spark, sfDir())
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -577,8 +577,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_phrase_redact"), s"expression not in plan:\n$p")
   }
 
-  test("q222: every walk step is a keyed frontier join, nothing cartesian") {
-    val p = plan(graft.graph.RandomWalks.q222RandomWalks(spark, sfDir()))
+  test("q222: the walk step is a keyed frontier join, nothing cartesian") {
+    // audited on the single-step relation pre-cut: walkRows cuts the
+    // frontier every step (the pagerank discipline), so the full-query
+    // plan is checkpoint scans
+    import spark.implicits._
+    val cur = Seq((1L, 0L)).toDF("walk_id", "node")
+    val adj = Seq((0L, 1L, 1L, 1L)).toDF("src", "dst", "rk", "od")
+    val p = plan(graft.graph.RandomWalks.stepJoin(cur, adj, 1))
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
     // the rank pick must ride the node=src equi join as a filter,
@@ -589,16 +595,45 @@ class PlanAuditSpec extends SparkSpec {
       s"no node=src keyed join:\n${keyLines.mkString("\n")}")
   }
 
-  test("q224: adj2 build and every walk step stay keyed, interval test rides as residual") {
-    val p = plan(graft.graph.Node2Vec.q224Node2vecWalks(spark, sfDir()))
-    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
-    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
+  test("q224: adj2 build and the walk step stay keyed, interval test rides as residual") {
+    import spark.implicits._
     // the frontier must meet adj2 on the (prev, cur) state key — the
     // [lo, hi) interval test is a residual, never the join condition
+    val cur = Seq((1L, 0L, 1L)).toDF("walk_id", "prev", "node")
+    val a2 = Seq((0L, 1L, 2L, 0L, 4L, 4L))
+      .toDF("p2", "c2", "x", "lo", "hi", "tot")
+    val p = plan(graft.graph.Node2Vec.stepJoin(cur, a2, 1))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$p")
     val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
     assert(keyLines.exists(l => l.contains("prev#") && l.contains("node#")) &&
       keyLines.exists(l => l.contains("p2#") && l.contains("c2#")),
       s"no (prev,cur)-keyed step join:\n${keyLines.mkString("\n")}")
+    // the transition-table build: adjacency self-join keyed on the
+    // middle node, edge-set test keyed on (prev, x) — never cartesian
+    val adj = Seq((0L, 1L, 1L, 1L)).toDF("src", "dst", "rk", "od")
+    val pa = plan(graft.graph.Node2Vec.transitionIntervals(
+      adj, adj.select("src", "dst")))
+    assert(!pa.contains("CartesianProduct"), s"cartesian adj2 build:\n$pa")
+    assert(!pa.contains("BroadcastNestedLoopJoin"), s"nested loop adj2:\n$pa")
+  }
+
+  test("q225: score joins stay keyed; only the bounded pair-candidate leg is non-equi") {
+    import spark.implicits._
+    val emb = Seq((1L, 0L, 1.0), (2L, 0L, 1.0)).toDF("node", "dim", "emb")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    // audited pre-cut (linkAuc checkpoints this relation)
+    val p = plan(graft.graph.NodeEmbeddings.scoredPairs(emb, edges))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // exactly one nested-loop leg: the u ≠ v candidate pairing over
+    // the embedded-node relation (bounded by the audited graph).
+    // formatted explain lists each operator twice (tree + details).
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected nested-loop legs (${bnlj / 2}):\n$p")
+    // the per-dim score join is keyed on (v, dim) and u
+    val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
+    assert(keyLines.exists(l => l.contains("v#") && l.contains("dim#")),
+      s"no (v,dim)-keyed score join:\n${keyLines.mkString("\n")}")
   }
 
   test("q223: skip-gram pairs meet on walk_id, PPMI/projection joins stay keyed") {
