@@ -120,10 +120,18 @@ object Node2Vec {
     def pick(s: Int) = expr(
       s"""cast(conv(substring(md5(concat(cast(walk_id as string),
          |  ':', '$s')), 1, 15), 16, 10) as bigint)""".stripMargin)
-    val a = graft.Checkpoints.cut(adj)
-    val a2 = graft.Checkpoints.cut(adj2.select(
-      col("prev").as("p2"), col("cur").as("c2"), col("x"),
-      col("lo"), col("hi"), col("tot")))
+    // both lookup relations CACHED pre-partitioned + sorted on their
+    // join keys (the walkRows discipline — persist keeps the
+    // partitioning a localCheckpoint would lose under AQE): every
+    // step's sort-merge join then exchanges only the frontier
+    val a = adj.repartition(col("src")).sortWithinPartitions("src")
+      .persist()
+    val a2 = adj2.select(
+        col("prev").as("p2"), col("cur").as("c2"), col("x"),
+        col("lo"), col("hi"), col("tot"))
+      .repartition(col("p2"), col("c2"))
+      .sortWithinPartitions("p2", "c2")
+      .persist()
     val acc = ArrayBuffer(
       seeds.select(col("walk_id"), lit(0L).as("step"), col("node")))
     var cur = graft.Checkpoints.cut(
@@ -137,6 +145,9 @@ object Node2Vec {
       acc += cur.select(col("walk_id"), lit(s.toLong).as("step"),
         col("node"))
     }
+    // every step is materialized by its cut; the caches can go
+    a.unpersist(blocking = false)
+    a2.unpersist(blocking = false)
     acc.reduce(_.unionByName(_))
   }
 

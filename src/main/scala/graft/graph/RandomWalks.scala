@@ -76,13 +76,28 @@ object RandomWalks {
     *
     * The frontier is CUT after every step (the pagerank iteration
     * discipline): without it, step s's plan replays joins 1..s and
-    * the union replays O(len²) joins total — measured 14 s → 3 s at
-    * 2.4M edges (BENCH_SCALING.md Part 11). The cut frontiers stay
-    * referenced by the output union, so none is released here; the
-    * caller frees them via [[graft.Checkpoints.releaseAll]]. */
+    * the union replays O(len²) joins total (BENCH_SCALING.md
+    * Part 11). The cut frontiers stay referenced by the output
+    * union, so none is released here; the caller frees them via
+    * [[graft.Checkpoints.releaseAll]].
+    *
+    * The adjacency is CACHED pre-partitioned on src and sorted within
+    * partitions — persist, not checkpoint, because a cached plan
+    * keeps its output partitioning/ordering where a localCheckpoint
+    * under AQE degrades to UnknownPartitioning (verified in the
+    * step-join plan: the cached side feeds the sort-merge join with
+    * no Exchange and no Sort). Once the frontier outgrows the
+    * broadcast threshold, every step then exchanges and sorts ONLY
+    * the frontier; without this, each of the len steps re-shuffles
+    * and re-sorts the full edge relation (BENCH_SCALING.md Part 11:
+    * steady-state step cost at 24M edges ≈ 2.5–3 s = one frontier
+    * shuffle + one cached-relation scan, the information-theoretic
+    * floor for a Θ(γ·|V|) frontier). The cache is dropped on exit —
+    * every step is already materialized by its cut. */
   private[graft] def walkRows(seeds: DataFrame, adj: DataFrame,
       len: Int): DataFrame = {
-    val a = graft.Checkpoints.cut(adj)
+    val a = adj.repartition(col("src")).sortWithinPartitions("src")
+      .persist()
     var cur = seeds.select(col("walk_id"), col("node"))
     val acc = ArrayBuffer(
       cur.select(col("walk_id"), lit(0L).as("step"), col("node")))
@@ -90,6 +105,7 @@ object RandomWalks {
       cur = graft.Checkpoints.cut(stepJoin(cur, a, s))
       acc += cur.select(col("walk_id"), lit(s.toLong).as("step"), col("node"))
     }
+    a.unpersist(blocking = false)
     acc.reduce(_.unionByName(_))
   }
 

@@ -89,6 +89,39 @@ object WalkScale {
       .select(col("node"),
         explode(expr(s"sequence(0, ${gamma - 1})")).as("w"))
       .select((col("node") * gamma + col("w")).as("walk_id"), col("node"))
+    if (sys.env.contains("WALKSCALE_STEPS")) {
+      // per-stage breakdown of the corpus build
+      def t[A](name: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val v = body
+        println(f"STEP $name%-12s ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        v
+      }
+      val a = t("cache_adj") {
+        val x = adj.repartition(col("src"))
+          .sortWithinPartitions("src").persist()
+        x.count(); x
+      }
+      var cur = t("cut_seeds")(graft.Checkpoints.cut(
+        seeds.select(col("walk_id"), col("node"))))
+      for (s <- 1 to len)
+        cur = t(s"step_$s")(graft.Checkpoints.cut(
+          graft.graph.RandomWalks.stepJoin(cur, a, s)))
+      spark.stop()
+      return
+    }
+    if (sys.env.contains("WALKSCALE_EXPLAIN")) {
+      // one step against the cached pre-partitioned adjacency, as
+      // walkRows sees it: does the big side keep its partitioning
+      // (no Exchange under the join)?
+      val a = adj.repartition(col("src")).sortWithinPartitions("src")
+        .persist()
+      a.count()
+      val f = graft.Checkpoints.cut(seeds.select(col("walk_id"), col("node")))
+      graft.graph.RandomWalks.stepJoin(f, a, 1).explain("formatted")
+      spark.stop()
+      return
+    }
     val walks = timedCut("walk_corpus")(
       graft.graph.RandomWalks.walkRows(seeds, adj, len))
 
@@ -102,10 +135,13 @@ object WalkScale {
       graft.graph.NodeEmbeddings.project(ppmi, 16).count())
 
     // node2vec transition table: raw Σ deg² vs the support-≥2
-    // thresholded graph (the q104 bounding answer)
-    timed("adj2_raw")(
-      graft.graph.Node2Vec.transitionIntervals(
-        adj, weighted.select("src", "dst")).count())
+    // thresholded graph (the q104 bounding answer). The raw count is
+    // the expensive demonstration — skippable when re-measuring the
+    // walk stages (WALKSCALE_SKIP_RAW=1).
+    if (!sys.env.contains("WALKSCALE_SKIP_RAW"))
+      timed("adj2_raw")(
+        graft.graph.Node2Vec.transitionIntervals(
+          adj, weighted.select("src", "dst")).count())
     val rep = graft.Checkpoints.cut(
       weighted.filter(col("cnt") >= 2).select("src", "dst", "cnt"))
     val repAdj = graft.Checkpoints.cut(rankedAdj(rep))
