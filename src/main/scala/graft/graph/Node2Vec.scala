@@ -171,47 +171,111 @@ object Node2Vec {
       .orderBy("walk_id", "step")
   }
 
+  /** The unsorted q224 trajectory relation — shared by the q224
+    * presentation sort and the node2vec-corpus training/audit pair
+    * (q226/q227). */
+  private[graft] def tradeWalks(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val seeds = t.nation
+      .select(col("n_nationkey").cast("long").as("node"))
+      .select(col("node"),
+        explode(expr(s"sequence(0, ${RandomWalks.WalksPerNode - 1})"))
+          .as("w"))
+      .select(
+        (col("node") * RandomWalks.WalksPerNode + col("w")).as("walk_id"),
+        col("node"))
+    val adj = RandomWalks.adjacency(t)
+    val adj2 = transitionIntervals(adj, TradeGraph.edges(t))
+    walkRows(seeds, adj, adj2, RandomWalks.WalkLen)
+  }
+
+  /** q226: PPMI-factorization embeddings (A39's trainer) over the
+    * node2vec corpus — same pair/PPMI/projection contract as q223,
+    * only the sampled trajectories differ. */
+  def q226Node2vecEmbeddings(spark: SparkSession,
+      dir: String): DataFrame =
+    NodeEmbeddings.project(
+      NodeEmbeddings.ppmiRows(NodeEmbeddings.skipGramPairs(
+        tradeWalks(spark, dir), NodeEmbeddings.CtxWindow)),
+      NodeEmbeddings.Dims)
+      .orderBy("node", "dim")
+
+  /** q227: q225's link-prediction audit over the node2vec-trained
+    * table — the DeepWalk-vs-node2vec bake-off row (compare with
+    * q225 on the same edge set). */
+  def q227Node2vecLinkAuc(spark: SparkSession,
+      dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    NodeEmbeddings.linkAuc(
+      NodeEmbeddings.project(
+        NodeEmbeddings.ppmiRows(NodeEmbeddings.skipGramPairs(
+          tradeWalks(spark, dir), NodeEmbeddings.CtxWindow)),
+        NodeEmbeddings.Dims),
+      TradeGraph.edges(t))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_node2vec_walks" -> (q224Node2vecWalks _),
+    "q226_node2vec_embeddings" -> (q226Node2vecEmbeddings _),
+    "q227_node2vec_link_auc" -> (q227Node2vecLinkAuc _),
   )
+
+  /** The recursive CTE chain ending in `walk(walk_id, step, node)` —
+    * the exact q224 trajectory relation (recursion carries `prev` in
+    * `walk2`; `walk` is the 3-column view q226/q227's training CTEs
+    * consume, name-compatible with [[RandomWalks.walkCteSql]]'s).
+    * Must follow a `WITH RECURSIVE` keyword. */
+  private[graft] def walkCteSql: String =
+    s"""${RandomWalks.adjSeedsCteSql},
+       |adj2 AS (
+       |  SELECT prev, cur, x,
+       |         sum(w) OVER (PARTITION BY prev, cur ORDER BY rk)
+       |           - w AS lo,
+       |         sum(w) OVER (PARTITION BY prev, cur ORDER BY rk)
+       |           AS hi,
+       |         sum(w) OVER (PARTITION BY prev, cur) AS tot
+       |  FROM (
+       |    SELECT e1.src AS prev, e1.dst AS cur, e2.dst AS x, e2.rk,
+       |           CAST(CASE WHEN e2.dst = e1.src THEN $WReturn
+       |                     WHEN t.src IS NOT NULL THEN $WCommon
+       |                     ELSE $WFar END AS BIGINT) AS w
+       |    FROM adj e1
+       |    JOIN adj e2 ON e2.src = e1.dst
+       |    LEFT JOIN trade t
+       |      ON t.src = e1.src AND t.dst = e2.dst) c),
+       |walk2 AS (
+       |  SELECT s.walk_id, CAST(1 AS BIGINT) AS step,
+       |         s.node AS prev, a.dst AS node
+       |  FROM seeds s JOIN adj a ON a.src = s.node
+       |  WHERE a.rk = ${graft.text.TextOps.hexToLongSql(
+           "md5(CAST(s.walk_id AS VARCHAR) || ':0')", 1, 15)}
+       |          % a.od + 1
+       |  UNION ALL
+       |  SELECT w.walk_id, w.step + 1, w.node, a2.x
+       |  FROM walk2 w JOIN adj2 a2
+       |    ON a2.prev = w.prev AND a2.cur = w.node
+       |  WHERE w.step < ${RandomWalks.WalkLen}
+       |    AND ${RandomWalks.pickSql} % a2.tot >= a2.lo
+       |    AND ${RandomWalks.pickSql} % a2.tot < a2.hi),
+       |walk AS (
+       |  SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM seeds
+       |  UNION ALL
+       |  SELECT walk_id, step, node FROM walk2)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q224_node2vec_walks" ->
-      s"""WITH RECURSIVE ${RandomWalks.adjSeedsCteSql},
-         |adj2 AS (
-         |  SELECT prev, cur, x,
-         |         sum(w) OVER (PARTITION BY prev, cur ORDER BY rk)
-         |           - w AS lo,
-         |         sum(w) OVER (PARTITION BY prev, cur ORDER BY rk)
-         |           AS hi,
-         |         sum(w) OVER (PARTITION BY prev, cur) AS tot
-         |  FROM (
-         |    SELECT e1.src AS prev, e1.dst AS cur, e2.dst AS x, e2.rk,
-         |           CAST(CASE WHEN e2.dst = e1.src THEN $WReturn
-         |                     WHEN t.src IS NOT NULL THEN $WCommon
-         |                     ELSE $WFar END AS BIGINT) AS w
-         |    FROM adj e1
-         |    JOIN adj e2 ON e2.src = e1.dst
-         |    LEFT JOIN trade t
-         |      ON t.src = e1.src AND t.dst = e2.dst) c),
-         |walk AS (
-         |  SELECT s.walk_id, CAST(1 AS BIGINT) AS step,
-         |         s.node AS prev, a.dst AS node
-         |  FROM seeds s JOIN adj a ON a.src = s.node
-         |  WHERE a.rk = ${graft.text.TextOps.hexToLongSql(
-             "md5(CAST(s.walk_id AS VARCHAR) || ':0')", 1, 15)}
-         |          % a.od + 1
-         |  UNION ALL
-         |  SELECT w.walk_id, w.step + 1, w.node, a2.x
-         |  FROM walk w JOIN adj2 a2
-         |    ON a2.prev = w.prev AND a2.cur = w.node
-         |  WHERE w.step < ${RandomWalks.WalkLen}
-         |    AND ${RandomWalks.pickSql} % a2.tot >= a2.lo
-         |    AND ${RandomWalks.pickSql} % a2.tot < a2.hi)
-         |SELECT walk_id, step, node FROM (
-         |  SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM seeds
-         |  UNION ALL
-         |  SELECT walk_id, step, node FROM walk) u
+      s"""WITH RECURSIVE $walkCteSql
+         |SELECT walk_id, step, node FROM walk
          |ORDER BY walk_id, step""".stripMargin,
+    "q226_node2vec_embeddings" ->
+      s"""WITH RECURSIVE $walkCteSql,
+         |${NodeEmbeddings.embCteSql}
+         |SELECT node, dim, emb FROM emb
+         |ORDER BY node, dim""".stripMargin,
+    "q227_node2vec_link_auc" ->
+      s"""WITH RECURSIVE $walkCteSql,
+         |${NodeEmbeddings.embCteSql},
+         |${NodeEmbeddings.linkAucTailSql}""".stripMargin,
   )
 }

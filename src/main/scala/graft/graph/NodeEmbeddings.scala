@@ -291,13 +291,20 @@ object NodeEmbeddings {
          |$embCteSql
          |SELECT node, dim, emb FROM emb
          |ORDER BY node, dim""".stripMargin,
-    "q225_embedding_link_auc" -> {
-      val sgnBit = graft.text.TextOps.hexToLongSql(
-        "md5(CAST(p.v AS VARCHAR) || ':' || CAST(eu.dim AS VARCHAR))",
-        1, 15)
+    "q225_embedding_link_auc" ->
       s"""WITH RECURSIVE ${RandomWalks.walkCteSql},
          |$embCteSql,
-         |en AS (SELECT DISTINCT node FROM emb),
+         |$linkAucTailSql""".stripMargin,
+  )
+
+  /** CTE tail from an `emb(node, dim, emb)` relation (and the `trade`
+    * edge CTE) to the one-row (n_pos, n_neg, auc_wc, auc_ww) audit —
+    * shared by q225 and the node2vec-corpus audit q227. */
+  private[graft] def linkAucTailSql: String = {
+    val sgnBit = graft.text.TextOps.hexToLongSql(
+      "md5(CAST(p.v AS VARCHAR) || ':' || CAST(eu.dim AS VARCHAR))",
+      1, 15)
+    s"""en AS (SELECT DISTINCT node FROM emb),
          |pairsq AS (
          |  SELECT a.node AS u, b.node AS v
          |  FROM en a, en b WHERE a.node <> b.node),
@@ -348,6 +355,5 @@ object NodeEmbeddings {
          |       max(CASE WHEN kind = 'wc' THEN auc END) AS auc_wc,
          |       max(CASE WHEN kind = 'ww' THEN auc END) AS auc_ww
          |FROM pera""".stripMargin
-    },
-  )
+  }
 }

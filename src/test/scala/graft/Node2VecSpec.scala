@@ -104,6 +104,31 @@ class Node2VecSpec extends SparkSpec {
     assert(got.length > seeds.count())
   }
 
+  test("q226 node2vec embeddings are unit-norm and trained on a DIFFERENT corpus than q223") {
+    val rows = Node2Vec.q226Node2vecEmbeddings(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    for ((n, rs) <- rows.groupBy(_._1)) {
+      assert(rs.length == graph.NodeEmbeddings.Dims, s"node $n dim count")
+      val sq = rs.map(r => r._3 * r._3).sum
+      assert(sq == 0.0 || math.abs(sq - 1.0) < 1e-4, s"node $n norm² $sq")
+    }
+    val dw = graph.NodeEmbeddings.q223NodeEmbeddings(spark, sfDir())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.toSet != dw, "node2vec training reproduced the DeepWalk table")
+  }
+
+  test("q227 bake-off audit: both AUCs in [0,1], wc retains signal on the biased corpus") {
+    val r = Node2Vec.q227Node2vecLinkAuc(spark, sfDir()).collect().head
+    assert(r.getAs[Long]("n_pos") > 0L)
+    assert(r.getAs[Long]("n_neg") > 0L)
+    val wc = r.getAs[Double]("auc_wc")
+    val ww = r.getAs[Double]("auc_ww")
+    assert(wc >= 0.0 && wc <= 1.0, s"auc_wc $wc")
+    assert(ww >= 0.0 && ww <= 1.0, s"auc_ww $ww")
+    assert(wc > 0.5, s"word-context AUC $wc lost the PPMI signal")
+  }
+
   test("q224 trajectories are valid trade-graph walks that differ from q222's") {
     val df = Node2Vec.q224Node2vecWalks(spark, sfDir())
     val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
