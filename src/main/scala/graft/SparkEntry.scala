@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsofJoin, Association, BloomJoin, EntityResolution, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, SkewJoin, Skyline, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, Louvain, Node2Vec, NodeEmbeddings, RandomWalks}
 import graft.text.{Classify, CorpusOps, EditOps, PolicyOps, SourceOps, SpanOps, TermOps, TextOps}
-import graft.sim.{KMeans, Similarity}
+import graft.sim.{KMeans, Prod2Vec, Similarity}
 import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -38,7 +38,7 @@ object SparkEntry {
       CorpusOps.queries ++ PolicyOps.queries ++ SpanOps.queries ++
       SourceOps.queries ++ EditOps.queries ++
       Classify.queries ++ TermOps.queries ++
-      Similarity.queries ++ KMeans.queries ++
+      Similarity.queries ++ KMeans.queries ++ Prod2Vec.queries ++
       StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -63,5 +63,5 @@ object SparkEntry {
       CorpusOps.oracleSql ++ PolicyOps.oracleSql ++ SpanOps.oracleSql ++
       SourceOps.oracleSql ++ EditOps.oracleSql ++
       Classify.oracleSql ++ TermOps.oracleSql ++
-      Similarity.oracleSql ++ KMeans.oracleSql ++ StreamOps.oracleSql
+      Similarity.oracleSql ++ KMeans.oracleSql ++ Prod2Vec.oracleSql ++ StreamOps.oracleSql
 }

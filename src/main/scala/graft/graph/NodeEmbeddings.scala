@@ -204,8 +204,78 @@ object NodeEmbeddings {
       .withColumn("pos", col("p").isNotNull)
   }
 
-  private[graft] def linkAuc(emb: DataFrame, edges: DataFrame): DataFrame = {
-    val lab = graft.Checkpoints.cut(scoredPairs(emb, edges))
+  private[graft] def linkAuc(emb: DataFrame, edges: DataFrame): DataFrame =
+    aucReport(graft.Checkpoints.cut(scoredPairs(emb, edges)))
+
+  /** The SAMPLED-negative audit — the 100 TB path q225's exhaustive
+    * candidate relation cannot take (all ordered pairs of a 20k-part
+    * vocabulary is 4·10⁸ rows): positives are the edge pairs with
+    * both endpoints embedded; negatives are `negK` deterministic
+    * hash-ranked draws per positive (v' = embedded node at rank
+    * md5(u:v:j) mod n + 1 — sampling WITH replacement, the word2vec
+    * convention), minus self-pairs and accidental real edges
+    * (left-anti). Everything stays keyed: the draw is one join
+    * against the rank-indexed embedded-node relation, scores are the
+    * usual per-dim equi joins — candidate volume is |E|·(negK+1),
+    * never |V|². */
+  private[graft] def linkAucSampled(emb: DataFrame, edges: DataFrame,
+      negK: Int): DataFrame =
+    aucReport(graft.Checkpoints.cut(scoredSampledPairs(emb, edges, negK)))
+
+  /** (u, v, j, ww, wc, pos): the sampled audit's labeled score
+    * relation (pre-cut; j = 0 marks positives, 1..negK the draws). */
+  private[graft] def scoredSampledPairs(emb: DataFrame, edges: DataFrame,
+      negK: Int): DataFrame = {
+    val e = graft.Checkpoints.cut(emb.select(col("node"), col("dim"),
+      col("emb").cast("decimal(18,6)").as("ed")))
+    val ranked = graft.Checkpoints.cut(
+      e.select("node").distinct().withColumn("rk",
+        row_number().over(Window.orderBy("node")).cast("long")))
+    val nRel = ranked.agg(count(lit(1)).as("n_nodes"))
+    val sym = edges.select(col("src").as("u"), col("dst").as("v"))
+      .distinct()
+    val pos = sym
+      .join(ranked.select(col("node").as("u")), Seq("u"))
+      .join(ranked.select(col("node").as("v")), Seq("v"))
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"), lit(0L).as("j"), lit(true).as("pos"))
+    val draw = expr(
+      """cast(conv(substring(md5(concat(cast(u as string), ':',
+        |  cast(v as string), ':', cast(j as string))), 1, 15), 16, 10)
+        |  as bigint)""".stripMargin)
+    val neg = pos.select(col("u"), col("v"))
+      .withColumn("j", explode(expr(
+        s"sequence(cast(1 as bigint), cast($negK as bigint))")))
+      .crossJoin(broadcast(nRel))
+      .withColumn("vr", draw % col("n_nodes") + 1)
+      .join(ranked.select(col("rk").as("vr"), col("node").as("nv")),
+        Seq("vr"))
+      .select(col("u"), col("nv").as("v"), col("j"))
+      .filter(col("u") =!= col("v"))
+      .join(sym, Seq("u", "v"), "left_anti")
+      .withColumn("pos", lit(false))
+    val cand = pos.unionByName(neg)
+    val sgnV = {
+      val bit = expr(
+        """cast(conv(substring(md5(concat(cast(v as string), ':',
+          |  cast(dim as string))), 1, 15), 16, 10) as bigint) % 2"""
+          .stripMargin)
+      (lit(1) - lit(2) * bit).cast("int")
+    }
+    cand
+      .join(e.select(col("node").as("u"), col("dim"), col("ed").as("eu")),
+        Seq("u"))
+      .join(e.select(col("node").as("v"), col("dim"), col("ed").as("ev")),
+        Seq("v", "dim"))
+      .groupBy("u", "v", "j", "pos")
+      .agg(sum(col("eu") * col("ev")).as("ww"),
+        sum(col("eu") * sgnV).as("wc"))
+  }
+
+  /** The grouped tie-corrected Mann–Whitney report over any labeled
+    * score relation `lab(ww, wc, pos)` — shared by the exhaustive
+    * (q225/q227) and sampled-negative (q229) audits. */
+  private[graft] def aucReport(lab: DataFrame): DataFrame = {
     val melted = lab.select(lit("wc").as("kind"),
         col("wc").cast("decimal(38,12)").as("score"), col("pos"))
       .unionByName(lab.select(lit("ww").as("kind"),
@@ -245,17 +315,28 @@ object NodeEmbeddings {
     * emb)` — the trained table, shared by q223's oracle and the
     * audits built over the embeddings (q225). Must follow
     * [[RandomWalks.walkCteSql]] under a `WITH RECURSIVE`. */
-  private[graft] def embCteSql: String = {
-    // the projection hash feeds on the CONTEXT node and the dim.
-    val bitV = graft.text.TextOps.hexToLongSql(
-      "md5(CAST(p.v AS VARCHAR) || ':' || CAST(d.dim AS VARCHAR))", 1, 15)
+  private[graft] def embCteSql: String =
     s"""pr AS (
        |  SELECT x.node AS u, y.node AS v, CAST(count(*) AS BIGINT) AS n_uv
        |  FROM walk x JOIN walk y
        |    ON x.walk_id = y.walk_id
        |   AND abs(x.step - y.step) BETWEEN 1 AND $CtxWindow
        |  GROUP BY 1, 2),
-       |mg AS (SELECT u, CAST(sum(n_uv) AS BIGINT) AS n_u
+       |$embFromPrCteSql""".stripMargin
+
+  /** The CTE chain from ANY co-occurrence relation `pr(u, v, n_uv)`
+    * to `emb(node, dim, emb)` — the trainer is corpus-agnostic
+    * (walk skip-grams, order baskets, session sequences all feed the
+    * same PPMI + signed-hash projection). */
+  private[graft] def embFromPrCteSql: String = {
+    // the projection hash feeds on the CONTEXT node and the dim. The
+    // md5 is computed ONCE per (pair, dim) row in a subquery and the
+    // 15-nibble-to-long expansion reads the hash column — inlining
+    // the md5 into each digit term evaluates it 15× per row, which
+    // at q228's 24M-row projection grain made the DuckDB oracle
+    // minutes-slow.
+    val bitV = graft.text.TextOps.hexToLongSql("h", 1, 15)
+    s"""mg AS (SELECT u, CAST(sum(n_uv) AS BIGINT) AS n_u
        |       FROM pr GROUP BY 1),
        |tot AS (SELECT CAST(sum(n_uv) AS BIGINT) AS d_tot FROM pr),
        |pp AS (
@@ -271,13 +352,17 @@ object NodeEmbeddings {
        |dims AS (SELECT CAST(unnest(generate_series(0, ${Dims - 1}))
        |                     AS BIGINT) AS dim),
        |e AS (
-       |  SELECT p.u, d.dim,
-       |         CAST(sum(p.ppmi * (1 - 2 * ($bitV % 2)))
+       |  SELECT u, dim,
+       |         CAST(sum(ppmi * (1 - 2 * ($bitV % 2)))
        |              AS DECIMAL(18,6)) AS e
-       |  FROM ppf p, dims d GROUP BY 1, 2),
+       |  FROM (SELECT p.u, d.dim, p.ppmi,
+       |               md5(CAST(p.v AS VARCHAR) || ':' ||
+       |                   CAST(d.dim AS VARCHAR)) AS h
+       |        FROM ppf p, dims d) hx
+       |  GROUP BY 1, 2),
        |nr AS (SELECT u, sqrt(CAST(sum(e * e) AS DOUBLE)) AS nrm
        |       FROM e GROUP BY 1),
-       |emb AS (
+       |emb AS MATERIALIZED (
        |  SELECT e.u AS node, e.dim,
        |         CASE WHEN nr.nrm = 0 THEN 0.0
        |              ELSE round(CAST(e.e AS DOUBLE) / nr.nrm, 6)
@@ -323,37 +408,43 @@ object NodeEmbeddings {
          |  FROM sc s
          |  LEFT JOIN (SELECT DISTINCT src, dst FROM trade) t
          |    ON t.src = s.u AND t.dst = s.v),
-         |melted AS (
-         |  SELECT 'wc' AS kind, CAST(wc AS DECIMAL(38,12)) AS score,
-         |         pos FROM lab
-         |  UNION ALL
-         |  SELECT 'ww' AS kind, CAST(ww AS DECIMAL(38,12)) AS score,
-         |         pos FROM lab),
-         |g AS (
-         |  SELECT kind, score, count(*) AS c,
-         |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp
-         |  FROM melted GROUP BY 1, 2),
-         |rk AS (
-         |  SELECT kind, c, cp,
-         |         coalesce(sum(c) OVER (PARTITION BY kind ORDER BY score
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |           0) AS cumb
-         |  FROM g),
-         |per AS (
-         |  SELECT kind,
-         |         CAST(sum(cp) AS BIGINT) AS np,
-         |         CAST(sum(c) - sum(cp) AS BIGINT) AS nn,
-         |         sum(CAST(cp AS DOUBLE) *
-         |             (CAST(cumb AS DOUBLE) + (c + 1) / 2.0)) AS prs
-         |  FROM rk GROUP BY 1),
-         |pera AS (
-         |  SELECT kind, np, nn,
-         |         round((prs - np * (np + 1) / 2.0) / (np * nn), 6)
-         |           AS auc
-         |  FROM per)
-         |SELECT max(np) AS n_pos, max(nn) AS n_neg,
-         |       max(CASE WHEN kind = 'wc' THEN auc END) AS auc_wc,
-         |       max(CASE WHEN kind = 'ww' THEN auc END) AS auc_ww
-         |FROM pera""".stripMargin
+         |$aucFromLabSql""".stripMargin
   }
+
+  /** The grouped Mann–Whitney block from a `lab(ww, wc, pos)` CTE to
+    * the final one-row report — [[aucReport]]'s SQL mirror, shared by
+    * the exhaustive and sampled audits. Ends the statement. */
+  private[graft] def aucFromLabSql: String =
+    s"""melted AS (
+       |  SELECT 'wc' AS kind, CAST(wc AS DECIMAL(38,12)) AS score,
+       |         pos FROM lab
+       |  UNION ALL
+       |  SELECT 'ww' AS kind, CAST(ww AS DECIMAL(38,12)) AS score,
+       |         pos FROM lab),
+       |g AS (
+       |  SELECT kind, score, count(*) AS c,
+       |         sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp
+       |  FROM melted GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT kind, c, cp,
+       |         coalesce(sum(c) OVER (PARTITION BY kind ORDER BY score
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |           0) AS cumb
+       |  FROM g),
+       |per AS (
+       |  SELECT kind,
+       |         CAST(sum(cp) AS BIGINT) AS np,
+       |         CAST(sum(c) - sum(cp) AS BIGINT) AS nn,
+       |         sum(CAST(cp AS DOUBLE) *
+       |             (CAST(cumb AS DOUBLE) + (c + 1) / 2.0)) AS prs
+       |  FROM rk GROUP BY 1),
+       |pera AS (
+       |  SELECT kind, np, nn,
+       |         round((prs - np * (np + 1) / 2.0) / (np * nn), 6)
+       |           AS auc
+       |  FROM per)
+       |SELECT max(np) AS n_pos, max(nn) AS n_neg,
+       |       max(CASE WHEN kind = 'wc' THEN auc END) AS auc_wc,
+       |       max(CASE WHEN kind = 'ww' THEN auc END) AS auc_ww
+       |FROM pera""".stripMargin
 }

@@ -1,0 +1,166 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.graph.{CoPurchase, NodeEmbeddings}
+
+/** prod2vec — item embeddings from order baskets (Barkan &
+  * Koenigstein 2016): the A39 trainer (exact PPMI + signed-hash JL
+  * projection, `graph/NodeEmbeddings.scala`) fed by basket
+  * co-occurrence instead of walk skip-grams. The co-occurrence
+  * relation is the market-basket one the co-purchase family (q61)
+  * already mines: parts sharing an order, counted over all orders —
+  * word2vec's "sentence" is the basket, the window is the whole
+  * basket (the paper's convention). Downstream contract identical to
+  * q223: PPMI cells 6dp DECIMAL, ±1 md5-parity projection to
+  * [[NodeEmbeddings.Dims]] dims, L2-normalized, cosine-ready.
+  * (Reference lineage: documentation/queries.md's dependency
+  * analytics — the representation-learning member over the
+  * co-purchase domain.)
+  *
+  * q229 is the SAMPLED-negative audit — the scale path q225's
+  * exhaustive candidate relation cannot take at this vocabulary
+  * (20k parts → 4·10⁸ ordered pairs): positives are the
+  * repeat-co-purchase edges (support ≥ 2, the q104 thresholding),
+  * negatives [[NegK]] deterministic hash draws per positive from the
+  * rank-indexed embedded vocabulary (sampling with replacement, the
+  * word2vec convention), so the audit's candidate volume is
+  * |E|·(NegK+1) at ANY vocabulary size.
+  *
+  * Scale shape: the basket self-join is keyed on the order and
+  * bounded by Σ basket² (baskets are small by domain — the relation
+  * is linear in lineitem); PPMI marginals/total are partial aggs;
+  * the sampler is one equi join against the ranked vocabulary.
+  */
+object Prod2Vec {
+
+  /** Negative draws per positive edge in q229. */
+  val NegK = 8
+
+  /** (u, v, n_uv): symmetric basket co-occurrence counts over
+    * distinct (order, part) pairs. */
+  private[graft] def basketPairs(t: Tables): DataFrame = {
+    val li = t.lineitem
+      .select(col("l_orderkey").as("o"),
+        col("l_partkey").cast("long").as("p"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(count(lit(1)).as("n_uv"))
+  }
+
+  /** The trained table (unordered — q228 adds the presentation
+    * sort; q229 consumes it sort-free). */
+  private[graft] def embeddings(spark: SparkSession,
+      dir: String): DataFrame =
+    NodeEmbeddings.project(
+      NodeEmbeddings.ppmiRows(basketPairs(Tables(spark, dir))),
+      NodeEmbeddings.Dims)
+
+  /** q228: prod2vec embeddings for every part with basket
+    * co-occurrence signal. */
+  def q228Prod2vec(spark: SparkSession, dir: String): DataFrame =
+    embeddings(spark, dir).orderBy("node", "dim")
+
+  /** q229: sampled-negative link audit of the q228 table against the
+    * repeat-co-purchase edge set (both directions). */
+  def q229Prod2vecLinkAuc(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val rep = CoPurchase.repeatEdges(t, CoPurchase.TriMinSupport)
+    val sym = rep.unionByName(
+      rep.select(col("dst").as("src"), col("src").as("dst")))
+    NodeEmbeddings.linkAucSampled(embeddings(spark, dir), sym, NegK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_prod2vec" -> (q228Prod2vec _),
+    "q229_prod2vec_link_auc" -> (q229Prod2vecLinkAuc _),
+  )
+
+  /** Basket-pair CTEs shared by both oracles: distinct (order, part)
+    * → symmetric co-occurrence `pr(u, v, n_uv)`. */
+  private val basketCteSql: String =
+    """ba AS (
+      |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+      |  FROM lineitem),
+      |pr AS (
+      |  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS n_uv
+      |  FROM ba a JOIN ba b ON a.o = b.o AND a.p <> b.p
+      |  GROUP BY 1, 2)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q228_prod2vec" ->
+      s"""WITH $basketCteSql,
+         |${NodeEmbeddings.embFromPrCteSql}
+         |SELECT node, dim, emb FROM emb
+         |ORDER BY node, dim""".stripMargin,
+    "q229_prod2vec_link_auc" -> {
+      // both hashes are computed ONCE per row in a subquery and the
+      // 15-nibble expansion reads the hash column — inlining the md5
+      // into the join key made DuckDB nested-loop the draw join with
+      // 15 md5 evaluations per COMPARISON (it spilled the disk dry
+      // at sf0.1 before this restructure)
+      val drawBit = graft.text.TextOps.hexToLongSql("h", 1, 15)
+      val sgnBit = graft.text.TextOps.hexToLongSql("h", 1, 15)
+      s"""WITH $basketCteSql,
+         |${NodeEmbeddings.embFromPrCteSql},
+         |rep AS (
+         |  SELECT src, dst FROM (
+         |    SELECT a.p AS src, b.p AS dst, count(*) AS m
+         |    FROM ba a JOIN ba b ON a.o = b.o AND a.p < b.p
+         |    GROUP BY 1, 2) h
+         |  WHERE m >= ${CoPurchase.TriMinSupport}),
+         |sym AS (
+         |  SELECT src AS u, dst AS v FROM rep
+         |  UNION
+         |  SELECT dst AS u, src AS v FROM rep),
+         |en AS (SELECT DISTINCT node FROM emb),
+         |ranked AS (
+         |  SELECT node, CAST(row_number() OVER (ORDER BY node)
+         |               AS BIGINT) AS rk
+         |  FROM en),
+         |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
+         |         FROM ranked),
+         |pos AS (
+         |  SELECT s.u, s.v, CAST(0 AS BIGINT) AS j, TRUE AS pos
+         |  FROM sym s
+         |  JOIN ranked ru ON ru.node = s.u
+         |  JOIN ranked rv ON rv.node = s.v
+         |  WHERE s.u <> s.v),
+         |draws AS (
+         |  SELECT u, v, j, $drawBit % n_nodes + 1 AS vr
+         |  FROM (
+         |    SELECT p.u, p.v, t.j, c.n_nodes,
+         |           md5(CAST(p.u AS VARCHAR) || ':' ||
+         |               CAST(p.v AS VARCHAR) || ':' ||
+         |               CAST(t.j AS VARCHAR)) AS h
+         |    FROM pos p
+         |    CROSS JOIN unnest(generate_series(1, $NegK)) AS t(j)
+         |    CROSS JOIN ncnt c) q),
+         |neg AS (
+         |  SELECT d.u, r.node AS v, d.j, FALSE AS pos
+         |  FROM draws d JOIN ranked r ON r.rk = d.vr
+         |  WHERE r.node <> d.u
+         |    AND NOT EXISTS (SELECT 1 FROM sym s
+         |                    WHERE s.u = d.u AND s.v = r.node)),
+         |cand AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
+         |lab AS (
+         |  SELECT u, v, j, pos,
+         |         sum(eu_emb * ev_emb) AS ww,
+         |         sum(eu_emb * (1 - 2 * ($sgnBit % 2))) AS wc
+         |  FROM (
+         |    SELECT c.u, c.v, c.j, c.pos,
+         |           CAST(eu.emb AS DECIMAL(18,6)) AS eu_emb,
+         |           CAST(ev.emb AS DECIMAL(18,6)) AS ev_emb,
+         |           md5(CAST(c.v AS VARCHAR) || ':' ||
+         |               CAST(eu.dim AS VARCHAR)) AS h
+         |    FROM cand c
+         |    JOIN emb eu ON eu.node = c.u
+         |    JOIN emb ev ON ev.node = c.v AND ev.dim = eu.dim) x
+         |  GROUP BY 1, 2, 3, 4),
+         |${NodeEmbeddings.aucFromLabSql}""".stripMargin
+    },
+  )
+}

@@ -636,6 +636,24 @@ class PlanAuditSpec extends SparkSpec {
       s"no (v,dim)-keyed score join:\n${keyLines.mkString("\n")}")
   }
 
+  test("q229: sampled audit stays keyed — draw join on the rank column, no cartesian") {
+    import spark.implicits._
+    val emb = Seq((1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 0L, 1.0))
+      .toDF("node", "dim", "emb")
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    // pre-cut relation (linkAucSampled checkpoints it)
+    val p = plan(graft.graph.NodeEmbeddings.scoredSampledPairs(emb, edges, 4))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // one nested-loop leg allowed: the broadcast 1-row vocabulary
+    // count (formatted explain prints each operator twice)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected nested-loop legs (${bnlj / 2}):\n$p")
+    // the negative draw must meet the ranked vocabulary on vr = rk
+    val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
+    assert(keyLines.exists(_.contains("vr#")),
+      s"no vr-keyed draw join:\n${keyLines.mkString("\n")}")
+  }
+
   test("q223: skip-gram pairs meet on walk_id, PPMI/projection joins stay keyed") {
     // the pair stage (audited pre-cut — the Checkpoints.cut in
     // ppmiRows truncates lineage in the full plan): the corpus-wide
