@@ -202,6 +202,20 @@ object ScalingSweep {
       bucketPairs(math.max(1,
         math.ceil(math.log(n.toDouble / 250) / math.log(2.0)).toInt))
     })
+
+    // q228/q229: the basket co-occurrence relation the prod2vec
+    // trainer aggregates (Σ basket² rows pre-agg, reported post-agg)
+    // and the sampled audit's candidate volume (|E|·(K+1) bound)
+    report("q228_pairs", graft.sim.Prod2Vec.basketPairs(t).count())
+    report("q229_cand", {
+      val emb = graft.sim.Prod2Vec.embeddings(spark, dir)
+      val rep = graft.graph.CoPurchase.repeatEdges(
+        t, graft.graph.CoPurchase.TriMinSupport)
+      val sym = rep.unionByName(
+        rep.select(col("dst").as("src"), col("src").as("dst")))
+      graft.graph.NodeEmbeddings
+        .scoredSampledPairs(emb, sym, graft.sim.Prod2Vec.NegK).count()
+    })
     spark.stop()
   }
 }
