@@ -26,6 +26,22 @@ import graft.{Checkpoints, Tables}
   * are rare by construction (rarest tokens / token pairs), which is
   * what keeps candidate volume sane on small hot vocabularies; the
   * verify join ships only candidate pairs' tokens (bounded per item).
+  *
+  * Candidate keys are HASHED by default (the q164/L48 medicine,
+  * `duplicateSpansHashed`): the exploding (key, bi, bj) relation —
+  * the one stage whose row count is candidates-scale — carries
+  * xxhash64(w1, w2) (resp. xxhash64(w)) instead of the token
+  * strings, one fixed 8-byte column in place of two variable-width
+  * ones through the pcf join, both explicit repartitions, and the
+  * self-join. Unlike q164's hashed grams this loses NOTHING even
+  * under collision: hashing is a function of the key, so equal keys
+  * always still meet (no candidate is ever lost), and a 64-bit
+  * collision merely MERGES two key groups — extra candidate pairs
+  * that the exact in-row jaccard verification rejects. Output is
+  * therefore unconditionally bit-equal to the string-key form
+  * (spec-pinned on real data), not equal-with-probability; the
+  * string form stays reachable via `setSimJoin(items, θ, hashKeys =
+  * false)` for the equality spec itself.
   * The per-item token-array relation stays an UN-materialized
   * projection of the item scan so its statistics survive — see the
   * note in [[setSimJoin]] on why checkpointing it would force the
@@ -152,7 +168,17 @@ object SetSimJoin {
     * matches — shuffles |candidates|·|shared tokens| rows; with
     * millions of candidates that re-shuffle dwarfs the verify compute,
     * while the in-row form adds ZERO verify shuffle. */
-  def setSimJoin(items: DataFrame, theta: Double): DataFrame = {
+  def setSimJoin(items: DataFrame, theta: Double): DataFrame =
+    setSimJoin(items, theta, hashKeys = true)
+
+  /** As [[setSimJoin]], with the candidate-key representation
+    * explicit: `hashKeys = true` (the default entry point) ships
+    * 8-byte xxhash64 keys through the candidate shuffle; `false`
+    * ships the token strings — same output bit-for-bit (see the
+    * object scaladoc for why collisions cannot change the result),
+    * kept for the equality spec and for plan-debugging with
+    * readable keys. */
+  def setSimJoin(items: DataFrame, theta: Double, hashKeys: Boolean): DataFrame = {
     require(theta > 0 && theta <= 1, s"theta must be in (0, 1], got $theta")
     // deliberately NOT checkpointed: the relation is a cheap projection
     // of the item scan, and cutting it would erase the source stats —
@@ -161,7 +187,7 @@ object SetSimJoin {
     // candidate set. With stats intact the plan adapts: broadcast at
     // dimension-sized |items|, shuffle join at corpus scale.
     val lists = tokenLists(items)
-    val cand = candidatePairs(lists, theta)
+    val cand = candidatePairs(lists, theta, hashKeys)
     val jac: Column =
       col("c").cast("double") / (col("na") + col("nb") - col("c"))
     cand
@@ -184,7 +210,8 @@ object SetSimJoin {
     * prefix/position filters, pre-verification) — extracted so
     * diagnostics (tools/ScalingSweep) can COUNT candidates at
     * different scales without duplicating the generation logic. */
-  private[graft] def candidatePairs(lists: DataFrame, theta: Double): DataFrame = {
+  private[graft] def candidatePairs(lists: DataFrame, theta: Double,
+      hashKeys: Boolean = true): DataFrame = {
     val tok = lists.select(col("id"), explode(col("ws")).as("w"))
     val sz = lists.select(col("id"), size(col("ws")).cast("long").as("nn"))
     val f = tok.groupBy("w").agg(count(lit(1)).as("cf"))
@@ -215,7 +242,7 @@ object SetSimJoin {
         // consumers (pcf groupBy, xs, ys). Cutting it costs one tiny
         // materialization and erases no useful stats (downstream is
         // explicitly repartitioned).
-        val pairKeys = Checkpoints.cut(prefix(2)
+        val rawPairKeys = prefix(2)
           .groupBy(col("id"), col("nn"))
           .agg(sort_array(collect_list(struct(col("r"), col("w")))).as("pw"))
           .select(col("id"), col("nn"), explode(expr(
@@ -224,9 +251,19 @@ object SetSimJoin {
               |    y -> struct(x.w AS w1, y.w AS w2, y.r AS r2))))""".stripMargin))
             .as("k"))
           .select(col("id"), col("nn"),
-            col("k.w1").as("w1"), col("k.w2").as("w2"), col("k.r2").as("r")))
-        val candMulti =
-          blockedCandidates(pairKeys, Seq("w1", "w2"), kTokens = 2, theta)
+            col("k.w1").as("w1"), col("k.w2").as("w2"), col("k.r2").as("r"))
+        // hashed form: collapse the ordered pair to ONE 8-byte key
+        // BEFORE the cut, so the checkpointed relation and everything
+        // downstream of it (pcf join, repartitions, self-join) never
+        // carries the strings. xxhash64 over both columns is
+        // order-sensitive, matching the ordered (w1, w2) emission.
+        val pairKeys = Checkpoints.cut(
+          if (hashKeys)
+            rawPairKeys.select(col("id"), col("nn"),
+              xxhash64(col("w1"), col("w2")).as("hk"), col("r"))
+          else rawPairKeys)
+        val candMulti = blockedCandidates(pairKeys,
+          if (hashKeys) Seq("hk") else Seq("w1", "w2"), kTokens = 2, theta)
         // θ > 0.5 remainder: two single-token items qualify iff
         // identical. Equality self-join on the nn = 1 subset —
         // ordinary hash join, and the candidates flow through the same
@@ -239,9 +276,17 @@ object SetSimJoin {
         candMulti.unionByName(candSingle)
       } else {
         // single-token keys over the classic prefix; checkpointed for
-        // the same three-consumer reason as the pair path
-        val keyed = Checkpoints.cut(prefix(1))
-        blockedCandidates(keyed, Seq("w"), kTokens = 1, theta)
+        // the same three-consumer reason as the pair path. Hashed form
+        // swaps the token string for xxhash64(w) — same
+        // collision-is-only-extra-candidates argument as the pair key.
+        val raw = prefix(1)
+        val keyed = Checkpoints.cut(
+          if (hashKeys)
+            raw.select(col("id"), xxhash64(col("w")).as("hk"),
+              col("r"), col("nn"))
+          else raw)
+        blockedCandidates(keyed, if (hashKeys) Seq("hk") else Seq("w"),
+          kTokens = 1, theta)
       }
     cand
   }

@@ -315,11 +315,15 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q99: candidate join co-partitions on (pair key, block), verify joins broadcast") {
     val p = plan(graft.operators.SetSimJoin.q99SetsimJoin(spark, sfDir()))
-    // generation keys on the (w1, w2, bi, bj) block-decomposed pair
-    // key — the skew cap — and the explicit repartition must survive
-    assert("hashpartitioning\\(w1#\\d+, w2#\\d+, bi#\\d+, bj#\\d+".r
+    // generation keys on the (hk, bi, bj) block-decomposed HASHED
+    // pair key (hk = xxhash64(w1, w2) — 8 bytes through the exploding
+    // shuffle, never the strings) and the explicit repartition must
+    // survive
+    assert("hashpartitioning\\(hk#\\d+L, bi#\\d+, bj#\\d+".r
       .findFirstIn(p).nonEmpty,
-      s"candidate join not co-partitioned on the blocked pair key:\n$p")
+      s"candidate join not co-partitioned on the blocked hashed key:\n$p")
+    assert(!"hashpartitioning\\(w1#".r.findFirstIn(p).nonEmpty,
+      s"string pair key leaked into the candidate shuffle:\n$p")
     // in-row verification: the id→token-array sides are item-sized —
     // AQE must broadcast them, never sort-merge the candidate stream
     assert(p.contains("BroadcastHashJoin"),
