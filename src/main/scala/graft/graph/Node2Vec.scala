@@ -42,7 +42,10 @@ import graft.Tables
   * keyed on (prev, cur) with the interval test as a residual — the
   * frontier stays constant-sized, AQE broadcasts the suite-scale
   * adj2, and a billion-edge adj2 shuffle-joins co-partitioned on its
-  * key. The step count is a bounded static unroll.
+  * key. The step count is a bounded static unroll. Σ out-deg² is the
+  * family's one super-linear relation: [[node2vecWalks]] exposes the
+  * `minSupport` edge-weight bound (see [[boundedEdges]]) so a
+  * hub-heavy graph never has to build the unbounded table.
   */
 object Node2Vec {
 
@@ -151,29 +154,52 @@ object Node2Vec {
     acc.reduce(_.unionByName(_))
   }
 
+  /** Edge-support bound for the adj2 quadratic: keep only edges with
+    * weight (`cnt`) ≥ `minSupport`. adj2 is Σ out-deg² rows — the
+    * paper's own preprocessing cost — and UNBOUNDED hub degrees make
+    * it quadratic in practice (measured: 3.1G candidate rows on the
+    * 10× co-purchase graph, BENCH_SCALING.md Part 11). Weight
+    * thresholding is the q104 repeat-edge answer: hubs are hubs
+    * because of a long tail of weight-1 incidental edges, so
+    * `minSupport = 2` collapses the same 10× table to ~10k rows while
+    * keeping every repeatedly-confirmed transition. `minSupport ≤ 1`
+    * is the identity (no filter in the plan at all). */
+  def boundedEdges(weighted: DataFrame, minSupport: Long): DataFrame =
+    if (minSupport <= 1L) weighted
+    else weighted.filter(col("cnt") >= minSupport)
+
+  /** End-to-end second-order walks over ANY weighted edge list
+    * (src, dst, cnt) — the user-facing entry point, with the adj2
+    * degree bound as a first-class knob. Builds the ranked adjacency
+    * and the transition-interval table on the [[boundedEdges]]
+    * subgraph (BOTH sides — the α classification's prev→x edge test
+    * must see the same edge set the walk moves on, or a dropped edge
+    * would still read as "near prev") and unrolls [[walkRows]].
+    * `minSupport = 1` reproduces the unbounded construction exactly
+    * (spec-pinned bit-equal on the trade graph — the oracled q224
+    * path routes through here at 1); at 100 TB on a hub-heavy graph,
+    * set it ≥ 2 (or pre-bound the edge list yourself) — the Σ
+    * out-deg² table is the one relation in this family that is NOT
+    * otherwise linear in the input. */
+  def node2vecWalks(seeds: DataFrame, weighted: DataFrame, len: Int,
+      minSupport: Long = 1L): DataFrame = {
+    val kept = boundedEdges(weighted, minSupport)
+    val adj = RandomWalks.rankedAdjacency(kept)
+    walkRows(seeds, adj,
+      transitionIntervals(adj, kept.select("src", "dst")), len)
+  }
+
   /** q224: [[RandomWalks.WalksPerNode]] node2vec walks of
     * [[RandomWalks.WalkLen]] steps from every nation (p = [[P]],
     * q = [[Q]]), sharing q222's seeds so the two corpora differ only
     * by sampling strategy. */
-  def q224Node2vecWalks(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val seeds = t.nation
-      .select(col("n_nationkey").cast("long").as("node"))
-      .select(col("node"),
-        explode(expr(s"sequence(0, ${RandomWalks.WalksPerNode - 1})"))
-          .as("w"))
-      .select(
-        (col("node") * RandomWalks.WalksPerNode + col("w")).as("walk_id"),
-        col("node"))
-    val adj = RandomWalks.adjacency(t)
-    val adj2 = transitionIntervals(adj, TradeGraph.edges(t))
-    walkRows(seeds, adj, adj2, RandomWalks.WalkLen)
-      .orderBy("walk_id", "step")
-  }
+  def q224Node2vecWalks(spark: SparkSession, dir: String): DataFrame =
+    tradeWalks(spark, dir).orderBy("walk_id", "step")
 
   /** The unsorted q224 trajectory relation — shared by the q224
     * presentation sort and the node2vec-corpus training/audit pair
-    * (q226/q227). */
+    * (q226/q227). Routes through [[node2vecWalks]] at minSupport = 1
+    * so the oracle gate itself pins the knob's identity case. */
   private[graft] def tradeWalks(spark: SparkSession,
       dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -185,9 +211,7 @@ object Node2Vec {
       .select(
         (col("node") * RandomWalks.WalksPerNode + col("w")).as("walk_id"),
         col("node"))
-    val adj = RandomWalks.adjacency(t)
-    val adj2 = transitionIntervals(adj, TradeGraph.edges(t))
-    walkRows(seeds, adj, adj2, RandomWalks.WalkLen)
+    node2vecWalks(seeds, TradeGraph.edges(t), RandomWalks.WalkLen)
   }
 
   /** q226: PPMI-factorization embeddings (A39's trainer) over the

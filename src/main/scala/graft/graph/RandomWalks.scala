@@ -44,15 +44,24 @@ object RandomWalks {
   val WalksPerNode = 4
 
   /** (src, dst, rk, od): out-edges ranked (cnt desc, dst asc) with
-    * the out-degree alongside — the relation the hash picks from. */
-  private[graft] def adjacency(t: Tables): DataFrame = {
+    * the out-degree alongside — the relation the hash picks from,
+    * over ANY weighted edge list (src, dst, cnt). Public: this is the
+    * adjacency constructor a user pairs with [[walkRows]] /
+    * [[Node2Vec.node2vecWalks]] on their own graph. One window over
+    * src groups — work linear in edges, partitioned by src. */
+  def rankedAdjacency(weighted: DataFrame): DataFrame = {
     val w = Window.partitionBy("src").orderBy(col("cnt").desc, col("dst").asc)
-    TradeGraph.edges(t)
+    weighted
       .withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("od",
         count(lit(1)).over(Window.partitionBy("src")).cast("long"))
       .select("src", "dst", "rk", "od")
   }
+
+  /** [[rankedAdjacency]] over the trade graph — the oracled queries'
+    * instance. */
+  private[graft] def adjacency(t: Tables): DataFrame =
+    rankedAdjacency(TradeGraph.edges(t))
 
   /** One walk transition: the frontier joins the ranked adjacency on
     * node = src, the hash pick `md5(walk_id ':' s−1) mod od + 1 = rk`

@@ -104,7 +104,9 @@ object ScalingSweep {
     // candidate stage does real work at every scale
     report("q219_pairs", {
       val d = graft.text.TextOps.docs(spark, dir).select("doc_id", "s")
-      val stride = d.count() / 50
+      // max(1, …): a sub-50-doc corpus otherwise makes stride 0 and
+      // the modulo below divides by zero (ADVICE r9)
+      val stride = math.max(1L, d.count() / 50)
       val bench = d.filter(col("doc_id") % stride === 0 &&
           col("doc_id") < stride * 50)
         .select((-(col("doc_id") / stride) - 1).as("doc_id"), col("s"))
@@ -121,8 +123,12 @@ object ScalingSweep {
     // of the automaton's case), and the bigram explode + join
     // (corpus-grain shuffle; count-exact, the spec's equality
     // partner). The printed times are the comparison.
-    if (only.isEmpty || only.exists("q220".contains(_)) ||
-        only.exists(o => "q220_hits".contains(o) || o.contains("q220"))) {
+    // gate the whole block in one consistent direction (ADVICE r9 —
+    // the previous mixed-direction clauses were partly dead): run it
+    // when a filter term targets q220 from either side, i.e. names a
+    // q220 report (o.contains) or abbreviates one ("220" ⊂ "q220")
+    if (only.isEmpty ||
+        only.exists(o => o.contains("q220") || "q220".contains(o))) {
       val d220 = graft.text.TextOps.docs(spark, dir)
       // derivation forced OUTSIDE the timed reports: the A/B compares
       // the scan forms, not the (shared, harness-only) list build

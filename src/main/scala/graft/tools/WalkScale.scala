@@ -1,7 +1,6 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scaling diagnostic for the walk-sampling + embedding-training
@@ -31,17 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object WalkScale {
 
-  /** Ranked adjacency over an arbitrary weighted edge list — the
-    * generalization of RandomWalks.adjacency beyond the trade graph
-    * (same (cnt desc, dst asc) preference order). */
-  private def rankedAdj(weighted: DataFrame): DataFrame = {
-    val w = Window.partitionBy("src").orderBy(col("cnt").desc, col("dst").asc)
-    weighted
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("od",
-        count(lit(1)).over(Window.partitionBy("src")).cast("long"))
-      .select("src", "dst", "rk", "od")
-  }
+  /** Ranked adjacency — the library's own constructor (promoted to
+    * RandomWalks.rankedAdjacency in round 10; this alias keeps the
+    * sweep's call sites short). */
+  private def rankedAdj(weighted: DataFrame): DataFrame =
+    graft.graph.RandomWalks.rankedAdjacency(weighted)
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -142,21 +135,25 @@ object WalkScale {
       timed("adj2_raw")(
         graft.graph.Node2Vec.transitionIntervals(
           adj, weighted.select("src", "dst")).count())
-    val rep = graft.Checkpoints.cut(
-      weighted.filter(col("cnt") >= 2).select("src", "dst", "cnt"))
+    val rep = graft.Checkpoints.cut(graft.graph.Node2Vec
+      .boundedEdges(weighted, 2).select("src", "dst", "cnt"))
     val repAdj = graft.Checkpoints.cut(rankedAdj(rep))
-    val adj2 = timedCut("adj2_support2")(
+    timedCut("adj2_support2")(
       graft.graph.Node2Vec.transitionIntervals(
         repAdj, rep.select("src", "dst")))
 
-    // node2vec walk corpus on the thresholded graph
+    // node2vec walks END-TO-END through the library knob: ONE call —
+    // boundedEdges + rankedAdjacency + transitionIntervals + walkRows
+    // all inside the timer, on the UNfiltered edge list, exactly as a
+    // user would invoke it on a hub-heavy graph
     val repNodes = rep.select(col("src").as("node")).distinct()
     val repSeeds = repNodes
       .select(col("node"),
         explode(expr(s"sequence(0, ${gamma - 1})")).as("w"))
       .select((col("node") * gamma + col("w")).as("walk_id"), col("node"))
-    timed("node2vec_corpus")(
-      graft.graph.Node2Vec.walkRows(repSeeds, repAdj, adj2, len).count())
+    timed("node2vec_e2e_lib")(
+      graft.graph.Node2Vec.node2vecWalks(repSeeds, weighted, len,
+        minSupport = 2).count())
 
     spark.stop()
   }
