@@ -34,6 +34,10 @@ case class PhraseRedact(child: Expression, phrases: Seq[String])
   require(phrases.nonEmpty, "empty blocklist")
   require(phrases.forall(p => p.nonEmpty && !p.startsWith(" ") &&
     !p.endsWith(" ")), "phrases must be non-empty and trimmed")
+  // coverage is idempotent under duplicates, but the contract matches
+  // PhraseHits: a blocklist is a SET (ADVICE r9)
+  require(phrases.distinct.size == phrases.size,
+    "duplicate phrases in blocklist")
 
   override def dataType: DataType = StructType(Seq(
     StructField("red", StringType, nullable = false),

@@ -62,14 +62,28 @@ object PolicyOps {
     * phrase blocklist (~25% of the corpus's bigram vocabulary). */
   val PhraseClassMax = "3"
 
+  /** Hard bound on the harness-derived phrase list (the one collect
+    * in this family whose natural size rides the corpus VOCABULARY,
+    * not a model/k constant — VERDICT r9). 200k phrases ≈ the upper
+    * end of measured-flat automaton sizes (ScalingSweep's wall curve
+    * is flat 1k→50k; the dense-DFA tables at 200k are ~hundreds of
+    * MB per executor — beyond that a deployment should feed its own
+    * curated list into [[phraseScan]]/[[phraseRedact]] directly). */
+  val MaxDerivedPhrases = 200000
+
   /** The harness's stand-in PHRASE blocklist: every corpus bigram
     * whose md5 hex digest starts with '0'–[[PhraseClassMax]], sorted.
     * A deployment feeds its own list straight into [[phraseScan]] —
     * the derivation here only manufactures a deterministic multi-word
     * list at every SF (the q203-membership / q121-codebook
-    * convention). Bounded by the bigram vocabulary, collected once. */
-  private[graft] def derivedBlocklist(docs: DataFrame): Seq[String] =
-    docs.withColumn("words", split(col("s"), " "))
+    * convention). The collect is CAPPED: `limit(max + 1)` makes the
+    * driver-side relation ≤ max+1 rows no matter how the corpus
+    * grows (TakeOrdered — the executors never ship more), and the
+    * require turns an over-budget vocabulary into a clear error
+    * instead of a driver OOM. */
+  private[graft] def derivedBlocklist(docs: DataFrame,
+      maxPhrases: Int = MaxDerivedPhrases): Seq[String] = {
+    val got = docs.withColumn("words", split(col("s"), " "))
       .filter(size(col("words")) >= 2)
       .select(explode(expr(
         "transform(sequence(1, size(words) - 1), " +
@@ -77,7 +91,13 @@ object PolicyOps {
       .distinct()
       .filter(substring(md5(col("bigram")), 1, 1) <= PhraseClassMax)
       .orderBy("bigram")
+      .limit(maxPhrases + 1)
       .collect().map(_.getString(0)).toSeq
+    require(got.size <= maxPhrases,
+      s"derived harness blocklist exceeds $maxPhrases phrases on this " +
+        "corpus; feed a curated list into phraseScan/phraseRedact instead")
+    got
+  }
 
   /** Per-doc multi-phrase blocklist report: one
     * [[graft.functions.PhraseHits]] automaton pass per document —
@@ -87,7 +107,14 @@ object PolicyOps {
     * tools/ScalingSweep). */
   private[graft] def phraseScan(docs: DataFrame,
       phrases: Seq[String]): DataFrame =
-    docs.select(col("doc_id"),
+    // empty blocklist → the all-zero report, matching the oracle's
+    // LEFT JOIN semantics (PhraseHits requires a non-empty list; a
+    // corpus whose derived list is empty must not crash — ADVICE r9)
+    if (phrases.isEmpty)
+      docs.select(col("doc_id"), lit(0L).as("n_hits"),
+          lit(0L).as("n_terms"), lit(false).as("flagged"))
+        .orderBy("doc_id")
+    else docs.select(col("doc_id"),
         graft.functions.PhraseHits(col("s"), phrases).as("h"))
       .select(col("doc_id"), col("h.n_hits").as("n_hits"),
         col("h.n_terms").cast("long").as("n_terms"))
@@ -108,7 +135,13 @@ object PolicyOps {
     * zero-shuffle shape as [[phraseScan]]. */
   private[graft] def phraseRedact(docs: DataFrame,
       phrases: Seq[String]): DataFrame =
-    docs.select(col("doc_id"),
+    // empty blocklist → nothing covered: the text passes through, so
+    // the fingerprint is of the original (the oracle's coalesce)
+    if (phrases.isEmpty)
+      docs.select(col("doc_id"), lit(0L).as("n_covered"),
+          md5(col("s")).as("redacted_fp"), lit(false).as("flagged"))
+        .orderBy("doc_id")
+    else docs.select(col("doc_id"),
         graft.functions.PhraseRedact(col("s"), phrases).as("r"))
       .select(col("doc_id"),
         col("r.n_covered").cast("long").as("n_covered"),

@@ -270,6 +270,42 @@ class PolicyTermSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
         r.getBoolean(3)))).toMap
 
+  test("duplicate phrases rejected; empty blocklist short-circuits to the zero report") {
+    // a duplicate would double-count silently — construction must fail
+    intercept[IllegalArgumentException] {
+      graft.functions.PhraseHits(col("s"), Seq("a b", "a b"))
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.PhraseRedact(col("s"), Seq("a b", "a b"))
+    }
+    // empty derived list (a corpus with no '0'-'3' md5-class bigram)
+    // must yield the oracle's LEFT JOIN all-zero rows, not a crash
+    val d = frame(1L -> "a b", 2L -> "c")
+    val s0 = PolicyOps.phraseScan(d, Nil).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(s0.toSeq == Seq((1L, 0L, 0L, false), (2L, 0L, 0L, false)))
+    val r0 = PolicyOps.phraseRedact(d, Nil).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    val fp = d.sparkSession.range(1)
+      .select(md5(lit("a b")), md5(lit("c"))).collect().head
+    assert(r0.toSeq == Seq((1L, 0L, fp.getString(0), false),
+      (2L, 0L, fp.getString(1), false)))
+  }
+
+  test("derivedBlocklist cap: bounded collect, clear error when exceeded") {
+    val d = frame(1L -> "aa bb cc dd ee ff gg hh ii jj kk ll mm nn")
+    val full = PolicyOps.derivedBlocklist(d)
+    assert(full.nonEmpty && full == full.distinct.sorted)
+    // a cap below the derived size must error (never a silent trim —
+    // results would drift from the uncapped oracle)
+    val e = intercept[IllegalArgumentException] {
+      PolicyOps.derivedBlocklist(d, maxPhrases = full.size - 1)
+    }
+    assert(e.getMessage.contains("curated list"))
+    // at exactly the cap, the list is unchanged
+    assert(PolicyOps.derivedBlocklist(d, maxPhrases = full.size) == full)
+  }
+
   test("phrase scan counts whole-word-aligned occurrences incl. overlaps") {
     val out = scan(Seq("a b", "b a", "x"),
       1L -> "a b a b a",   // "a b" twice, "b a" twice (shared spaces)
