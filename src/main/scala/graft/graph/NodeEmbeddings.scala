@@ -67,8 +67,22 @@ object NodeEmbeddings {
   /** Positive rows of the PPMI matrix over the pair counts:
     * max(0, ln(#(u,v)·D / (#u·#v))), 6dp, DECIMAL. The marginal #u
     * is the row sum (symmetric corpus ⇒ also the context marginal). */
-  private[graft] def ppmiRows(pairs: DataFrame): DataFrame = {
-    val p = graft.Checkpoints.cut(pairs)
+  private[graft] def ppmiRows(pairs: DataFrame): DataFrame =
+    ppmiRows(pairs, cutInput = true)
+
+  /** [[ppmiRows]] with the input lineage cut optional: the cut exists
+    * because `pairs` feeds three consumers (marginals, total, the
+    * join spine) and a live plan would re-execute the pair build per
+    * consumer. Pass `cutInput = false` when `pairs` IS already a
+    * materialized scan (a parquet/bucketed table): re-reading a scan
+    * is cheap, and the cut would not only waste a materialization
+    * but ERASE the scan's bucketing (localCheckpoint under AQE
+    * reports UnknownPartitioning — the round-9 walkRows lesson), so
+    * a u-bucketed pair table (E8's sink) keeps its
+    * exchange-free marginal join only on the uncut path. */
+  private[graft] def ppmiRows(pairs: DataFrame,
+      cutInput: Boolean): DataFrame = {
+    val p = if (cutInput) graft.Checkpoints.cut(pairs) else pairs
     val marg = p.groupBy("u").agg(sum("n_uv").as("n_u"))
     val tot = p.agg(sum("n_uv").as("d_tot"))
     p.join(marg, "u")
