@@ -331,6 +331,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q230: construction audit is all partial aggs — no cartesian, id→name joins broadcast") {
+    val p = plan(graft.graph.GraphAudit
+      .q230GraphConstructionAudit(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"), s"cartesian in q230:\n$p")
+    // the module-edge id→name recovery joins are node-sized
+    assert(p.contains("BroadcastHashJoin"),
+      s"module id→name joins not broadcast:\n$p")
+  }
+
   test("q138: gini rank window partitions by nation — no global sort") {
     val p = plan(graft.operators.Olap.q138GiniSpend(spark, sfDir()))
     assert("hashpartitioning\\(grp".r.findFirstIn(p).nonEmpty,

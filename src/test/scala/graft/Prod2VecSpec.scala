@@ -30,6 +30,28 @@ class Prod2VecSpec extends SparkSpec {
     }
   }
 
+  test("train-once reuse path: audit over a materialized q228 table equals q229") {
+    // the pipeline guidance in BENCH_NOTES_r10.md §2, as tested API:
+    // materialize the trained table once (E7-style parquet), feed the
+    // read-back into linkAucSampled — must equal the independent q229
+    // (which re-trains). This is the shared-reuse contract a
+    // deployment running q228+q229 relies on.
+    val t = Tables(spark, sfDir())
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-p2v-reuse").toString
+    Prod2Vec.q228Prod2vec(spark, sfDir()).write
+      .mode("overwrite").parquet(out)
+    val rep = graph.CoPurchase.repeatEdges(t, graph.CoPurchase.TriMinSupport)
+    val sym = rep.unionByName(
+      rep.select(col("dst").as("src"), col("src").as("dst")))
+    val reused = graph.NodeEmbeddings.linkAucSampled(
+      spark.read.parquet(out), sym, Prod2Vec.NegK).collect().head
+    val direct = Prod2Vec.q229Prod2vecLinkAuc(spark, sfDir())
+      .collect().head
+    assert(reused == direct,
+      s"reuse path diverged: $reused vs $direct")
+  }
+
   test("sampled audit: draws follow the hash, volume is |E|-bounded, labels honest") {
     // designed embedding/edge fixture exercising the sampler
     val emb = (1L to 6L).flatMap(n => Seq((n, 0L, 1.0), (n, 1L, 0.0)))
