@@ -115,6 +115,25 @@ object WalkScale {
       spark.stop()
       return
     }
+    if (sys.env.contains("WALKSCALE_ONLY_N2V")) {
+      // just the node2vec family (adj2 + the bounded end-to-end
+      // library call) — skips the DeepWalk corpus/trainer stages
+      val rep0 = graft.Checkpoints.cut(graft.graph.Node2Vec
+        .boundedEdges(weighted, 2).select("src", "dst", "cnt"))
+      val repAdj0 = graft.Checkpoints.cut(rankedAdj(rep0))
+      timedCut("adj2_support2")(
+        graft.graph.Node2Vec.transitionIntervals(
+          repAdj0, rep0.select("src", "dst")))
+      val rn = rep0.select(col("src").as("node")).distinct()
+      val rs = rn.select(col("node"),
+          explode(expr(s"sequence(0, ${gamma - 1})")).as("w"))
+        .select((col("node") * gamma + col("w")).as("walk_id"), col("node"))
+      timed("node2vec_e2e_lib")(
+        graft.graph.Node2Vec.node2vecWalks(rs, weighted, len,
+          minSupport = 2).count())
+      spark.stop()
+      return
+    }
     val walks = timedCut("walk_corpus")(
       graft.graph.RandomWalks.walkRows(seeds, adj, len))
 
