@@ -117,10 +117,20 @@ object NodeEmbeddings {
     // cut: e feeds BOTH the norm agg and the final join — without it
     // the whole PPMI subtree (pair join + marginals) is recomputed
     // once per consumer
-    val e = graft.Checkpoints.cut(ppmi.crossJoin(broadcast(dimRel))
+    normalize(graft.Checkpoints.cut(ppmi.crossJoin(broadcast(dimRel))
       .withColumn("sgn", signCol)
       .groupBy("u", "dim")
-      .agg(sum(col("ppmi") * col("sgn")).cast("decimal(18,6)").as("e")))
+      .agg(sum(col("ppmi") * col("sgn")).cast("decimal(18,6)").as("e"))))
+  }
+
+  /** L2-normalize a pre-cut (u, dim, e DECIMAL(18,6)) relation — the
+    * shared tail of [[project]] and [[projectWide]], so both forms
+    * run the IDENTICAL norm arithmetic (one exact DECIMAL sum of
+    * squares per u, one cast to double) and bit-equality between
+    * them is by construction of the tail. The e relation arrives
+    * partitioned by u (both builders end in a u-keyed agg), so the
+    * norm agg and the join reuse that clustering. */
+  private def normalize(e: DataFrame): DataFrame = {
     val nr = e.groupBy("u")
       .agg(sqrt(sum(col("e") * col("e")).cast("double")).as("nrm"))
     e.join(nr, "u")
@@ -128,6 +138,38 @@ object NodeEmbeddings {
         when(col("nrm") === 0, lit(0d))
           .otherwise(round(col("e").cast("double") / col("nrm"), 6)))
       .select(col("u").as("node"), col("dim"), col("emb"))
+  }
+
+  /** [[project]] with the e relation built as a WIDE aggregate: one
+    * groupBy(u) with `dims` DECIMAL sums (sgn inlined per dimension),
+    * then a posexplode unpivot into the same (u, dim, e) shape and
+    * the SHARED [[normalize]] tail. Bit-equal output (the per-cell
+    * sums are the same order-free DECIMAL additions over the same
+    * terms; the tail is literally shared — an in-row chained-add
+    * norm was tried first and REJECTED: 16 chained decimal adds hit
+    * the precision-38 cap and lose a scale digit, measured as 2
+    * flipped 6dp cells at 1×). The win is the heavy pass: the pair
+    * relation is aggregated WITHOUT the ×dims row explode — the
+    * shuffle carries nnz rows of `dims` accumulators instead of
+    * nnz·dims exploded rows (the 30× projection wall in
+    * BENCH_SCALING Part 11 is that explode's spill); the unpivot
+    * explodes only the |V|-sized result. */
+  private[graft] def projectWide(ppmi: DataFrame, dims: Int): DataFrame = {
+    def sgn(d: Int): Column = {
+      val bit = expr(
+        s"""cast(conv(substring(md5(concat(cast(v as string), ':',
+           |  '$d')), 1, 15), 16, 10) as bigint) % 2""".stripMargin)
+      (lit(1) - lit(2) * bit).cast("int")
+    }
+    val sums = (0 until dims).map(d =>
+      sum(col("ppmi") * sgn(d)).cast("decimal(18,6)").as(s"e$d"))
+    val wide = ppmi.groupBy("u").agg(sums.head, sums.tail: _*)
+    normalize(graft.Checkpoints.cut(wide
+      .select(col("u"),
+        posexplode(array((0 until dims).map(d => col(s"e$d")): _*))
+          .as(Seq("dim", "e")))
+      .select(col("u"), col("dim").cast("long").as("dim"),
+        col("e").cast("decimal(18,6)").as("e"))))
   }
 
   /** The trained table over the trade graph (unordered — q223 adds

@@ -150,6 +150,23 @@ class NodeEmbeddingsSpec extends SparkSpec {
     }
   }
 
+  test("wide-aggregate projection equals the exploded form bit-for-bit") {
+    // projectWide aggregates nnz rows of 16 accumulators instead of
+    // exploding nnz×16 rows — same DECIMAL terms per cell, shared
+    // normalize tail, so equality is exact (the in-row chained-add
+    // norm variant that LOST a decimal digit to the precision-38 cap
+    // was rejected — see the scaladoc)
+    val pairs = graft.sim.Prod2Vec.basketPairs(Tables(spark, sfDir()))
+    val ppmi = NodeEmbeddings.ppmiRows(pairs)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+    val exploded = rows(NodeEmbeddings.project(ppmi, NodeEmbeddings.Dims))
+    val wide = rows(NodeEmbeddings.projectWide(ppmi, NodeEmbeddings.Dims))
+    assert(wide == exploded)
+    assert(exploded.nonEmpty)
+  }
+
   test("bucketed uncut trainer path equals the default path bit-for-bit") {
     // the adopted 100 TB layout (BENCH_NOTES_r10.md §3): pairs
     // through E8's bucketed sink keyed on u, trained via
