@@ -159,14 +159,35 @@ object EntityResolution {
     out.orderBy("entity")
   }
 
+  /** The candidate stage over a blocking-key relation: all blocked
+    * (a < b) pairs, or — with `batchBound` — only pairs TOUCHING the
+    * batch (one side's id ≥ bound). ONE definition shared by both
+    * resolvers and the scale diagnostics (tools/ScalingSweep counts
+    * these — the SetSimJoin.candidatePairs convention). */
+  private[graft] def candidates(keys: DataFrame,
+      batchBound: Option[Long]): DataFrame = batchBound match {
+    case None =>
+      keys.as("x").join(keys.as("y"),
+          col("x.k") === col("y.k") && col("x.id") < col("y.id"))
+        .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    case Some(rb) =>
+      keys.filter(col("id") >= rb).as("x")
+        .join(keys.as("y"),
+          col("x.k") === col("y.k") && col("x.id") =!= col("y.id"))
+        .select(least(col("x.id"), col("y.id")).as("a"),
+          greatest(col("x.id"), col("y.id")).as("b")).distinct()
+  }
+
+  /** Candidate pairs from raw records (diagnostics entry point). */
+  private[graft] def candidatePairs(parts: DataFrame,
+      batchBound: Option[Long] = None): DataFrame =
+    candidates(blockingKeys(sigRelation(parts)), batchBound)
+
   /** Core over any (p_partkey, p_name, p_brand, p_type, p_size,
     * p_retailprice) relation. Output: one row per resolved entity. */
   private[graft] def resolveEntities(parts: DataFrame, tau: Double): DataFrame = {
     val sigs = sigRelation(parts)
-    val keys = blockingKeys(sigs)
-    val cand = keys.as("x").join(keys.as("y"),
-        col("x.k") === col("y.k") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val cand = candidates(blockingKeys(sigs), None)
     survive(parts, matchComponents(verifiedPairs(sigs, cand, tau)), None)
   }
 
@@ -199,11 +220,7 @@ object EntityResolution {
       registryBound: Long, tau: Double): DataFrame = {
     val sigs = sigRelation(parts)
     val keys = blockingKeys(sigs)
-    val cand = keys.filter(col("id") >= registryBound).as("x")
-      .join(keys.as("y"),
-        col("x.k") === col("y.k") && col("x.id") =!= col("y.id"))
-      .select(least(col("x.id"), col("y.id")).as("a"),
-        greatest(col("x.id"), col("y.id")).as("b")).distinct()
+    val cand = candidates(keys, Some(registryBound))
     val newPairs = verifiedPairs(sigs, cand, tau)
     // the standing registry's stored (record → entity) memberships.
     // signatures and blocking keys are ROW-WISE, so the registry
@@ -213,10 +230,7 @@ object EntityResolution {
     // iterative CC loops, the q58-class tiny-graph scheduling
     // overhead — but one checkpoint replaces two)
     val regSigs = sigs.filter(col("id") < registryBound)
-    val regKeys = keys.filter(col("id") < registryBound)
-    val regCand = regKeys.as("x").join(regKeys.as("y"),
-        col("x.k") === col("y.k") && col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b")).distinct()
+    val regCand = candidates(keys.filter(col("id") < registryBound), None)
     val regEdges = matchComponents(verifiedPairs(regSigs, regCand, tau))
       .select(col("node").as("a"), col("component").as("b"))
       .filter(col("a") =!= col("b"))

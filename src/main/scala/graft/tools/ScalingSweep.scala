@@ -43,6 +43,38 @@ object ScalingSweep {
       graft.operators.SetSimJoin
         .candidatePairs(lists, graft.operators.SetSimJoin.Theta).count()
     })
+    // ER candidates, q203's SF-relative scoping (first two part-key
+    // deciles; registry = decile 1, batch = decile 2): the full
+    // blocked volume over the slice vs the batch-touching restriction
+    // the incremental form actually generates — the curve shows the
+    // restriction holding the increment's cost at the batch's scale
+    def erSlice: (org.apache.spark.sql.DataFrame, Long) = {
+      val part = t.part
+      val rb = (part.agg(max(col("p_partkey")).cast("long")).first()
+        .getLong(0) + 1) / 10
+      (part.filter(col("p_partkey") < 2 * rb), rb)
+    }
+    report("q203_pairs_full", {
+      val (slice, _) = erSlice
+      graft.operators.EntityResolution.candidatePairs(slice).count()
+    })
+    report("q203_pairs_incr", {
+      val (slice, rb) = erSlice
+      graft.operators.EntityResolution
+        .candidatePairs(slice, Some(rb)).count()
+    })
+    // the production claim isolated: a FIXED 2000-record batch
+    // against the growing decile-1 registry. Batch-touching
+    // candidates should ride registry COLLISION DENSITY (linear in
+    // corpus), while the registry's internal pair volume (which the
+    // incremental form never regenerates) is the quadratic one above
+    report("q203_pairs_fixedbatch", {
+      val part = t.part
+      val rb = (part.agg(max(col("p_partkey")).cast("long")).first()
+        .getLong(0) + 1) / 10
+      graft.operators.EntityResolution.candidatePairs(
+        part.filter(col("p_partkey") < rb + 2000), Some(rb)).count()
+    })
     report("q21_pairs", {
       val d = graft.text.TextOps.docs(spark, dir)
       val sig = graft.Checkpoints.cut(graft.text.TextOps.laneSigs(d, 2))
