@@ -18,14 +18,30 @@ import org.apache.spark.sql.SparkSession
   * pins its worst-case length. */
 object Bench {
 
-  /** (name, seconds, succeeded) → the full-fidelity JSON line. */
+  /** (name, seconds, succeeded) → the full-fidelity JSON line.
+    * `telemetry` (name → [[BenchTelemetry.Snap]] json) is emitted as a
+    * sibling `"telemetry"` object when present — the per-query
+    * stage/shuffle/spill/GC/load capture that makes a flagged run
+    * carry its own diagnosis (VERDICT r10 #1). `filter`, when set,
+    * stamps the line as a PARTIAL run (`"filtered":[...]`) so a
+    * bench_filtered.json artifact can never masquerade as a suite
+    * total (VERDICT r10 #6). */
   private[graft] def fullLine(
-      results: Seq[(String, Double, Boolean)], sfDir: String): String = {
+      results: Seq[(String, Double, Boolean)], sfDir: String,
+      telemetry: Map[String, String] = Map.empty,
+      filter: Option[Seq[String]] = None): String = {
     val qs = results.map { case (k, v, ok) =>
       "\"" + k + "\":" + (if (ok) v else -1.0)
     }.mkString("{", ",", "}")
     val total = results.filter(_._3).map(_._2).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errorsJson(results)},"sf":"$sfDir"}"""
+    val tele =
+      if (telemetry.isEmpty) ""
+      else results.collect { case (k, _, _) if telemetry.contains(k) =>
+        "\"" + k + "\":" + telemetry(k)
+      }.mkString(""","telemetry":{""", ",", "}")
+    val filt = filter.fold("")(ns =>
+      ns.map("\"" + _ + "\"").mkString(""","filtered":[""", ",", "]"))
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errorsJson(results)}$tele$filt,"sf":"$sfDir"}"""
   }
 
   /** Compact line: keys truncated to their unique query NUMBER (the
@@ -96,12 +112,20 @@ object Bench {
       catch { case _: Throwable => () }
       Checkpoints.releaseAll(spark)
     }
-    val results = names.map { name =>
+    val telemetry = new BenchTelemetry
+    spark.sparkContext.addSparkListener(telemetry)
+    val withTele = names.map { name =>
+      telemetry.reset()
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus so this query's stages can't be
+      // attributed to the next one, then snapshot (both outside the
+      // timed window)
+      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      val snap = telemetry.snapshot()
       // queries are independent: drop checkpoint/cache blocks so one
       // query's residue never inflates the GC cost of the next. The
       // explicit gc (outside the timed window) matters on a large
@@ -112,9 +136,13 @@ object Bench {
       // vs the same queries run solo.
       Checkpoints.releaseAll(spark)
       System.gc()
-      (name, dt, ok)
+      // post-GC heap = the retained state the NEXT query inherits
+      (name, dt, ok, snap.copy(heapUsedMb = BenchTelemetry.usedHeapMb()))
     }
-    val full = fullLine(results, sfDir)
+    val results = withTele.map { case (n, dt, ok, _) => (n, dt, ok) }
+    val teleJson = withTele.map { case (n, _, _, s) => n -> s.json }.toMap
+    val full = fullLine(results, sfDir, teleJson,
+      filter.map(_ => names))
     println(full)
     // filtered (single-query iteration) runs go to a separate artifact:
     // bench_full.json must only ever hold complete-suite results, so a

@@ -34,10 +34,11 @@ case class PhraseRedact(child: Expression, phrases: Seq[String])
   require(phrases.nonEmpty, "empty blocklist")
   require(phrases.forall(p => p.nonEmpty && !p.startsWith(" ") &&
     !p.endsWith(" ")), "phrases must be non-empty and trimmed")
-  // coverage is idempotent under duplicates, but the contract matches
-  // PhraseHits: a blocklist is a SET (ADVICE r9)
-  require(phrases.distinct.size == phrases.size,
-    "duplicate phrases in blocklist")
+  // coverage is idempotent under duplicates, so a duplicated list is
+  // harmless here — deduplicate silently rather than throw (ADVICE
+  // r10: the r9 hard require broke previously-valid callers).
+  // PhraseHits keeps its require: there duplicates would double-count.
+  private val distinctPhrases: Seq[String] = phrases.distinct
 
   override def dataType: DataType = StructType(Seq(
     StructField("red", StringType, nullable = false),
@@ -46,7 +47,7 @@ case class PhraseRedact(child: Expression, phrases: Seq[String])
   override def prettyName: String = "graft_phrase_redact"
 
   @transient private lazy val ac: PhraseRedact.Trie =
-    PhraseRedact.cache.computeIfAbsent(phrases, PhraseRedact.compile)
+    PhraseRedact.cache.computeIfAbsent(distinctPhrases, PhraseRedact.compile)
 
   override protected def nullSafeEval(input: Any): Any = {
     val trie = ac

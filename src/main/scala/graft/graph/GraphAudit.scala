@@ -127,11 +127,13 @@ object GraphAudit {
          |  SELECT name, unnest(map_keys(devDependencies)) FROM man
          |  UNION ALL
          |  SELECT name, unnest(map_keys(peerDependencies)) FROM man),
-         |medge AS (SELECT DISTINCT src, dst FROM e0),
+         |medge AS (SELECT DISTINCT src, dst FROM e0
+         |          WHERE src IS NOT NULL AND dst IS NOT NULL),
          |mods AS (
          |  SELECT name FROM (
          |    SELECT name FROM man
-         |    UNION SELECT dst FROM medge) t)
+         |    UNION SELECT dst FROM medge) t
+         |  WHERE name IS NOT NULL)
          |SELECT 'module_edges' AS relation,
          |       CAST(count(*) AS BIGINT) AS n_rows,
          |       CAST(count(*) AS BIGINT) AS n_keys,

@@ -185,6 +185,11 @@ object Louvain {
       .groupBy(col("s"), col("community"))
       .agg(sum(coalesce(col("deg"), lit(0.0))).as("dc"))
     val halfDc = col("dc") / (2.0 * m)
+    // bounded collect: one row per SWEEP (iters+1 rows total, a
+    // library knob — never data-sized), the per-sweep modularity
+    // scalar the driver-side argmax below needs. Same class as the
+    // PolicyOps capped vocabulary collect (ADVICE r10 asked for the
+    // bound to be stated here rather than re-derived per audit).
     val qBySweep = dc.join(within, Seq("s", "community"), "left")
       .groupBy("s")
       .agg(sum((coalesce(col("lc"), lit(0.0)) / m - halfDc * halfDc)

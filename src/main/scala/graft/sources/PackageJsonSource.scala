@@ -111,8 +111,16 @@ object PackageJsonSource {
     * the reference's end-to-end flow (miner ETL → Neo4j graph →
     * Cypher analytics) as ingest → DataFrames → iterative algorithms. */
   def moduleGraph(e: GraphEntities): (DataFrame, DataFrame) = {
-    val nodes = e.modules.select(xxhash64(col("name")).as("node"), col("name"))
-    val edges = e.edges.select(
+    // a manifest line with a missing name would otherwise become a
+    // null-name node whose xxhash64 id is NON-null — Spark would count
+    // it as a key while a SQL count(DISTINCT name) oracle silently
+    // drops it. Exclude null names from the graph universe so both
+    // engines audit the same relation (ADVICE r10).
+    val nodes = e.modules.filter(col("name").isNotNull)
+      .select(xxhash64(col("name")).as("node"), col("name"))
+    val edges = e.edges
+      .filter(col("src_module").isNotNull && col("dst_module").isNotNull)
+      .select(
         xxhash64(col("src_module")).as("src"),
         xxhash64(col("dst_module")).as("dst"))
       .dropDuplicates("src", "dst")

@@ -159,8 +159,12 @@ object ScalingSweep {
     // the previous mixed-direction clauses were partly dead): run it
     // when a filter term targets q220 from either side, i.e. names a
     // q220 report (o.contains) or abbreviates one ("220" ⊂ "q220")
+    // the abbreviation clause requires >=3 chars: a bare "q"/"2"/"22"
+    // aimed at some other report must not trigger this heavy block
+    // (ADVICE r10 — "q220".contains matches any of its substrings)
     if (only.isEmpty ||
-        only.exists(o => o.contains("q220") || "q220".contains(o))) {
+        only.exists(o => o.contains("q220") ||
+          (o.length >= 3 && "q220".contains(o)))) {
       val d220 = graft.text.TextOps.docs(spark, dir)
       // derivation forced OUTSIDE the timed reports: the A/B compares
       // the scan forms, not the (shared, harness-only) list build

@@ -18,7 +18,10 @@ class GraphAuditSpec extends SparkSpec {
       // (and for module_nodes this doubles as the xxhash64-id
       // uniqueness check): n_keys == n_rows
       assert(k == n, s"$rel has $n rows but $k distinct keys")
-      assert(fp >= 0L && fp < GraphAudit.FpMod * n,
+      // division form: FpMod * n wraps Long at n ≳ 9.2e9, so the
+      // multiplied bound would spuriously fail in a scale harness
+      // (ADVICE r10); fp/FpMod < n is the same bound without overflow
+      assert(fp >= 0L && fp / GraphAudit.FpMod < n,
         s"$rel fingerprint $fp outside [0, mod·n)")
     }
   }

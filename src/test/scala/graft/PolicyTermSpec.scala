@@ -271,13 +271,21 @@ class PolicyTermSpec extends SparkSpec {
         r.getBoolean(3)))).toMap
 
   test("duplicate phrases rejected; empty blocklist short-circuits to the zero report") {
-    // a duplicate would double-count silently — construction must fail
+    // PhraseHits counts per phrase, so a duplicate would double-count
+    // silently — construction must fail there. PhraseRedact coverage
+    // is idempotent under duplicates, so it deduplicates instead
+    // (ADVICE r10): the duplicated list must behave as the set.
     intercept[IllegalArgumentException] {
       graft.functions.PhraseHits(col("s"), Seq("a b", "a b"))
     }
-    intercept[IllegalArgumentException] {
-      graft.functions.PhraseRedact(col("s"), Seq("a b", "a b"))
-    }
+    val d2 = frame(1L -> "a b c")
+    val dup = d2.select(graft.functions.PhraseRedact(col("s"),
+      Seq("a b", "a b")).as("r")).selectExpr("r.red", "r.n_covered")
+      .collect().head
+    val set = d2.select(graft.functions.PhraseRedact(col("s"),
+      Seq("a b")).as("r")).selectExpr("r.red", "r.n_covered")
+      .collect().head
+    assert(dup == set)
     // empty derived list (a corpus with no '0'-'3' md5-class bigram)
     // must yield the oracle's LEFT JOIN all-zero rows, not a crash
     val d = frame(1L -> "a b", 2L -> "c")
