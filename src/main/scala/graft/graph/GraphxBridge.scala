@@ -29,6 +29,12 @@ object GraphxBridge {
     Graph(vs, es)
   }
 
+  /** NOTE one semantic divergence from [[Algorithms.pagerank]]: GraphX
+    * rescales the final ranks so their TOTAL equals the vertex count
+    * (SPARK-18847 — rank mass absorbed by sinks is restored by one
+    * global n/sum factor). On a sink-free graph the factor is exactly
+    * 1 and the two paths agree per node; AlgorithmsSpec pins both
+    * facts. */
   def pagerank(g: Graph[Long, Long], iters: Int): DataFrame = {
     val spark = SparkSession.active
     import spark.implicits._

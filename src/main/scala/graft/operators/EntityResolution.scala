@@ -178,6 +178,84 @@ object EntityResolution {
           greatest(col("x.id"), col("y.id")).as("b")).distinct()
   }
 
+  /** SURVIVORSHIP GUARD — within-component re-verification against
+    * cluster centers (VERDICT r10 #3: the production escape hatch for
+    * single-link transitive chaining, where A≈B, B≈C merges A with C
+    * it never matched — measured here as one 19,248-record component
+    * at 10×). Round r takes each unassigned group's MINIMUM member as
+    * that round's center and keeps exactly the members holding a
+    * direct VERIFIED match edge to it; everyone else re-enters the
+    * next round. This is center/leader clustering with min-id
+    * priority (the star-clustering refinement family): the fixpoint
+    * is identical to the sequential greedy "a node leads unless it
+    * verifies a smaller leader; members join their minimum verified
+    * leader" — which is what the q231 oracle computes.
+    *
+    * Invariants the guard buys: every cluster has diameter ≤ 2, every
+    * merge is WITNESSED by a direct pairwise match (never by
+    * transitivity alone), and a chained mega-component decomposes
+    * into verified stars. Scale shape: per-round work is two joins
+    * over MATCHED nodes only (never the corpus); rounds are bounded
+    * by the largest component's star count — the same
+    * O(diameter)-class driver loop as [[graft.graph.Algorithms
+    * .connectedComponents]], and each round retires at least one
+    * center per surviving group, so termination is unconditional.
+    *
+    * Input/output shape matches [[matchComponents]]: (node,
+    * component), component = the canonical (center) member id. */
+  private[graft] def refineByCenter(comp: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val und = graft.Checkpoints.cut(
+      pairs.select(col("a").as("src"), col("b").as("dst"))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+    var active = graft.Checkpoints.cut(
+      comp.select(col("node"), col("component").as("g")))
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var remaining = active.count()
+    while (remaining > 0) {
+      val ctr = active.groupBy("g").agg(min(col("node")).as("c"))
+      val tagged = active.join(ctr, Seq("g"))
+      // kept = this round's centers + members with a direct verified
+      // edge to their center (a<b pairs have no self-edges, so the
+      // two legs never overlap)
+      val kept = graft.Checkpoints.cut(
+        tagged.join(und,
+            tagged("node") === und("src") && tagged("c") === und("dst"),
+            "left_semi")
+          .union(tagged.filter(col("node") === col("c")))
+          .select(col("node"), col("c").as("component")))
+      val next = graft.Checkpoints.cut(
+        active.join(kept.select(col("node").as("kn")),
+          active("node") === col("kn"), "left_anti"))
+      remaining = next.count()
+      graft.Checkpoints.release(active)
+      active = next
+      rounds += kept
+    }
+    graft.Checkpoints.release(active)
+    val out =
+      if (rounds.isEmpty) comp.select(col("node"), col("component")).limit(0)
+      else graft.Checkpoints.cut(rounds.reduce(_ union _))
+    graft.Checkpoints.release(und)
+    rounds.foreach(r => graft.Checkpoints.release(r))
+    out
+  }
+
+  /** [[resolveEntities]] with the [[refineByCenter]] guard between
+    * clustering and survivorship — the form a production registry
+    * runs on a dirty corpus, where silent single-link collapse is
+    * worse than splitting an under-verified chain. */
+  private[graft] def resolveEntitiesGuarded(parts: DataFrame,
+      tau: Double): DataFrame = {
+    val sigs = sigRelation(parts)
+    val cand = candidates(blockingKeys(sigs), None)
+    // cut: fetched twice (single-link components + center re-verify)
+    val pairs = graft.Checkpoints.cut(verifiedPairs(sigs, cand, tau))
+    val refined = refineByCenter(matchComponents(pairs), pairs)
+    graft.Checkpoints.release(pairs) // refined is materialized (cut)
+    survive(parts, refined, None)
+  }
+
   /** Candidate pairs from raw records (diagnostics entry point). */
   private[graft] def candidatePairs(parts: DataFrame,
       batchBound: Option[Long] = None): DataFrame =
@@ -256,9 +334,16 @@ object EntityResolution {
       part.filter(col("p_partkey") < 2 * rb), rb, ErTau)
   }
 
+  /** Same batch as q178, guarded survivorship ([[refineByCenter]]). */
+  def q231EntityResolutionGuarded(spark: SparkSession,
+      dir: String): DataFrame =
+    resolveEntitiesGuarded(
+      Tables(spark, dir).part.filter(col("p_partkey") < ErBatch), ErTau)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_entity_resolution" -> (q178EntityResolution _),
     "q203_incremental_er" -> (q203IncrementalEr _),
+    "q231_entity_resolution_guarded" -> (q231EntityResolutionGuarded _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -368,6 +453,88 @@ object EntityResolution {
          |            WHEN c.has_old = 1 THEN 'unchanged'
          |            ELSE 'new' END AS status,
          |       r.id AS canonical_id,
+         |       r.p_name AS canonical_name,
+         |       r.p_retailprice AS canonical_price
+         |FROM cnt c JOIN reg r ON r.entity = c.entity AND r.rk = 1
+         |ORDER BY c.entity""".stripMargin,
+
+    // Guarded survivorship: identical prefix through `pairs`, then
+    // center/leader clustering instead of the reachability closure —
+    // the sequential form of refineByCenter's fixpoint: walk nodes in
+    // id order; a node LEADS unless it verifies a smaller leader;
+    // members join their minimum verified leader. The recursion
+    // carries one row per step with the leader set as a LIST (total
+    // steps = matched nodes). NOTE: under WITH RECURSIVE, DuckDB does
+    // NOT bag-deduplicate a plain UNION inside a non-recursive CTE
+    // the way it does outside one, so `nodes` dedups explicitly via
+    // DISTINCT over UNION ALL.
+    "q231_entity_resolution_guarded" ->
+      s"""WITH RECURSIVE pt AS (
+         |  SELECT * FROM part WHERE p_partkey < $ErBatch),
+         |rec AS (
+         |  SELECT p_partkey AS id,
+         |         list_sort(list_distinct(list_concat(
+         |           string_split(p_name, ' '),
+         |           [p_brand, p_type, 'sz' || CAST(p_size AS VARCHAR)])))
+         |           AS toks
+         |  FROM pt),
+         |tk AS (SELECT id, unnest(toks) AS tok FROM rec),
+         |sz AS (SELECT id, CAST(len(toks) AS BIGINT) AS nt FROM rec),
+         |ks AS (SELECT id, array_to_string(toks, '|') AS k FROM rec
+         |       UNION ALL
+         |       SELECT id,
+         |         array_to_string(list_concat(toks[1:i - 1],
+         |           toks[i + 1:len(toks)]), '|') AS k
+         |       FROM rec, unnest(generate_series(1, len(toks))) AS t(i)),
+         |cand AS (SELECT DISTINCT x.id AS a, y.id AS b
+         |         FROM ks x JOIN ks y ON x.k = y.k AND x.id < y.id),
+         |inter AS (SELECT c.a, c.b, CAST(count(*) AS BIGINT) AS c
+         |          FROM cand c
+         |          JOIN tk ta ON ta.id = c.a
+         |          JOIN tk tb ON tb.id = c.b AND tb.tok = ta.tok
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT i.a, i.b FROM inter i
+         |          JOIN sz sa ON sa.id = i.a JOIN sz sb ON sb.id = i.b
+         |          WHERE CAST(i.c AS DOUBLE) / (sa.nt + sb.nt - i.c)
+         |                >= $ErTau),
+         |und AS (SELECT a AS src, b AS dst FROM pairs
+         |        UNION ALL SELECT b, a FROM pairs),
+         |mnodes AS (SELECT DISTINCT n FROM
+         |  (SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs) tt),
+         |ord AS (SELECT n, CAST(row_number() OVER (ORDER BY n) AS BIGINT)
+         |          AS r FROM mnodes),
+         |total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ord),
+         |steps AS (
+         |  SELECT CAST(0 AS BIGINT) AS r, CAST([] AS BIGINT[]) AS leaders
+         |  UNION ALL
+         |  SELECT s.r + 1,
+         |    CASE WHEN EXISTS (SELECT 1 FROM und u JOIN ord o
+         |                        ON o.r = s.r + 1 AND u.src = o.n
+         |                      WHERE list_contains(s.leaders, u.dst))
+         |         THEN s.leaders
+         |         ELSE list_append(s.leaders,
+         |           (SELECT n FROM ord WHERE ord.r = s.r + 1)) END
+         |  FROM steps s, total WHERE s.r < total.t),
+         |ld AS (SELECT DISTINCT unnest(leaders) AS l FROM steps, total
+         |       WHERE steps.r = total.t),
+         |asg AS (SELECT o.n AS node,
+         |         CASE WHEN EXISTS (SELECT 1 FROM ld WHERE ld.l = o.n)
+         |              THEN o.n
+         |              ELSE (SELECT min(u.dst) FROM und u
+         |                    JOIN ld ON ld.l = u.dst
+         |                    WHERE u.src = o.n) END AS entity
+         |        FROM ord o),
+         |ent AS (SELECT p_partkey AS id,
+         |          CAST(coalesce(a.entity, p_partkey) AS BIGINT) AS entity
+         |        FROM pt LEFT JOIN asg a ON a.node = p_partkey),
+         |reg AS (SELECT e.entity, p.p_partkey AS id, p.p_name,
+         |          p.p_retailprice,
+         |          row_number() OVER (PARTITION BY e.entity
+         |            ORDER BY p.p_retailprice DESC, p.p_partkey ASC) AS rk
+         |        FROM ent e JOIN pt p ON p.p_partkey = e.id),
+         |cnt AS (SELECT entity, CAST(count(*) AS BIGINT) AS n_records
+         |        FROM reg GROUP BY 1)
+         |SELECT c.entity, c.n_records, r.id AS canonical_id,
          |       r.p_name AS canonical_name,
          |       r.p_retailprice AS canonical_price
          |FROM cnt c JOIN reg r ON r.entity = c.entity AND r.rk = 1

@@ -91,6 +91,39 @@ class AlgorithmsSpec extends SparkSpec {
     assert(pr(1L) > pr(5L), "cycle member should outrank leaf")
   }
 
+  test("GraphX bridge agrees with DataFrame PageRank (scale-path parity)") {
+    // the iteration is the same by construction (A4 documents the
+    // GraphX convention: r0 = 1, r <- 0.15 + 0.85 * sum(r/outdeg)),
+    // but GraphX's staticPageRank additionally rescales the result so
+    // the TOTAL rank equals n (SPARK-18847 — mass lost to sinks is
+    // restored by a global n/sum factor). On a sink-free graph that
+    // factor is exactly 1 (rank mass is conserved), so the two paths
+    // must agree per node; on a sinked graph they must agree up to
+    // that one documented global factor.
+    val cycleN = Seq(1L, 2L, 3L).toDF("node")
+    val cycleE = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val gxc = GraphxBridge.pagerank(GraphxBridge.toGraph(cycleN, cycleE), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dfc = Algorithms.pagerank(cycleN, cycleE, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gxc.keySet == dfc.keySet)
+    dfc.foreach { case (n, v) =>
+      assert(math.abs(gxc(n) - v) < 1e-9,
+        s"sink-free parity drift at node $n: graphx ${gxc(n)} vs df $v")
+    }
+    // the sinked fixture (spur 1->5, isolated 4): same up to n/sum
+    val gx = GraphxBridge.pagerank(GraphxBridge.toGraph(nodes, edges), 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val df = Algorithms.pagerank(nodes, edges, 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gx.keySet == df.keySet)
+    val scale = df.size / df.values.sum
+    df.foreach { case (n, v) =>
+      assert(math.abs(gx(n) - v * scale) < 1e-9,
+        s"sinked parity drift at node $n: graphx ${gx(n)} vs scaled df ${v * scale}")
+    }
+  }
+
   test("GraphX bridge agrees with DataFrame connected components") {
     val g = GraphxBridge.toGraph(nodes, edges)
     val gx = GraphxBridge.connectedComponents(g)

@@ -121,6 +121,80 @@ class EntityResolutionSpec extends SparkSpec {
     }
   }
 
+  /** Scalar reference for the GUARDED form: sequential leader
+    * clustering — walk ids ascending; a record leads unless it holds
+    * a verified edge to a smaller leader; members join their minimum
+    * verified leader (refineByCenter's documented fixpoint). */
+  private def refGuarded(
+      rows: Seq[(Long, String, String, String, Long, Double)],
+      tau: Double): Seq[(Long, Long, Long, String, Double)] = {
+    val toks = rows.map(r =>
+      r._1 -> (r._2.split(" ").toSet ++ Set(r._3, r._4, s"sz${r._5}"))).toMap
+    val byId = rows.map(r => r._1 -> r).toMap
+    def verified(a: Long, b: Long): Boolean = {
+      val (ta, tb) = (toks(a), toks(b))
+      val c = (ta intersect tb).size
+      c.toDouble / (ta.size + tb.size - c) >= tau
+    }
+    val ids = toks.keys.toSeq.sorted
+    val leaders = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val assign = scala.collection.mutable.Map.empty[Long, Long]
+    for (m <- ids) {
+      val vl = leaders.filter(l => verified(l, m))
+      if (vl.isEmpty) { leaders += m; assign(m) = m }
+      else assign(m) = vl.min
+    }
+    ids.groupBy(assign).map { case (entity, members) =>
+      val canon = members.map(byId).minBy(r => (-r._6, r._1))
+      (entity, members.size.toLong, canon._1, canon._2, canon._6)
+    }.toSeq.sortBy(_._1)
+  }
+
+  test("q231 guard splits what single-link merges (A≈B≈C, A≉C)") {
+    val rows = Seq(
+      // the q178 fixture's chain: 1~2, 2~3, but 1≉3 (J = 3/7). The
+      // guard must keep the verified star {1,2} and re-center 3 alone
+      // — the production answer to the mega-component collapse.
+      (1L, "red widget", "B1", "ECONOMY", 10L, 900.0),
+      (2L, "red widget", "B1", "ECONOMY", 11L, 905.0),
+      (3L, "red widget", "B2", "ECONOMY", 11L, 910.0),
+      // a clean star survives the guard untouched
+      (4L, "small ring", "B3", "SMALL", 7L, 800.0),
+      (5L, "ring small", "B3", "SMALL", 7L, 801.0),
+      // a 5-link sliding-window chain (consecutive J = 5/7 ≥ tau,
+      // distance-2 J = 4/8 < tau): exercises MULTI-round refinement —
+      // round 1 keeps {20,21}, round 2 {22,23}, round 3 {24}
+      (20L, "k1 k2 k3", "k4", "k5", 1L, 100.0),
+      (21L, "k2 k3 k4", "k5", "k6", 1L, 101.0),
+      (22L, "k3 k4 k5", "k6", "k7", 1L, 102.0),
+      (23L, "k4 k5 k6", "k7", "k8", 1L, 103.0),
+      (24L, "k5 k6 k7", "k8", "k9", 1L, 104.0),
+    )
+    val guarded = EntityResolution.resolveEntitiesGuarded(
+        toDf(rows), EntityResolution.ErTau)
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+    assert(guarded == refGuarded(rows, EntityResolution.ErTau))
+    val byEntity = guarded.map(r => r._1 -> r).toMap
+    assert(byEntity(1L)._2 == 2L && byEntity(1L)._3 == 2L,
+      "guard must keep only the verified star {1,2} around center 1")
+    assert(byEntity(3L)._2 == 1L,
+      "the unverified chain end must split into its own entity")
+    assert(byEntity(4L)._2 == 2L, "a verified star must survive intact")
+    assert(byEntity(20L)._2 == 2L && byEntity(22L)._2 == 2L &&
+      byEntity(24L)._2 == 1L,
+      "the 5-link chain must decompose into verified stars over rounds")
+    // the unguarded form merges each chain by transitivity — exactly
+    // the hazard the guard exists for
+    val single = EntityResolution.resolveEntities(
+        toDf(rows), EntityResolution.ErTau)
+      .as[(Long, Long, Long, String, Double)].collect().toSeq
+      .map(r => r._1 -> r._2).toMap
+    assert(single(1L) == 3L && single(20L) == 5L)
+    // the guard re-partitions clusters; it never drops or duplicates
+    // a record
+    assert(guarded.map(_._2).sum == single.values.sum)
+  }
+
   test("q178 on the sf0.001 batch == brute-force all-pairs reference") {
     val rows = Tables(spark, sfDir()).part
       .filter(col("p_partkey") < EntityResolution.ErBatch)

@@ -168,30 +168,25 @@ class NodeEmbeddingsSpec extends SparkSpec {
   }
 
   test("bucketed uncut trainer path equals the default path bit-for-bit") {
-    // the adopted 100 TB layout (BENCH_NOTES_r10.md §3): pairs
-    // through E8's bucketed sink keyed on u, trained via
-    // ppmiRows(table, cutInput = false). Same rows as the live-plan
-    // default — the layout changes the plan (PPMI-stage exchanges
-    // 2→0), never the result.
+    // the adopted 100 TB layout (BENCH_NOTES_r10.md §3), now ONE
+    // library entry each way (VERDICT r10 #5): writeBucketedPairs →
+    // trainFromBucketedPairs. Same rows as the live-plan default —
+    // the layout changes the plan (PPMI-stage exchanges 2→0), never
+    // the result.
     val pairs = graft.sim.Prod2Vec.basketPairs(Tables(spark, sfDir()))
     def rows(df: org.apache.spark.sql.DataFrame) =
-      NodeEmbeddings.project(df, NodeEmbeddings.Dims)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
         .toSeq.sorted
-    val dflt = rows(NodeEmbeddings.ppmiRows(pairs))
-    // per-run table name + explicit path, dropped after (the q156
-    // scratch-table discipline — reruns must not hit stale locations)
+    val dflt = rows(NodeEmbeddings.project(
+      NodeEmbeddings.ppmiRows(pairs), NodeEmbeddings.Dims))
+    // per-run table name, dropped after (the q156 scratch-table
+    // discipline — reruns must not hit stale locations; the shared
+    // spec session's warehouse is already a per-JVM temp dir)
     val run = java.util.UUID.randomUUID().toString.replace("-", "")
     val tbl = s"ne_spec_pairs_bkt_$run"
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-ne-bucketed").toString
     try {
-      pairs.write.mode("overwrite").format("parquet")
-        .option("path", s"$tmp/pairs")
-        .bucketBy(4, "u").sortBy("u")
-        .saveAsTable(tbl)
-      val bucketed = rows(NodeEmbeddings.ppmiRows(
-        spark.table(tbl), cutInput = false))
+      NodeEmbeddings.writeBucketedPairs(pairs, tbl, nBuckets = 4)
+      val bucketed = rows(NodeEmbeddings.trainFromBucketedPairs(spark, tbl))
       assert(bucketed == dflt)
       assert(dflt.nonEmpty)
     } finally {
