@@ -182,62 +182,97 @@ object EntityResolution {
     * cluster centers (VERDICT r10 #3: the production escape hatch for
     * single-link transitive chaining, where A≈B, B≈C merges A with C
     * it never matched — measured here as one 19,248-record component
-    * at 10×). Round r takes each unassigned group's MINIMUM member as
-    * that round's center and keeps exactly the members holding a
-    * direct VERIFIED match edge to it; everyone else re-enters the
-    * next round. This is center/leader clustering with min-id
-    * priority (the star-clustering refinement family): the fixpoint
-    * is identical to the sequential greedy "a node leads unless it
-    * verifies a smaller leader; members join their minimum verified
-    * leader" — which is what the q231 oracle computes.
+    * at 10×). Center/leader clustering with min-id priority (the
+    * star-clustering refinement family): the fixpoint is the
+    * sequential greedy "walk ids ascending; a node LEADS unless it
+    * holds a verified edge to a smaller leader; members join their
+    * minimum verified leader" — which is what the q231 oracle
+    * computes.
+    *
+    * Computed as parallel greedy MIS rounds, NOT one center per
+    * component per round: each round promotes EVERY active node that
+    * is a priority-local-minimum among its active verified neighbors
+    * to center, retires those centers' neighbors from the active set,
+    * and repeats; a final single join assigns each retired member to
+    * its minimum verified center. Parallel local-minima elimination
+    * computes exactly the sequential greedy leader set (the classic
+    * MIS equivalence), so the fixpoint — and q231's oracle — is
+    * unchanged; what changes is the round count: one-center-per-
+    * component peeling needs O(stars-in-largest-component) driver
+    * rounds on exactly the pathological chained input the guard
+    * exists for, while local-minima rounds retire every un-dominated
+    * star concurrently (the peeling depth of the priority order —
+    * logarithmic on non-adversarial orders).
     *
     * Invariants the guard buys: every cluster has diameter ≤ 2, every
     * merge is WITNESSED by a direct pairwise match (never by
     * transitivity alone), and a chained mega-component decomposes
-    * into verified stars. Scale shape: per-round work is two joins
-    * over MATCHED nodes only (never the corpus); rounds are bounded
-    * by the largest component's star count — the same
-    * O(diameter)-class driver loop as [[graft.graph.Algorithms
-    * .connectedComponents]], and each round retires at least one
-    * center per surviving group, so termination is unconditional.
+    * into verified stars. Per-round work is joins over MATCHED nodes
+    * only (never the corpus).
     *
-    * Input/output shape matches [[matchComponents]]: (node,
-    * component), component = the canonical (center) member id. */
-  private[graft] def refineByCenter(comp: DataFrame,
-      pairs: DataFrame): DataFrame = {
+    * Unlike single-link clustering, the guard never needs connected
+    * components at all — the leader recursion is local to verified
+    * edges — so the guarded path also sheds CC's O(component
+    * diameter) label-propagation loop, which on the chained
+    * mega-component is itself the expensive part.
+    *
+    * Output shape matches [[matchComponents]]: (node, component),
+    * component = the canonical (center) member id. */
+  private[graft] def refineByCenter(pairs: DataFrame): DataFrame = {
     val und = graft.Checkpoints.cut(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
     var active = graft.Checkpoints.cut(
-      comp.select(col("node"), col("component").as("g")))
-    val rounds = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      und.select(col("src").as("node")).distinct())
+    val roundCenters = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var remaining = active.count()
     while (remaining > 0) {
-      val ctr = active.groupBy("g").agg(min(col("node")).as("c"))
-      val tagged = active.join(ctr, Seq("g"))
-      // kept = this round's centers + members with a direct verified
-      // edge to their center (a<b pairs have no self-edges, so the
-      // two legs never overlap)
-      val kept = graft.Checkpoints.cut(
-        tagged.join(und,
-            tagged("node") === und("src") && tagged("c") === und("dst"),
-            "left_semi")
-          .union(tagged.filter(col("node") === col("c")))
-          .select(col("node"), col("c").as("component")))
+      // neighbors restricted to the still-active subgraph
+      val actSrc = und.join(active.select(col("node").as("src")), Seq("src"))
+        .join(active.select(col("node").as("dst")), Seq("dst"))
+      // min active-neighbor id per active node; a node with no active
+      // neighbor (its star was retired around it) is a trivial local
+      // minimum and becomes its own center
+      val minNbr = actSrc.groupBy(col("src").as("node"))
+        .agg(min(col("dst")).as("mn"))
+      val centers = graft.Checkpoints.cut(
+        active.join(minNbr, Seq("node"), "left")
+          .filter(col("mn").isNull || col("node") < col("mn"))
+          .select(col("node")))
+      // retire the centers and every active neighbor of a center
+      val retired = actSrc
+        .join(centers.select(col("node").as("dst")), Seq("dst"))
+        .select(col("src").as("node"))
+        .union(centers.select(col("node")))
       val next = graft.Checkpoints.cut(
-        active.join(kept.select(col("node").as("kn")),
-          active("node") === col("kn"), "left_anti"))
+        active.join(retired.select(col("node").as("rn")),
+          active("node") === col("rn"), "left_anti"))
       remaining = next.count()
       graft.Checkpoints.release(active)
       active = next
-      rounds += kept
+      roundCenters += centers
     }
     graft.Checkpoints.release(active)
-    val out =
-      if (rounds.isEmpty) comp.select(col("node"), col("component")).limit(0)
-      else graft.Checkpoints.cut(rounds.reduce(_ union _))
+    if (roundCenters.isEmpty) {
+      graft.Checkpoints.release(und)
+      return pairs.select(col("a").as("node"), col("b").as("component"))
+        .limit(0)
+    }
+    val leaders = roundCenters.reduce(_ union _)
+    // final assignment: every matched non-center joins its MINIMUM
+    // verified center (guaranteed to exist — it was retired as some
+    // center's neighbor); centers label themselves
+    val memberOf = und
+      .join(leaders.select(col("node").as("dst")), Seq("dst"))
+      .groupBy(col("src").as("node")).agg(min(col("dst")).as("component"))
+    val out = graft.Checkpoints.cut(
+      leaders.select(col("node"), col("node").as("component"))
+        .union(memberOf
+          .join(leaders.select(col("node").as("ln")),
+            memberOf("node") === col("ln"), "left_anti")
+          .select(col("node"), col("component"))))
     graft.Checkpoints.release(und)
-    rounds.foreach(r => graft.Checkpoints.release(r))
+    roundCenters.foreach(r => graft.Checkpoints.release(r))
     out
   }
 
@@ -249,9 +284,9 @@ object EntityResolution {
       tau: Double): DataFrame = {
     val sigs = sigRelation(parts)
     val cand = candidates(blockingKeys(sigs), None)
-    // cut: fetched twice (single-link components + center re-verify)
+    // cut: the match relation feeds every refinement round
     val pairs = graft.Checkpoints.cut(verifiedPairs(sigs, cand, tau))
-    val refined = refineByCenter(matchComponents(pairs), pairs)
+    val refined = refineByCenter(pairs)
     graft.Checkpoints.release(pairs) // refined is materialized (cut)
     survive(parts, refined, None)
   }

@@ -8,17 +8,49 @@ absolute delta (the absolute floor keeps timer-floor noise like
 re-measure any flagged query on an idle box before believing it
 (BENCH_NOTES_r07.md) -- concurrent JVMs produced 2-6x phantom deltas.
 
+Round 11: when either file carries the bench's per-query "telemetry"
+object, every flagged row is annotated with the diagnosis columns
+(BENCH_NOTES_r11.md section 2): identical stage/task/shuffle-row
+counts + elevated load_avg / a sys_cpu-proc_cpu gap = environmental
+co-tenancy; diverging Spark metrics or spill = a real regression.
+
 Usage: tools/bench_gate.py PREV.json NEW.json [--out REPORT.json]
 Exit code 1 if any regression is flagged (gate semantics).
 """
 import json
 import sys
 
+TELE_KEYS = ["stages", "tasks", "sr_rows", "spill_mem", "spill_disk",
+             "gc_ms", "run_ms", "cpu_ms", "load_avg", "sys_cpu",
+             "proc_cpu", "heap_mb"]
+
 
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    return d.get("queries", {})
+    return d.get("queries", {}), d.get("telemetry", {})
+
+
+def diagnose(q, prev_t, new_t):
+    """Telemetry annotation for one flagged query (None without data)."""
+    n = new_t.get(q)
+    if not n:
+        return None
+    d = {"new": {k: n.get(k) for k in TELE_KEYS}}
+    p = prev_t.get(q)
+    if p:
+        d["prev"] = {k: p.get(k) for k in TELE_KEYS}
+        same_plan = all(p.get(k) == n.get(k)
+                        for k in ("stages", "tasks", "sr_rows"))
+        d["same_plan_and_rows"] = same_plan
+        if same_plan and not n.get("spill_mem") and not n.get("spill_disk"):
+            d["reading"] = ("identical plan/rows, no spill -> check "
+                            "load_avg & sys_cpu-proc_cpu gap: likely "
+                            "environmental (BENCH_NOTES_r11.md sec 2)")
+        else:
+            d["reading"] = ("Spark metrics diverge or spill present -> "
+                            "treat as a real regression")
+    return d
 
 
 def main():
@@ -27,15 +59,19 @@ def main():
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
     prev_path, new_path = args[0], args[1]
-    prev, new = load(prev_path), load(new_path)
+    (prev, prev_t), (new, new_t) = load(prev_path), load(new_path)
     common = sorted(set(prev) & set(new))
     flagged, improved = [], []
     for q in common:
         p, n = float(prev[q]), float(new[q])
         ratio = n / p if p > 0 else float("inf")
         if ratio > 2.0 and n - p > 1.0:
-            flagged.append({"query": q, "prev_s": round(p, 2),
-                            "new_s": round(n, 2), "ratio": round(ratio, 2)})
+            row = {"query": q, "prev_s": round(p, 2),
+                   "new_s": round(n, 2), "ratio": round(ratio, 2)}
+            tele = diagnose(q, prev_t, new_t)
+            if tele:
+                row["telemetry"] = tele
+            flagged.append(row)
         elif ratio < 0.5 and p - n > 1.0:
             improved.append({"query": q, "prev_s": round(p, 2),
                              "new_s": round(n, 2), "ratio": round(ratio, 2)})
@@ -49,6 +85,8 @@ def main():
         "flagged_regressions": sorted(flagged, key=lambda r: -r["ratio"]),
         "improvements": sorted(improved, key=lambda r: r["ratio"]),
         "note": ("flagged = >2x AND >1s slower on the common set; "
+                 "telemetry-annotated flags diagnose themselves "
+                 "(BENCH_NOTES_r11.md sec 2); without telemetry, "
                  "re-measure in isolation before optimizing (concurrent "
                  "JVMs fake 2-6x deltas -- BENCH_NOTES_r07.md)"),
     }
