@@ -218,7 +218,9 @@ object EntityResolution {
     *
     * Output shape matches [[matchComponents]]: (node, component),
     * component = the canonical (center) member id. */
-  private[graft] def refineByCenter(pairs: DataFrame): DataFrame = {
+  private[graft] def refineByCenter(pairs: DataFrame,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
     val und = graft.Checkpoints.cut(
       pairs.select(col("a").as("src"), col("b").as("dst"))
         .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
@@ -251,6 +253,7 @@ object EntityResolution {
       graft.Checkpoints.release(active)
       active = next
       roundCenters += centers
+      roundsOut.foreach(_.incrementAndGet())
     }
     graft.Checkpoints.release(active)
     if (roundCenters.isEmpty) {
@@ -281,12 +284,14 @@ object EntityResolution {
     * runs on a dirty corpus, where silent single-link collapse is
     * worse than splitting an under-verified chain. */
   private[graft] def resolveEntitiesGuarded(parts: DataFrame,
-      tau: Double): DataFrame = {
+      tau: Double,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : DataFrame = {
     val sigs = sigRelation(parts)
     val cand = candidates(blockingKeys(sigs), None)
     // cut: the match relation feeds every refinement round
     val pairs = graft.Checkpoints.cut(verifiedPairs(sigs, cand, tau))
-    val refined = refineByCenter(pairs)
+    val refined = refineByCenter(pairs, roundsOut)
     graft.Checkpoints.release(pairs) // refined is materialized (cut)
     survive(parts, refined, None)
   }
@@ -328,7 +333,13 @@ object EntityResolution {
     * Here the membership edges are recomputed from the registry slice
     * (the harness has no persisted store — q87's corpus-fingerprint
     * convention); a deployment feeds yesterday's membership table
-    * straight in. */
+    * straight in.
+    *
+    * Chaining note: the incremental form inherits single-link merge
+    * semantics (a batch bridge merges standing entities). On a dirty
+    * corpus where that is the hazard rather than the requirement, run
+    * the GUARDED global form ([[resolveEntitiesGuarded]], q231) over
+    * registry ∪ batch instead — BENCH_SCALING Part 14 shows why. */
   private[graft] def resolveIncremental(parts: DataFrame,
       registryBound: Long, tau: Double): DataFrame = {
     val sigs = sigRelation(parts)

@@ -63,12 +63,15 @@ object ErGuardProfile {
     census(un, "single", wUn)
     graft.Checkpoints.releaseAll(spark)
 
+    val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
     val (gd, wGd) = timed {
       val d = graft.Checkpoints.cut(
-        graft.operators.EntityResolution.resolveEntitiesGuarded(part, tau))
+        graft.operators.EntityResolution.resolveEntitiesGuarded(
+          part, tau, Some(rounds)))
       d.count(); d
     }
     census(gd, "guarded", wGd)
+    println(s"ERG guarded refinement rounds=${rounds.get()}")
     spark.stop()
   }
 }
