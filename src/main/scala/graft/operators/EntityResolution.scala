@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -218,28 +218,54 @@ object EntityResolution {
     *
     * Output shape matches [[matchComponents]]: (node, component),
     * component = the canonical (center) member id. */
+  /** md5-derived node priority for [[refineByCenter]]'s hash order —
+    * the repo's cross-engine integer-hash idiom (same form as
+    * GraphAudit.fpTerm / the walk family), so a DuckDB mirror of the
+    * hash-priority recursion stays expressible. */
+  private def hashPrio(n: Column): Column =
+    conv(substring(md5(n.cast("string")), 1, 15), 16, 10).cast("long")
+
   private[graft] def refineByCenter(pairs: DataFrame,
-      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      hashPriority: Boolean = false)
       : DataFrame = {
+    // priority = (prio, node), totally ordered. Default prio = node
+    // (the q231 min-id semantics). hashPriority = true randomizes the
+    // peeling order deterministically (md5): with min-id priority an
+    // ADVERSARIAL corpus — sequentially-assigned ids whose neighbors
+    // in id order are also match-similar, i.e. an id-ordered chain —
+    // peels O(chain length) rounds, while a hashed order makes long
+    // monotone dependency paths vanishingly unlikely (greedy-MIS
+    // round complexity is the longest decreasing path in priority
+    // order — O(log n) w.h.p. under random order). Same invariants
+    // either way; the fixpoint (= sequential greedy leader clustering
+    // in the chosen order) differs only in WHICH verified stars are
+    // cut, never in their verification.
+    val prioOf: Column => Column =
+      if (hashPriority) hashPrio else (n: Column) => n
     val und = graft.Checkpoints.cut(
       pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+        .select(col("src"), col("dst"),
+          struct(prioOf(col("dst")).as("p"), col("dst").as("n")).as("dk")))
     var active = graft.Checkpoints.cut(
-      und.select(col("src").as("node")).distinct())
+      und.select(col("src").as("node")).distinct()
+        .select(col("node"),
+          struct(prioOf(col("node")).as("p"), col("node").as("n")).as("k")))
     val roundCenters = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var remaining = active.count()
     while (remaining > 0) {
       // neighbors restricted to the still-active subgraph
       val actSrc = und.join(active.select(col("node").as("src")), Seq("src"))
         .join(active.select(col("node").as("dst")), Seq("dst"))
-      // min active-neighbor id per active node; a node with no active
-      // neighbor (its star was retired around it) is a trivial local
-      // minimum and becomes its own center
+      // min active-neighbor priority per active node; a node with no
+      // active neighbor (its star was retired around it) is a trivial
+      // local minimum and becomes its own center
       val minNbr = actSrc.groupBy(col("src").as("node"))
-        .agg(min(col("dst")).as("mn"))
+        .agg(min(col("dk")).as("mn"))
       val centers = graft.Checkpoints.cut(
         active.join(minNbr, Seq("node"), "left")
-          .filter(col("mn").isNull || col("node") < col("mn"))
+          .filter(col("mn").isNull || col("k") < col("mn"))
           .select(col("node")))
       // retire the centers and every active neighbor of a center
       val retired = actSrc
@@ -262,12 +288,13 @@ object EntityResolution {
         .limit(0)
     }
     val leaders = roundCenters.reduce(_ union _)
-    // final assignment: every matched non-center joins its MINIMUM
-    // verified center (guaranteed to exist — it was retired as some
-    // center's neighbor); centers label themselves
+    // final assignment: every matched non-center joins its
+    // minimum-PRIORITY verified center (guaranteed to exist — it was
+    // retired as some center's neighbor); centers label themselves
     val memberOf = und
       .join(leaders.select(col("node").as("dst")), Seq("dst"))
-      .groupBy(col("src").as("node")).agg(min(col("dst")).as("component"))
+      .groupBy(col("src").as("node"))
+      .agg(min(col("dk")).getField("n").as("component"))
     val out = graft.Checkpoints.cut(
       leaders.select(col("node"), col("node").as("component"))
         .union(memberOf
@@ -285,13 +312,14 @@ object EntityResolution {
     * worse than splitting an under-verified chain. */
   private[graft] def resolveEntitiesGuarded(parts: DataFrame,
       tau: Double,
-      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
+      hashPriority: Boolean = false)
       : DataFrame = {
     val sigs = sigRelation(parts)
     val cand = candidates(blockingKeys(sigs), None)
     // cut: the match relation feeds every refinement round
     val pairs = graft.Checkpoints.cut(verifiedPairs(sigs, cand, tau))
-    val refined = refineByCenter(pairs, roundsOut)
+    val refined = refineByCenter(pairs, roundsOut, hashPriority)
     graft.Checkpoints.release(pairs) // refined is materialized (cut)
     survive(parts, refined, None)
   }

@@ -195,6 +195,64 @@ class EntityResolutionSpec extends SparkSpec {
     assert(guarded.map(_._2).sum == single.values.sum)
   }
 
+  test("hashPriority guard: md5 peeling order, same invariants, fast on the adversarial chain") {
+    import org.apache.spark.sql.DataFrame
+    // the adversarial input for min-id priority: an id-ORDERED match
+    // chain (sequentially assigned ids whose id-neighbors are
+    // match-similar). Min-id peeling retires exactly one star (2
+    // nodes) per round -> n/2 rounds; the md5 order breaks the
+    // monotone dependency path.
+    val n = 40
+    val pathPairs: DataFrame =
+      (1L until n.toLong).map(i => (i, i + 1)).toDF("a", "b")
+    def runRefine(hash: Boolean): (Map[Long, Long], Int) = {
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val m = EntityResolution.refineByCenter(pathPairs, Some(rounds), hash)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (m, rounds.get())
+    }
+    val (minId, minIdRounds) = runRefine(hash = false)
+    val (hashed, hashRounds) = runRefine(hash = true)
+    assert(minIdRounds == n / 2,
+      s"min-id peeling on the id-ordered $n-path must take n/2 rounds, " +
+        s"got $minIdRounds")
+    assert(hashRounds < minIdRounds,
+      s"hash priority must break the adversarial order " +
+        s"($hashRounds vs $minIdRounds rounds)")
+    // scalar reference: sequential greedy leader clustering in key
+    // order; key = id (min-id) or (md5-60bit, id) (hash) — the same
+    // md5 integerization Spark computes (first 15 hex chars, base 16)
+    def md5Key(id: Long): (BigInt, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (BigInt(hex.take(15), 16), id)
+    }
+    def refLeader(key: Long => (BigInt, Long)): Map[Long, Long] = {
+      val ids = (1L to n.toLong).sortBy(key)
+      val nbrs = (i: Long) => Set(i - 1, i + 1).filter(j => j >= 1 && j <= n)
+      val leaders = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val assign = scala.collection.mutable.Map.empty[Long, Long]
+      for (m <- ids) {
+        val vl = leaders.filter(nbrs(m))
+        if (vl.isEmpty) { leaders += m; assign(m) = m }
+        else assign(m) = vl.minBy(key)
+      }
+      assign.toMap
+    }
+    assert(minId == refLeader(i => (BigInt(i), i)))
+    assert(hashed == refLeader(md5Key))
+    // invariants hold under EITHER priority: every non-center member
+    // holds a DIRECT verified edge to its center; counts preserved
+    Seq(minId, hashed).foreach { m =>
+      assert(m.size == n)
+      m.foreach { case (node, c) =>
+        assert(node == c || (node - c).abs == 1,
+          s"member $node assigned to non-adjacent center $c")
+      }
+    }
+  }
+
   test("q178 on the sf0.001 batch == brute-force all-pairs reference") {
     val rows = Tables(spark, sfDir()).part
       .filter(col("p_partkey") < EntityResolution.ErBatch)
