@@ -229,43 +229,73 @@ object EntityResolution {
       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger] = None,
       hashPriority: Boolean = false)
       : DataFrame = {
-    // priority = (prio, node), totally ordered. Default prio = node
-    // (the q231 min-id semantics). hashPriority = true randomizes the
-    // peeling order deterministically (md5): with min-id priority an
-    // ADVERSARIAL corpus — sequentially-assigned ids whose neighbors
-    // in id order are also match-similar, i.e. an id-ordered chain —
-    // peels O(chain length) rounds, while a hashed order makes long
+    // Default priority = node id (the q231 min-id semantics).
+    // hashPriority = true randomizes the peeling order
+    // deterministically (md5): with min-id priority an ADVERSARIAL
+    // corpus — sequentially-assigned ids whose neighbors in id order
+    // are also match-similar, i.e. an id-ordered chain — peels
+    // O(chain length) rounds, while a hashed order makes long
     // monotone dependency paths vanishingly unlikely (greedy-MIS
     // round complexity is the longest decreasing path in priority
     // order — O(log n) w.h.p. under random order). Same invariants
     // either way; the fixpoint (= sequential greedy leader clustering
     // in the chosen order) differs only in WHICH verified stars are
     // cut, never in their verification.
-    val prioOf: Column => Column =
-      if (hashPriority) hashPrio else (n: Column) => n
+    //
+    // The hash order is implemented as a bijective RELABELING around
+    // the plain-long core, not as a composite sort key inside it: a
+    // (prio, id) struct carried through every round's joins and
+    // min() aggregates measured 2–3× slower at 30× (structs fall out
+    // of the codegen'd partial-agg path and widen every shuffle row),
+    // where the relabeling costs one rank over MATCHED nodes only —
+    // the set the guard loops over anyway, never the corpus — and
+    // keeps the hot loop on longs.
+    if (!hashPriority) return refineCore(pairs, roundsOut)
+    val matched = pairs.select(col("a").as("node"))
+      .union(pairs.select(col("b").as("node"))).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(hashPrio(col("node")), col("node"))
+    val rank = graft.Checkpoints.cut(matched.select(col("node"),
+      row_number().over(w).cast("long").as("h")))
+    val hp = pairs
+      .join(rank.select(col("node").as("a"), col("h").as("ha")), Seq("a"))
+      .join(rank.select(col("node").as("b"), col("h").as("hb")), Seq("b"))
+      .select(col("ha").as("a"), col("hb").as("b"))
+    val core = refineCore(hp, roundsOut)
+    val out = graft.Checkpoints.cut(core
+      .join(rank.select(col("h").as("node"), col("node").as("orig")),
+        Seq("node"))
+      .join(rank.select(col("h").as("component"), col("node").as("origC")),
+        Seq("component"))
+      .select(col("orig").as("node"), col("origC").as("component")))
+    graft.Checkpoints.release(rank, core)
+    out
+  }
+
+  /** The plain-long local-minima loop behind [[refineByCenter]]:
+    * node ids ARE the priorities (relabel to change the order). */
+  private def refineCore(pairs: DataFrame,
+      roundsOut: Option[java.util.concurrent.atomic.AtomicInteger])
+      : DataFrame = {
     val und = graft.Checkpoints.cut(
       pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst")))
-        .select(col("src"), col("dst"),
-          struct(prioOf(col("dst")).as("p"), col("dst").as("n")).as("dk")))
+        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
     var active = graft.Checkpoints.cut(
-      und.select(col("src").as("node")).distinct()
-        .select(col("node"),
-          struct(prioOf(col("node")).as("p"), col("node").as("n")).as("k")))
+      und.select(col("src").as("node")).distinct())
     val roundCenters = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var remaining = active.count()
     while (remaining > 0) {
       // neighbors restricted to the still-active subgraph
       val actSrc = und.join(active.select(col("node").as("src")), Seq("src"))
         .join(active.select(col("node").as("dst")), Seq("dst"))
-      // min active-neighbor priority per active node; a node with no
-      // active neighbor (its star was retired around it) is a trivial
-      // local minimum and becomes its own center
+      // min active-neighbor id per active node; a node with no active
+      // neighbor (its star was retired around it) is a trivial local
+      // minimum and becomes its own center
       val minNbr = actSrc.groupBy(col("src").as("node"))
-        .agg(min(col("dk")).as("mn"))
+        .agg(min(col("dst")).as("mn"))
       val centers = graft.Checkpoints.cut(
         active.join(minNbr, Seq("node"), "left")
-          .filter(col("mn").isNull || col("k") < col("mn"))
+          .filter(col("mn").isNull || col("node") < col("mn"))
           .select(col("node")))
       // retire the centers and every active neighbor of a center
       val retired = actSrc
@@ -288,13 +318,12 @@ object EntityResolution {
         .limit(0)
     }
     val leaders = roundCenters.reduce(_ union _)
-    // final assignment: every matched non-center joins its
-    // minimum-PRIORITY verified center (guaranteed to exist — it was
-    // retired as some center's neighbor); centers label themselves
+    // final assignment: every matched non-center joins its MINIMUM
+    // verified center (guaranteed to exist — it was retired as some
+    // center's neighbor); centers label themselves
     val memberOf = und
       .join(leaders.select(col("node").as("dst")), Seq("dst"))
-      .groupBy(col("src").as("node"))
-      .agg(min(col("dk")).getField("n").as("component"))
+      .groupBy(col("src").as("node")).agg(min(col("dst")).as("component"))
     val out = graft.Checkpoints.cut(
       leaders.select(col("node"), col("node").as("component"))
         .union(memberOf

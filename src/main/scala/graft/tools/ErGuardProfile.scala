@@ -55,23 +55,33 @@ object ErGuardProfile {
     }
 
     val tau = graft.operators.EntityResolution.ErTau
-    val (un, wUn) = timed {
-      val d = graft.Checkpoints.cut(
-        graft.operators.EntityResolution.resolveEntities(part, tau))
-      d.count(); d
+    // ERG_SKIP_SINGLE=1 skips the unguarded arm (its corpus-diameter
+    // CC dominates the tool's wall at scale; skip it when only the
+    // guarded reading is under test)
+    if (!sys.env.get("ERG_SKIP_SINGLE").contains("1")) {
+      val (un, wUn) = timed {
+        val d = graft.Checkpoints.cut(
+          graft.operators.EntityResolution.resolveEntities(part, tau))
+        d.count(); d
+      }
+      census(un, "single", wUn)
+      graft.Checkpoints.releaseAll(spark)
     }
-    census(un, "single", wUn)
-    graft.Checkpoints.releaseAll(spark)
 
+    // ERG_HASH_PRIORITY=1 measures the md5 peeling order instead of
+    // min-id (the opt-in for id-order-adversarial corpora) — on the
+    // benign scale corpora the two should cost the same
+    val hashPrio = sys.env.get("ERG_HASH_PRIORITY").contains("1")
     val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
     val (gd, wGd) = timed {
       val d = graft.Checkpoints.cut(
         graft.operators.EntityResolution.resolveEntitiesGuarded(
-          part, tau, Some(rounds)))
+          part, tau, Some(rounds), hashPrio))
       d.count(); d
     }
-    census(gd, "guarded", wGd)
-    println(s"ERG guarded refinement rounds=${rounds.get()}")
+    census(gd, if (hashPrio) "guardedH" else "guarded", wGd)
+    println(s"ERG guarded refinement rounds=${rounds.get()}" +
+      (if (hashPrio) " (hash priority)" else ""))
     spark.stop()
   }
 }
