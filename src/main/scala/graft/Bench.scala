@@ -114,6 +114,19 @@ object Bench {
     }
     val telemetry = new BenchTelemetry
     spark.sparkContext.addSparkListener(telemetry)
+    // best-effort drain: waitUntilEmpty is Spark's 10s-default
+    // test API and THROWS TimeoutException if the bus lags (e.g. a
+    // co-tenant-loaded box right after a task-heavy query) — a slow
+    // drain must cost one slightly-misattributed snapshot, never the
+    // whole run's results
+    def drainBus(): Unit =
+      try org.apache.spark.graft.ListenerBridge.waitUntilEmpty(
+        spark.sparkContext)
+      catch { case _: Throwable => () }
+    // the warmup pass's event backlog may still be dispatching when
+    // the timed loop registers its first reset(); drain it so stray
+    // warmup stages can't inflate the FIRST query's counters
+    drainBus()
     val withTele = names.map { name =>
       telemetry.reset()
       val t0 = System.nanoTime()
@@ -124,7 +137,7 @@ object Bench {
       // drain the async listener bus so this query's stages can't be
       // attributed to the next one, then snapshot (both outside the
       // timed window)
-      org.apache.spark.graft.ListenerBridge.waitUntilEmpty(spark.sparkContext)
+      drainBus()
       val snap = telemetry.snapshot()
       // queries are independent: drop checkpoint/cache blocks so one
       // query's residue never inflates the GC cost of the next. The

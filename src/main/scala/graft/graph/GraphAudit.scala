@@ -130,9 +130,14 @@ object GraphAudit {
          |medge AS (SELECT DISTINCT src, dst FROM e0
          |          WHERE src IS NOT NULL AND dst IS NOT NULL),
          |mods AS (
+         |  -- node universe from e0, NOT medge: a dep target referenced
+         |  -- only by a null-name manifest keeps its node (matching
+         |  -- entities(), whose module set is built from ALL dep
+         |  -- targets before moduleGraph drops the null-SRC edge) even
+         |  -- though its edge is filtered above
          |  SELECT name FROM (
          |    SELECT name FROM man
-         |    UNION SELECT dst FROM medge) t
+         |    UNION SELECT dst FROM e0) t
          |  WHERE name IS NOT NULL)
          |SELECT 'module_edges' AS relation,
          |       CAST(count(*) AS BIGINT) AS n_rows,

@@ -253,10 +253,19 @@ object EntityResolution {
     if (!hashPriority) return refineCore(pairs, roundsOut)
     val matched = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node"))).distinct()
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(hashPrio(col("node")), col("node"))
-    val rank = graft.Checkpoints.cut(matched.select(col("node"),
-      row_number().over(w).cast("long").as("h")))
+    // rank via distributed sort + zipWithIndex, NOT a row_number()
+    // window: an unpartitioned window funnels the whole matched set
+    // through ONE task, exactly the single-partition barrier this
+    // guard's scale story forbids; zipWithIndex keeps the range
+    // partitions and assigns offsets with one extra count pass (the
+    // canonical distributed dense-id recipe — the repo's one
+    // legitimate RDD-seam class)
+    val ss = pairs.sparkSession
+    import ss.implicits._
+    val rank = graft.Checkpoints.cut(
+      matched.sort(hashPrio(col("node")), col("node"))
+        .select(col("node")).as[Long].rdd.zipWithIndex()
+        .map { case (n, i) => (n, i + 1L) }.toDF("node", "h"))
     val hp = pairs
       .join(rank.select(col("node").as("a"), col("h").as("ha")), Seq("a"))
       .join(rank.select(col("node").as("b"), col("h").as("hb")), Seq("b"))
@@ -277,9 +286,15 @@ object EntityResolution {
   private def refineCore(pairs: DataFrame,
       roundsOut: Option[java.util.concurrent.atomic.AtomicInteger])
       : DataFrame = {
+    // drop reflexive rows defensively: a (a, a) self-match would make
+    // its node never a strict local minimum and never retired — an
+    // infinite driver loop. verifiedPairs can't produce one (its
+    // candidates are a < b), but this entry point takes arbitrary
+    // pair relations.
+    val p = pairs.filter(col("a") =!= col("b"))
     val und = graft.Checkpoints.cut(
-      pairs.select(col("a").as("src"), col("b").as("dst"))
-        .union(pairs.select(col("b").as("src"), col("a").as("dst"))))
+      p.select(col("a").as("src"), col("b").as("dst"))
+        .union(p.select(col("b").as("src"), col("a").as("dst"))))
     var active = graft.Checkpoints.cut(
       und.select(col("src").as("node")).distinct())
     val roundCenters = scala.collection.mutable.ArrayBuffer.empty[DataFrame]

@@ -54,9 +54,10 @@ class BenchTelemetrySpec extends SparkSpec {
       .findAllMatchIn(s.json).map(_.group(1)).toSeq
     assert(keys == BenchTelemetry.JsonKeys,
       s"telemetry JSON keys drifted: $keys")
-    // doubles are locale-stable 2-decimal; longs unquoted
-    assert(s.json.contains(""""load_avg":1.25""") ||
-      s.json.contains(""""load_avg":1.25""".replace("1.25", "1.25")))
+    // doubles are locale-stable 2-decimal (never comma-decimal);
+    // longs unquoted
+    assert(s.json.contains(""""load_avg":1.25"""))
+    assert(!s.json.contains("1,25"), "locale-dependent decimal comma")
     assert(s.json.contains(""""sys_cpu":0.50"""))
     assert(s.json.contains(""""heap_mb":512}"""))
   }

@@ -116,6 +116,30 @@ class PackageJsonSourceSpec extends SparkSpec {
     assert(hotSalts.count() == 900L)
   }
 
+  test("null-name manifest: dep targets keep their nodes, null-src edges drop") {
+    // the audit-universe contract (ADVICE r10 + review r11): a
+    // manifest line with no name still CONTRIBUTES its dependency
+    // targets to the module universe (entities() builds modules from
+    // all dep targets), while moduleGraph drops both the null-name
+    // node and its null-src edges — and the q230 oracle mirrors
+    // exactly this split (mods from e0, medge filtered).
+    val dir = java.nio.file.Files.createTempDirectory("graft-nullname")
+    java.nio.file.Files.write(dir.resolve("m.jsonl"),
+      ("""{"name":"named","version":"1.0.0","dependencies":{"shared":"^1"}}""" +
+        "\n" +
+        """{"version":"0.0.1","dependencies":{"ghostdep":"^2"}}""" + "\n")
+        .getBytes("UTF-8"))
+    val e = PackageJsonSource.entities(
+      PackageJsonSource.read(spark, dir.resolve("m.jsonl").toString))
+    val (nodes, edges) = PackageJsonSource.moduleGraph(e)
+    val names = nodes.collect().map(_.getString(1)).toSet
+    // ghostdep (referenced ONLY by the anonymous manifest) is a node;
+    // the null name itself is not
+    assert(names == Set("named", "shared", "ghostdep"))
+    // only the named manifest's edge survives (null src dropped)
+    assert(edges.count() == 1)
+  }
+
   test("manifest graph end-to-end: ingest → khop / pagerank / CC") {
     import org.apache.spark.sql.functions._
     val (nodes, edges) = PackageJsonSource.moduleGraph(
