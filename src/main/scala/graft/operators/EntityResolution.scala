@@ -458,10 +458,23 @@ object EntityResolution {
     resolveEntitiesGuarded(
       Tables(spark, dir).part.filter(col("p_partkey") < ErBatch), ErTau)
 
+  /** q231's corpus under the md5 peeling order — the
+    * id-order-adversarial opt-in ([[refineByCenter]]'s hashPriority)
+    * as its own oracled query, so the relabeled fixpoint is
+    * driver-verified on real data, not only spec-pinned on
+    * fixtures. */
+  def q232EntityResolutionGuardedHash(spark: SparkSession,
+      dir: String): DataFrame =
+    resolveEntitiesGuarded(
+      Tables(spark, dir).part.filter(col("p_partkey") < ErBatch), ErTau,
+      None, hashPriority = true)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q178_entity_resolution" -> (q178EntityResolution _),
     "q203_incremental_er" -> (q203IncrementalEr _),
     "q231_entity_resolution_guarded" -> (q231EntityResolutionGuarded _),
+    "q232_entity_resolution_guarded_hash" ->
+      (q232EntityResolutionGuardedHash _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -586,8 +599,23 @@ object EntityResolution {
     // NOT bag-deduplicate a plain UNION inside a non-recursive CTE
     // the way it does outside one, so `nodes` dedups explicitly via
     // DISTINCT over UNION ALL.
-    "q231_entity_resolution_guarded" ->
-      s"""WITH RECURSIVE pt AS (
+    "q231_entity_resolution_guarded" -> guardedOracle(hashOrder = false),
+    "q232_entity_resolution_guarded_hash" -> guardedOracle(hashOrder = true),
+  )
+
+  /** The guarded-survivorship oracle, parameterized by the peeling
+    * ORDER: `hashOrder = false` walks ids ascending (q231's min-id
+    * semantics), `true` walks the md5-60bit integer of the id (the
+    * hashPriority relabeling) — in both, the recursion and the
+    * assignment read the order from the SAME `ord` rank relation, so
+    * the two oracles differ only in ord's ORDER BY. Assignment picks
+    * the member's minimum-RANK verified leader via arg_min (for id
+    * order that degenerates to min(dst)). */
+  private def guardedOracle(hashOrder: Boolean): String = {
+    val mdPrio = graft.text.TextOps.hexToLongSql(
+      "md5(CAST(n AS VARCHAR))", 1, 15)
+    val orderBy = if (hashOrder) s"$mdPrio, n" else "n"
+    s"""WITH RECURSIVE pt AS (
          |  SELECT * FROM part WHERE p_partkey < $ErBatch),
          |rec AS (
          |  SELECT p_partkey AS id,
@@ -619,8 +647,8 @@ object EntityResolution {
          |        UNION ALL SELECT b, a FROM pairs),
          |mnodes AS (SELECT DISTINCT n FROM
          |  (SELECT a AS n FROM pairs UNION ALL SELECT b FROM pairs) tt),
-         |ord AS (SELECT n, CAST(row_number() OVER (ORDER BY n) AS BIGINT)
-         |          AS r FROM mnodes),
+         |ord AS (SELECT n, CAST(row_number() OVER (ORDER BY $orderBy)
+         |          AS BIGINT) AS r FROM mnodes),
          |total AS (SELECT CAST(count(*) AS BIGINT) AS t FROM ord),
          |steps AS (
          |  SELECT CAST(0 AS BIGINT) AS r, CAST([] AS BIGINT[]) AS leaders
@@ -638,8 +666,9 @@ object EntityResolution {
          |asg AS (SELECT o.n AS node,
          |         CASE WHEN EXISTS (SELECT 1 FROM ld WHERE ld.l = o.n)
          |              THEN o.n
-         |              ELSE (SELECT min(u.dst) FROM und u
+         |              ELSE (SELECT arg_min(u.dst, o2.r) FROM und u
          |                    JOIN ld ON ld.l = u.dst
+         |                    JOIN ord o2 ON o2.n = u.dst
          |                    WHERE u.src = o.n) END AS entity
          |        FROM ord o),
          |ent AS (SELECT p_partkey AS id,
@@ -656,6 +685,6 @@ object EntityResolution {
          |       r.p_name AS canonical_name,
          |       r.p_retailprice AS canonical_price
          |FROM cnt c JOIN reg r ON r.entity = c.entity AND r.rk = 1
-         |ORDER BY c.entity""".stripMargin,
-  )
+         |ORDER BY c.entity""".stripMargin
+  }
 }
