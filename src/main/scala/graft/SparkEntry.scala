@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsofJoin, Association, BloomJoin, EntityResolution, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, SkewJoin, Skyline, TypedEdges}
-import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, GraphAudit, Louvain, Node2Vec, NodeEmbeddings, RandomWalks}
+import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, GraphAudit, Louvain, Node2Vec, NodeEmbeddings, RandomWalks, StarContraction}
 import graft.text.{Classify, CorpusOps, EditOps, PolicyOps, SourceOps, SpanOps, TermOps, TextOps}
 import graft.sim.{KMeans, Prod2Vec, Similarity}
 import graft.streaming.StreamOps
@@ -33,7 +33,7 @@ object SparkEntry {
       graft.sources.ParquetSink.queries ++
       Algorithms.queries ++ Centrality.queries ++ Cores.queries ++
       CoPurchase.queries ++ Louvain.queries ++ RandomWalks.queries ++
-      GraphAudit.queries ++
+      GraphAudit.queries ++ StarContraction.queries ++
       NodeEmbeddings.queries ++ Node2Vec.queries ++
       TextOps.queries ++
       CorpusOps.queries ++ PolicyOps.queries ++ SpanOps.queries ++
@@ -59,7 +59,7 @@ object SparkEntry {
       graft.sources.ParquetSink.oracleSql ++
       Algorithms.oracleSql ++ Centrality.oracleSql ++ Cores.oracleSql ++
       CoPurchase.oracleSql ++ Louvain.oracleSql ++ RandomWalks.oracleSql ++
-      GraphAudit.oracleSql ++
+      GraphAudit.oracleSql ++ StarContraction.oracleSql ++
       NodeEmbeddings.oracleSql ++ Node2Vec.oracleSql ++
       TextOps.oracleSql ++
       CorpusOps.oracleSql ++ PolicyOps.oracleSql ++ SpanOps.oracleSql ++

@@ -1,0 +1,156 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.chaining._
+import graft.{Checkpoints, Tables}
+
+/** Connected components by alternating large-star / small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce
+  * and Beyond", SoCC 2014) — the round-bounded scale path for A5.
+  *
+  * [[Algorithms.connectedComponents]] propagates min labels one hop
+  * per round, so its round count is the graph DIAMETER — on a 100 TB
+  * chain-shaped graph (bot chains, vendored-fork ladders in the
+  * reference's dependency graph — reference analytics surface:
+  * documentation/queries.md connected-components section) that is the
+  * scale killer: rounds × (join + agg) shuffles with no bound. Star
+  * contraction instead rewires edges toward local minima; the paper
+  * proves O(log² n) rounds with O(log n) observed in practice,
+  * INDEPENDENT of diameter (StarContractionSpec pins rounds ≤ 10 on a
+  * 256-node path whose label-propagation diameter is 255).
+  *
+  * Per round: large-star hangs every larger neighbor of each node
+  * onto that node's neighborhood minimum; small-star re-hangs each
+  * node's SMALLER neighbors (and the node itself) onto the minimum.
+  * Both are one partial-agg (`groupBy(min)`) plus one broadcast-free
+  * equi-join over the current edge set — map-side combinable, no
+  * driver state, no collect. The fixpoint is a star forest whose
+  * root is each component's minimum node id, i.e. exactly the label
+  * convention of [[Algorithms.connectedComponents]] and the q15
+  * recursive-CTE oracle (min reachable id).
+  *
+  * Convergence detection is an exact set comparison (count, then one
+  * `left_anti` probe each way, both LIMIT 1) — no checksum shortcut
+  * that could mask a non-converged edge set. Each round's edge set is
+  * lineage-cut via [[Checkpoints.cut]] and the superseded round's
+  * blocks are released, same discipline as the other iterative
+  * algorithms.
+  */
+object StarContraction {
+
+  /** Large-star: for every node u with neighborhood N(u), attach each
+    * v ∈ N(u) with v > u to m = min(N(u) ∪ {u}). Every edge is
+    * processed from its smaller endpoint; self-loops drop. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val mn = adj.groupBy("u")
+      .agg(min(col("v")).as("nmin"))
+      .select(col("u").as("cu"), least(col("nmin"), col("u")).as("m"))
+    adj.join(mn, col("u") === col("cu"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge toward its smaller endpoint, then
+    * for each center u attach u and all its (smaller) neighbors to
+    * m = min(N(u)). */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val adj = edges
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val mn = adj.groupBy("u").agg(min(col("v")).as("m"))
+    adj.join(mn, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mn.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Exact edge-set equality: cheap count first, then one LIMIT-1
+    * anti-join probe each way. */
+  private def sameEdgeSet(a: DataFrame, b: DataFrame): Boolean = {
+    if (a.count() != b.count()) return false
+    a.join(b, Seq("u", "v"), "left_anti").limit(1).count() == 0 &&
+      b.join(a, Seq("u", "v"), "left_anti").limit(1).count() == 0
+  }
+
+  /** (node, component) for every node in `nodes` (isolated nodes keep
+    * their own id), plus the round count for specs and scale curves.
+    * `edges` is undirected input as (u, v) in either orientation. */
+  def componentsWithRounds(nodes: DataFrame,
+      edges: DataFrame): (DataFrame, Int) = {
+    var e = edges.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .pipe(Checkpoints.cut)
+    var rounds = 0
+    var done = e.isEmpty
+    while (!done) {
+      val next = smallStar(largeStar(e)).pipe(Checkpoints.cut)
+      rounds += 1
+      done = sameEdgeSet(next, e)
+      Checkpoints.release(e)
+      e = next
+    }
+    // Fixpoint edges form stars (child -> component-min root); roots
+    // and isolated nodes label themselves.
+    val roots = e.select(col("u").as("child"), col("v").as("root"))
+    val comp = nodes.select(col("node"))
+      .join(roots, col("node") === col("child"), "left")
+      .select(col("node"),
+        coalesce(col("root"), col("node")).as("component"))
+    (comp, rounds)
+  }
+
+  def components(nodes: DataFrame, edges: DataFrame): DataFrame =
+    componentsWithRounds(nodes, edges)._1
+
+  // ---------------------------------------------------------------- q233
+  /** Partkey prefix bounding the oracle's transitive closure (the
+    * DuckDB mirror materializes node×peer reach pairs — quadratic in
+    * component size, so the oracle graph must stay a few thousand
+    * nodes; the Spark path has no such bound). */
+  val CcCap = 2000
+
+  /** q233: connected components of the co-purchase subgraph on parts
+    * with partkey < [[CcCap]], labeled by star contraction. Same
+    * label convention as q15 (component = min node id) on a graph two
+    * orders of magnitude larger than q15's 25-node trade graph. */
+  def q233CcStarContraction(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val e = CoPurchase.edges(t)
+      .filter(col("src") < CcCap && col("dst") < CcCap)
+      .select(col("src").as("u"), col("dst").as("v"))
+    val n = t.part.filter(col("p_partkey") < CcCap)
+      .select(col("p_partkey").cast("long").as("node"))
+    components(n, e).orderBy("node")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_cc_star_contraction" -> (q233CcStarContraction _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q233_cc_star_contraction" ->
+      s"""WITH RECURSIVE li AS (
+         |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
+         |  FROM lineitem WHERE l_partkey < $CcCap),
+         |e AS (
+         |  SELECT DISTINCT a.p AS src, b.p AS dst
+         |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |nodes AS (SELECT CAST(p_partkey AS BIGINT) AS node
+         |          FROM part WHERE p_partkey < $CcCap),
+         |reach AS (
+         |  SELECT node, node AS peer FROM nodes
+         |  UNION
+         |  SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.peer)
+         |SELECT node, CAST(min(peer) AS BIGINT) AS component
+         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+  )
+}
