@@ -2,6 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 import graft.Tables
 
 /** The co-occurrence graph of SURVEY §1.1: parts co-purchased within
@@ -119,10 +120,72 @@ object CoPurchase {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- q235
+  /** Distinct customer–part incidences — the bipartite engagement
+    * graph (left = customers via orders, right = parts). */
+  private[graft] def bipartite(t: Tables): DataFrame =
+    t.lineitem.select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey").cast("long").as("c")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("c"), col("p")).distinct()
+
+  /** q235: butterfly census of the bipartite customer–part graph
+    * (Sanei-Mehri et al., KDD 2018) — the bipartite analogue of
+    * triangle counting: a butterfly is a (2,2)-biclique (two
+    * customers sharing two parts), THE cohesion motif of two-mode
+    * networks, where triangles are structurally impossible.
+    *
+    * Scale shape: butterflies = Σ_pairs C(co,2) over co-neighbor
+    * counts, and the pair relation is generated by wedges keyed on a
+    * CENTER vertex — Σ_v C(deg v, 2) rows, the quadratic that decides
+    * feasibility at 100 TB. The paper's core optimization is wedge-side
+    * CHOICE: generate from the side whose Σ C(d,2) is smaller (the
+    * butterfly total is side-invariant). Both sums are one cheap
+    * degree agg each, so the operator measures then picks — two
+    * scalar reads, never a data-dependent plan guess. Remaining skew
+    * (one hub vertex on the chosen side) is the E6 salting territory;
+    * here order-bounded TPC-H degrees keep wedges per-center small.
+    *
+    * Output: one census row — sides, edges, wedge counts of both
+    * sides, the chosen side, and the butterfly total. */
+  def q235Butterflies(spark: SparkSession, dir: String): DataFrame =
+    butterflyCensus(bipartite(Tables(spark, dir)))
+
+  /** Census core over a distinct (c, p) incidence relation. */
+  private[graft] def butterflyCensus(bip0: DataFrame): DataFrame = {
+    val bip = bip0.pipe(graft.Checkpoints.cut)
+    def wedgeSum(side: String): Long =
+      bip.groupBy(side).agg(count(lit(1)).as("d"))
+        .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+          .cast("long"))
+        .collect()(0).getLong(0) // 1-row scalar: the side-choice stat
+    val (wp, wc) = (wedgeSum("p"), wedgeSum("c"))
+    // generate wedges from the cheaper side: center = that side's
+    // vertex, pair = the two opposite-side endpoints
+    val (center, end) = if (wp <= wc) ("p", "c") else ("c", "p")
+    val pairs = bip.as("x").join(bip.as("y"),
+        col(s"x.$center") === col(s"y.$center") &&
+          col(s"x.$end") < col(s"y.$end"))
+      .groupBy(col(s"x.$end").as("a"), col(s"y.$end").as("b"))
+      .agg(count(lit(1)).as("co"))
+    val bf = pairs.agg(coalesce(sum(col("co") * (col("co") - 1) / 2), lit(0L))
+      .cast("long").as("n_butterflies"))
+    val sides = bip.agg(
+      countDistinct(col("c")).as("n_customers"),
+      countDistinct(col("p")).as("n_parts"),
+      count(lit(1)).as("n_edges"))
+    sides.crossJoin(broadcast(bf))
+      .select(col("n_customers"), col("n_parts"), col("n_edges"),
+        lit(wp).as("wedges_part_side"), lit(wc).as("wedges_cust_side"),
+        lit(if (wp <= wc) "part" else "cust").as("wedge_side"),
+        col("n_butterflies"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_copurchase_degree" -> (q61CopurchaseDegree _),
     "q94_degree_distribution" -> (q94DegreeDistribution _),
     "q104_copurchase_triangles" -> (q104CopurchaseTriangles _),
+    "q235_butterflies" -> (q235Butterflies _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -183,5 +246,31 @@ object CoPurchase {
         |            AS BIGINT) AS rank,
         |       node, n_triangles
         |FROM pn ORDER BY n_triangles DESC, node ASC LIMIT 20""".stripMargin,
+
+    // butterflies counted from the part side unconditionally — the
+    // total is side-invariant, so the oracle needs no CASE there;
+    // only the wedge stats and the side label read both sums.
+    "q235_butterflies" ->
+      """WITH bip AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS c,
+        |                    CAST(l_partkey AS BIGINT) AS p
+        |             FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |wp AS (SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT) AS w
+        |       FROM (SELECT count(*) AS d FROM bip GROUP BY p)),
+        |wc AS (SELECT CAST(COALESCE(sum(d * (d - 1) // 2), 0) AS BIGINT) AS w
+        |       FROM (SELECT count(*) AS d FROM bip GROUP BY c)),
+        |pairs AS (SELECT x.c AS a, y.c AS b, count(*) AS co
+        |          FROM bip x JOIN bip y ON x.p = y.p AND x.c < y.c
+        |          GROUP BY 1, 2),
+        |bf AS (SELECT CAST(COALESCE(sum(co * (co - 1) // 2), 0) AS BIGINT)
+        |              AS nb FROM pairs),
+        |s AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n_customers,
+        |             CAST(count(DISTINCT p) AS BIGINT) AS n_parts,
+        |             CAST(count(*) AS BIGINT) AS n_edges FROM bip)
+        |SELECT s.n_customers, s.n_parts, s.n_edges,
+        |       wp.w AS wedges_part_side, wc.w AS wedges_cust_side,
+        |       CASE WHEN wp.w <= wc.w THEN 'part' ELSE 'cust' END
+        |         AS wedge_side,
+        |       bf.nb AS n_butterflies
+        |FROM s, wp, wc, bf""".stripMargin,
   )
 }

@@ -178,6 +178,66 @@ object Profile {
       .orderBy(col("true_cnt").desc, col("word").asc)
   }
 
+  // ---------------------------------------------------------------- q234
+  /** Hash rows × buckets for the join-size sketches. Wider than
+    * q132's point-query sketch ([[CmsW]] 64): the inner-product
+    * estimator's expected overcount is ‖fA‖₁·‖fB‖₁/w, so w must be
+    * sized against the PRODUCT of the stream masses, not one
+    * stream's. */
+  val JsD = 4
+  val JsW = 1024
+
+  /** CMS join-size estimation (Cormode & Muthukrishnan 2005 §4.2,
+    * AGMS lineage): |A ⋈ₖ B| = Σₖ fA(k)·fB(k), the inner product of
+    * the two key-frequency vectors — estimated as Σ_b cA[r][b]·cB[r][b]
+    * per hash row r, read as min over rows. The optimizer-statistics
+    * question at 100 TB: price a join from two fixed-size one-pass
+    * mergeable summaries WITHOUT running it (the sketches are
+    * [[JsD]]·[[JsW]] counters regardless of input size, and two
+    * sketches built independently — different days, different
+    * clusters — compose). Estimate ≥ exact by construction
+    * (collisions only add cross terms; spec-asserted); the per-row
+    * overcount column shows the collision pressure directly.
+    *
+    * The probed pair — returned lineitems vs high-quantity lineitems
+    * on partkey — is a self-join-size question with real multiplicity
+    * on both sides (every key matches many rows in each stream). */
+  def q234JoinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val a = t.lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_partkey").cast("string").as("word"))
+    val b = t.lineitem.filter(col("l_quantity") >= 40.0)
+      .select(col("l_partkey").cast("string").as("word"))
+    joinSizeEstimate(a, b)
+  }
+
+  private def jsBucket(r: Int, word: Column): Column =
+    pmod(conv(substring(md5(concat(lit(s"$r:"), word)), 1, 8), 16, 10)
+      .cast("long"), lit(JsW.toLong))
+
+  /** One row per hash row r: the sketch estimate of |a ⋈_word b|,
+    * the exact size, and the overcount. */
+  private[graft] def joinSizeEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    def sketch(words: DataFrame, cName: String) = words
+      .select(explode(array((0 until JsD).map(r =>
+        struct(lit(r.toLong).as("r"), jsBucket(r, col("word")).as("b"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as(cName))
+    val est = sketch(a, "ca").join(sketch(b, "cb"), Seq("r", "b"))
+      .groupBy(col("r"))
+      .agg(sum(col("ca") * col("cb")).cast("long").as("est_size"))
+    val fa = a.groupBy("word").agg(count(lit(1)).as("fa"))
+    val fb = b.groupBy("word").agg(count(lit(1)).as("fb"))
+    val exact = fa.join(fb, "word")
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L))
+        .cast("long").as("exact_size"))
+    est.crossJoin(broadcast(exact))
+      .select(col("r"), col("est_size"), col("exact_size"),
+        (col("est_size") - col("exact_size")).as("overcount"))
+      .orderBy("r")
+  }
+
   // ---------------------------------------------------------------- q148
   /** Winsorized robust scaling report per event type: clip `value` at
     * the exact [p05, p95] quantiles and report what the clipping did —
@@ -504,6 +564,7 @@ object Profile {
     "q102_skew_profile" -> (q102SkewProfile _),
     "q105_equidepth_histogram" -> (q105EquidepthHistogram _),
     "q132_count_min_sketch" -> (q132CountMinSketch _),
+    "q234_join_size_estimate" -> (q234JoinSizeEstimate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -771,5 +832,35 @@ object Profile {
          |        GROUP BY 1, 2)
          |SELECT word, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
          |FROM est ORDER BY true_cnt DESC, word ASC""".stripMargin,
+
+    "q234_join_size_estimate" ->
+      s"""WITH rr AS (SELECT unnest(generate_series(0, ${JsD - 1})) AS r),
+         |sa0 AS (SELECT CAST(l_partkey AS VARCHAR) AS word FROM lineitem
+         |        WHERE l_returnflag = 'R'),
+         |sb0 AS (SELECT CAST(l_partkey AS VARCHAR) AS word FROM lineitem
+         |        WHERE l_quantity >= 40.0),
+         |sa AS (SELECT CAST(r AS BIGINT) AS r,
+         |              CAST(${graft.text.TextOps.hexToLongSql(
+                          "md5(CAST(r AS VARCHAR) || ':' || word)", 1, 8)}
+         |                   % $JsW AS BIGINT) AS b,
+         |              CAST(count(*) AS BIGINT) AS ca
+         |       FROM sa0 CROSS JOIN rr GROUP BY 1, 2),
+         |sb AS (SELECT CAST(r AS BIGINT) AS r,
+         |              CAST(${graft.text.TextOps.hexToLongSql(
+                          "md5(CAST(r AS VARCHAR) || ':' || word)", 1, 8)}
+         |                   % $JsW AS BIGINT) AS b,
+         |              CAST(count(*) AS BIGINT) AS cb
+         |       FROM sb0 CROSS JOIN rr GROUP BY 1, 2),
+         |est AS (SELECT sa.r, CAST(sum(sa.ca * sb.cb) AS BIGINT) AS est_size
+         |        FROM sa JOIN sb ON sa.r = sb.r AND sa.b = sb.b
+         |        GROUP BY 1),
+         |ex AS (SELECT CAST(COALESCE(sum(fa.c * fb.c), 0) AS BIGINT)
+         |              AS exact_size
+         |       FROM (SELECT word, count(*) AS c FROM sa0 GROUP BY 1) fa
+         |       JOIN (SELECT word, count(*) AS c FROM sb0 GROUP BY 1) fb
+         |         USING (word))
+         |SELECT r, est_size, exact_size,
+         |       est_size - exact_size AS overcount
+         |FROM est CROSS JOIN ex ORDER BY r""".stripMargin,
   )
 }

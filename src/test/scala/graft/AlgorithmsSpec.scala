@@ -541,4 +541,35 @@ class AlgorithmsSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == (1L to got.length).toSeq, "ranks dense from 1")
     assert(got.map(g => (g._2, g._3)).toSeq == expect.toSeq)
   }
+
+  test("butterfly census: hand-counted K22 fixture, cheaper wedge side chosen") {
+    // K2,2 on customers {1,2} × parts {10,11} (= 1 butterfly) plus a
+    // pendant edge (3,10). Wedge sums: part side d={3,2} → 3+1=4,
+    // cust side d={2,2,1} → 1+1+0=2 → the census must generate from
+    // the CUSTOMER side; the butterfly total is side-invariant so the
+    // hand count from the part side (pair (1,2) shares co=2 parts →
+    // C(2,2)=1; pairs with 3 share co=1 → 0) still applies.
+    val bip = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L))
+      .toDF("c", "p")
+    val r = CoPurchase.butterflyCensus(bip).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 3L, "n_customers")
+    assert(row.getLong(1) == 2L, "n_parts")
+    assert(row.getLong(2) == 5L, "n_edges")
+    assert(row.getLong(3) == 4L, "wedges_part_side")
+    assert(row.getLong(4) == 2L, "wedges_cust_side")
+    assert(row.getString(5) == "cust", "wedge side")
+    assert(row.getLong(6) == 1L, "n_butterflies")
+  }
+
+  test("butterfly census: hub star has wedges but zero butterflies") {
+    // one part shared by three customers: 3 wedges on the part side,
+    // no second shared part anywhere → no (2,2)-biclique
+    val bip = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("c", "p")
+    val row = CoPurchase.butterflyCensus(bip).collect()(0)
+    assert(row.getLong(3) == 3L && row.getLong(4) == 0L)
+    assert(row.getString(5) == "cust")
+    assert(row.getLong(6) == 0L)
+  }
 }

@@ -272,4 +272,37 @@ class ProfileSpec extends SparkSpec {
     assert(meanAbs > 0.5 && meanAbs < 1.6,
       s"mean |noise| $meanAbs implausible for Laplace(1)")
   }
+
+  test("join-size estimate: per-row est >= exact, matches sketch reference") {
+    import spark.implicits._
+    val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") ++ Seq("k4")).toDF("word")
+    val b = (Seq.fill(2)("k1") ++ Seq.fill(5)("k2") ++ Seq("k3")).toDF("word")
+    // exact |a ⋈ b| = 3·2 + 2·5 = 16 (k3/k4 unmatched)
+    val rows = Profile.joinSizeEstimate(a, b).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(rows.map(_._1).toSeq == (0L until Profile.JsD.toLong))
+    rows.foreach { case (r, (est, exact, over)) =>
+      assert(exact == 16L, s"row $r exact")
+      assert(est >= exact, s"row $r: inner-product estimate may never undercount")
+      assert(over == est - exact)
+    }
+    // in-memory reference with the same md5 bucket math
+    def bucket(r: Int, w: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r:$w".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % Profile.JsW
+    }
+    val fa = Map("k1" -> 3L, "k2" -> 2L, "k4" -> 1L)
+    val fb = Map("k1" -> 2L, "k2" -> 5L, "k3" -> 1L)
+    def cms(f: Map[String, Long], r: Int): Map[Long, Long] =
+      f.toSeq.groupMapReduce { case (w, _) => bucket(r, w) }(_._2)(_ + _)
+    val refEst = (0 until Profile.JsD).map { r =>
+      val ca = cms(fa, r); val cb = cms(fb, r)
+      r.toLong -> ca.map { case (bk, c) => c * cb.getOrElse(bk, 0L) }.sum
+    }.toMap
+    rows.foreach { case (r, (est, _, _)) =>
+      assert(est == refEst(r), s"row $r vs reference")
+    }
+  }
 }
