@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AsofJoin, Association, BloomJoin, EntityResolution, EventOps, JsonOps, Layout, Olap, Profile, RangeJoin, Relational, SetSimJoin, SkewJoin, Skyline, TypedEdges}
 import graft.graph.{Algorithms, Centrality, CoPurchase, Cores, GraphAudit, Louvain, Node2Vec, NodeEmbeddings, RandomWalks, StarContraction}
-import graft.text.{Classify, CorpusOps, EditOps, PolicyOps, SourceOps, SpanOps, TermOps, TextOps}
+import graft.text.{Classify, CorpusOps, EditOps, PolicyOps, SourceOps, SpanOps, SuffixArray, TermOps, TextOps}
 import graft.sim.{KMeans, Prod2Vec, Similarity}
 import graft.streaming.StreamOps
 
@@ -37,7 +37,7 @@ object SparkEntry {
       NodeEmbeddings.queries ++ Node2Vec.queries ++
       TextOps.queries ++
       CorpusOps.queries ++ PolicyOps.queries ++ SpanOps.queries ++
-      SourceOps.queries ++ EditOps.queries ++
+      SourceOps.queries ++ EditOps.queries ++ SuffixArray.queries ++
       Classify.queries ++ TermOps.queries ++
       Similarity.queries ++ KMeans.queries ++ Prod2Vec.queries ++
       StreamOps.queries
@@ -63,7 +63,7 @@ object SparkEntry {
       NodeEmbeddings.oracleSql ++ Node2Vec.oracleSql ++
       TextOps.oracleSql ++
       CorpusOps.oracleSql ++ PolicyOps.oracleSql ++ SpanOps.oracleSql ++
-      SourceOps.oracleSql ++ EditOps.oracleSql ++
+      SourceOps.oracleSql ++ EditOps.oracleSql ++ SuffixArray.oracleSql ++
       Classify.oracleSql ++ TermOps.oracleSql ++
       Similarity.oracleSql ++ KMeans.oracleSql ++ Prod2Vec.oracleSql ++ StreamOps.oracleSql
 }

@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.util.chaining._
+import graft.Checkpoints
+
+/** Distributed suffix-array construction by prefix doubling
+  * (Manber & Myers 1990; the MapReduce adaptation is folklore —
+  * each round sorts fixed-size (rank, rank@+h) pairs, never strings).
+  *
+  * WHY this operator: L48's duplicate-span detection (Lee et al.
+  * 2022) is the window-gram VIEW of substring dedup; the suffix
+  * array is the INDEX the paper actually builds — the structure that
+  * answers "longest repeated substring", arbitrary-length substring
+  * search, and exact-match positional queries, none of which a
+  * fixed-k gram relation can. At 100 TB the defining constraint is
+  * that suffix COMPARISON by string is unbounded (two suffixes can
+  * share megabytes of prefix); prefix doubling replaces every string
+  * comparison with a pair of fixed-width integer ranks, doubling the
+  * compared prefix each round — ⌈log₂ maxlen⌉ rounds of sort + join
+  * over rows of constant width.
+  *
+  * Scale decisions:
+  *  - Ordinal assignment (dense rank over distinct keys) is
+  *    sort + `zipWithIndex`, NOT a global `Window.orderBy` — an
+  *    un-partitioned window funnels the relation through ONE task,
+  *    the exact anti-pattern the grouped Mann–Whitney rank (A41)
+  *    exists to avoid. `zipWithIndex` is the distributed contiguous-
+  *    ordinal primitive the DataFrame API lacks (one extra job to
+  *    count per-partition sizes; indices follow the range-sorted
+  *    partition order, so the result is the global sorted position —
+  *    deterministic because the keyed rows are distinct).
+  *  - Each round's rank relation is lineage-cut ([[Checkpoints.cut]])
+  *    and the superseded round released, the iterative-algorithm
+  *    discipline shared with CC/Louvain/k-core.
+  *  - Early exit when every suffix's rank is already unique (the
+  *    common case long before h reaches maxlen on natural text).
+  *
+  * The oracled query bounds the corpus (doc_id < [[SaDocCap]],
+  * suffixes of the first [[SaMaxLen]] normalized chars) because the
+  * DuckDB mirror materializes every suffix STRING for its ORDER BY —
+  * Σ len²/2 chars, quadratic in document length. The bound caps the
+  * oracle, not the Spark path, which never materializes a suffix.
+  */
+object SuffixArray {
+
+  /** Oracle-universe bounds (see scaladoc above). */
+  val SaDocCap = 100
+  val SaMaxLen = 256
+
+  /** Order-preserving dense ordinal over the distinct (k1, k2) key
+    * pairs of `pairs`: (k1, k2, rank) with rank = position in the
+    * sorted distinct-key order. */
+  private def keyRanks(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("k1"), col("k2")).distinct()
+      .sort("k1", "k2")
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
+      .toDF("k1", "k2", "nrank")
+  }
+
+  /** Suffix array of every suffix of `docs` (columns: doc_id LONG,
+    * s STRING; s is indexed as-is — truncate upstream if the
+    * comparison horizon must be bounded). Output: (sa_rank, doc_id,
+    * pos), pos 1-based, ordered lexicographically by suffix with
+    * (doc_id, pos) breaking ties between byte-identical suffixes. */
+  def suffixArray(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col("doc_id"), col("s"))
+      .filter(col("s").isNotNull && length(col("s")) >= 1)
+    val maxLen = base.agg(coalesce(max(length(col("s"))), lit(0)))
+      .collect()(0).getInt(0).toLong // scalar: the doubling horizon
+    val chars = base
+      .select(col("doc_id"), posexplode(split(col("s"), "")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("ch"))
+    // round 0: rank of the single lead character (string sort order
+    // of one char == byte order of the suffix's first byte)
+    val charRank = chars.select("ch").distinct().sort("ch")
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (r.getString(0), i) }.toDF("ch", "r0")
+    var ranks = chars.join(charRank, "ch")
+      .select(col("doc_id"), col("pos"), col("r0").as("rank"))
+      .pipe(Checkpoints.cut)
+    val total = ranks.count()
+    var distinctRanks = ranks.select("rank").distinct().count()
+    var h = 1L
+    while (h < maxLen && distinctRanks < total) {
+      val right = ranks.select(col("doc_id").as("d2"),
+        (col("pos") - h).as("p2"), col("rank").as("rank2"))
+      val paired = ranks.join(right,
+          col("doc_id") === col("d2") && col("pos") === col("p2"), "left")
+        .select(col("doc_id"), col("pos"), col("rank").as("k1"),
+          coalesce(col("rank2"), lit(-1L)).as("k2"))
+      // cut the key-rank relation: consumed twice (join + the
+      // convergence count — |distinct keys| IS next round's distinct
+      // rank count, so no extra distinct pass over `next`)
+      val rk = keyRanks(paired).pipe(Checkpoints.cut)
+      val next = paired.join(rk, Seq("k1", "k2"))
+        .select(col("doc_id"), col("pos"), col("nrank").as("rank"))
+        .pipe(Checkpoints.cut)
+      distinctRanks = rk.count()
+      Checkpoints.release(ranks, rk)
+      ranks = next
+      h *= 2
+    }
+    ranks.sort("rank", "doc_id", "pos")
+      .rdd.zipWithIndex()
+      .map { case (r, i) => (i + 1, r.getLong(0), r.getLong(1)) }
+      .toDF("sa_rank", "doc_id", "pos")
+      .sort("sa_rank")
+  }
+
+  // ---------------------------------------------------------------- q236
+  /** q236: the suffix array of the bounded document universe
+    * (normalized text, first [[SaMaxLen]] chars of docs with
+    * doc_id < [[SaDocCap]]). */
+  def q236SuffixArray(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir)
+      .filter(col("doc_id") < SaDocCap)
+      .select(col("doc_id"), substring(col("s"), 1, SaMaxLen).as("s"))
+    suffixArray(d)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q236_suffix_array" -> (q236SuffixArray _),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q236_suffix_array" ->
+      s"""WITH ${TextOps.normCte},
+         |b AS (SELECT doc_id, substr(s, 1, $SaMaxLen) AS s FROM n
+         |      WHERE doc_id < $SaDocCap AND length(s) >= 1),
+         |ex AS (SELECT doc_id, s,
+         |              unnest(generate_series(1, length(s))) AS pos
+         |       FROM b),
+         |suf AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |               substr(s, pos) AS suffix
+         |        FROM ex)
+         |SELECT CAST(row_number() OVER (ORDER BY suffix, doc_id, pos)
+         |            AS BIGINT) AS sa_rank,
+         |       doc_id, pos
+         |FROM suf ORDER BY sa_rank""".stripMargin,
+  )
+}
