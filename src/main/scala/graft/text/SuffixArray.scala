@@ -126,24 +126,107 @@ object SuffixArray {
     suffixArray(d)
   }
 
+  // ---------------------------------------------------------------- q237
+  /** Pairs reported by the repeated-substring query. */
+  val LrsTopK = 10
+
+  /** q237: longest repeated substrings — THE suffix-array deliverable
+    * (Lee et al. 2022 §3 use exactly this index+LCP reading to find
+    * dedup-worthy runs). A substring repeats iff two suffixes share a
+    * prefix, and the longest shared prefix between ANY two suffixes is
+    * realized by two suffixes ADJACENT in suffix-array order — so the
+    * corpus-wide answer needs only the n−1 adjacent-rank LCPs, never a
+    * pairwise comparison. LCP is computed by built-in array functions
+    * (zip_with equality + array_position of the first false — null
+    * padding past the shorter string never precedes a mismatch), on
+    * the two suffix strings re-extracted by position; only the
+    * [[LrsTopK]] report rows carry strings to the driver.
+    *
+    * Output: top-[[LrsTopK]] adjacent pairs by LCP (ties broken by
+    * sa_rank), with both occurrences' coordinates and the repeated
+    * prefix itself. */
+  /** Common-prefix length of two strings, built-ins only: zip the
+    * char arrays with equality, take the position of the first
+    * `false`; if none, the shorter length is the LCP (zip_with's null
+    * padding past the shorter string never precedes a mismatch). */
+  private[graft] def lcpCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val eq = zip_with(split(a, ""), split(b, ""), (x, y) => x === y)
+    val firstFalse = array_position(eq, false)
+    when(firstFalse === 0L, least(length(a), length(b)))
+      .otherwise(firstFalse - 1).cast("long")
+  }
+
+  def q237LongestRepeatedSubstrings(spark: SparkSession,
+      dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir)
+      .filter(col("doc_id") < SaDocCap)
+      .select(col("doc_id"), substring(col("s"), 1, SaMaxLen).as("s"))
+      .pipe(Checkpoints.cut)
+    val sa = suffixArray(d)
+    val withSuf = sa
+      .join(d.withColumnRenamed("doc_id", "sd"), col("doc_id") === col("sd"))
+      .select(col("sa_rank"), col("doc_id"), col("pos"),
+        expr(s"substring(s, pos, $SaMaxLen)").as("suffix"))
+    val nxt = withSuf.select((col("sa_rank") - 1).as("r2"),
+      col("doc_id").as("doc_id2"), col("pos").as("pos2"),
+      col("suffix").as("suffix2"))
+    val pairs = withSuf.join(nxt, col("sa_rank") === col("r2"))
+      .withColumn("lcp", lcpCol(col("suffix"), col("suffix2")))
+    pairs
+      .orderBy(col("lcp").desc, col("sa_rank").asc)
+      .limit(LrsTopK)
+      .select(col("sa_rank"), col("doc_id"), col("pos"),
+        col("doc_id2"), col("pos2"), col("lcp"),
+        expr("substring(suffix, 1, lcp)").as("repeated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q236_suffix_array" -> (q236SuffixArray _),
+    "q237_longest_repeated_substrings" -> (q237LongestRepeatedSubstrings _),
   )
+
+  /** Shared oracle CTE chain: the bounded universe and its ranked
+    * suffix relation. */
+  private def saCtes: String =
+    s"""${TextOps.normCte},
+       |b AS (SELECT doc_id, substr(s, 1, $SaMaxLen) AS s FROM n
+       |      WHERE doc_id < $SaDocCap AND length(s) >= 1),
+       |ex AS (SELECT doc_id, s,
+       |              unnest(generate_series(1, length(s))) AS pos
+       |       FROM b),
+       |suf AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |               substr(s, pos) AS suffix
+       |        FROM ex),
+       |sa AS (SELECT CAST(row_number() OVER (ORDER BY suffix, doc_id, pos)
+       |              AS BIGINT) AS sa_rank,
+       |              doc_id, pos, suffix
+       |       FROM suf)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q236_suffix_array" ->
-      s"""WITH ${TextOps.normCte},
-         |b AS (SELECT doc_id, substr(s, 1, $SaMaxLen) AS s FROM n
-         |      WHERE doc_id < $SaDocCap AND length(s) >= 1),
-         |ex AS (SELECT doc_id, s,
-         |              unnest(generate_series(1, length(s))) AS pos
-         |       FROM b),
-         |suf AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |               substr(s, pos) AS suffix
-         |        FROM ex)
-         |SELECT CAST(row_number() OVER (ORDER BY suffix, doc_id, pos)
-         |            AS BIGINT) AS sa_rank,
-         |       doc_id, pos
-         |FROM suf ORDER BY sa_rank""".stripMargin,
+      s"""WITH $saCtes
+         |SELECT sa_rank, doc_id, pos FROM sa ORDER BY sa_rank""".stripMargin,
+
+    "q237_longest_repeated_substrings" ->
+      s"""WITH $saCtes,
+         |adj AS (SELECT a.sa_rank, a.doc_id, a.pos,
+         |               b.doc_id AS doc_id2, b.pos AS pos2,
+         |               a.suffix AS s1, b.suffix AS s2
+         |        FROM sa a JOIN sa b ON b.sa_rank = a.sa_rank + 1),
+         |lj AS (SELECT sa_rank, doc_id, pos, doc_id2, pos2, s1, s2,
+         |              unnest(generate_series(
+         |                1, LEAST(length(s1), length(s2)))) AS j
+         |       FROM adj),
+         |-- prefix equality is monotone in j, so max matching j = LCP
+         |l AS (SELECT sa_rank, doc_id, pos, doc_id2, pos2,
+         |             max(s1) AS s1,
+         |             CAST(max(CASE WHEN substr(s1, 1, CAST(j AS INT)) =
+         |                               substr(s2, 1, CAST(j AS INT))
+         |                          THEN j ELSE 0 END) AS BIGINT) AS lcp
+         |      FROM lj GROUP BY 1, 2, 3, 4, 5)
+         |SELECT sa_rank, doc_id, pos, doc_id2, pos2, lcp,
+         |       substr(s1, 1, CAST(lcp AS INT)) AS repeated
+         |FROM l ORDER BY lcp DESC, sa_rank ASC LIMIT $LrsTopK""".stripMargin,
   )
 }

@@ -41,6 +41,39 @@ class SuffixArraySpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("lcp column: mismatch, prefix, disjoint, identical") {
+    import org.apache.spark.sql.functions.col
+    val got = Seq(("abc", "abd"), ("ab", "abc"), ("x", "y"),
+        ("same", "same"), ("", "a"))
+      .toDF("a", "b")
+      .select(SuffixArray.lcpCol(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 2L, 0L, 4L, 0L))
+  }
+
+  test("longest repeated substring: planted duplicate run wins") {
+    import org.apache.spark.sql.functions.col
+    // the 20-char run is planted twice across docs; everything else
+    // is unique filler, so the top adjacent-LCP pair must recover it
+    val run = "the quick brown fox!"
+    val docs = Seq((1L, s"aaa $run bbb"), (2L, s"ccc $run ddd"))
+      .toDF("doc_id", "s")
+    val sa = SuffixArray.suffixArray(docs)
+    val withSuf = sa.join(docs.withColumnRenamed("doc_id", "sd"),
+        col("doc_id") === col("sd"))
+      .selectExpr("sa_rank", "substring(s, pos, 1000) AS suffix")
+    val nxt = withSuf.selectExpr("sa_rank - 1 AS r2", "suffix AS suffix2")
+    val best = withSuf.join(nxt, col("sa_rank") === col("r2"))
+      .withColumn("lcp", SuffixArray.lcpCol(col("suffix"), col("suffix2")))
+      .orderBy(col("lcp").desc).limit(1)
+      .selectExpr("lcp", "substring(suffix, 1, lcp) AS repeated")
+      .collect()(0)
+    // longest common run is " <run> " (the spaces flank it in both docs)
+    assert(best.getLong(0) == run.length + 2L,
+      s"lcp ${best.getLong(0)} must be the planted run plus flanking spaces")
+    assert(best.getString(1) == s" $run ")
+  }
+
   test("empty and null docs are skipped, multiple docs interleave") {
     val got = sa(Seq((1L, "ba"), (2L, ""), (3L, "ab")))
     // suffixes: a@(1,2)? no — "ba": b(1) a(2); "ab": a(1) b(2)
