@@ -185,7 +185,7 @@ object Profile {
     * sized against the PRODUCT of the stream masses, not one
     * stream's. */
   val JsD = 4
-  val JsW = 1024
+  val JsW = 8192
 
   /** CMS join-size estimation (Cormode & Muthukrishnan 2005 §4.2,
     * AGMS lineage): |A ⋈ₖ B| = Σₖ fA(k)·fB(k), the inner product of
