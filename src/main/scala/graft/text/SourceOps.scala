@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 import graft.functions.WordShingles
 
 /** Corpus-composition audits over the document corpus: cross-source
@@ -550,7 +551,70 @@ object SourceOps {
       .orderBy("src_a", "src_b")
   }
 
+  // ---------------------------------------------------------------- q238
+  /** q238: greedy maximum-coverage source ordering (Nemhauser, Wolsey
+    * & Fisher 1978 — the (1−1/e)-approximate greedy that data
+    * sourcing actually runs): in what order do sources add distinct
+    * content? Step t picks the unchosen source contributing the most
+    * NOT-yet-covered distinct word tokens (ties → lexicographically
+    * first source), the submodular-selection primitive behind corpus
+    * composition, dataset distillation, and acquisition budgeting.
+    *
+    * Scale shape: rounds = the selection budget k (here: every
+    * source, a DIMENSION of the data, never corpus-scale); per round
+    * ONE anti-join of the (source, token) relation against the
+    * covered-token set plus one |sources|-row aggregate — the only
+    * driver state is that bounded gain vector and the pick itself.
+    * The covered relation is lineage-cut per round and superseded
+    * rounds released (the iterative-algorithm discipline). At 100 TB
+    * the (source, token) relation is the one corpus-scale input and
+    * it is built ONCE; the textbook lazy-greedy priority queue is a
+    * driver-side refinement this round structure doesn't need because
+    * k = |sources|.
+    *
+    * Output: (step, source, new_tokens, cum_tokens), the coverage
+    * curve a sourcing owner reads top-down. */
+  def q238GreedySourceCoverage(spark: SparkSession, dir: String): DataFrame =
+    greedyCoverage(TextOps.docs(spark, dir)
+      .select(col("source"), explode(split(col("s"), " ")).as("w"))
+      .filter(col("w") =!= "").distinct())
+
+  /** Greedy core over a distinct (source, w) coverage relation. */
+  private[graft] def greedyCoverage(tok0: DataFrame): DataFrame = {
+    val spark = tok0.sparkSession
+    import spark.implicits._
+    val tok = tok0.pipe(graft.Checkpoints.cut)
+    // source list: a data DIMENSION (20 at every SF), not corpus rows
+    val sources = tok.select("source").distinct()
+      .collect().map(_.getString(0)).sorted
+    var covered = tok.select("w").limit(0).pipe(graft.Checkpoints.cut)
+    val remaining = scala.collection.mutable.ArrayBuffer(sources: _*)
+    val picks = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
+    var cum = 0L
+    for (step <- 1 to sources.length) {
+      val gains = tok
+        .join(covered.select(col("w").as("cw")), col("w") === col("cw"),
+          "left_anti")
+        .groupBy("source").agg(count(lit(1)).as("gain"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val (gain, src) = remaining
+        .map(s0 => (gains.getOrElse(s0, 0L), s0))
+        .minBy { case (g, s0) => (-g, s0) }
+      cum += gain
+      picks += ((step.toLong, src, gain, cum))
+      remaining -= src
+      val nextCovered = covered
+        .union(tok.filter(col("source") === src).select("w")).distinct()
+        .pipe(graft.Checkpoints.cut)
+      graft.Checkpoints.release(covered)
+      covered = nextCovered
+    }
+    picks.toSeq.toDF("step", "source", "new_tokens", "cum_tokens")
+      .orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_greedy_source_coverage" -> (q238GreedySourceCoverage _),
     "q215_sketch_overlap" -> (q215SketchOverlap _),
     "q199_source_scorecard" -> (q199SourceScorecard _),
     "q192_temperature_mix" -> (q192TemperatureMix _),
@@ -573,6 +637,49 @@ object SourceOps {
        |             greatest(len(ws) - ${AuditShingle - 1}, 0))) AS t(i))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q238_greedy_source_coverage" ->
+      s"""WITH RECURSIVE sn AS (
+         |  SELECT source,
+         |         lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
+         |  FROM documents),
+         |tok AS (SELECT DISTINCT source, w FROM (
+         |          SELECT source, unnest(string_split(s, ' ')) AS w FROM sn)
+         |        WHERE w <> ''),
+         |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS k FROM tok),
+         |steps AS (
+         |  SELECT CAST(0 AS BIGINT) AS step, CAST([] AS VARCHAR[]) AS chosen
+         |  UNION ALL
+         |  SELECT s.step + 1, list_append(s.chosen, (
+         |      SELECT src FROM (
+         |        SELECT ds.source AS src,
+         |               COALESCE((SELECT count(DISTINCT t.w) FROM tok t
+         |                         WHERE t.source = ds.source
+         |                           AND NOT EXISTS (SELECT 1 FROM tok c
+         |                                 WHERE list_contains(s.chosen, c.source)
+         |                                   AND c.w = t.w)), 0) AS gain
+         |        FROM (SELECT DISTINCT source FROM tok) ds
+         |        WHERE NOT list_contains(s.chosen, ds.source))
+         |      ORDER BY gain DESC, src ASC LIMIT 1))
+         |  FROM steps s, ns WHERE s.step < ns.k),
+         |fin AS (SELECT chosen FROM steps, ns WHERE step = ns.k),
+         |ex AS (SELECT unnest(generate_series(1, len(chosen))) AS step,
+         |              chosen
+         |       FROM fin),
+         |cum AS (SELECT CAST(step AS BIGINT) AS step,
+         |               list_extract(chosen, CAST(step AS INT)) AS source,
+         |               (SELECT CAST(count(DISTINCT t.w) AS BIGINT)
+         |                FROM tok t
+         |                WHERE list_contains(
+         |                  list_slice(chosen, 1, CAST(step AS INT)),
+         |                  t.source)) AS cum_tokens
+         |        FROM ex)
+         |SELECT step, source,
+         |       CAST(cum_tokens -
+         |            COALESCE(lag(cum_tokens) OVER (ORDER BY step), 0)
+         |            AS BIGINT) AS new_tokens,
+         |       cum_tokens
+         |FROM cum ORDER BY step""".stripMargin,
+
     "q199_source_scorecard" ->
       s"""WITH ${TextOps.normCte},
          |d AS (SELECT n.doc_id, doc.source, doc.lang, md5(doc.text) AS fp,

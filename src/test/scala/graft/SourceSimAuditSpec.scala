@@ -427,4 +427,23 @@ class SourceSimAuditSpec extends SparkSpec {
     assert(mergedEst == u12,
       s"merged-source estimate $mergedEst != pair union estimate $u12")
   }
+
+  test("greedy coverage: hand-worked order, ties lexicographic, zero gains kept") {
+    // B covers 4 tokens, then A and C tie at gain 1 → A first (lex)
+    val tok = Seq(
+      ("A", "a"), ("A", "b"), ("A", "c"),
+      ("B", "b"), ("B", "c"), ("B", "d"), ("B", "e"),
+      ("C", "e"), ("C", "f"))
+      .toDF("source", "w")
+    val got = SourceOps.greedyCoverage(tok).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, "B", 4L, 4L), (2L, "A", 1L, 5L), (3L, "C", 1L, 6L)))
+
+    // a fully-shadowed source still appears, with zero gain
+    val tok2 = Seq(("A", "x"), ("B", "x")).toDF("source", "w")
+    val got2 = SourceOps.greedyCoverage(tok2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got2.toSeq == Seq((1L, "A", 1L, 1L), (2L, "B", 0L, 1L)))
+  }
 }
