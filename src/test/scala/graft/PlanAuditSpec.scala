@@ -703,4 +703,57 @@ class PlanAuditSpec extends SparkSpec {
     assert(winLines.forall(!_.matches(".*partitionBy=\\[\\].*")),
       s"unpartitioned window (global sort):\n${winLines.mkString("\n")}")
   }
+
+  test("q233: the partkey cap pushes through the pair join to the scan") {
+    // cc-star bounds its graph with src<cap AND dst<cap on DERIVED
+    // pair columns; Catalyst must translate both into l_partkey
+    // pushdowns on the lineitem scans, or the unbounded corpus is
+    // read just to be thrown away. The audit reads the edge relation
+    // the loop MATERIALIZES (its lineage cut hides the scan from the
+    // final plan).
+    import org.apache.spark.sql.functions.col
+    val t = Tables(spark, sfDir())
+    val e = graft.graph.CoPurchase.edges(t)
+      .filter(col("src") < graft.graph.StarContraction.CcCap &&
+        col("dst") < graft.graph.StarContraction.CcCap)
+    val p = plan(e)
+    val pfs = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(pfs.exists(f => f.contains("LessThan(l_partkey")),
+      s"partkey cap not pushed to the lineitem scan:\n${pfs.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q234: both stream predicates reach their lineitem scans") {
+    val p = plan(graft.operators.Profile.q234JoinSizeEstimate(spark, sfDir()))
+    val pfs = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(pfs.exists(_.contains("EqualTo(l_returnflag,R)")),
+      s"returnflag predicate not pushed:\n${pfs.mkString("\n")}")
+    assert(pfs.exists(_.contains("GreaterThanOrEqual(l_quantity")),
+      s"quantity predicate not pushed:\n${pfs.mkString("\n")}")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "exact-size scalar must broadcast, never a real cartesian")
+  }
+
+  test("q236/q237: the doc_id bound reaches the documents scan") {
+    // the suffix-array rounds are lineage-cut, so the parquet scan
+    // only appears in the plan of the bounded input relation the
+    // first round materializes
+    import org.apache.spark.sql.functions.{col, substring}
+    val d = graft.text.TextOps.docs(spark, sfDir())
+      .filter(col("doc_id") < graft.text.SuffixArray.SaDocCap)
+      .select(col("doc_id"),
+        substring(col("s"), 1, graft.text.SuffixArray.SaMaxLen).as("s"))
+    val p = plan(d)
+    val pfs = "PushedFilters: \\[([^\\]]*)\\]".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(pfs.exists(_.contains("LessThan(doc_id")),
+      s"doc_id bound not pushed:\n${pfs.mkString("\n")}")
+    // and the scan reads only the two needed columns
+    val rs = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p"))
+    assert(rs.split(",").length == 2, s"documents scan not pruned: $rs")
+  }
 }
