@@ -67,7 +67,12 @@ object SuffixArray {
     * comparison horizon must be bounded). Output: (sa_rank, doc_id,
     * pos), pos 1-based, ordered lexicographically by suffix with
     * (doc_id, pos) breaking ties between byte-identical suffixes. */
-  def suffixArray(docs: DataFrame): DataFrame = {
+  def suffixArray(docs: DataFrame): DataFrame =
+    suffixArrayWithRounds(docs)._1
+
+  /** [[suffixArray]] plus the doubling-round count, for specs and the
+    * part-16 scale curve. */
+  private[graft] def suffixArrayWithRounds(docs: DataFrame): (DataFrame, Int) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col("doc_id"), col("s"))
@@ -89,7 +94,9 @@ object SuffixArray {
     val total = ranks.count()
     var distinctRanks = ranks.select("rank").distinct().count()
     var h = 1L
+    var rounds = 0
     while (h < maxLen && distinctRanks < total) {
+      rounds += 1
       val right = ranks.select(col("doc_id").as("d2"),
         (col("pos") - h).as("p2"), col("rank").as("rank2"))
       val paired = ranks.join(right,
@@ -108,11 +115,12 @@ object SuffixArray {
       ranks = next
       h *= 2
     }
-    ranks.sort("rank", "doc_id", "pos")
+    val sa = ranks.sort("rank", "doc_id", "pos")
       .rdd.zipWithIndex()
       .map { case (r, i) => (i + 1, r.getLong(0), r.getLong(1)) }
       .toDF("sa_rank", "doc_id", "pos")
       .sort("sa_rank")
+    (sa, rounds)
   }
 
   // ---------------------------------------------------------------- q236

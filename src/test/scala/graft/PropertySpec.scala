@@ -140,4 +140,48 @@ class PropertySpec extends SparkSpec {
       got == refSpans(docs, k)
     }, n = 8, seed = 23L)
   }
+
+  // -------------------------------------------- star-contraction CC
+  test("property: star contraction == min-label CC on random graphs") {
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(0, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b))
+    } yield (n.toLong, es)
+    check(Prop.forAll(gen) { case (n, es) =>
+      val nodes = (0L until n).toDF("node")
+      val e = es.toDF("u", "v")
+      val star = graft.graph.StarContraction.components(nodes, e)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val und = e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+        .filter(col("src") =!= col("dst")).distinct()
+      val ref = graft.graph.Algorithms.connectedComponents(nodes, und)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      star == ref
+    }, n = 10, seed = 31L)
+  }
+
+  // -------------------------------------------- suffix array
+  test("property: prefix-doubling SA == scalar suffix sort on random corpora") {
+    val gen = for {
+      nd <- Gen.choose(1, 4)
+      docs <- Gen.listOfN(nd, for {
+        len <- Gen.choose(1, 80)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    check(Prop.forAll(gen) { docs =>
+      val got = graft.text.SuffixArray.suffixArray(docs.toDF("doc_id", "s"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+      val ref = docs.flatMap { case (id, s) =>
+        (1 to s.length).map(p => (s.substring(p - 1), id, p.toLong))
+      }.sortBy { case (suf, id, p) => (suf, id, p) }
+        .map { case (_, id, p) => (id, p) }
+      got == ref
+    }, n = 8, seed = 37L)
+  }
 }
