@@ -191,10 +191,69 @@ object SpanOps {
   def q169ChunkStride(spark: SparkSession, dir: String): DataFrame =
     strideChunks(TextOps.docs(spark, dir), ChunkWindow, ChunkStep)
 
+  // ---------------------------------------------------------------- q239
+  /** Winnowing gram width / window size (Schleimer, Wilkerson & Aiken
+    * 2003 §4: guarantee = any match of length ≥ w+k−1 shares a
+    * fingerprint; expected density 2/(w+1)). */
+  val WinnowK = 5
+  val WinnowW = 8
+
+  /** q239: winnowing fingerprint selection (the MOSS local
+    * fingerprinting) — the dedup-family member q30/q124 lack: q30
+    * fingerprints whole documents (any edit breaks it), q124 chunks
+    * at content-defined boundaries (good for storage dedup), while
+    * winnowing GUARANTEES any shared run of ≥ [[WinnowW]]+[[WinnowK]]−1
+    * chars contributes a shared fingerprint, at a bounded expected
+    * density of 2/(w+1) — the property plagiarism/near-dup index
+    * builders actually need.
+    *
+    * Implementation: per-position k-gram hash → one composite long
+    * v = h₄₀·2²⁰ + (2²⁰−1−pos), so a single frame MIN over the
+    * per-doc position window picks the minimum hash with RIGHTMOST
+    * tie-breaking (the paper's basic winnowing rule; its "robust"
+    * variant prefers the previous window's pick — stateful across
+    * windows, which a frame aggregate cannot express and the
+    * guarantee does not require) without any struct comparison —
+    * fully codegen-friendly, and the SQL mirror is the identical
+    * arithmetic. The window is PARTITIONED by doc
+    * (never a global sort); selected picks dedupe per doc.
+    * Positions are bounded by 2²⁰ per doc — at 100 TB, docs beyond
+    * ~1M chars shard into [[q169ChunkStride]]-style segments first.
+    *
+    * Output per doc: gram/window counts, fingerprints selected, and
+    * the realized density (≈ 2/(w+1), spec-pinned against a scalar
+    * reference). */
+  def q239Winnowing(spark: SparkSession, dir: String): DataFrame =
+    winnowing(graft.text.TextOps.docs(spark, dir), WinnowK, WinnowW)
+
+  private[graft] def winnowing(d: DataFrame, k: Int, w: Int): DataFrame = {
+    val grams = d.filter(length(col("s")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        (conv(substring(md5(col("pg.gram")), 1, 10), 16, 10).cast("long")
+          * lit(1048576L) + (lit(1048575L) - col("pg.pos"))).as("v"))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rangeBetween(-(w - 1), 0)
+    val picks = grams.withColumn("mv", min(col("v")).over(win))
+      .filter(col("pos") >= w) // full windows only
+      .select(col("doc_id"), col("mv")).distinct()
+    val per = picks.groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
+    val gcnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    gcnt.join(per, "doc_id")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_grams") - (w - 1)).as("n_windows"),
+        col("n_fingerprints"),
+        round(col("n_fingerprints") /
+          (col("n_grams") - (w - 1)).cast("double"), 6).as("density"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_substring_dedup" -> (q164SubstringDedup _),
     "q169_chunk_stride" -> (q169ChunkStride _),
     "q170_span_scrub" -> (q170SpanScrub _),
+    "q239_winnowing" -> (q239Winnowing _),
   )
 
   /** q164's span relation as reusable CTEs (through `sp`). */
@@ -230,6 +289,36 @@ object SpanOps {
        |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q239_winnowing" ->
+      s"""WITH ${TextOps.normCte},
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |             substr(s, CAST(i AS INT), $WinnowK) AS gram
+         |      FROM (SELECT doc_id, s,
+         |              unnest(generate_series(1, length(s) - ${WinnowK - 1}))
+         |                AS i
+         |            FROM n WHERE length(s) >= ${WinnowK + WinnowW - 1})),
+         |v AS (SELECT doc_id, pos,
+         |             ${TextOps.hexToLongSql("md5(gram)", 1, 10)}
+         |               * 1048576 + (1048575 - pos) AS v
+         |      FROM g),
+         |m AS (SELECT doc_id, pos,
+         |             min(v) OVER (PARTITION BY doc_id ORDER BY pos
+         |               RANGE BETWEEN ${WinnowW - 1} PRECEDING
+         |                 AND CURRENT ROW) AS mv
+         |      FROM v),
+         |sel AS (SELECT DISTINCT doc_id, mv FROM m WHERE pos >= $WinnowW),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fingerprints
+         |        FROM sel GROUP BY 1),
+         |gg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+         |       FROM g GROUP BY 1)
+         |SELECT gg.doc_id, gg.n_grams,
+         |       gg.n_grams - ${WinnowW - 1} AS n_windows,
+         |       per.n_fingerprints,
+         |       round(per.n_fingerprints /
+         |             CAST(gg.n_grams - ${WinnowW - 1} AS DOUBLE), 6)
+         |         AS density
+         |FROM gg JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin,
+
     "q164_substring_dedup" ->
       s"""WITH $spanCtes
          |SELECT doc_id, span_start, span_end, span_len

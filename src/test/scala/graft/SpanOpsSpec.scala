@@ -157,4 +157,66 @@ class SpanOpsSpec extends SparkSpec {
     // doc 3: 33 tokens -> second window adds token 33
     assert(byDoc(3L).size == 2 && byDoc(3L).map(_._4).toSet == Set(32L, 9L))
   }
+
+  /** Scalar robust winnowing (Schleimer et al. 2003): same md5-40bit
+    * composite encoding, sliding window min, distinct picks. */
+  private def refWinnow(s: String, k: Int, w: Int): (Long, Long, Long) = {
+    val grams = (0 to s.length - k).map(i => (i + 1, s.substring(i, i + k)))
+    val vs = grams.map { case (pos, g) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+      java.lang.Long.parseLong(hex, 16) * 1048576L + (1048575L - pos)
+    }
+    val picks = (w - 1 until vs.length)
+      .map(i => vs.slice(i - w + 1, i + 1).min).distinct
+    (grams.length.toLong, (grams.length - w + 1).toLong, picks.length.toLong)
+  }
+
+  test("winnowing matches the scalar reference and its density bounds") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "aaaaaaaaaaaaaaaaaaaa"), // degenerate: one distinct gram
+      (3L, "abcabcabcabcabcabcabcabc"), // period-3 repetition
+      (4L, "mixed 123 content with, punctuation! and spaces  ok"))
+    val got = SpanOps.winnowing(docs.toDF("doc_id", "s"),
+        SpanOps.WinnowK, SpanOps.WinnowW)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    for ((id, s) <- docs) {
+      val (ng, nw, nf) = refWinnow(s, SpanOps.WinnowK, SpanOps.WinnowW)
+      val (g1, g2, g3, dens) = got(id)
+      assert((g1, g2, g3) == ((ng, nw, nf)), s"doc $id vs scalar reference")
+      // coverage guarantee: >= 1 pick per w consecutive windows;
+      // density bounded by window count
+      assert(g3 >= (g2 + SpanOps.WinnowW - 1) / SpanOps.WinnowW && g3 <= g2)
+      assert(math.abs(dens - g3.toDouble / g2) < 1e-6 + 5e-7)
+    }
+    // all-'a' doc: every window's rightmost-min is its newest
+    // position, so the positional pick count equals the window count
+    // (the rightmost rule trades density for position coverage on
+    // degenerate runs — Schleimer et al. §5 discuss exactly this)
+    assert(got(2L)._3 == got(2L)._2)
+  }
+
+  test("winnowing guarantee: docs sharing a >= w+k-1 run share a fingerprint") {
+    val run = "zqxjvzqxjvzq" // 12 chars = WinnowW + WinnowK - 1
+    val d1 = s"first document $run tail one"
+    val d2 = s"completely different prefix $run other end"
+    val sel = (s: String) => {
+      val grams = (0 to s.length - SpanOps.WinnowK)
+        .map(i => (i + 1, s.substring(i, i + SpanOps.WinnowK)))
+      val vs = grams.map { case (pos, g) =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+        (java.lang.Long.parseLong(hex, 16), pos)
+      }
+      (SpanOps.WinnowW - 1 until vs.length)
+        .map(i => vs.slice(i - SpanOps.WinnowW + 1, i + 1)
+          .minBy { case (h, p) => (h, -p) })
+        .map(_._1).toSet
+    }
+    assert(sel(d1).intersect(sel(d2)).nonEmpty,
+      "the paper's guarantee: a shared run of w+k-1 chars must share a fingerprint hash")
+  }
 }
