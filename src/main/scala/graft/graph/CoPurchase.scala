@@ -156,7 +156,9 @@ object CoPurchase {
     val bip = bip0.pipe(graft.Checkpoints.cut)
     def wedgeSum(side: String): Long =
       bip.groupBy(side).agg(count(lit(1)).as("d"))
-        .agg(coalesce(sum(col("d") * (col("d") - 1) / 2), lit(0L))
+        // integral `div`, not `/` (double): C(d,2) summed as DOUBLE
+        // loses exactness past 2^53 — the oracle's `//` semantics
+        .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L))
           .cast("long"))
         .collect()(0).getLong(0) // 1-row scalar: the side-choice stat
     val (wp, wc) = (wedgeSum("p"), wedgeSum("c"))
@@ -168,7 +170,7 @@ object CoPurchase {
           col(s"x.$end") < col(s"y.$end"))
       .groupBy(col(s"x.$end").as("a"), col(s"y.$end").as("b"))
       .agg(count(lit(1)).as("co"))
-    val bf = pairs.agg(coalesce(sum(col("co") * (col("co") - 1) / 2), lit(0L))
+    val bf = pairs.agg(coalesce(sum(expr("co * (co - 1) div 2")), lit(0L))
       .cast("long").as("n_butterflies"))
     val sides = bip.agg(
       countDistinct(col("c")).as("n_customers"),

@@ -231,8 +231,16 @@ object SpanOps {
       .select(col("doc_id"),
         explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"),
-        (conv(substring(md5(col("pg.gram")), 1, 10), 16, 10).cast("long")
-          * lit(1048576L) + (lit(1048575L) - col("pg.pos"))).as("v"))
+        // the composite is only order-correct while pos < 2^20; a doc
+        // past the bound must FAIL LOUDLY, not silently corrupt the
+        // min/tie-break order (shard long docs via q169ChunkStride)
+        when(col("pg.pos") <= lit(1048575L),
+          conv(substring(md5(col("pg.gram")), 1, 10), 16, 10).cast("long")
+            * lit(1048576L) + (lit(1048575L) - col("pg.pos")))
+          .otherwise(raise_error(format_string(
+            "winnowing: doc %d has %d+ grams, past the 2^20 composite " +
+              "position bound; shard long docs (q169ChunkStride) first",
+            col("doc_id"), col("pg.pos")))).as("v"))
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rangeBetween(-(w - 1), 0)
     val picks = grams.withColumn("mv", min(col("v")).over(win))
