@@ -68,6 +68,15 @@ object SpanOps {
     // (vocabulary-sized shuffle) and the dup side is the pre-filtered
     // minority, so AQE may broadcast-convert it when small
     val dupPos = pos.join(dup, "gram").select("doc_id", "pos")
+    mergeSpans(dupPos, k)
+  }
+
+  /** Gaps-and-islands merge of duplicated gram START positions into
+    * maximal spans: positions whose k-windows touch or overlap fuse
+    * into one (doc_id, span_start, span_end, span_len) row. Work is
+    * one per-doc window — bounded by document length, shared by the
+    * gram path (q164) and the suffix-array path (q242). */
+  private[graft] def mergeSpans(dupPos: DataFrame, k: Int): DataFrame = {
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
     val prevEnd = max(col("pos") + k).over(
       byPos.rowsBetween(Window.unboundedPreceding, -1))
@@ -264,23 +273,25 @@ object SpanOps {
     "q239_winnowing" -> (q239Winnowing _),
   )
 
-  /** q164's span relation as reusable CTEs (through `sp`). */
-  private def spanCtes =
-    s"""${TextOps.normCte},
-       |pos AS (
+  /** q164's span relation as reusable CTEs (through `sp`),
+    * parameterized over the source CTE (must expose doc_id, s) and
+    * the gram width — the q242 oracle reuses it over the bounded
+    * suffix-array universe. */
+  private[graft] def spanCtesOver(src: String, k: Int): String =
+    s"""pos AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
-       |         substr(s, CAST(i AS INT), $SpanGram) AS gram
-       |  FROM n, unnest(generate_series(1, length(s) - $SpanGram + 1)) AS t(i)
-       |  WHERE length(s) >= $SpanGram),
+       |         substr(s, CAST(i AS INT), $k) AS gram
+       |  FROM $src, unnest(generate_series(1, length(s) - $k + 1)) AS t(i)
+       |  WHERE length(s) >= $k),
        |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
        |dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
        |f AS (
        |  SELECT doc_id, pos,
-       |         CASE WHEN max(pos + $SpanGram) OVER (
+       |         CASE WHEN max(pos + $k) OVER (
        |                PARTITION BY doc_id ORDER BY pos
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
        |              IS NULL
-       |           OR pos > max(pos + $SpanGram) OVER (
+       |           OR pos > max(pos + $k) OVER (
        |                PARTITION BY doc_id ORDER BY pos
        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
        |         THEN 1 ELSE 0 END AS new_island
@@ -292,9 +303,13 @@ object SpanOps {
        |  FROM f),
        |sp AS (
        |  SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       |         CAST(max(pos) + $SpanGram AS BIGINT) AS span_end,
-       |         CAST(max(pos) + $SpanGram - min(pos) AS BIGINT) AS span_len
+       |         CAST(max(pos) + $k AS BIGINT) AS span_end,
+       |         CAST(max(pos) + $k - min(pos) AS BIGINT) AS span_len
        |  FROM isl GROUP BY doc_id, island)""".stripMargin
+
+  private def spanCtes =
+    s"""${TextOps.normCte},
+       |${spanCtesOver("n", SpanGram)}""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q239_winnowing" ->

@@ -1,13 +1,19 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import scala.util.chaining._
 import graft.Checkpoints
 
 /** Distributed suffix-array construction by prefix doubling
   * (Manber & Myers 1990; the MapReduce adaptation is folklore —
-  * each round sorts fixed-size (rank, rank@+h) pairs, never strings).
+  * each round sorts fixed-size (rank, rank@+h) pairs, never strings),
+  * plus the two capabilities the index exists to serve: substring
+  * POSITIONAL SEARCH (q240) and duplicate-span extraction at a
+  * length threshold (q242) — with adjacent-rank LCPs computed from
+  * the retained doubling rank tables (binary lifting, the
+  * distributed stand-in for Kasai 2001), never from materialized
+  * suffix strings.
   *
   * WHY this operator: L48's duplicate-span detection (Lee et al.
   * 2022) is the window-gram VIEW of substring dedup; the suffix
@@ -33,11 +39,15 @@ import graft.Checkpoints
   *    deterministic because the keyed rows are distinct).
   *  - Each round's rank relation is lineage-cut ([[Checkpoints.cut]])
   *    and the superseded round released, the iterative-algorithm
-  *    discipline shared with CC/Louvain/k-core.
+  *    discipline shared with CC/Louvain/k-core. When the caller needs
+  *    LCPs, the per-round tables are RETAINED instead (log₂ maxlen
+  *    relations of constant-width rows — the standard sparse-table
+  *    space trade) and freed by Verify/Bench's end-of-query
+  *    `releaseAll`.
   *  - Early exit when every suffix's rank is already unique (the
   *    common case long before h reaches maxlen on natural text).
   *
-  * The oracled query bounds the corpus (doc_id < [[SaDocCap]],
+  * The oracled queries bound the corpus (doc_id < [[SaDocCap]],
   * suffixes of the first [[SaMaxLen]] normalized chars) because the
   * DuckDB mirror materializes every suffix STRING for its ORDER BY —
   * Σ len²/2 chars, quadratic in document length. The bound caps the
@@ -62,17 +72,34 @@ object SuffixArray {
       .toDF("k1", "k2", "nrank")
   }
 
+  /** A built suffix-array index: the array itself, the doubling-round
+    * count, and (when retained) the per-round rank tables
+    * (horizon h → (doc_id, pos, rank): equal rank ⟺ the two
+    * suffixes' first-h-char truncations are identical strings). */
+  private[graft] case class SaIndex(sa: DataFrame, rounds: Int,
+      rankTables: Seq[(Long, DataFrame)])
+
   /** Suffix array of every suffix of `docs` (columns: doc_id LONG,
     * s STRING; s is indexed as-is — truncate upstream if the
     * comparison horizon must be bounded). Output: (sa_rank, doc_id,
     * pos), pos 1-based, ordered lexicographically by suffix with
     * (doc_id, pos) breaking ties between byte-identical suffixes. */
   def suffixArray(docs: DataFrame): DataFrame =
-    suffixArrayWithRounds(docs)._1
+    buildIndex(docs, retainTables = false).sa
 
   /** [[suffixArray]] plus the doubling-round count, for specs and the
     * part-16 scale curve. */
   private[graft] def suffixArrayWithRounds(docs: DataFrame): (DataFrame, Int) = {
+    val idx = buildIndex(docs, retainTables = false)
+    (idx.sa, idx.rounds)
+  }
+
+  /** Core prefix-doubling build. With `retainTables` the per-round
+    * rank relations stay checkpointed for [[adjacentLcps]] (caller
+    * frees them after materializing — Verify/Bench's `releaseAll`);
+    * without, each superseded round is released immediately. */
+  private[graft] def buildIndex(docs: DataFrame,
+      retainTables: Boolean): SaIndex = {
     val spark = docs.sparkSession
     import spark.implicits._
     val base = docs.select(col("doc_id"), col("s"))
@@ -91,6 +118,7 @@ object SuffixArray {
     var ranks = chars.join(charRank, "ch")
       .select(col("doc_id"), col("pos"), col("r0").as("rank"))
       .pipe(Checkpoints.cut)
+    var tables = List((1L, ranks))
     val total = ranks.count()
     var distinctRanks = ranks.select("rank").distinct().count()
     var h = 1L
@@ -111,28 +139,92 @@ object SuffixArray {
         .select(col("doc_id"), col("pos"), col("nrank").as("rank"))
         .pipe(Checkpoints.cut)
       distinctRanks = rk.count()
-      Checkpoints.release(ranks, rk)
+      if (retainTables) Checkpoints.release(rk)
+      else Checkpoints.release(ranks, rk)
       ranks = next
       h *= 2
+      tables ::= (h, next)
     }
     val sa = ranks.sort("rank", "doc_id", "pos")
       .rdd.zipWithIndex()
       .map { case (r, i) => (i + 1, r.getLong(0), r.getLong(1)) }
       .toDF("sa_rank", "doc_id", "pos")
       .sort("sa_rank")
-    (sa, rounds)
+    SaIndex(sa, rounds, if (retainTables) tables.reverse else Nil)
   }
+
+  /** LCP of every ADJACENT suffix-array pair, from the retained rank
+    * tables by binary lifting — the distributed replacement for the
+    * inherently sequential Kasai (2001) scan, and for materializing
+    * suffix STRINGS (the previous implementation's caveat: re-cutting
+    * a [[SaMaxLen]]-char string per SA row is linear here but
+    * corpus-length-quadratic once SaMaxLen grows with the corpus).
+    *
+    * Per table horizon h (descending): one equi-join per pair side on
+    * (doc_id, pos + lcp-so-far); equal ranks extend the lcp by
+    * min(h, chars remaining on either side) — the remaining-length
+    * cap handles byte-identical short suffixes, whose ranks agree at
+    * every horizon. ⌈log₂ maxlen⌉ rounds × 2 joins over (n−1)
+    * constant-width rows; each round is lineage-cut and the
+    * superseded pair relation released.
+    *
+    * `lens`: (doc_id, len) — each doc's indexed length.
+    * Output: (sa_rank, doc1, pos1, doc2, pos2, lcp) where sa_rank is
+    * the FIRST pair element's rank and (doc2, pos2) is rank+1's. */
+  private[graft] def adjacentLcps(idx: SaIndex, lens: DataFrame): DataFrame = {
+    require(idx.rankTables.nonEmpty,
+      "adjacentLcps needs buildIndex(retainTables = true)")
+    val a = idx.sa.select(col("sa_rank"),
+      col("doc_id").as("doc1"), col("pos").as("pos1"))
+    val b = idx.sa.select((col("sa_rank") - 1).as("r2"),
+      col("doc_id").as("doc2"), col("pos").as("pos2"))
+    var cur = a.join(b, col("sa_rank") === col("r2"))
+      .join(lens.select(col("doc_id").as("ld1"), col("len").as("len1")),
+        col("doc1") === col("ld1"))
+      .join(lens.select(col("doc_id").as("ld2"), col("len").as("len2")),
+        col("doc2") === col("ld2"))
+      .select(col("sa_rank"), col("doc1"), col("pos1"), col("len1"),
+        col("doc2"), col("pos2"), col("len2"), lit(0L).as("lcp"))
+      .pipe(Checkpoints.cut)
+    for ((h, rt) <- idx.rankTables.sortBy(-_._1)) {
+      val ra = rt.select(col("doc_id").as("da"), col("pos").as("pa"),
+        col("rank").as("rka"))
+      val rb = rt.select(col("doc_id").as("db"), col("pos").as("pb"),
+        col("rank").as("rkb"))
+      val next = cur
+        .join(ra, col("doc1") === col("da") &&
+          (col("pos1") + col("lcp")) === col("pa"), "left")
+        .join(rb, col("doc2") === col("db") &&
+          (col("pos2") + col("lcp")) === col("pb"), "left")
+        .withColumn("lcp",
+          when(col("rka").isNotNull && col("rka") === col("rkb"),
+            col("lcp") + least(lit(h),
+              col("len1") - (col("pos1") + col("lcp")) + 1,
+              col("len2") - (col("pos2") + col("lcp")) + 1))
+            .otherwise(col("lcp")))
+        .drop("da", "pa", "rka", "db", "pb", "rkb")
+        .pipe(Checkpoints.cut)
+      Checkpoints.release(cur)
+      cur = next
+    }
+    cur.select("sa_rank", "doc1", "pos1", "doc2", "pos2", "lcp")
+  }
+
+  /** The bounded oracle universe shared by q236/q237/q240/q242. */
+  private def boundedDocs(spark: SparkSession, dir: String): DataFrame =
+    TextOps.docs(spark, dir)
+      .filter(col("doc_id") < SaDocCap)
+      .select(col("doc_id"), substring(col("s"), 1, SaMaxLen).as("s"))
+
+  private def docLens(d: DataFrame): DataFrame =
+    d.select(col("doc_id"), length(col("s")).cast("long").as("len"))
 
   // ---------------------------------------------------------------- q236
   /** q236: the suffix array of the bounded document universe
     * (normalized text, first [[SaMaxLen]] chars of docs with
     * doc_id < [[SaDocCap]]). */
-  def q236SuffixArray(spark: SparkSession, dir: String): DataFrame = {
-    val d = TextOps.docs(spark, dir)
-      .filter(col("doc_id") < SaDocCap)
-      .select(col("doc_id"), substring(col("s"), 1, SaMaxLen).as("s"))
-    suffixArray(d)
-  }
+  def q236SuffixArray(spark: SparkSession, dir: String): DataFrame =
+    suffixArray(boundedDocs(spark, dir))
 
   // ---------------------------------------------------------------- q237
   /** Pairs reported by the repeated-substring query. */
@@ -144,11 +236,9 @@ object SuffixArray {
     * prefix, and the longest shared prefix between ANY two suffixes is
     * realized by two suffixes ADJACENT in suffix-array order — so the
     * corpus-wide answer needs only the n−1 adjacent-rank LCPs, never a
-    * pairwise comparison. LCP is computed by built-in array functions
-    * (zip_with equality + array_position of the first false — null
-    * padding past the shorter string never precedes a mismatch), on
-    * the two suffix strings re-extracted by position; only the
-    * [[LrsTopK]] report rows carry strings to the driver.
+    * pairwise comparison. LCPs come from [[adjacentLcps]] (rank-table
+    * binary lifting — no suffix strings in the corpus-scale path);
+    * only the [[LrsTopK]] report rows re-extract text.
     *
     * Output: top-[[LrsTopK]] adjacent pairs by LCP (ties broken by
     * sa_rank), with both occurrences' coordinates and the repeated
@@ -156,9 +246,10 @@ object SuffixArray {
   /** Common-prefix length of two strings, built-ins only: zip the
     * char arrays with equality, take the position of the first
     * `false`; if none, the shorter length is the LCP (zip_with's null
-    * padding past the shorter string never precedes a mismatch). */
-  private[graft] def lcpCol(a: org.apache.spark.sql.Column,
-      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    * padding past the shorter string never precedes a mismatch).
+    * Retained as the bounded-width probe for specs and q241's witness
+    * extension — the SA family's bulk LCPs use [[adjacentLcps]]. */
+  private[graft] def lcpCol(a: Column, b: Column): Column = {
     val eq = zip_with(split(a, ""), split(b, ""), (x, y) => x === y)
     val firstFalse = array_position(eq, false)
     when(firstFalse === 0L, least(length(a), length(b)))
@@ -167,31 +258,98 @@ object SuffixArray {
 
   def q237LongestRepeatedSubstrings(spark: SparkSession,
       dir: String): DataFrame = {
-    val d = TextOps.docs(spark, dir)
-      .filter(col("doc_id") < SaDocCap)
-      .select(col("doc_id"), substring(col("s"), 1, SaMaxLen).as("s"))
-      .pipe(Checkpoints.cut)
-    val sa = suffixArray(d)
-    val withSuf = sa
-      .join(d.withColumnRenamed("doc_id", "sd"), col("doc_id") === col("sd"))
-      .select(col("sa_rank"), col("doc_id"), col("pos"),
-        expr(s"substring(s, pos, $SaMaxLen)").as("suffix"))
-    val nxt = withSuf.select((col("sa_rank") - 1).as("r2"),
-      col("doc_id").as("doc_id2"), col("pos").as("pos2"),
-      col("suffix").as("suffix2"))
-    val pairs = withSuf.join(nxt, col("sa_rank") === col("r2"))
-      .withColumn("lcp", lcpCol(col("suffix"), col("suffix2")))
-    pairs
+    val d = boundedDocs(spark, dir).pipe(Checkpoints.cut)
+    val idx = buildIndex(d, retainTables = true)
+    val top = adjacentLcps(idx, docLens(d))
       .orderBy(col("lcp").desc, col("sa_rank").asc)
       .limit(LrsTopK)
+    // only the LrsTopK report rows carry strings to the driver
+    top.join(d.withColumnRenamed("doc_id", "sd"), col("doc1") === col("sd"))
+      .select(col("sa_rank"), col("doc1").as("doc_id"),
+        col("pos1").as("pos"), col("doc2").as("doc_id2"),
+        col("pos2").as("pos2"), col("lcp"),
+        expr("substring(s, cast(pos1 as int), cast(lcp as int))")
+          .as("repeated"))
+      .orderBy(col("lcp").desc, col("sa_rank").asc)
+  }
+
+  // ---------------------------------------------------------------- q240
+  /** The bounded pattern list (q121-codebook-style parameter): fixed
+    * literals a user of the search API would supply. Occurrences of
+    * every pattern exist at each shipped SF. */
+  val SearchPatterns = Seq("hash value", "row scan", "spark", "table table")
+
+  /** Probe width — must cover the longest pattern; the SA rows carry
+    * only this many chars, never the whole suffix. */
+  val SearchPrefLen = 16
+
+  /** q240: substring POSITIONAL SEARCH over the suffix array — every
+    * corpus occurrence of each pattern, as (pattern, sa_rank, doc_id,
+    * pos). The SA property doing the work: the suffixes starting with
+    * a pattern form one CONTIGUOUS sa_rank interval (spec-pinned), so
+    * a persisted index range-partitioned by sa_rank answers a point
+    * probe by binary search over partition bounds — O(log) partitions
+    * touched, the 100 TB read path. Here the interval is materialized
+    * by a bounded-width prefix compare: each SA row re-extracts only
+    * [[SearchPrefLen]] chars (never the suffix), and the pattern list
+    * is broadcast — one scan, zero shuffles beyond the SA build. */
+  def q240SaSubstringSearch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    require(SearchPatterns.forall(_.length <= SearchPrefLen),
+      s"probe width $SearchPrefLen must cover every pattern")
+    val d = boundedDocs(spark, dir).pipe(Checkpoints.cut)
+    val sa = suffixArray(d)
+    val pref = sa.join(d.withColumnRenamed("doc_id", "sd"),
+        col("doc_id") === col("sd"))
       .select(col("sa_rank"), col("doc_id"), col("pos"),
-        col("doc_id2"), col("pos2"), col("lcp"),
-        expr("substring(suffix, 1, lcp)").as("repeated"))
+        expr(s"substring(s, cast(pos as int), $SearchPrefLen)").as("pref"))
+    val pats = SearchPatterns.toDF("pattern")
+    pref.join(broadcast(pats), col("pref").startsWith(col("pattern")))
+      .select(col("pattern"), col("sa_rank"), col("doc_id"), col("pos"))
+      .orderBy("pattern", "sa_rank")
+  }
+
+  // ---------------------------------------------------------------- q242
+  /** Span threshold for the oracled query. 20 (not q164's 40): the
+    * bounded SA universe (first [[SaDocCap]] docs, [[SaMaxLen]] chars)
+    * holds no 40-char repeats at the larger SFs, and a 0-row query
+    * gates nothing — the SA path is threshold-generic, and the
+    * spec pins SA == gram spans at BOTH 20 and 40 on planted
+    * fixtures. */
+  val SaSpanTau = 20
+
+  /** q242: ALL duplicate spans at threshold [[SaSpanTau]] from the
+    * suffix array — the full Lee et al. 2022 deliverable (q237 reports
+    * the top-[[LrsTopK]]; this feeds the L54 scrub). A position is
+    * inside a corpus-repeated run of ≥ τ chars iff its suffix shares a
+    * ≥ τ prefix with an SA-ADJACENT suffix (suffixes sharing a τ-prefix
+    * form a contiguous SA interval, so every member touches a
+    * qualifying adjacent pair). Endpoints of adjacent pairs with
+    * lcp ≥ τ are therefore EXACTLY the duplicated positions; the
+    * shared gaps-and-islands merge ([[SpanOps.mergeSpans]]) fuses them
+    * into maximal spans — same output contract as q164, derived from
+    * the index instead of the gram relation. */
+  def q242SaDuplicateSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = boundedDocs(spark, dir).pipe(Checkpoints.cut)
+    saDuplicateSpans(d, SaSpanTau)
+  }
+
+  /** SA-derived duplicate spans over any (doc_id, s) relation. */
+  private[graft] def saDuplicateSpans(d: DataFrame, tau: Int): DataFrame = {
+    val idx = buildIndex(d, retainTables = true)
+    val qual = adjacentLcps(idx, docLens(d)).filter(col("lcp") >= tau)
+    val dupPos = qual.select(col("doc1").as("doc_id"), col("pos1").as("pos"))
+      .unionByName(qual.select(col("doc2").as("doc_id"),
+        col("pos2").as("pos")))
+      .distinct()
+    SpanOps.mergeSpans(dupPos, tau)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q236_suffix_array" -> (q236SuffixArray _),
     "q237_longest_repeated_substrings" -> (q237LongestRepeatedSubstrings _),
+    "q240_sa_substring_search" -> (q240SaSubstringSearch _),
+    "q242_sa_duplicate_spans" -> (q242SaDuplicateSpans _),
   )
 
   /** Shared oracle CTE chain: the bounded universe and its ranked
@@ -236,5 +394,22 @@ object SuffixArray {
          |SELECT sa_rank, doc_id, pos, doc_id2, pos2, lcp,
          |       substr(s1, 1, CAST(lcp AS INT)) AS repeated
          |FROM l ORDER BY lcp DESC, sa_rank ASC LIMIT $LrsTopK""".stripMargin,
+
+    "q240_sa_substring_search" ->
+      s"""WITH $saCtes,
+         |pats AS (SELECT * FROM (VALUES ${SearchPatterns
+            .map(p => s"('$p')").mkString(", ")}) p(pattern))
+         |SELECT p.pattern, sa.sa_rank, sa.doc_id, sa.pos
+         |FROM sa JOIN pats p
+         |  ON substr(sa.suffix, 1, length(p.pattern)) = p.pattern
+         |ORDER BY p.pattern, sa.sa_rank""".stripMargin,
+
+    "q242_sa_duplicate_spans" ->
+      s"""WITH ${TextOps.normCte},
+         |b AS (SELECT doc_id, substr(s, 1, $SaMaxLen) AS s FROM n
+         |      WHERE doc_id < $SaDocCap AND length(s) >= 1),
+         |${SpanOps.spanCtesOver("b", SaSpanTau)}
+         |SELECT doc_id, span_start, span_end, span_len
+         |FROM sp ORDER BY doc_id, span_start""".stripMargin,
   )
 }

@@ -81,4 +81,89 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.map(t => (t._2, t._3)) ==
       Seq((1L, 2L), (3L, 1L), (3L, 2L), (1L, 1L)))
   }
+
+  // ------------------------------------------------- rank-table LCPs
+  import org.apache.spark.sql.functions.{col, expr, length}
+
+  /** adjacentLcps vs the string-materializing lcpCol probe on the
+    * same index — the rank tables must reproduce every adjacent LCP
+    * exactly, including byte-identical (short) suffixes whose ranks
+    * agree at every horizon. */
+  private def lcpAgreement(docs: Seq[(Long, String)]): Unit = {
+    val d = docs.toDF("doc_id", "s")
+    val idx = SuffixArray.buildIndex(d, retainTables = true)
+    val lens = d.select(col("doc_id"), length(col("s")).cast("long").as("len"))
+    val got = SuffixArray.adjacentLcps(idx, lens)
+      .collect().map(r => (r.getLong(0), r.getLong(5))).toMap
+    val withSuf = idx.sa.join(d.withColumnRenamed("doc_id", "sd"),
+        col("doc_id") === col("sd"))
+      .selectExpr("sa_rank", "substring(s, pos, 100000) AS suffix")
+    val nxt = withSuf.selectExpr("sa_rank - 1 AS r2", "suffix AS suffix2")
+    val want = withSuf.join(nxt, col("sa_rank") === col("r2"))
+      .select(col("sa_rank"),
+        SuffixArray.lcpCol(col("suffix"), col("suffix2")).as("lcp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want, s"rank-table LCPs diverge from string LCPs")
+  }
+
+  test("adjacent LCPs from rank tables equal string LCPs (banana)") {
+    lcpAgreement(Seq((7L, "banana")))
+  }
+
+  test("adjacent LCPs: identical docs (all-equal suffixes, length cap)") {
+    lcpAgreement(Seq((1L, "abab"), (2L, "abab"), (3L, "ab")))
+  }
+
+  test("adjacent LCPs on a mixed multi-doc corpus with planted runs") {
+    val run = "the quick brown fox!"
+    lcpAgreement(Seq((1L, s"aaa $run bbb"), (2L, s"ccc $run ddd"),
+      (3L, "aaaa"), (4L, "zq")))
+  }
+
+  // ------------------------------------------------- q240 search
+  test("SA substring search equals brute-force positions and is rank-contiguous") {
+    val docs = Seq((1L, "xx hash value yy hash value zz"),
+      (2L, "hash value starts here"), (3L, "no match at all"),
+      (4L, "hash valuX near miss"))
+    val d = docs.toDF("doc_id", "s")
+    val sa = SuffixArray.suffixArray(d)
+    val pat = "hash value"
+    val hits = sa.join(d.withColumnRenamed("doc_id", "sd"),
+        col("doc_id") === col("sd"))
+      .filter(expr(s"substring(s, cast(pos as int), ${pat.length})") === pat)
+      .select("sa_rank", "doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    // brute force: every (doc, pos) where the pattern occurs
+    val brute = docs.flatMap { case (id, s) =>
+      (1 to s.length).filter(p => s.startsWith(pat, p - 1)).map(p => (id, p.toLong))
+    }.toSet
+    assert(hits.map(t => (t._2, t._3)).toSet == brute)
+    assert(brute.size == 3)
+    // the SA interval property: matching ranks are contiguous
+    val ranks = hits.map(_._1)
+    assert(ranks == (ranks.min to ranks.max).toSeq,
+      s"pattern hits must occupy one contiguous sa_rank interval: $ranks")
+  }
+
+  // ------------------------------------------------- q242 spans
+  test("SA-derived duplicate spans equal the gram-derived q164 spans") {
+    val run1 = "one shared duplicated run long enough!!"   // 39 + pad
+    val run2 = "another different repeated block here ok"  // 40
+    val docs = Seq(
+      (1L, s"prefix-a $run1$run1 mid $run2 suffix-a"),
+      (2L, s"prefix-b $run2 tail-b"),
+      (3L, s"$run1$run1 and nothing else matching x"),
+      (4L, "entirely unique content with no repeats anywhere at all"))
+      .toDF("doc_id", "s")
+    for (tau <- Seq(SuffixArray.SaSpanTau, 40)) {
+      val gotSa = SuffixArray.saDuplicateSpans(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val gotGram = text.SpanOps.duplicateSpans(docs, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(gotSa == gotGram,
+        s"tau=$tau: SA spans $gotSa must equal gram spans $gotGram")
+      assert(gotSa.nonEmpty, s"tau=$tau fixture must contain duplicate spans")
+    }
+  }
 }
