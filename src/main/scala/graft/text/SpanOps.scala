@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import scala.util.chaining._
 
 /** Character-SPAN operators over the document corpus: exact duplicate
   * SPAN detection (the substring-level complement of the document-level
@@ -235,8 +236,10 @@ object SpanOps {
   def q239Winnowing(spark: SparkSession, dir: String): DataFrame =
     winnowing(graft.text.TextOps.docs(spark, dir), WinnowK, WinnowW)
 
-  private[graft] def winnowing(d: DataFrame, k: Int, w: Int): DataFrame = {
-    val grams = d.filter(length(col("s")) >= k + w - 1)
+  /** Per-position composite winnowing values (doc_id, pos, v) — see
+    * [[q239Winnowing]] for the arithmetic. */
+  private def winnowValues(d: DataFrame, k: Int, w: Int): DataFrame =
+    d.filter(length(col("s")) >= k + w - 1)
       .select(col("doc_id"),
         explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"),
@@ -250,13 +253,22 @@ object SpanOps {
             "winnowing: doc %d has %d+ grams, past the 2^20 composite " +
               "position bound; shard long docs (q169ChunkStride) first",
             col("doc_id"), col("pg.pos")))).as("v"))
+
+  /** Selected winnowing fingerprints: (doc_id, mv) distinct, mv the
+    * composite (hash·2²⁰ + 2²⁰−1−pos) of each window's pick. */
+  private[graft] def winnowingPicks(d: DataFrame, k: Int, w: Int): DataFrame = {
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rangeBetween(-(w - 1), 0)
-    val picks = grams.withColumn("mv", min(col("v")).over(win))
+    winnowValues(d, k, w).withColumn("mv", min(col("v")).over(win))
       .filter(col("pos") >= w) // full windows only
       .select(col("doc_id"), col("mv")).distinct()
+  }
+
+  private[graft] def winnowing(d: DataFrame, k: Int, w: Int): DataFrame = {
+    val picks = winnowingPicks(d, k, w)
     val per = picks.groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
-    val gcnt = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val gcnt = winnowValues(d, k, w).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"))
     gcnt.join(per, "doc_id")
       .select(col("doc_id"), col("n_grams"),
         (col("n_grams") - (w - 1)).as("n_windows"),
@@ -266,11 +278,108 @@ object SpanOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- q241
+  /** q241's gram width / window: wider than q239's profiling defaults
+    * so the guarantee run length (w+k−1 = 39) sits at the corpus's
+    * planted-duplicate scale — fingerprints are then SELECTIVE (a
+    * shared fingerprint means a shared ~39-char run, not a shared
+    * common word) and the candidate set stays far from all-pairs. */
+  val PairK = 24
+  val PairW = 16
+
+  /** Witness-run extension cap (chars) — bounds the per-pair string
+    * compare and its SQL mirror, [[SuffixArray.SaMaxLen]] style. */
+  val WitnessCap = 256
+
+  /** q241: winnowing fingerprint-JOIN near-dup pairs — the deliverable
+    * L78's selection exists to feed (Schleimer et al. 2003 §1: MOSS
+    * registers fingerprints in an index and reports documents sharing
+    * them). Candidate pairs = documents sharing ≥ 1 selected
+    * fingerprint hash; each pair is then VERIFIED on real content:
+    * exact k-gram Jaccard between the two docs plus a witness-run
+    * extension (LCP of the texts from the matched fingerprint
+    * positions, capped at [[WitnessCap]]).
+    *
+    * Recall contract (the reason this family member beats the banded
+    * families' empirical recall): the winnowing guarantee — any
+    * shared run of ≥ w+k−1 chars contributes a shared fingerprint —
+    * makes the candidate step PROVABLY lossless for runs at that
+    * length; spec-pinned with planted runs.
+    *
+    * Scale shape: the pair join is an LSH-style bucket join keyed on
+    * the 40-bit fingerprint hash (selected density ≈ 2/(w+1) of
+    * grams, so the joined relation is a fraction of corpus bytes);
+    * verification work is candidates × per-doc grams — NEVER an
+    * all-pairs product, and strings are touched only per candidate
+    * pair (witness extension) at bounded width. A 40-bit collision
+    * can only ADD a candidate, which verification then scores near
+    * zero — the q22/q99 convention. */
+  def q241WinnowingPairs(spark: SparkSession, dir: String): DataFrame =
+    fingerprintPairs(TextOps.docs(spark, dir), PairK, PairW)
+
+  private[graft] def fingerprintPairs(d0: DataFrame, k: Int,
+      w: Int): DataFrame = {
+    val d = d0.pipe(graft.Checkpoints.cut)
+    // (doc, hash, witness pos): min position per selected hash
+    val fps = winnowingPicks(d, k, w)
+      .select(col("doc_id"), expr("mv div 1048576").as("h"),
+        (lit(1048575L) - expr("mv % 1048576")).as("pos"))
+      .groupBy("doc_id", "h").agg(min(col("pos")).as("pos"))
+      .pipe(graft.Checkpoints.cut)
+    // bucket join on the hash; each pair aggregates its shared count
+    // and the deterministic witness (smallest shared hash)
+    val pairs = fps.select(col("h"), col("doc_id").as("doc_a"),
+        col("pos").as("pa"))
+      .join(fps.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_fps"),
+        min(struct(col("h"), col("pa"), col("pb"))).as("w0"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_fps"),
+        col("w0.pa").as("witness_pos_a"), col("w0.pb").as("witness_pos_b"))
+      .pipe(graft.Checkpoints.cut)
+    // verification 1: exact k-gram Jaccard, candidates × doc grams
+    val gd = d.filter(length(col("s")) >= k + w - 1)
+      .select(col("doc_id"),
+        explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
+      .select(col("doc_id"), col("pg.gram").as("gram")).distinct()
+      .pipe(graft.Checkpoints.cut)
+    val sz = gd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = pairs.select("doc_a", "doc_b")
+      .join(gd.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
+      .join(gd.select(col("doc_id").as("doc_b"), col("gram")),
+        Seq("doc_b", "gram"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    // verification 2: witness-run extension from the matched positions
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
+        Seq("doc_b"))
+      .join(d.select(col("doc_id").as("doc_a"), col("s").as("s_a")),
+        Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("s").as("s_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_fps"),
+        round(col("inter") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
+          .as("jaccard"),
+        col("witness_pos_a"), col("witness_pos_b"),
+        SuffixArray.lcpCol(
+          expr(s"substring(s_a, cast(witness_pos_a as int), $WitnessCap)"),
+          expr(s"substring(s_b, cast(witness_pos_b as int), $WitnessCap)"))
+          .as("witness_lcp"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_substring_dedup" -> (q164SubstringDedup _),
     "q169_chunk_stride" -> (q169ChunkStride _),
     "q170_span_scrub" -> (q170SpanScrub _),
     "q239_winnowing" -> (q239Winnowing _),
+    "q241_winnowing_pairs" -> (q241WinnowingPairs _),
   )
 
   /** q164's span relation as reusable CTEs (through `sp`),
@@ -311,7 +420,78 @@ object SpanOps {
     s"""${TextOps.normCte},
        |${spanCtesOver("n", SpanGram)}""".stripMargin
 
+  /** Winnowing selection CTEs (through `sel` = (doc_id, mv)) at gram
+    * width k / window w — the q239 arithmetic, parameterized for the
+    * q241 mirror. */
+  private def winnowSelCtes(k: Int, w: Int): String =
+    s"""${TextOps.normCte},
+       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       |             substr(s, CAST(i AS INT), $k) AS gram
+       |      FROM (SELECT doc_id, s,
+       |              unnest(generate_series(1, length(s) - ${k - 1}))
+       |                AS i
+       |            FROM n WHERE length(s) >= ${k + w - 1})),
+       |v AS (SELECT doc_id, pos,
+       |             ${TextOps.hexToLongSql("md5(gram)", 1, 10)}
+       |               * 1048576 + (1048575 - pos) AS v
+       |      FROM g),
+       |m AS (SELECT doc_id, pos,
+       |             min(v) OVER (PARTITION BY doc_id ORDER BY pos
+       |               RANGE BETWEEN ${w - 1} PRECEDING
+       |                 AND CURRENT ROW) AS mv
+       |      FROM v),
+       |sel AS (SELECT DISTINCT doc_id, mv FROM m WHERE pos >= $w)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q241_winnowing_pairs" ->
+      s"""WITH ${winnowSelCtes(PairK, PairW)},
+         |fp AS (SELECT doc_id, mv // 1048576 AS h,
+         |              CAST(min(1048575 - mv % 1048576) AS BIGINT) AS pos
+         |       FROM sel GROUP BY 1, 2),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |              CAST(count(*) AS BIGINT) AS n_shared_fps,
+         |              arg_min(a.pos, a.h) AS witness_pos_a,
+         |              arg_min(b.pos, a.h) AS witness_pos_b
+         |       FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |gd AS (SELECT DISTINCT doc_id, gram FROM g),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+         |       FROM gd GROUP BY 1),
+         |ja AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
+         |       FROM pr p
+         |       JOIN gd x ON x.doc_id = p.doc_a
+         |       JOIN gd y ON y.doc_id = p.doc_b AND y.gram = x.gram
+         |       GROUP BY 1, 2),
+         |wl AS (SELECT p.doc_a, p.doc_b,
+         |              substr(na.s, CAST(p.witness_pos_a AS INT),
+         |                     $WitnessCap) AS sa2,
+         |              substr(nb.s, CAST(p.witness_pos_b AS INT),
+         |                     $WitnessCap) AS sb2
+         |       FROM pr p JOIN n na ON na.doc_id = p.doc_a
+         |                 JOIN n nb ON nb.doc_id = p.doc_b),
+         |lj AS (SELECT doc_a, doc_b, sa2, sb2,
+         |              unnest(generate_series(
+         |                1, LEAST(length(sa2), length(sb2)))) AS j
+         |       FROM wl),
+         |-- prefix equality is monotone in j, so max matching j = LCP
+         |lc AS (SELECT doc_a, doc_b,
+         |              CAST(max(CASE WHEN substr(sa2, 1, CAST(j AS INT)) =
+         |                                substr(sb2, 1, CAST(j AS INT))
+         |                           THEN j ELSE 0 END) AS BIGINT)
+         |                AS witness_lcp
+         |       FROM lj GROUP BY 1, 2)
+         |SELECT p.doc_a, p.doc_b, p.n_shared_fps,
+         |       round(ja.inter /
+         |             CAST(sa.sz + sb.sz - ja.inter AS DOUBLE), 6)
+         |         AS jaccard,
+         |       p.witness_pos_a, p.witness_pos_b, lc.witness_lcp
+         |FROM pr p
+         |JOIN ja ON ja.doc_a = p.doc_a AND ja.doc_b = p.doc_b
+         |JOIN sz sa ON sa.doc_id = p.doc_a
+         |JOIN sz sb ON sb.doc_id = p.doc_b
+         |JOIN lc ON lc.doc_a = p.doc_a AND lc.doc_b = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
     "q239_winnowing" ->
       s"""WITH ${TextOps.normCte},
          |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,

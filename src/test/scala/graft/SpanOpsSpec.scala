@@ -219,4 +219,37 @@ class SpanOpsSpec extends SparkSpec {
     assert(sel(d1).intersect(sel(d2)).nonEmpty,
       "the paper's guarantee: a shared run of w+k-1 chars must share a fingerprint hash")
   }
+
+  test("fingerprint pairs: planted-run recall, jaccard and witness verify") {
+    val (k, w) = (SpanOps.PairK, SpanOps.PairW)
+    // the guarantee run: any shared run of >= w+k-1 chars MUST yield
+    // a shared fingerprint, hence a candidate pair
+    val run = ("zqxjv" * 8).take(k + w - 1) // 39 chars
+    val docs = Seq(
+      (1L, s"first document body with the planted $run and a tail"),
+      (2L, s"second unrelated prefix then $run closing words here"),
+      (3L, "entirely distinct content sharing no long runs with others x"),
+      (4L, s"third copy holder $run trailing remainder text"))
+      .toDF("doc_id", "s")
+    val got = SpanOps.fingerprintPairs(docs, k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(6)))).toMap
+    // all three run-carrying docs pair up; doc 3 pairs with nobody
+    assert(got.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"candidate pairs ${got.keySet}")
+    got.foreach { case (pair, (nShared, jac, wLcp)) =>
+      assert(nShared >= 1L)
+      // the witness extension must recover at least a full shared gram
+      assert(wLcp >= k, s"$pair witness lcp $wLcp < k")
+      assert(jac > 0.0 && jac < 1.0, s"$pair jaccard $jac")
+    }
+    // hand-check one jaccard: distinct k-grams of each doc, exact ratio
+    val texts = Map(1L -> s"first document body with the planted $run and a tail",
+      2L -> s"second unrelated prefix then $run closing words here")
+    def gs(s: String) = (0 to s.length - k).map(i => s.substring(i, i + k)).toSet
+    val (ga, gb) = (gs(texts(1L)), gs(texts(2L)))
+    val expect = ga.intersect(gb).size.toDouble / ga.union(gb).size
+    assert(math.abs(got((1L, 2L))._2 - expect) < 1e-6 + 5e-7,
+      s"jaccard ${got((1L, 2L))._2} vs hand $expect")
+  }
 }
