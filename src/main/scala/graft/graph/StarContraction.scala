@@ -110,6 +110,85 @@ object StarContraction {
   def components(nodes: DataFrame, edges: DataFrame): DataFrame =
     componentsWithRounds(nodes, edges)._1
 
+  /** STRUCTURE-ROUTED connected components — the 100 TB default.
+    *
+    * BENCH_SCALING Part 15 measured the regime split: min-label
+    * propagation ([[Algorithms.connectedComponents]]) costs one
+    * join+agg round per hop of graph DIAMETER (wall-time LINEAR in
+    * diameter on paths: 19.4 → 196.9 s for n = 64 → 1024), while star
+    * contraction lands in O(log n) rounds regardless (n = 262,144 path
+    * in 19 rounds) but pays two contractions per round on graphs
+    * min-label would finish in a handful of sweeps. Neither is the
+    * right unconditional default; the DIAMETER decides, and diameter
+    * is exactly what a bounded probe measures.
+    *
+    * Routing: run min-label for up to `probeRounds` rounds (the
+    * bounded-round diameter sample — coloringAuto's measured-probe
+    * pattern). If it converges, the graph was shallow and the answer
+    * is already in hand: zero wasted work. If not, the diameter
+    * exceeds the probe; CONTRACT the graph by the probe labels (each
+    * label class is a verified connected set, so the quotient
+    * preserves components and is smaller by every ≤probeRounds-radius
+    * neighborhood) and finish with star contraction on the quotient —
+    * the probe work is banked, not thrown away. Labels compose as
+    * star-root ∘ probe-label; both stages label by minimum member id,
+    * and a component's true min survives as its own probe label (min
+    * of its neighborhood is itself), so the composed label equals
+    * both engines' convention — spec-pinned against each on its home
+    * turf, and property-pinned on random multigraphs at a probe depth
+    * that forces the quotient path mid-propagation.
+    *
+    * `probeRounds = 0` skips the probe: pure star contraction. */
+  def ccAuto(nodes: DataFrame, edges: DataFrame,
+      probeRounds: Int = 8): DataFrame = {
+    require(probeRounds >= 0, s"probeRounds $probeRounds must be >= 0")
+    val und = edges.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v"))
+      .select(col("u").as("src"), col("v").as("dst"))
+      .union(edges.select(col("v").as("src"), col("u").as("dst"))
+        .filter(col("src") =!= col("dst")))
+      .distinct()
+      .pipe(Checkpoints.cut)
+    var comp = nodes.select(col("node"), col("node").as("component"))
+      .pipe(Checkpoints.cut)
+    var changed = if (probeRounds == 0) 1L else Long.MaxValue
+    var r = 0
+    while (changed > 0 && r < probeRounds) {
+      r += 1
+      val viaNeighbor = und
+        .join(comp.select(col("node").as("cn"), col("component")),
+          col("src") === col("cn"))
+        .groupBy(col("dst").as("node")).agg(min(col("component")).as("nc"))
+      val next = comp.select(col("node"), col("component"))
+        .join(viaNeighbor.select(col("node").as("vn"), col("nc")),
+          col("node") === col("vn"), "left")
+        .select(col("node"),
+          least(col("component"), coalesce(col("nc"), col("component")))
+            .as("component"))
+        .pipe(Checkpoints.cut)
+      changed = next.join(comp.select(col("node").as("pn"),
+          col("component").as("pc")), next("node") === col("pn"))
+        .filter(col("component") =!= col("pc")).count()
+      Checkpoints.release(comp)
+      comp = next
+    }
+    if (changed == 0) { Checkpoints.release(und); return comp }
+    // diameter exceeds the probe: contract by probe labels, star the
+    // quotient, compose. Quotient nodes = surviving labels.
+    val lu = comp.select(col("node").as("src"), col("component").as("qu"))
+    val lv = comp.select(col("node").as("dst"), col("component").as("qv"))
+    val qEdges = und.join(lu, "src").join(lv, "dst")
+      .filter(col("qu") =!= col("qv"))
+      .select(col("qu").as("u"), col("qv").as("v")).distinct()
+    val qNodes = comp.select(col("component").as("node")).distinct()
+    val qComp = components(qNodes, qEdges)
+      .select(col("node").as("qn"), col("component").as("root"))
+    val out = comp.join(qComp, col("component") === col("qn"))
+      .select(col("node"), col("root").as("component"))
+    Checkpoints.release(und)
+    out
+  }
+
   // ---------------------------------------------------------------- q233
   /** Partkey prefix bounding the oracle's transitive closure (the
     * DuckDB mirror materializes node×peer reach pairs — quadratic in

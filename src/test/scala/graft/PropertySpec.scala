@@ -161,7 +161,10 @@ class PropertySpec extends SparkSpec {
         .filter(col("src") =!= col("dst")).distinct()
       val ref = graft.graph.Algorithms.connectedComponents(nodes, und)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      star == ref
+      // probe depth 1 forces ccAuto onto the quotient path mid-flight
+      val auto = graft.graph.StarContraction.ccAuto(nodes, e, probeRounds = 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      star == ref && auto == ref
     }, n = 10, seed = 31L)
   }
 

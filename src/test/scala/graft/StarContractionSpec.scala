@@ -44,6 +44,51 @@ class StarContractionSpec extends SparkSpec {
     assert(labels == Set(0L))
   }
 
+  test("ccAuto: converges inside the probe on a shallow graph (min-label home turf)") {
+    // diameter 2: the probe finishes and star contraction never runs
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("node")
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 5L)).toDF("u", "v")
+    val got = StarContraction.ccAuto(nodes, edges, probeRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("ccAuto: probe exceeded on a path routes to star contraction (star home turf)") {
+    // 64-node path, probe 2 — forces the quotient path mid-propagation
+    val n = 64
+    val nodes = (0L until n.toLong).toDF("node")
+    val edges = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("u", "v")
+    val got = StarContraction.ccAuto(nodes, edges, probeRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(0L) && got.size == n)
+  }
+
+  test("ccAuto: probeRounds 0 is pure star contraction") {
+    val nodes = Seq(1L, 2L, 3L, 7L).toDF("node")
+    val edges = Seq((3L, 2L), (2L, 1L)).toDF("u", "v")
+    val got = StarContraction.ccAuto(nodes, edges, probeRounds = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L))
+  }
+
+  test("ccAuto agrees with both engines on a deterministic random graph") {
+    val n = 120L
+    val edges = (0 until 90).map { i =>
+      val a = (i * 2654435761L) % n
+      val b = (i * 40503L + 7) % n
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val nodes = (0L until n).toDF("node")
+    val e = edges.toDF("u", "v")
+    val star = StarContraction.components(nodes, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // probe 1 forces the quotient path with propagation mid-flight
+    val auto = StarContraction.ccAuto(nodes, e, probeRounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == star)
+  }
+
   test("agrees with label-propagation CC on a deterministic random graph") {
     // 120 nodes, 90 hash-derived edges: enough structure for multiple
     // non-trivial components plus isolated nodes.
