@@ -14,10 +14,16 @@ object, every flagged row is annotated with the diagnosis columns
 counts + elevated load_avg / a sys_cpu-proc_cpu gap = environmental
 co-tenancy; diverging Spark metrics or spill = a real regression.
 
-Usage: tools/bench_gate.py PREV.json NEW.json [--out REPORT.json]
+Round 12: PREV may be BASELINE.md (the frozen r11-close per-query
+table) — the gate parses its markdown rows directly, so the anchor is
+a fixed committed artifact instead of round-over-round drift. The
+telemetry twin lives at tools/baseline_bench.json.
+
+Usage: tools/bench_gate.py PREV.{json,md} NEW.json [--out REPORT.json]
 Exit code 1 if any regression is flagged (gate semantics).
 """
 import json
+import re
 import sys
 
 TELE_KEYS = ["stages", "tasks", "sr_rows", "spill_mem", "spill_disk",
@@ -26,8 +32,27 @@ TELE_KEYS = ["stages", "tasks", "sr_rows", "spill_mem", "spill_disk",
 
 
 def load(path):
+    if path.endswith(".md"):
+        row = re.compile(r"^\| (q\w+) \| ([0-9.]+) \|")
+        queries = {}
+        with open(path) as f:
+            for line in f:
+                m = row.match(line)
+                if m:
+                    queries[m.group(1)] = float(m.group(2))
+        # telemetry twin written by the same freeze, if present
+        tele = {}
+        twin = path.rsplit("/", 1)[0] if "/" in path else "."
+        try:
+            with open(f"{twin}/tools/baseline_bench.json") as f:
+                tele = json.load(f).get("telemetry", {})
+        except OSError:
+            pass
+        return queries, tele
     with open(path) as f:
         d = json.load(f)
+    if "parsed" in d and "queries" not in d:  # driver BENCH_rN wrapper
+        d = d["parsed"]
     return d.get("queries", {}), d.get("telemetry", {})
 
 
