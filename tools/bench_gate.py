@@ -85,6 +85,19 @@ def main():
         out = sys.argv[sys.argv.index("--out") + 1]
     prev_path, new_path = args[0], args[1]
     (prev, prev_t), (new, new_t) = load(prev_path), load(new_path)
+
+    # The driver's BENCH_rN "parsed" tail uses bare numeric ids (often
+    # a lossy subset); when either side does, key both sides by the
+    # query NUMBER so the common subset still gates.
+    def qnum(name):
+        m = re.match(r"q?0*(\d+)", name)
+        return m.group(1) if m else name
+    if any(k.isdigit() for k in list(prev) + list(new)):
+        prev = {qnum(k): v for k, v in prev.items()}
+        new = {qnum(k): v for k, v in new.items()}
+        prev_t = {qnum(k): v for k, v in prev_t.items()}
+        new_t = {qnum(k): v for k, v in new_t.items()}
+
     common = sorted(set(prev) & set(new))
     flagged, improved = [], []
     for q in common:
