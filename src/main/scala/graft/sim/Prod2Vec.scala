@@ -52,7 +52,20 @@ object Prod2Vec {
   }
 
   /** The trained table (unordered — q228 adds the presentation
-    * sort; q229 consumes it sort-free). */
+    * sort; q229 consumes it sort-free).
+    *
+    * IN-SUITE RECOMPUTATION IS THE CONTRACT: q229 re-runs this chain
+    * rather than reading q228's result because Verify/Bench execute
+    * every query hermetically — `Checkpoints.releaseAll` between
+    * queries frees all cached blocks (the hygiene that makes
+    * per-query bench walls attributable and each oracle row
+    * independent), so a cross-query memo would hold dead block
+    * references. A production caller avoids the recompute by nature
+    * of the API: train once (`embeddings(...)`, `Checkpoints.cut` it
+    * or write it), then hand the SAME relation to
+    * [[NodeEmbeddings.linkAucSampled]] and any other consumer —
+    * both functions take the trained table as a DataFrame argument,
+    * never a path, so reuse is the default outside the suite. */
   private[graft] def embeddings(spark: SparkSession,
       dir: String): DataFrame =
     NodeEmbeddings.project(
