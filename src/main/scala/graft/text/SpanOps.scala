@@ -317,15 +317,73 @@ object SpanOps {
   def q241WinnowingPairs(spark: SparkSession, dir: String): DataFrame =
     fingerprintPairs(TextOps.docs(spark, dir), PairK, PairW)
 
+  /** Doc-frequency cap for [[fingerprintPairs]]' 100 TB entry point
+    * (`dfCap` > 0): fingerprints selected by MORE than `dfCap`
+    * documents are dropped before the pair join — the MOSS
+    * boilerplate rule (Schleimer et al. §4 deployment: "ignore
+    * fingerprints that occur in many documents"). A fingerprint with
+    * doc-frequency f contributes C(f,2) candidate pairs, so corpus-
+    * frequent grams (license headers, site boilerplate — or a small
+    * vocabulary at bench scale) make the uncapped join QUADRATIC
+    * (measured exponent 2.0 at 1×/3×/10×, BENCH_SCALING Part 17);
+    * the cap bounds each fingerprint's contribution at C(cap,2),
+    * making candidates linear in selected-fingerprint volume. The
+    * recall guarantee then holds for runs shared by ≤ dfCap docs —
+    * exactly the near-dup-pair semantics; content shared more widely
+    * than the cap is boilerplate, the thing q175 scores and a pair
+    * relation should NOT enumerate pairwise. */
+  val PairDfCap = 16
+
+  /** Gram-width ladder and per-doc candidate budget for
+    * [[fingerprintPairsAuto]]. */
+  val AutoKLadder: Seq[Int] = Seq(PairK, 32, 40, 48)
+  val AutoPairsPerDoc = 4.0
+
+  /** [[fingerprintPairs]] with the gram width k chosen by MEASUREMENT
+    * — the corpus-entropy knob the fixed geometry lacks (the
+    * ngramJaccardAuto convention, but keyed to the quantity that
+    * actually explodes). Part 17's finding: the q241 candidate
+    * quadratic on the low-entropy bench corpus is NOT boilerplate
+    * (the df-cap is inert — pairs ride many df 2–16 fingerprints,
+    * background collisions of a 30-word vocabulary where a 39-char
+    * run is commonplace); lengthening the gram restores selectivity
+    * (measured exponent 2.01 at k=24 → 1.03 at k=40, the injected
+    * true-dup answer). The probe is exact and cheap: for each ladder
+    * k, ONE winnowing pass + one agg computes Σ_h C(df_h, 2) — the
+    * fingerprint join's candidate volume itself, BEFORE paying for
+    * the join — and the first k whose volume fits
+    * [[AutoPairsPerDoc]]·|docs| wins (ladder end otherwise). Scalars
+    * only on the driver; collapses to the oracled geometry (k =
+    * [[PairK]]) whenever that fits, spec-pinned bit-equal. */
+  def fingerprintPairsAuto(d0: DataFrame): DataFrame = {
+    val d = d0.pipe(graft.Checkpoints.cut)
+    val n = d.count().max(1L) // scalar: the candidate budget base
+    val k = AutoKLadder.find { k =>
+      val fps = winnowingPicks(d, k, PairW)
+        .select(col("doc_id"), expr("mv div 1048576").as("h")).distinct()
+      val cost = fps.groupBy("h").agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+        .first().getLong(0) // scalar: the would-be join volume
+      cost <= AutoPairsPerDoc * n
+    }.getOrElse(AutoKLadder.last)
+    fingerprintPairs(d, k, PairW)
+  }
+
   private[graft] def fingerprintPairs(d0: DataFrame, k: Int,
-      w: Int): DataFrame = {
+      w: Int, dfCap: Int = 0): DataFrame = {
     val d = d0.pipe(graft.Checkpoints.cut)
     // (doc, hash, witness pos): min position per selected hash
-    val fps = winnowingPicks(d, k, w)
+    val fpsAll = winnowingPicks(d, k, w)
       .select(col("doc_id"), expr("mv div 1048576").as("h"),
         (lit(1048575L) - expr("mv % 1048576")).as("pos"))
       .groupBy("doc_id", "h").agg(min(col("pos")).as("pos"))
       .pipe(graft.Checkpoints.cut)
+    // dfCap > 0: stop-fingerprint filter (one partial agg + semi join)
+    val fps = if (dfCap > 0) {
+      val keep = fpsAll.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("h")
+      fpsAll.join(keep, "h").pipe(graft.Checkpoints.cut)
+    } else fpsAll
     // bucket join on the hash; each pair aggregates its shared count
     // and the deterministic witness (smallest shared hash)
     val pairs = fps.select(col("h"), col("doc_id").as("doc_a"),

@@ -87,6 +87,30 @@ object ScalingSweep {
       graft.text.TextOps.candidates(
         graft.text.TextOps.bandRelation(sig, 2, 4)).distinct().count()
     })
+    // q241 fingerprint-join candidates (pre-verify): distinct doc
+    // pairs sharing >=1 selected winnowing fingerprint — the volume
+    // the guarantee-bearing family pays instead of all-pairs
+    def q241Pairs(dfCap: Int): Long = {
+      val d = graft.text.TextOps.docs(spark, dir)
+      val fpsAll = graft.text.SpanOps.winnowingPicks(d,
+          graft.text.SpanOps.PairK, graft.text.SpanOps.PairW)
+        .select(col("doc_id"), expr("mv div 1048576").as("h")).distinct()
+      val fps = if (dfCap > 0) {
+        val keep = fpsAll.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= dfCap).select("h")
+        fpsAll.join(keep, "h")
+      } else fpsAll
+      fps.select(col("h"), col("doc_id").as("a"))
+        .join(fps.select(col("h"), col("doc_id").as("b")), Seq("h"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct().count()
+    }
+    report("q241_pairs", q241Pairs(0))
+    report("q241_pairs_capped", q241Pairs(graft.text.SpanOps.PairDfCap))
+    report("q241_pairs_auto", {
+      val d = graft.text.TextOps.docs(spark, dir)
+      graft.text.SpanOps.fingerprintPairsAuto(d).count()
+    })
     def autoBandPairs(bands: Int, perDoc: Int): Long = {
       val d = graft.text.TextOps.docs(spark, dir)
       val r = graft.text.TextOps.autoRank(

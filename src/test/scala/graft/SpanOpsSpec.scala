@@ -252,4 +252,59 @@ class SpanOpsSpec extends SparkSpec {
     assert(math.abs(got((1L, 2L))._2 - expect) < 1e-6 + 5e-7,
       s"jaccard ${got((1L, 2L))._2} vs hand $expect")
   }
+
+  test("fingerprint pairs df-cap: boilerplate dropped, rare runs kept, no-op when slack") {
+    val (k, w) = (SpanOps.PairK, SpanOps.PairW)
+    val boiler = ("standard license header text " * 3).take(k + w - 1)
+    val rare = ("unique shared duplicated run " * 3).take(k + w - 1)
+    // docs 1-5 all carry the boilerplate run; only 1 and 2 share the
+    // rare run. dfCap=3 must drop the boilerplate fingerprints (df=5)
+    // and keep the (1,2) pair alive through the rare run (df=2).
+    val docs = (1L to 5L).map { i =>
+      val extra = if (i <= 2) s" plus the $rare segment" else ""
+      (i, s"document number $i body $boiler filler ${i * 7919}$extra")
+    }.toDF("doc_id", "s")
+    val capped = SpanOps.fingerprintPairs(docs, k, w, dfCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)),
+      s"cap must keep only the rare-run pair, got $capped")
+    // a cap that never binds is a no-op: identical to the exact form
+    val uncapped = SpanOps.fingerprintPairs(docs, k, w)
+      .collect().map(_.toSeq).toSet
+    val slack = SpanOps.fingerprintPairs(docs, k, w, dfCap = 1000)
+      .collect().map(_.toSeq).toSet
+    assert(slack == uncapped)
+    assert(uncapped.size == 10, s"all C(5,2) pairs share boilerplate: ${uncapped.size}")
+  }
+
+  test("fingerprint pairs auto-k: collapses to oracled geometry when it fits, widens on low entropy") {
+    val (k, w) = (SpanOps.PairK, SpanOps.PairW)
+    // high-entropy corpus: k=24 volume fits the budget -> bit-equal
+    val run = ("zqxjv" * 8).take(k + w - 1)
+    val hi = Seq(
+      (1L, s"first document body with the planted $run and a tail"),
+      (2L, s"second unrelated prefix then $run closing words here"),
+      (3L, "entirely distinct content sharing no long runs with others x"))
+      .toDF("doc_id", "s")
+    assert(SpanOps.fingerprintPairsAuto(hi).collect().map(_.toSeq).toSeq ==
+      SpanOps.fingerprintPairs(hi, k, w).collect().map(_.toSeq).toSeq)
+    // commonplace-run corpus: every doc carries the SAME 39-char run
+    // (= k+w-1, so k=24 GUARANTEES all C(40,2) pairs — the background-
+    // collision regime Part 17 measured), flanked by per-doc unique
+    // text. Runs of 39 < k'+w-1 stop being guaranteed at k' >= 32 and
+    // can't even share a gram at k' >= 40, so the ladder must settle
+    // on a width where the pair volume fits the budget.
+    val common = ("shared commonplace run body pad" * 2).take(k + w - 1)
+    val salad = (1L to 40L).map { i =>
+      val u = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"salt$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (i, s"$u $common ${u.reverse}")
+    }.toDF("doc_id", "s")
+    val nLow = SpanOps.fingerprintPairsAuto(salad).count()
+    val nFixed = SpanOps.fingerprintPairs(salad, k, w).count()
+    assert(nFixed == 40L * 39 / 2, s"fixed k drowns: $nFixed")
+    assert(nLow < nFixed, s"auto must widen k: $nLow vs $nFixed")
+    assert(nLow <= (SpanOps.AutoPairsPerDoc * 40).toLong,
+      s"auto result must fit the per-doc budget: $nLow")
+  }
 }
