@@ -756,4 +756,23 @@ class PlanAuditSpec extends SparkSpec {
       .map(_.group(1)).getOrElse(fail(s"no ReadSchema in:\n$p"))
     assert(rs.split(",").length == 2, s"documents scan not pruned: $rs")
   }
+
+  test("q240: the pattern probe broadcasts the pattern list") {
+    val p = plan(graft.text.SuffixArray
+      .q240SaSubstringSearch(spark, sfDir()))
+    // startsWith is a non-equi predicate: the pattern side (a handful
+    // of literals) must be the broadcast build, never a cartesian
+    assert(!p.contains("CartesianProduct"),
+      "pattern probe must broadcast, not cross-join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"pattern list not broadcast:\n${p.take(2000)}")
+  }
+
+  test("q241: every join is keyed or broadcast — no cartesian stage") {
+    val p = plan(graft.text.SpanOps.q241WinnowingPairs(spark, sfDir()))
+    assert(!p.contains("CartesianProduct"),
+      "fingerprint pair join must be hash-keyed on h, verification " +
+        "joins keyed on (doc, gram)/(doc) — a cartesian means a " +
+        "candidate step regressed to all-pairs")
+  }
 }
