@@ -121,8 +121,13 @@ object SpanOps {
     * ordered per-doc reassembly (array_sort over the doc's few
     * segments — never a corpus-scale collect). Untouched documents
     * pass through via the anti-join side unchanged. */
-  private[graft] def scrubSpans(d: DataFrame, k: Int): DataFrame = {
-    val spans = duplicateSpans(d, k)
+  private[graft] def scrubSpans(d: DataFrame, k: Int): DataFrame =
+    scrubFromSpans(d, duplicateSpans(d, k))
+
+  /** Cut `spans` (doc_id, span_start, span_end, span_len) out of `d`
+    * and reassemble — the slicing shared by the remove-all (q170) and
+    * keep-first (q243) policies. */
+  private[graft] def scrubFromSpans(d: DataFrame, spans: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("span_start")
     // segment BEFORE each span: [prev_end, span_start)
     val pre = spans
@@ -162,6 +167,48 @@ object SpanOps {
 
   def q170SpanScrub(spark: SparkSession, dir: String): DataFrame =
     scrubSpans(TextOps.docs(spark, dir), SpanGram)
+
+  // ---------------------------------------------------------------- q243
+  /** q243: span scrub, KEEP-FIRST-COPY policy — the variant Lee et
+    * al. 2022 actually deploy for training data (their dedup keeps
+    * one occurrence of each duplicated substring; q170's remove-ALL
+    * is the decontamination-grade contract, and its scaladoc always
+    * named keep-one as the policy layer on top — this is that layer).
+    *
+    * Canonicalization: a duplicated position survives iff it is the
+    * (doc_id, pos)-minimal occurrence of its gram. A run copied
+    * verbatim between documents has every one of its grams' minima in
+    * the EARLIEST document, so whole runs survive exactly once (in
+    * the first doc by id, at their first in-doc position) and are
+    * scrubbed everywhere else — including later self-repeats inside
+    * the same document.
+    *
+    * Scale shape: q164's gram relation + ONE more partial agg
+    * (per-gram min(struct(doc_id, pos)) rides the same gram-keyed
+    * shuffle as the dup count) and an equi-join filter; the slicing
+    * and reassembly are q170's shared path. */
+  def q243SpanScrubKeepFirst(spark: SparkSession, dir: String): DataFrame =
+    scrubSpansKeepFirst(TextOps.docs(spark, dir), SpanGram)
+
+  private[graft] def scrubSpansKeepFirst(d: DataFrame, k: Int): DataFrame = {
+    val pos = graft.Checkpoints.cut(d.filter(length(col("s")) >= k)
+      .select(col("doc_id"),
+        explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"),
+        col("pg.gram").as("gram")))
+    // one gram-keyed agg carries both the dup decision and the
+    // canonical (minimal) occurrence
+    val stats = pos.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+      .filter(col("cnt") >= 2)
+      .select(col("gram"), col("first.doc_id").as("fd"),
+        col("first.pos").as("fp"))
+    val dupPos = pos.join(stats, "gram")
+      .filter(col("doc_id") =!= col("fd") || col("pos") =!= col("fp"))
+      .select("doc_id", "pos")
+    scrubFromSpans(d, mergeSpans(dupPos, k))
+  }
 
   // ---------------------------------------------------------------- q169
   /** Stride-overlap context-window chunking: each document's token
@@ -438,20 +485,33 @@ object SpanOps {
     "q170_span_scrub" -> (q170SpanScrub _),
     "q239_winnowing" -> (q239Winnowing _),
     "q241_winnowing_pairs" -> (q241WinnowingPairs _),
+    "q243_span_scrub_keep_first" -> (q243SpanScrubKeepFirst _),
   )
 
   /** q164's span relation as reusable CTEs (through `sp`),
     * parameterized over the source CTE (must expose doc_id, s) and
     * the gram width — the q242 oracle reuses it over the bounded
     * suffix-array universe. */
-  private[graft] def spanCtesOver(src: String, k: Int): String =
+  private[graft] def spanCtesOver(src: String, k: Int,
+      keepFirst: Boolean = false): String =
     s"""pos AS (
        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |         substr(s, CAST(i AS INT), $k) AS gram
        |  FROM $src, unnest(generate_series(1, length(s) - $k + 1)) AS t(i)
        |  WHERE length(s) >= $k),
-       |dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
-       |dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),
+       |${
+      if (keepFirst)
+        """rk AS (
+       |  SELECT doc_id, pos,
+       |         count(*) OVER (PARTITION BY gram) AS cnt,
+       |         row_number() OVER (PARTITION BY gram
+       |                            ORDER BY doc_id, pos) AS rn
+       |  FROM pos),
+       |dp AS (SELECT doc_id, pos FROM rk WHERE cnt >= 2 AND rn >= 2),"""
+      else
+        """dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+       |dp AS (SELECT p.doc_id, p.pos FROM pos p JOIN dup USING (gram)),"""
+    }
        |f AS (
        |  SELECT doc_id, pos,
        |         CASE WHEN max(pos + $k) OVER (
@@ -477,6 +537,50 @@ object SpanOps {
   private def spanCtes =
     s"""${TextOps.normCte},
        |${spanCtesOver("n", SpanGram)}""".stripMargin
+
+  /** The scrub statement (q170's slicing/reassembly) over any span
+    * CTE chain exposing `n` and `sp`. */
+  private def scrubSql(ctes: String): String =
+    s"""WITH $ctes,
+         |pre AS (
+         |  SELECT doc_id,
+         |         lag(span_end, 1, 1) OVER w AS seg_start,
+         |         span_start - lag(span_end, 1, 1) OVER w AS seg_len
+         |  FROM sp
+         |  WINDOW w AS (PARTITION BY doc_id ORDER BY span_start)),
+         |tl AS (
+         |  SELECT doc_id, max(span_end) AS seg_start,
+         |         CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(span_len) AS BIGINT) AS removed_chars
+         |  FROM sp GROUP BY doc_id),
+         |segs AS (
+         |  SELECT doc_id, seg_start, seg_len FROM pre
+         |  UNION ALL
+         |  SELECT doc_id, seg_start, CAST(-1 AS BIGINT) FROM tl),
+         |cut AS (
+         |  SELECT g.doc_id, g.seg_start,
+         |         CASE WHEN g.seg_len >= 0
+         |           THEN substr(n.s, CAST(g.seg_start AS INT),
+         |                       CAST(g.seg_len AS INT))
+         |           ELSE substr(n.s, CAST(g.seg_start AS INT))
+         |         END AS seg_text
+         |  FROM segs g JOIN n USING (doc_id)),
+         |rb AS (
+         |  SELECT doc_id,
+         |         coalesce(string_agg(seg_text, '' ORDER BY seg_start), '')
+         |           AS scrubbed
+         |  FROM cut GROUP BY doc_id),
+         |touched AS (
+         |  SELECT rb.doc_id, t.n_spans, t.removed_chars, rb.scrubbed
+         |  FROM rb JOIN tl t USING (doc_id)),
+         |untouched AS (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS n_spans,
+         |         CAST(0 AS BIGINT) AS removed_chars, s AS scrubbed
+         |  FROM n WHERE doc_id NOT IN (SELECT doc_id FROM sp))
+         |SELECT doc_id, n_spans, removed_chars,
+         |       CAST(length(scrubbed) AS BIGINT) AS kept_chars, scrubbed
+         |FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
+         |ORDER BY doc_id""".stripMargin
 
   /** Winnowing selection CTEs (through `sel` = (doc_id, mv)) at gram
     * width k / window w — the q239 arithmetic, parameterized for the
@@ -585,47 +689,11 @@ object SpanOps {
          |SELECT doc_id, span_start, span_end, span_len
          |FROM sp ORDER BY doc_id, span_start""".stripMargin,
 
-    "q170_span_scrub" ->
-      s"""WITH $spanCtes,
-         |pre AS (
-         |  SELECT doc_id,
-         |         lag(span_end, 1, 1) OVER w AS seg_start,
-         |         span_start - lag(span_end, 1, 1) OVER w AS seg_len
-         |  FROM sp
-         |  WINDOW w AS (PARTITION BY doc_id ORDER BY span_start)),
-         |tl AS (
-         |  SELECT doc_id, max(span_end) AS seg_start,
-         |         CAST(count(*) AS BIGINT) AS n_spans,
-         |         CAST(sum(span_len) AS BIGINT) AS removed_chars
-         |  FROM sp GROUP BY doc_id),
-         |segs AS (
-         |  SELECT doc_id, seg_start, seg_len FROM pre
-         |  UNION ALL
-         |  SELECT doc_id, seg_start, CAST(-1 AS BIGINT) FROM tl),
-         |cut AS (
-         |  SELECT g.doc_id, g.seg_start,
-         |         CASE WHEN g.seg_len >= 0
-         |           THEN substr(n.s, CAST(g.seg_start AS INT),
-         |                       CAST(g.seg_len AS INT))
-         |           ELSE substr(n.s, CAST(g.seg_start AS INT))
-         |         END AS seg_text
-         |  FROM segs g JOIN n USING (doc_id)),
-         |rb AS (
-         |  SELECT doc_id,
-         |         coalesce(string_agg(seg_text, '' ORDER BY seg_start), '')
-         |           AS scrubbed
-         |  FROM cut GROUP BY doc_id),
-         |touched AS (
-         |  SELECT rb.doc_id, t.n_spans, t.removed_chars, rb.scrubbed
-         |  FROM rb JOIN tl t USING (doc_id)),
-         |untouched AS (
-         |  SELECT doc_id, CAST(0 AS BIGINT) AS n_spans,
-         |         CAST(0 AS BIGINT) AS removed_chars, s AS scrubbed
-         |  FROM n WHERE doc_id NOT IN (SELECT doc_id FROM sp))
-         |SELECT doc_id, n_spans, removed_chars,
-         |       CAST(length(scrubbed) AS BIGINT) AS kept_chars, scrubbed
-         |FROM (SELECT * FROM touched UNION ALL SELECT * FROM untouched)
-         |ORDER BY doc_id""".stripMargin,
+    "q243_span_scrub_keep_first" -> scrubSql(
+      s"""${TextOps.normCte},
+         |${spanCtesOver("n", SpanGram, keepFirst = true)}""".stripMargin),
+
+    "q170_span_scrub" -> scrubSql(spanCtes),
 
     "q169_chunk_stride" ->
       s"""WITH ${TextOps.normCte},

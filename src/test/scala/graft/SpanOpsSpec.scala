@@ -277,6 +277,41 @@ class SpanOpsSpec extends SparkSpec {
     assert(uncapped.size == 10, s"all C(5,2) pairs share boilerplate: ${uncapped.size}")
   }
 
+  test("keep-first scrub: first copy survives, later copies and self-repeats go") {
+    val k = 12
+    val run = "abcdefghijkl" // exactly k chars
+    val docs = Seq(
+      (1L, s"xx $run yy"),            // canonical copy (min doc_id)
+      (2L, s"zz $run ww"),            // cross-doc later copy
+      (3L, s"$run$run tail of three"), // self-repeat: 2nd occurrence goes
+      (4L, "no duplicated content here at all"))
+      .toDF("doc_id", "s")
+    val keep = SpanOps.scrubSpansKeepFirst(docs, k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    // doc 1 keeps the run untouched... BUT: doc 3's run at pos 1 is
+    // the true minimum (doc 1's sits at pos 4)? No — min is by
+    // (doc_id, pos), so doc 1 pos 4 < doc 3 pos 1 is FALSE ordering:
+    // (1,4) < (3,1) lexicographically -> doc 1 is canonical.
+    assert(keep(1L)._3 == s"xx $run yy" && keep(1L)._1 == 0L)
+    // the shared run includes its flanking spaces (" run " = k+2
+    // chars common to docs 1 and 2), so the scrub takes them too
+    assert(keep(2L)._3 == "zzww" && keep(2L)._2 == k.toLong + 2)
+    // doc 3: "abcdefghijklabcdefghijkl..." — every gram of the first
+    // occurrence is canonical in... grams spanning the two copies
+    // occur only here; the WHOLE 2k-char run's duplicated-and-
+    // noncanonical positions merge, scrubbing the second copy
+    assert(!keep(3L)._3.contains(run * 2) && keep(3L)._3.contains("tail"))
+    assert(keep(4L)._3 == "no duplicated content here at all")
+    // remove-all scrubs strictly more: every doc's removed_chars >=
+    val all = SpanOps.scrubSpans(docs, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    keep.foreach { case (id, (_, removed, _)) =>
+      assert(removed <= all(id), s"doc $id keep-first removed more than remove-all")
+    }
+    assert(all(1L) > 0L, "remove-all must scrub the canonical copy too")
+  }
+
   test("fingerprint pairs auto-k: collapses to oracled geometry when it fits, widens on low entropy") {
     val (k, w) = (SpanOps.PairK, SpanOps.PairW)
     // high-entropy corpus: k=24 volume fits the budget -> bit-equal
