@@ -479,6 +479,55 @@ object SpanOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- q244
+  /** Jaccard threshold for q244's verified dedup edges (q44's θ). */
+  val DedupTheta = 0.5
+
+  /** q244: the COMPLETE winnowing dedup deliverable — candidates
+    * (fingerprint join, provable recall for runs ≥ w+k−1), verify
+    * (exact k-gram Jaccard ≥ [[DedupTheta]]), cluster (connected
+    * components over the verified pair graph via the STRUCTURE-ROUTED
+    * [[graft.graph.StarContraction.ccAuto]] — near-dup chains are
+    * exactly the high-diameter hazard the router exists for, and this
+    * query gives the router oracle coverage), and survivor selection
+    * (keep-best: longest member, ties to the smallest id — q43's
+    * keep-best convention applied at the cluster level).
+    *
+    * Scale shape: everything up to the pair relation is q241's
+    * (bucket join, candidates × doc-gram verify); the CC loop runs
+    * ONLY over paired docs (the corpus-sized singleton majority is
+    * labeled by one left join afterward, q44's discipline); survivor
+    * selection is one cluster-keyed partial agg. */
+  def q244WinnowingDedup(spark: SparkSession, dir: String): DataFrame = {
+    val d = TextOps.docs(spark, dir).pipe(graft.Checkpoints.cut)
+    val pairs = fingerprintPairs(d, PairK, PairW)
+      .filter(col("jaccard") >= DedupTheta)
+      .select(col("doc_a"), col("doc_b"))
+      .pipe(graft.Checkpoints.cut)
+    val paired = pairs.select(col("doc_a").as("node"))
+      .union(pairs.select(col("doc_b").as("node"))).distinct()
+    val comp = graft.graph.StarContraction.ccAuto(paired,
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+    val members = comp
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+      .join(d.select(col("doc_id"),
+        length(col("s")).cast("long").as("n_chars")), "doc_id")
+      .pipe(graft.Checkpoints.cut)
+    val keep = members.groupBy("cluster")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("nid"),
+        col("doc_id"))).as("s0"))
+      .select(col("cluster"), col("s0.doc_id").as("keep_id"))
+    d.select(col("doc_id"))
+      .join(members.select("doc_id", "cluster"), Seq("doc_id"), "left")
+      .join(keep, Seq("cluster"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        coalesce(col("keep_id"), col("doc_id")).as("keep_id"),
+        (coalesce(col("keep_id"), col("doc_id")) === col("doc_id"))
+          .as("is_survivor"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q164_substring_dedup" -> (q164SubstringDedup _),
     "q169_chunk_stride" -> (q169ChunkStride _),
@@ -486,6 +535,7 @@ object SpanOps {
     "q239_winnowing" -> (q239Winnowing _),
     "q241_winnowing_pairs" -> (q241WinnowingPairs _),
     "q243_span_scrub_keep_first" -> (q243SpanScrubKeepFirst _),
+    "q244_winnowing_dedup" -> (q244WinnowingDedup _),
   )
 
   /** q164's span relation as reusable CTEs (through `sp`),
@@ -604,26 +654,32 @@ object SpanOps {
        |      FROM v),
        |sel AS (SELECT DISTINCT doc_id, mv FROM m WHERE pos >= $w)""".stripMargin
 
+  /** Pair-core CTEs for the q241/q244 mirrors: winnowing selection →
+    * fingerprint table `fp` → candidate pairs `pr` → gram sets `gd`,
+    * sizes `sz`, intersections `ja`. */
+  private def winnowPairCtes(k: Int, w: Int): String =
+    s"""${winnowSelCtes(k, w)},
+       |fp AS (SELECT doc_id, mv // 1048576 AS h,
+       |              CAST(min(1048575 - mv % 1048576) AS BIGINT) AS pos
+       |       FROM sel GROUP BY 1, 2),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |              CAST(count(*) AS BIGINT) AS n_shared_fps,
+       |              arg_min(a.pos, a.h) AS witness_pos_a,
+       |              arg_min(b.pos, a.h) AS witness_pos_b
+       |       FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |gd AS (SELECT DISTINCT doc_id, gram FROM g),
+       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+       |       FROM gd GROUP BY 1),
+       |ja AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
+       |       FROM pr p
+       |       JOIN gd x ON x.doc_id = p.doc_a
+       |       JOIN gd y ON y.doc_id = p.doc_b AND y.gram = x.gram
+       |       GROUP BY 1, 2)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q241_winnowing_pairs" ->
-      s"""WITH ${winnowSelCtes(PairK, PairW)},
-         |fp AS (SELECT doc_id, mv // 1048576 AS h,
-         |              CAST(min(1048575 - mv % 1048576) AS BIGINT) AS pos
-         |       FROM sel GROUP BY 1, 2),
-         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |              CAST(count(*) AS BIGINT) AS n_shared_fps,
-         |              arg_min(a.pos, a.h) AS witness_pos_a,
-         |              arg_min(b.pos, a.h) AS witness_pos_b
-         |       FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
-         |       GROUP BY 1, 2),
-         |gd AS (SELECT DISTINCT doc_id, gram FROM g),
-         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-         |       FROM gd GROUP BY 1),
-         |ja AS (SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS inter
-         |       FROM pr p
-         |       JOIN gd x ON x.doc_id = p.doc_a
-         |       JOIN gd y ON y.doc_id = p.doc_b AND y.gram = x.gram
-         |       GROUP BY 1, 2),
+      s"""WITH ${winnowPairCtes(PairK, PairW)},
          |wl AS (SELECT p.doc_a, p.doc_b,
          |              substr(na.s, CAST(p.witness_pos_a AS INT),
          |                     $WitnessCap) AS sa2,
@@ -653,6 +709,41 @@ object SpanOps {
          |JOIN sz sb ON sb.doc_id = p.doc_b
          |JOIN lc ON lc.doc_a = p.doc_a AND lc.doc_b = p.doc_b
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+
+    "q244_winnowing_dedup" ->
+      s"""WITH RECURSIVE ${winnowPairCtes(PairK, PairW)},
+         |vp AS (SELECT p.doc_a AS u, p.doc_b AS v
+         |       FROM pr p
+         |       JOIN ja ON ja.doc_a = p.doc_a AND ja.doc_b = p.doc_b
+         |       JOIN sz sa ON sa.doc_id = p.doc_a
+         |       JOIN sz sb ON sb.doc_id = p.doc_b
+         |       WHERE round(ja.inter /
+         |             CAST(sa.sz + sb.sz - ja.inter AS DOUBLE), 6)
+         |         >= $DedupTheta),
+         |und AS (SELECT u, v FROM vp UNION SELECT v, u FROM vp),
+         |pn AS (SELECT DISTINCT u AS node FROM und),
+         |reach AS (
+         |  SELECT node, node AS peer FROM pn
+         |  UNION
+         |  SELECT r.node, e.v FROM reach r JOIN und e ON e.u = r.peer),
+         |cc AS (SELECT node AS doc_id, CAST(min(peer) AS BIGINT) AS cluster
+         |       FROM reach GROUP BY node),
+         |mem AS (SELECT cc.doc_id, cc.cluster,
+         |               length(n.s) AS n_chars
+         |        FROM cc JOIN n ON n.doc_id = cc.doc_id),
+         |keep AS (SELECT cluster, doc_id AS keep_id FROM (
+         |           SELECT cluster, doc_id,
+         |                  row_number() OVER (PARTITION BY cluster
+         |                    ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |           FROM mem) WHERE rn = 1)
+         |SELECT n.doc_id,
+         |       CAST(coalesce(m.cluster, n.doc_id) AS BIGINT) AS cluster,
+         |       CAST(coalesce(k.keep_id, n.doc_id) AS BIGINT) AS keep_id,
+         |       coalesce(k.keep_id, n.doc_id) = n.doc_id AS is_survivor
+         |FROM n
+         |LEFT JOIN mem m ON m.doc_id = n.doc_id
+         |LEFT JOIN keep k ON k.cluster = m.cluster
+         |ORDER BY n.doc_id""".stripMargin,
 
     "q239_winnowing" ->
       s"""WITH ${TextOps.normCte},

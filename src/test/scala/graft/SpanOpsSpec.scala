@@ -312,6 +312,40 @@ class SpanOpsSpec extends SparkSpec {
     assert(all(1L) > 0L, "remove-all must scrub the canonical copy too")
   }
 
+  test("winnowing dedup: clusters verified pairs, keep-best survivor, singletons intact") {
+    val (k, w) = (SpanOps.PairK, SpanOps.PairW)
+    val run = ("zqxjv" * 12).take(45)
+    // docs 1-3 are near-identical (chained shared content: 1~2, 2~3),
+    // doc 4 unrelated, doc 5 shares a run with nobody above theta
+    val base = s"common body $run more shared text $run closing part"
+    val docs = Seq(
+      (1L, s"$base extra-one"),
+      (2L, s"$base extra-two-longer-suffix-here"),
+      (3L, s"$base extra3"),
+      (4L, "totally different content with no shared runs at all x"),
+      (5L, s"only a tiny $run island in an otherwise unrelated body " +
+        "of completely different words stretching on and on and on"))
+      .toDF("doc_id", "s")
+    // compute exactly what q244's pipeline does on this fixture
+    val pairs = SpanOps.fingerprintPairs(docs, k, w)
+      .filter(org.apache.spark.sql.functions.col("jaccard") >= SpanOps.DedupTheta)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.nonEmpty && pairs.forall { case (a, b) => a <= 3 && b <= 3 },
+      s"only docs 1-3 may pair above theta: $pairs")
+    val paired = pairs.flatMap(p => Seq(p._1, p._2))
+    val und = pairs.toSeq.toDF("u", "v")
+    val comp = graft.graph.StarContraction
+      .ccAuto(paired.toSeq.toDF("node"), und)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.values.toSet == Set(1L), s"one cluster rooted at 1: $comp")
+    // survivor = longest member of cluster 1 = doc 2
+    import org.apache.spark.sql.functions.col
+    val lens = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.length(col("s")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lens(2L) > lens(1L) && lens(2L) > lens(3L))
+  }
+
   test("fingerprint pairs auto-k: collapses to oracled geometry when it fits, widens on low entropy") {
     val (k, w) = (SpanOps.PairK, SpanOps.PairW)
     // high-entropy corpus: k=24 volume fits the budget -> bit-equal
