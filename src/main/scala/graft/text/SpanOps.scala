@@ -8,9 +8,14 @@ import scala.util.chaining._
 /** Character-SPAN operators over the document corpus: exact duplicate
   * SPAN detection (the substring-level complement of the document-level
   * dedup family q20–q23 — Lee et al. 2022, "Deduplicating Training
-  * Data Makes Language Models Better", arXiv:2107.06499) and
-  * stride-overlap context-window chunking (the pretokenization step
-  * that turns variable-length documents into fixed training windows).
+  * Data Makes Language Models Better", arXiv:2107.06499), the two
+  * scrub policies over it (remove-all q170, keep-first-copy q243),
+  * stride-overlap context-window chunking (q169), and the winnowing
+  * family (Schleimer, Wilkerson & Aiken 2003): fingerprint selection
+  * (q239), the fingerprint-join near-dup pair relation with exact
+  * verification (q241, plus the df-cap and auto-k scale entries), and
+  * the end-to-end dedup deliverable — pairs → ccAuto clusters →
+  * keep-best survivors (q244).
   *
   * The reference corpus semantics these extend: the miner's exact-match
   * idempotency (reference `src/InsertDataHelper.ts:1-116` inserts are
