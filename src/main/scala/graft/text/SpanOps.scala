@@ -505,7 +505,22 @@ object SpanOps {
     * selection is one cluster-keyed partial agg. */
   def q244WinnowingDedup(spark: SparkSession, dir: String): DataFrame = {
     val d = TextOps.docs(spark, dir).pipe(graft.Checkpoints.cut)
-    val pairs = fingerprintPairs(d, PairK, PairW)
+    dedupFromPairs(d, fingerprintPairs(d, PairK, PairW))
+  }
+
+  /** The 100 TB dedup entry point: [[fingerprintPairsAuto]]'s
+    * measured gram width feeding the same cluster + survivor stage —
+    * so the candidate step stays within its per-doc budget on ANY
+    * corpus entropy (Part 17), with identical output to q244 whenever
+    * the oracled width fits (spec-pinned). */
+  def winnowingDedupAuto(d0: DataFrame): DataFrame = {
+    val d = d0.pipe(graft.Checkpoints.cut)
+    dedupFromPairs(d, fingerprintPairsAuto(d))
+  }
+
+  /** Cluster + survivor stage shared by q244 and the auto entry. */
+  private[graft] def dedupFromPairs(d: DataFrame, rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs
       .filter(col("jaccard") >= DedupTheta)
       .select(col("doc_a"), col("doc_b"))
       .pipe(graft.Checkpoints.cut)

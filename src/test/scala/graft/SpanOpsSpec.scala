@@ -344,6 +344,17 @@ class SpanOpsSpec extends SparkSpec {
       org.apache.spark.sql.functions.length(col("s")).as("len"))
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(lens(2L) > lens(1L) && lens(2L) > lens(3L))
+    // the auto entry collapses to the fixed-width pipeline when the
+    // oracled geometry fits the budget (it does on this fixture)
+    val autoOut = SpanOps.winnowingDedupAuto(docs)
+      .collect().map(_.toSeq).toSeq
+    val fixedOut = SpanOps.dedupFromPairs(docs,
+        SpanOps.fingerprintPairs(docs, k, w))
+      .collect().map(_.toSeq).toSeq
+    assert(autoOut == fixedOut && autoOut.nonEmpty)
+    val survivors = autoOut.count(r => r(3).asInstanceOf[Boolean])
+    assert(survivors == 3, // one for cluster {1,2,3}, docs 4 and 5 solo
+      s"expected 3 survivors, got $survivors in $autoOut")
   }
 
   test("fingerprint pairs auto-k: collapses to oracled geometry when it fits, widens on low entropy") {
