@@ -86,6 +86,26 @@ object StarCcAB {
       }
       println(f"STARAB path n=$n%-7d star     wall=$w%.1fs rounds=$r nonroot_label_errors=$c")
     }
+
+    // -- 3. ccAuto routing (round 12, BENCH_SCALING part 17) -----------
+    // dense graph: the probe must converge and match min-label's wall
+    // class; paths: the probe must hand off and match star's class.
+    val (autoDense, autoDenseW) = timed {
+      graft.Checkpoints.cut(graft.graph.StarContraction.ccAuto(
+        nodes, e.select(col("src").as("u"), col("dst").as("v"))))
+    }
+    val adDis = ccLbl.join(autoDense.select(col("node").as("n2"),
+        col("component").as("c2")), col("node") === col("n2"))
+      .filter(col("component") =!= col("c2")).count()
+    println(f"STARAB copurchase ccAuto   wall=$autoDenseW%.1fs disagree_rows=$adDis")
+    for (n <- Seq(1024L, 16384L, 262144L)) {
+      val (pn, pe) = path(n)
+      val (c, w) = timed {
+        graft.graph.StarContraction.ccAuto(pn, pe)
+          .filter(col("component") =!= 0L).count()
+      }
+      println(f"STARAB path n=$n%-7d ccAuto   wall=$w%.1fs nonroot_label_errors=$c")
+    }
     spark.stop()
   }
 }
