@@ -65,12 +65,44 @@ object Prod2Vec {
     * or write it), then hand the SAME relation to
     * [[NodeEmbeddings.linkAucSampled]] and any other consumer —
     * both functions take the trained table as a DataFrame argument,
-    * never a path, so reuse is the default outside the suite. */
+    * never a path, so reuse is the default outside the suite.
+    *
+    * TRAINS THROUGH THE ADOPTED 100 TB LAYOUT (BENCH_NOTES_r10 §3,
+    * wired into the suite entries per VERDICT r12 #4): the pair
+    * relation is written through E8's u-bucketed sink (scratch
+    * external table, q156's per-run-name + drop-in-finally
+    * discipline) and the trainer reads it UNCUT, so the PPMI stage's
+    * marginal groupBy(u) and u-keyed join reuse the scan's bucketing
+    * instead of exchanging the pair relation (exchanges 2 → 0; the
+    * 1× PPMI+project wall halved in the A/B). This also moves the
+    * suite's largest intermediate from executor-memory checkpoint
+    * blocks to compressed parquet — the memory-bandwidth footprint
+    * the driver box's co-tenant spikes kept hitting (three rounds of
+    * flagged-then-refuted q228/q229 walls). Bit-equal to the
+    * live-plan path by NodeEmbeddingsSpec's bucketed-path spec; the
+    * finally-block cleanup is safe because [[NodeEmbeddings.project]]
+    * materializes its projection relation eagerly (Checkpoints.cut),
+    * after which nothing re-reads the scratch table. */
   private[graft] def embeddings(spark: SparkSession,
-      dir: String): DataFrame =
-    NodeEmbeddings.project(
-      NodeEmbeddings.ppmiRows(basketPairs(Tables(spark, dir))),
-      NodeEmbeddings.Dims)
+      dir: String): DataFrame = {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-p2v-pairs").toString
+    val run = java.util.UUID.randomUUID().toString.replace("-", "")
+    val tbl = s"graft_p2v_pairs_bkt_$run"
+    try {
+      basketPairs(Tables(spark, dir))
+        .write.mode("overwrite").format("parquet")
+        .option("path", s"$tmp/pairs")
+        .bucketBy(32, "u").sortBy("u")
+        .saveAsTable(tbl)
+      NodeEmbeddings.project(
+        NodeEmbeddings.ppmiRows(spark.table(tbl), cutInput = false),
+        NodeEmbeddings.Dims)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      graft.sources.ParquetSink.deleteRecursively(tmp)
+    }
+  }
 
   /** q228: prod2vec embeddings for every part with basket
     * co-occurrence signal. */

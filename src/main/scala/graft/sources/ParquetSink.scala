@@ -82,7 +82,7 @@ object ParquetSink {
       spark.sparkContext.parallelize(df.collect().toSeq, 1), df.schema)
   }
 
-  private def deleteRecursively(path: String): Unit = {
+  private[graft] def deleteRecursively(path: String): Unit = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val p = Paths.get(path)
