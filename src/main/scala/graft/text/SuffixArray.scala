@@ -288,8 +288,10 @@ object SuffixArray {
     * pos). The SA property doing the work: the suffixes starting with
     * a pattern form one CONTIGUOUS sa_rank interval (spec-pinned), so
     * a persisted index range-partitioned by sa_rank answers a point
-    * probe by binary search over partition bounds — O(log) partitions
-    * touched, the 100 TB read path. Here the interval is materialized
+    * probe touching only the interval's partitions — the 100 TB read
+    * path, BUILT as [[writeSearchIndex]]/[[searchIndexProbe]]
+    * (spec-pinned equal to this in-plan answer, partition pruning
+    * asserted on the probe plan). Here the interval is materialized
     * by a bounded-width prefix compare: each SA row re-extracts only
     * [[SearchPrefLen]] chars (never the suffix), and the pattern list
     * is broadcast — one scan, zero shuffles beyond the SA build. */
@@ -307,6 +309,73 @@ object SuffixArray {
     pref.join(broadcast(pats), col("pref").startsWith(col("pattern")))
       .select(col("pattern"), col("sa_rank"), col("doc_id"), col("pos"))
       .orderBy("pattern", "sa_rank")
+  }
+
+  // ---------------------------------------------- persisted search index
+  /** Persist the suffix-array search index for point probes — the
+    * read path q240's scaladoc promises, as a library entry:
+    *
+    *  - `<path>/sa/part=k/`: SA rows (sa_rank, doc_id, pos, pref)
+    *    range-partitioned by sa_rank into `nParts` directory
+    *    partitions, sorted within each. `pref` is the bounded
+    *    [[SearchPrefLen]]-char probe column — the index never stores
+    *    a suffix.
+    *  - `<path>/bounds/`: one row per partition (part, min_pref,
+    *    max_pref) — the fence-post table a probe binary-searches.
+    *
+    * Because sa_rank IS lexicographic suffix order, each partition
+    * covers one contiguous prefix range, so a pattern's occurrence
+    * interval intersects the partitions whose [min_pref, max_pref]
+    * straddles it — O(interval/partition-size) directories read, the
+    * rest pruned at planning time. At 100 TB this is the difference
+    * between a full index scan per query and a few column chunks:
+    * the writer is run once per corpus build (E7's idempotent-sink
+    * discipline applies — same parquet overwrite semantics). */
+  def writeSearchIndex(docs: DataFrame, path: String,
+      nParts: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    val sa = suffixArray(docs)
+    val rows = sa.join(docs.withColumnRenamed("doc_id", "sd"),
+        col("doc_id") === col("sd"))
+      .select(col("sa_rank"), col("doc_id"), col("pos"),
+        expr(s"substring(s, cast(pos as int), $SearchPrefLen)").as("pref"))
+    rows.repartitionByRange(nParts, col("sa_rank"))
+      .sortWithinPartitions("sa_rank")
+      .withColumn("part", spark_partition_id())
+      .write.mode("overwrite").partitionBy("part").parquet(s"$path/sa")
+    spark.read.parquet(s"$path/sa")
+      .groupBy("part")
+      .agg(min("pref").as("min_pref"), max("pref").as("max_pref"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/bounds")
+  }
+
+  /** Point probe against a [[writeSearchIndex]] index: every corpus
+    * occurrence of `pattern` as (sa_rank, doc_id, pos), reading ONLY
+    * the partitions whose bounds straddle the pattern's prefix
+    * interval. The bounds table is `nParts` rows — collected to the
+    * driver (bounded by construction, the q121-codebook class); the
+    * partition selection becomes an `isin` on the directory-partition
+    * column, i.e. partition PRUNING at planning time (spec-asserted:
+    * the probe plan's PartitionFilters drop non-straddling
+    * directories). Patterns longer than [[SearchPrefLen]] cannot be
+    * answered by the stored prefix — rejected loudly. */
+  def searchIndexProbe(spark: SparkSession, path: String,
+      pattern: String): DataFrame = {
+    require(pattern.nonEmpty && pattern.length <= SearchPrefLen,
+      s"pattern must be 1..$SearchPrefLen chars (stored probe width)")
+    // suffixes starting with `pattern` have pref in
+    // [pattern, pattern + U+FFFF): straddle test on the fence posts
+    val hi = pattern + '\uFFFF'
+    val parts = spark.read.parquet(s"$path/bounds")
+      .filter(col("max_pref") >= pattern && col("min_pref") <= hi)
+      .select("part").collect().map(_.getInt(0))
+    val sa = spark.read.parquet(s"$path/sa")
+    val pruned =
+      if (parts.isEmpty) sa.filter(lit(false))
+      else sa.filter(col("part").isin(parts.toSeq: _*))
+    pruned.filter(col("pref").startsWith(pattern))
+      .select("sa_rank", "doc_id", "pos")
   }
 
   // ---------------------------------------------------------------- q242

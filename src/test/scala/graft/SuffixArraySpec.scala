@@ -146,6 +146,59 @@ class SuffixArraySpec extends SparkSpec {
       s"pattern hits must occupy one contiguous sa_rank interval: $ranks")
   }
 
+  // ------------------------------------- persisted search index probe
+  test("persisted index probe equals the in-plan q240 answer and prunes partitions") {
+    import org.apache.spark.sql.functions.substring
+    val d = text.TextOps.docs(spark, sfDir())
+      .filter(col("doc_id") < SuffixArray.SaDocCap)
+      .select(col("doc_id"),
+        substring(col("s"), 1, SuffixArray.SaMaxLen).as("s"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-sa-index").toString
+    try {
+      SuffixArray.writeSearchIndex(d, path, nParts = 8)
+      // reference: the oracled q240 result on the same universe
+      val want = SuffixArray.q240SaSubstringSearch(spark, sfDir())
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .groupBy(_._1).view
+        .mapValues(_.map(t => (t._2, t._3, t._4)).toSeq.sorted).toMap
+      var anyPruned = false
+      for (pat <- SuffixArray.SearchPatterns) {
+        val probe = SuffixArray.searchIndexProbe(spark, path, pat)
+        val got = probe.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+        assert(got == want.getOrElse(pat, Seq.empty),
+          s"probe('$pat') diverged from the in-plan answer")
+        assert(got.nonEmpty, s"pattern '$pat' must occur at this SF")
+        // the point probe must NOT scan the whole index: the part
+        // selection reaches the scan as a PARTITION filter (directory
+        // pruning at planning time), and the bounds table selects a
+        // strict subset of the 8 directories for this pattern
+        val planStr = probe.queryExecution.executedPlan.toString
+        assert("PartitionFilters: \\[[^\\]]*part".r.findFirstIn(planStr).nonEmpty,
+          s"part selection not a partition filter:\n$planStr")
+        val sel = spark.read.parquet(s"$path/bounds")
+          .collect()
+          .count(r => r.getAs[String]("max_pref") >= pat &&
+            r.getAs[String]("min_pref") <= pat + '\uFFFF')
+        if (sel < 8) anyPruned = true
+      }
+      assert(anyPruned,
+        "every probe straddled all 8 index partitions — the bounds " +
+          "fence posts are not separating prefix ranges")
+      // a pattern past every stored prefix probes zero partitions
+      assert(SuffixArray.searchIndexProbe(spark, path, "~~~~").isEmpty)
+      // wider-than-stored patterns are rejected loudly
+      intercept[IllegalArgumentException] {
+        SuffixArray.searchIndexProbe(spark, path,
+          "x" * (SuffixArray.SearchPrefLen + 1))
+      }
+    } finally {
+      graft.sources.ParquetSink.deleteRecursively(path)
+    }
+  }
+
   // ------------------------------------------------- q242 spans
   test("SA-derived duplicate spans equal the gram-derived q164 spans") {
     val run1 = "one shared duplicated run long enough!!"   // 39 + pad
