@@ -49,6 +49,22 @@ object Checkpoints {
     }
   }
 
+  /** [[cut]] unless `df` is ALREADY a cut root (its plan root is the
+    * LogicalRDD of a checkpointed RDD) — the idempotent form for call
+    * chains where both a composer and its component defensively cut
+    * the same relation: q244/winnowingDedupAuto cut the corpus and
+    * then call fingerprintPairs, which cuts its input again — a
+    * redundant second materialization + storage of an identical
+    * relation per query (ADVICE r12). A NON-checkpoint LogicalRDD
+    * (e.g. a createDataFrame/zipWithIndex result) still cuts: its RDD
+    * lineage would otherwise re-execute per action. */
+  def cutOnce(df: DataFrame): DataFrame =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.isCheckpointed => df
+      case _ => cut(df)
+    }
+
   /** Free the cached blocks behind checkpointed DataFrames that are no
     * longer reachable (superseded loop iterations). Without this an
     * iterative algorithm retains every iteration's blocks for the

@@ -364,8 +364,11 @@ object SpanOps {
     * verification work is candidates × per-doc grams — NEVER an
     * all-pairs product, and strings are touched only per candidate
     * pair (witness extension) at bounded width. A 40-bit collision
-    * can only ADD a candidate, which verification then scores near
-    * zero — the q22/q99 convention. */
+    * can only ADD a candidate: if the colliding pair shares any real
+    * k-gram it surfaces with its near-zero Jaccard; a collision-only
+    * pair with ZERO shared grams is dropped by the inner intersection
+    * join (the DuckDB oracle's inner join does the same, so both
+    * engines agree — ADVICE r12 pinned this asymmetry as doc-only). */
   def q241WinnowingPairs(spark: SparkSession, dir: String): DataFrame =
     fingerprintPairs(TextOps.docs(spark, dir), PairK, PairW)
 
@@ -408,7 +411,7 @@ object SpanOps {
     * only on the driver; collapses to the oracled geometry (k =
     * [[PairK]]) whenever that fits, spec-pinned bit-equal. */
   def fingerprintPairsAuto(d0: DataFrame): DataFrame = {
-    val d = d0.pipe(graft.Checkpoints.cut)
+    val d = d0.pipe(graft.Checkpoints.cutOnce)
     val n = d.count().max(1L) // scalar: the candidate budget base
     val k = AutoKLadder.find { k =>
       val fps = winnowingPicks(d, k, PairW)
@@ -423,7 +426,10 @@ object SpanOps {
 
   private[graft] def fingerprintPairs(d0: DataFrame, k: Int,
       w: Int, dfCap: Int = 0): DataFrame = {
-    val d = d0.pipe(graft.Checkpoints.cut)
+    // cutOnce: q244/winnowingDedupAuto/fingerprintPairsAuto hand in an
+    // already-cut corpus — cutting again would materialize and store
+    // the identical relation twice per query (ADVICE r12)
+    val d = d0.pipe(graft.Checkpoints.cutOnce)
     // (doc, hash, witness pos): min position per selected hash
     val fpsAll = winnowingPicks(d, k, w)
       .select(col("doc_id"), expr("mv div 1048576").as("h"),
@@ -657,6 +663,13 @@ object SpanOps {
     * q241 mirror. */
   private def winnowSelCtes(k: Int, w: Int): String =
     s"""${TextOps.normCte},
+       |-- NOTE (guard asymmetry, ADVICE r12): the Spark side
+       |-- raise_errors on docs with > 2^20 grams (composite order
+       |-- would corrupt); this mirror has no such guard and would
+       |-- silently compute a corrupt order on such a corpus. The
+       |-- shipped corpora stay far under the bound; on an over-bound
+       |-- corpus Verify fails LOUDLY on the Spark side first, so the
+       |-- divergence can never pass the gate unnoticed.
        |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
        |             substr(s, CAST(i AS INT), $k) AS gram
        |      FROM (SELECT doc_id, s,
@@ -767,6 +780,9 @@ object SpanOps {
 
     "q239_winnowing" ->
       s"""WITH ${TextOps.normCte},
+         |-- guard asymmetry (ADVICE r12): no 2^20 position guard here;
+         |-- Spark raise_errors first on an over-bound corpus, so the
+         |-- one-sided gap cannot pass the gate silently
          |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
          |             substr(s, CAST(i AS INT), $WinnowK) AS gram
          |      FROM (SELECT doc_id, s,

@@ -47,7 +47,12 @@ def load(path):
             with open(f"{twin}/tools/baseline_bench.json") as f:
                 tele = json.load(f).get("telemetry", {})
         except OSError:
-            pass
+            # a copied/relocated BASELINE.md loses its telemetry twin;
+            # say so instead of silently degrading flagged-regression
+            # output to wall-only rows (ADVICE r12)
+            print(f"WARN: telemetry twin {twin}/tools/baseline_bench.json "
+                  "not readable - gate runs without baseline telemetry",
+                  file=sys.stderr)
         return queries, tele
     with open(path) as f:
         d = json.load(f)
