@@ -38,6 +38,43 @@ object Ordinals {
       rankCol: String, first: Long = 1L): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.sort(sortCols: _*)
+    buildWithIndex(spark, sorted, rankCol, first)
+  }
+
+  /** Exact `ntile(n)` over a global total order WITHOUT the
+    * unpartitioned Window (whose sort runs in ONE task): rank via
+    * [[denseBy]], then Spark's own ntile arithmetic — the first
+    * N mod n buckets take ⌈N/n⌉ rows, the rest ⌊N/n⌋ — as a
+    * projection over the rank and the row-count scalar. Bit-identical
+    * to `ntile(n).over(Window.orderBy(sortCols))` (spec-pinned), one
+    * parallel range-sort instead of a single-task window sort. */
+  /** `knownTotal`: pass the (already-known) row count to skip the
+    * internal count job — chained calls over the same relation (q106's
+    * three quintiles) would otherwise replay the input lineage once
+    * per count. */
+  def ntileBy(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      n: Int, bucketCol: String, knownTotal: Long = -1L): DataFrame = {
+    require(n >= 1, s"ntile needs n >= 1, got $n")
+    import org.apache.spark.sql.functions._
+    val rk = "__graft_ntile_rank"
+    val ranked = denseBy(df, sortCols, rk)
+    val total = // scalar: the bucket-size base
+      if (knownTotal >= 0) knownTotal else ranked.count()
+    val size = total / n
+    val rem = total % n
+    val cut = rem * (size + 1)
+    // integer `div` keeps the bucket arithmetic exact at any N (a
+    // double division could round across a bucket boundary)
+    val bucket =
+      if (size == 0) s"$rk" // N < n: one row per bucket, bucket = rank
+      else s"""case when $rk <= $cut
+              |  then ($rk - 1) div ${size + 1} + 1
+              |  else $rem + ($rk - 1 - $cut) div $size + 1 end""".stripMargin
+    ranked.withColumn(bucketCol, expr(bucket).cast("long")).drop(rk)
+  }
+
+  private def buildWithIndex(spark: org.apache.spark.sql.SparkSession,
+      sorted: DataFrame, rankCol: String, first: Long): DataFrame = {
     val schema = StructType(sorted.schema.fields :+
       StructField(rankCol, LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>

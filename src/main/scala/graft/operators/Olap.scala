@@ -77,21 +77,26 @@ object Olap {
   }
 
   // ---------------------------------------------------------------- q91
-  /** Customer-LTV deciles: total spend per customer, `ntile(10)` over
-    * the global spend order, then per-decile population and revenue —
-    * the segmentation report behind "top decile drives X% of
-    * revenue". The global ntile is a single total-order window: at
-    * 100 TB swap in `approx_percentile`-derived cut points + a
-    * broadcast bucket join (same output, no total sort); here the
-    * exact form is the oracle-able entry. */
+  /** Customer-LTV deciles: total spend per customer, exact `ntile(10)`
+    * over the global spend order, then per-decile population and
+    * revenue — the segmentation report behind "top decile drives X%
+    * of revenue". The decile comes from [[graft.Ordinals.ntileBy]]
+    * (parallel range-sort + zipWithIndex + Spark's own ntile
+    * arithmetic, spec-pinned bit-equal) — NOT an unpartitioned ntile
+    * window, whose sort funnels the customer relation through one
+    * task at 100 TB. Approx-percentile cut points + a broadcast
+    * bucket join remain the cheaper inexact alternative where decile
+    * BOUNDARIES may be approximate. */
   def q91SpendDeciles(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val spend = t.orders
+    // cut: the aggregated relation feeds the rank sort AND the ntile
+    // count — without it the orders agg runs once per consumer
+    val spend = graft.Checkpoints.cut(t.orders
       .groupBy(col("o_custkey").as("cust"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"),
-        count(lit(1)).as("n_orders"))
-    val w = Window.orderBy(col("spend").desc, col("cust").asc)
-    spend.withColumn("decile", ntile(10).over(w).cast("long"))
+        count(lit(1)).as("n_orders")))
+    graft.Ordinals.ntileBy(spend,
+        Seq(col("spend").desc, col("cust").asc), 10, "decile")
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("n_orders")).as("n_orders"),
@@ -124,26 +129,26 @@ object Olap {
   /** RFM segmentation — recency / frequency / monetary quintiles per
     * customer, then the segment report (population + revenue per RFM
     * cell): the classic customer-base decomposition. One partial agg
-    * per customer, three ntile windows over the customer relation
-    * (already aggregated — never order-scale), deterministic
-    * tie-breaks on the customer key, and a final cell rollup. The
-    * q91 caveat applies to the global windows at 100 TB: swap exact
-    * ntile for approx-percentile cut points + a broadcast bucket
-    * join. */
+    * per customer, three exact quintile passes over the customer
+    * relation (already aggregated — never order-scale) via
+    * [[graft.Ordinals.ntileBy]] — parallel range-sorts, not
+    * unpartitioned ntile windows (q91's one-task-funnel caveat, now
+    * fixed in code) — deterministic tie-breaks on the customer key,
+    * and a final cell rollup. */
   def q106RfmSegments(spark: SparkSession, dir: String): DataFrame = {
-    val per = Tables(spark, dir).orders
+    val per = graft.Checkpoints.cut(Tables(spark, dir).orders
       .groupBy(col("o_custkey").as("cust"))
       .agg(max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("freq"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
-    val r = Window.orderBy(col("last_order").desc, col("cust").asc)
-    val f = Window.orderBy(col("freq").desc, col("cust").asc)
-    val m = Window.orderBy(col("spend").desc, col("cust").asc)
-    per
-      .withColumn("r", ntile(5).over(r).cast("long"))
-      .withColumn("f", ntile(5).over(f).cast("long"))
-      .withColumn("m", ntile(5).over(m).cast("long"))
-      .groupBy("r", "f", "m")
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend")))
+    val nCust = per.count() // all three quintiles share one count
+    val q = graft.Ordinals.ntileBy(
+      graft.Ordinals.ntileBy(
+        graft.Ordinals.ntileBy(per,
+          Seq(col("last_order").desc, col("cust").asc), 5, "r", nCust),
+        Seq(col("freq").desc, col("cust").asc), 5, "f", nCust),
+      Seq(col("spend").desc, col("cust").asc), 5, "m", nCust)
+    q.groupBy("r", "f", "m")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).cast("double").as("revenue"))
       .orderBy("r", "f", "m")

@@ -35,6 +35,22 @@ class OrdinalsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("ntileBy == ntile().over(Window) at every N/n shape") {
+    // uneven buckets (N mod n > 0), ties on the primary key broken by
+    // the unique id, N < n, N == n, and N divisible by n
+    for ((rows, n) <- Seq((97, 10), (100, 10), (7, 10), (5, 5), (23, 4))) {
+      val df = (1 to rows).map(i => (i.toLong, ((i * 31) % 13).toLong))
+        .toDF("id", "v").repartition(4)
+      val sortCols = Seq(col("v").desc, col("id").asc)
+      val got = Ordinals.ntileBy(df, sortCols, n, "b")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val want = df.withColumn("b",
+          ntile(n).over(Window.orderBy(sortCols: _*)).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(got == want, s"rows=$rows n=$n")
+    }
+  }
+
   test("q229's vocabulary ordinal: sampled audit unchanged by the rewrite") {
     // the draw v' = rank (md5(u:v:j) mod n) + 1 depends on the exact
     // rank each node holds — the primitive must reproduce the window's
