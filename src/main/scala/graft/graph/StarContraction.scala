@@ -215,16 +215,21 @@ object StarContraction {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // MATERIALIZED: without the hint DuckDB may inline `und` (and its
+    // whole pair-join ancestry) into every iteration of the recursion
+    // — the q231/q232 oracle pathology (ADVICE/VERDICT r12 trail)
     "q233_cc_star_contraction" ->
-      s"""WITH RECURSIVE li AS (
+      s"""WITH RECURSIVE li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
          |  FROM lineitem WHERE l_partkey < $CcCap),
-         |e AS (
+         |e AS MATERIALIZED (
          |  SELECT DISTINCT a.p AS src, b.p AS dst
          |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
-         |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
-         |nodes AS (SELECT CAST(p_partkey AS BIGINT) AS node
-         |          FROM part WHERE p_partkey < $CcCap),
+         |und AS MATERIALIZED (
+         |  SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+         |nodes AS MATERIALIZED (
+         |  SELECT CAST(p_partkey AS BIGINT) AS node
+         |  FROM part WHERE p_partkey < $CcCap),
          |reach AS (
          |  SELECT node, node AS peer FROM nodes
          |  UNION

@@ -245,8 +245,12 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q130/q133/q134: bounded model/filter/query sides broadcast") {
-    // q130: the 256-row LLR table must be the broadcast build side
-    val p1 = plan(graft.text.CorpusOps.q130DsirWeights(spark, sfDir()))
+    // q130: the 256-row LLR table must be the broadcast build side —
+    // audited on the pre-rank scored relation (the distributed-ordinal
+    // rank is an RDD boundary that hides the join from the final plan)
+    val p1 = plan(graft.text.CorpusOps.dsirScored(
+      graft.text.TextOps.docs(spark, sfDir()),
+      graft.text.CorpusOps.BenchmarkCutoff))
     assert(p1.contains("BroadcastHashJoin"), s"LLR not broadcast:\n$p1")
     assert(!p1.contains("CartesianProduct"))
     // q133: the ≤1024-row bit relation and the dim subset broadcast;
