@@ -67,42 +67,27 @@ object Prod2Vec {
     * both functions take the trained table as a DataFrame argument,
     * never a path, so reuse is the default outside the suite.
     *
-    * TRAINS THROUGH THE ADOPTED 100 TB LAYOUT (BENCH_NOTES_r10 §3,
-    * wired into the suite entries per VERDICT r12 #4): the pair
-    * relation is written through E8's u-bucketed sink (scratch
-    * external table, q156's per-run-name + drop-in-finally
-    * discipline) and the trainer reads it UNCUT, so the PPMI stage's
-    * marginal groupBy(u) and u-keyed join reuse the scan's bucketing
-    * instead of exchanging the pair relation (exchanges 2 → 0; the
-    * 1× PPMI+project wall halved in the A/B). This also moves the
-    * suite's largest intermediate from executor-memory checkpoint
-    * blocks to compressed parquet — the memory-bandwidth footprint
-    * the driver box's co-tenant spikes kept hitting (three rounds of
-    * flagged-then-refuted q228/q229 walls). Bit-equal to the
-    * live-plan path by NodeEmbeddingsSpec's bucketed-path spec; the
-    * finally-block cleanup is safe because [[NodeEmbeddings.project]]
-    * materializes its projection relation eagerly (Checkpoints.cut),
-    * after which nothing re-reads the scratch table. */
+    * MEASURED-AND-REJECTED for the suite entries (r13, VERDICT r12
+    * #4): wiring the r10-adopted bucketed-pair layout
+    * ([[NodeEmbeddings.writeBucketedPairs]] scratch table +
+    * [[NodeEmbeddings.trainFromBucketedPairs]]) into these entries
+    * was hypothesized to shrink the bandwidth footprint behind three
+    * rounds of driver-box wall spikes. The alternating-arm A/B
+    * (tools/P2vPathAB, sf0.1, one JVM, 3 rounds + warmups) read the
+    * OPPOSITE: live-plan 8.5 / 8.6 / 16.4 s and never spiking;
+    * bucketed 243 / 66 / 9.2 s (repartitioned write) and 10.5 / 22 /
+    * 23 s (scattered write) — the parquet commit protocol (per-file
+    * create + rename + fsync) is MORE weather-sensitive than the
+    * in-memory checkpoint it replaces, not less. The live plan stays
+    * the suite path; the bucketed layout remains the documented
+    * opt-in for pipelines that PERSIST their pair corpus anyway
+    * (where the write is the product, not overhead — BENCH_NOTES_r10
+    * §3's 2→0 PPMI exchanges still hold there). */
   private[graft] def embeddings(spark: SparkSession,
-      dir: String): DataFrame = {
-    val tmp = java.nio.file.Files
-      .createTempDirectory("graft-p2v-pairs").toString
-    val run = java.util.UUID.randomUUID().toString.replace("-", "")
-    val tbl = s"graft_p2v_pairs_bkt_$run"
-    try {
-      basketPairs(Tables(spark, dir))
-        .write.mode("overwrite").format("parquet")
-        .option("path", s"$tmp/pairs")
-        .bucketBy(32, "u").sortBy("u")
-        .saveAsTable(tbl)
-      NodeEmbeddings.project(
-        NodeEmbeddings.ppmiRows(spark.table(tbl), cutInput = false),
-        NodeEmbeddings.Dims)
-    } finally {
-      spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      graft.sources.ParquetSink.deleteRecursively(tmp)
-    }
-  }
+      dir: String): DataFrame =
+    NodeEmbeddings.project(
+      NodeEmbeddings.ppmiRows(basketPairs(Tables(spark, dir))),
+      NodeEmbeddings.Dims)
 
   /** q228: prod2vec embeddings for every part with basket
     * co-occurrence signal. */
