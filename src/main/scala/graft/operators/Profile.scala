@@ -91,10 +91,17 @@ object Profile {
       rows.groupBy(col(key).as("key")).agg(count(lit(1)).as("cnt")))
     val tot = cnts.agg(sum(col("cnt")).as("n_rows"),
       count(lit(1)).as("n_keys"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("key").asc)
-    cnts.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= SkewTopK)
+    // top-k via the keyed partial aggregate, NOT a row_number window:
+    // the key relation is vocabulary-scale (every distinct join key),
+    // and an unpartitioned window sorts it in one task — the exact
+    // funnel this profile exists to help avoid. TopKKeyedAgg's tie
+    // order (v desc, id asc) mirrors the window's (cnt desc, key asc);
+    // counts are exact in double below 2^53.
+    cnts.agg(graft.functions.TopKAgg.topkKeyed(
+        col("cnt").cast("double"), col("key"), SkewTopK).as("tops"))
+      .select(posexplode(col("tops")).as(Seq("pos", "t")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("key"), col("t.v").cast("long").as("cnt"))
       .crossJoin(broadcast(tot))
       .select(col("rank"), col("key"), col("cnt"),
         round(col("cnt") / col("n_rows"), 6).as("share"),
@@ -112,15 +119,19 @@ object Profile {
     * equal-width bins: ntile splits the value order into
     * [[HistBins]] near-equal buckets, each reported with its
     * population and value range. Deterministic tie-break on the row
-    * key. The exact global ntile is the oracle-able form; at 100 TB
-    * the same report derives from `approx_percentile` cut points
-    * without the total sort (q91's documented swap). */
+    * key. The exact global ntile runs through
+    * [[graft.Ordinals.ntileBy]] (parallel range-sort + Spark's ntile
+    * arithmetic, spec-pinned bit-equal) — NOT an unpartitioned ntile
+    * window, whose single-task sort of the FACT table is the worst
+    * instance of the q91 funnel (orders-grain, not customer-grain).
+    * At 100 TB the same report derives from `approx_percentile` cut
+    * points without any total sort when approximate bucket BOUNDS are
+    * acceptable. */
   def q105EquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables(spark, dir).orders
       .select(col("o_totalprice").as("x"), col("o_orderkey"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("x").asc, col("o_orderkey").asc)
-    o.withColumn("bucket", ntile(HistBins).over(w).cast("long"))
+    graft.Ordinals.ntileBy(o,
+        Seq(col("x").asc, col("o_orderkey").asc), HistBins, "bucket")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),
         round(min(col("x")), 2).as("lo"),
