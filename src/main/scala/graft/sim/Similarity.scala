@@ -83,10 +83,12 @@ object Similarity {
     val lexAll = graft.text.TermOps.bm25(
       graft.text.TextOps.docs(spark, dir), graft.text.TermOps.Bm25Terms,
       RrfSideK)
-    // bounded relation (≤ SideK rows): the global window is k-rows wide
-    val wl = Window.orderBy(col("score").desc, col("doc_id").asc)
-    val lex = lexAll.select(col("doc_id"), col("score"))
-      .withColumn("rank_lex", row_number().over(wl).cast("long"))
+    // bounded relation (≤ SideK rows) — but ranked via the distributed
+    // ordinal anyway: even a k-row global window emits WindowExec's
+    // single-partition warning into every sweep log, and Ordinals
+    // costs nothing at this size (ranks identical: total order)
+    val lex = graft.Ordinals.denseBy(lexAll.select(col("doc_id"), col("score")),
+        Seq(col("score").desc, col("doc_id").asc), "rank_lex")
       .drop("score")
     val v = vecs(spark, dir)
     val q = v.filter(col("vec_id") === RrfQueryVec).select(col("e").as("qe"))
