@@ -1,7 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Distributed dense ordinals — the shared primitive for "rank every
   * row of a data-scale relation by a sort key".
@@ -9,14 +9,29 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * An unpartitioned `row_number().over(Window.orderBy(...))` funnels
   * the WHOLE relation through one task (Spark itself warns
   * `No Partition Defined for Window operation`): at suite scale it's
-  * invisible, at a 100 TB vocabulary it is the stage that never
-  * finishes. The scalable shape is the one the suffix-array build
-  * uses (text/SuffixArray.scala `keyRanks`): a global `sort` — a
-  * range-partitioned exchange, every partition sorted in parallel —
-  * followed by `zipWithIndex`, which assigns contiguous per-partition
-  * ids with one extra count job for the partition offsets. Over
-  * DISTINCT sort keys the result is bit-identical to the
-  * `row_number` it replaces, with no single-task stage.
+  * invisible; on a cluster it is not merely slow but IMPOSSIBLE past
+  * one executor's memory — every row moves to a single partition.
+  * The scalable shape: a range-partitioned sort (every partition
+  * sorted in parallel, partition p's keys ≤ partition p+1's), then
+  * rank = per-partition offset + local position.
+  *
+  * Mechanics (all Tungsten — BENCH_SCALING Part 19 measured the
+  * earlier `.rdd.zipWithIndex` seam paying InternalRow→Row
+  * conversion on every row, which at 10⁸ rows cost as much as the
+  * sort itself):
+  *  1. `repartitionByRange(sortCols).sortWithinPartitions(sortCols)`,
+  *     lineage-cut — the cut both freezes the sampled range bounds
+  *     (two jobs over a live exchange may sample different bounds)
+  *     and makes the sort run ONCE for the two consumers below.
+  *  2. `monotonically_increasing_id()` = (partition id << 33) | local
+  *     row index, assigned in physical row order — the local position
+  *     for free, no window, no exchange.
+  *  3. per-partition counts → cumulative offsets (one tiny agg; the
+  *     offsets relation is #partitions rows, broadcast back).
+  *
+  * Over DISTINCT sort keys the result is bit-identical to the
+  * `row_number` it replaces (spec-pinned, OrdinalsSpec), with no
+  * single-task stage and no row-format conversion.
   */
 object Ordinals {
 
@@ -27,8 +42,7 @@ object Ordinals {
     */
   def dense(df: DataFrame, sortCols: Seq[String], rankCol: String,
       first: Long = 1L): DataFrame =
-    denseBy(df, sortCols.map(org.apache.spark.sql.functions.col), rankCol,
-      first)
+    denseBy(df, sortCols.map(col), rankCol, first)
 
   /** [[dense]] over arbitrary sort Columns (mixed asc/desc). The sort
     * expression sequence must be a TOTAL order over `df`'s rows (end
@@ -36,9 +50,23 @@ object Ordinals {
     * partition-order-dependent. */
   def denseBy(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
       rankCol: String, first: Long = 1L): DataFrame = {
-    val spark = df.sparkSession
-    val sorted = df.sort(sortCols: _*)
-    buildWithIndex(spark, sorted, rankCol, first)
+    val mono = "__graft_ord_mono"
+    val pid = "__graft_ord_pid"
+    val sorted = Checkpoints.cut(
+      df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
+      .withColumn(mono, monotonically_increasing_id())
+      .withColumn(pid, shiftright(col(mono), 33).cast("long"))
+    val counts = sorted.groupBy(pid).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq // #partitions rows — driver-side scalars
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
+    val offRel = sorted.sparkSession.createDataFrame(offsets)
+      .toDF(pid, "__off")
+    sorted.join(broadcast(offRel), pid)
+      .withColumn(rankCol,
+        col("__off") + (col(mono).bitwiseAND(lit((1L << 33) - 1))) + first)
+      .drop(mono, pid, "__off")
   }
 
   /** Exact `ntile(n)` over a global total order WITHOUT the
@@ -47,15 +75,15 @@ object Ordinals {
     * N mod n buckets take ⌈N/n⌉ rows, the rest ⌊N/n⌋ — as a
     * projection over the rank and the row-count scalar. Bit-identical
     * to `ntile(n).over(Window.orderBy(sortCols))` (spec-pinned), one
-    * parallel range-sort instead of a single-task window sort. */
-  /** `knownTotal`: pass the (already-known) row count to skip the
+    * parallel range-sort instead of a single-task window sort.
+    *
+    * `knownTotal`: pass the (already-known) row count to skip the
     * internal count job — chained calls over the same relation (q106's
     * three quintiles) would otherwise replay the input lineage once
     * per count. */
   def ntileBy(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
       n: Int, bucketCol: String, knownTotal: Long = -1L): DataFrame = {
     require(n >= 1, s"ntile needs n >= 1, got $n")
-    import org.apache.spark.sql.functions._
     val rk = "__graft_ntile_rank"
     val ranked = denseBy(df, sortCols, rk)
     val total = // scalar: the bucket-size base
@@ -71,15 +99,5 @@ object Ordinals {
               |  then ($rk - 1) div ${size + 1} + 1
               |  else $rem + ($rk - 1 - $cut) div $size + 1 end""".stripMargin
     ranked.withColumn(bucketCol, expr(bucket).cast("long")).drop(rk)
-  }
-
-  private def buildWithIndex(spark: org.apache.spark.sql.SparkSession,
-      sorted: DataFrame, rankCol: String, first: Long): DataFrame = {
-    val schema = StructType(sorted.schema.fields :+
-      StructField(rankCol, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (first + i))
-    }
-    spark.createDataFrame(rdd, schema)
   }
 }
