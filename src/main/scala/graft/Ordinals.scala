@@ -23,9 +23,14 @@ import org.apache.spark.sql.functions._
   *     lineage-cut — the cut both freezes the sampled range bounds
   *     (two jobs over a live exchange may sample different bounds)
   *     and makes the sort run ONCE for the two consumers below.
-  *  2. `monotonically_increasing_id()` = (partition id << 33) | local
-  *     row index, assigned in physical row order — the local position
-  *     for free, no window, no exchange.
+  *  2. `spark_partition_id()` names the partition (public contract);
+  *     `monotonically_increasing_id()` = (partition id << 33) | local
+  *     row index, assigned in physical row order, supplies the local
+  *     position for free — no window, no exchange. Only the LOW 33
+  *     bits (the local index) are read from the mono encoding; the
+  *     partition id comes from the public function, never from
+  *     shifting the mono value (ADVICE r13 — the high-bits layout is
+  *     an implementation detail).
   *  3. per-partition counts → cumulative offsets (one tiny agg; the
   *     offsets relation is #partitions rows, broadcast back).
   *
@@ -55,10 +60,18 @@ object Ordinals {
     val sorted = Checkpoints.cut(
       df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
       .withColumn(mono, monotonically_increasing_id())
-      .withColumn(pid, shiftright(col(mono), 33).cast("long"))
+      .withColumn(pid, spark_partition_id().cast("long"))
     val counts = sorted.groupBy(pid).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1).toSeq // #partitions rows — driver-side scalars
+    // the local index below reads mono's low 33 bits — valid only
+    // while every partition holds < 2^33 rows (any larger partition
+    // would wrap); the per-partition counts are already on the driver,
+    // so the guard is free
+    require(counts.forall(_._2 < (1L << 33)),
+      s"Ordinals: a partition holds >= 2^33 rows (max " +
+        s"${counts.map(_._2).max}) — mono local index would wrap; " +
+        "raise the partition count")
     val offsets = counts.map(_._1)
       .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
     val offRel = sorted.sparkSession.createDataFrame(offsets)

@@ -25,6 +25,15 @@ object Verify {
     // artifact comes back empty while Verify itself ran green
     // (CORRECTNESS_r11/r12 = `{}`, VERDICT r12 "What's wrong" #1).
     val outcomes = scala.collection.mutable.LinkedHashMap[String, String]()
+    // the manifest is rewritten after EVERY query, not once at the
+    // end: its whole purpose is the diagnostic trail for runs that die
+    // mid-loop (driver OOM/kill — one plausible cause of the empty
+    // rounds), and a single end-of-run write would lose exactly the
+    // evidence those runs need (ADVICE r13)
+    def flushManifest(): Unit =
+      Files.writeString(Paths.get(s"$outDir/manifest.json"),
+        outcomes.map { case (k, v) => s"${jsonStr(k)}: $v" }
+          .mkString("{", ",", "}"))
     SparkEntry.queries
       .filter { case (name, _) => filter.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -37,11 +46,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         outcomes(name) = s"""{"error": ${jsonStr(e.toString.take(300))}}"""
       }
+      flushManifest()
       Checkpoints.releaseAll(spark) // queries are independent
     }
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      outcomes.map { case (k, v) => s"${jsonStr(k)}: $v" }
-        .mkString("{", ",", "}"))
+    flushManifest()
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
       .mkString("{", ",", "}")

@@ -94,7 +94,8 @@ object TopKAgg {
       TopKAgg(ColumnBridge.expression(c), k).toAggregateExpression())
 
   /** Column API for the keyed variant: array of {v, id} structs, best
-    * first. `payload` must be (castable to) LONG. */
+    * first. `payload` may be any orderable atomic type — the output
+    * `id` field keeps its type. */
   def topkKeyed(sort: Column, payload: Column, k: Int): Column =
     ColumnBridge.column(TopKKeyedAgg(ColumnBridge.expression(sort),
       ColumnBridge.expression(payload), k).toAggregateExpression())
@@ -104,15 +105,20 @@ object TopKAgg {
   * pairs per group — the payload rides along, so q62-style queries
   * return WHICH rows won (order ids with their totals) without a
   * window over the full row set. Same partial-aggregation shape as
-  * [[TopKAgg]]: only k (double, long) pairs per group per partition
-  * shuffle. Ordering is total and deterministic: larger value wins,
-  * ties break toward the SMALLER payload — mirror a SQL window with
-  * `ORDER BY v DESC, id ASC`. Output: array of {v, id} structs,
-  * best first. Null sort values and null payloads are skipped. */
+  * [[TopKAgg]]: only k (double, payload) pairs per group per
+  * partition shuffle. Ordering is total and deterministic: larger
+  * value wins, ties break toward the SMALLER payload — mirror a SQL
+  * window with `ORDER BY v DESC, id ASC`. Output: array of {v, id}
+  * structs, best first, where `id` KEEPS the payload's input type
+  * (ADVICE r13 — the earlier form cast every payload to LONG, which
+  * threw on string/date join keys and silently narrowed int ones).
+  * Payload may be any orderable type (the tie-break needs an order);
+  * ties on non-atomic payloads follow Spark's interpreted ordering.
+  * Null sort values and null payloads are skipped. */
 case class TopKKeyedAgg(sort: Expression, payload: Expression, k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Long)]] {
+    extends TypedImperativeAggregate[java.util.PriorityQueue[(Double, Any)]] {
 
   require(k >= 1, "top-k needs k >= 1")
 
@@ -120,36 +126,67 @@ case class TopKKeyedAgg(sort: Expression, payload: Expression, k: Int,
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("v", DoubleType, nullable = false),
-    StructField("id", LongType, nullable = false))), containsNull = false)
+    StructField("id", payload.dataType, nullable = false))),
+    containsNull = false)
   override def prettyName: String = "graft_topk_keyed"
 
-  private def worstFirst = TopKKeyedAgg.WorstFirst
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (sort.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName sort value must be DOUBLE, got ${sort.dataType.sql}")
+    else if (!org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(payload.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName payload type ${payload.dataType.sql} is not " +
+          "orderable (needed for the deterministic tie-break)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
-  override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Long)] =
-    new java.util.PriorityQueue[(Double, Long)](k + 1, worstFirst)
+  /** Interpreted ordering over the payload type — rebuilt lazily on
+    * each executor (the Comparator itself need not serialize). */
+  @transient private lazy val idOrdering: Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(payload.dataType)
 
-  private def push(buf: java.util.PriorityQueue[(Double, Long)],
-      p: (Double, Long)): Unit =
+  /** Worst-first order so the heap head is always the eviction
+    * candidate: smaller value is worse; on equal values the LARGER
+    * payload is worse (so the smaller payload survives a tie). */
+  @transient private lazy val worstFirst: java.util.Comparator[(Double, Any)] =
+    new java.util.Comparator[(Double, Any)] {
+      override def compare(a: (Double, Any), b: (Double, Any)): Int = {
+        val c = java.lang.Double.compare(a._1, b._1)
+        if (c != 0) c else idOrdering.compare(b._2, a._2)
+      }
+    }
+
+  override def createAggregationBuffer(): java.util.PriorityQueue[(Double, Any)] =
+    new java.util.PriorityQueue[(Double, Any)](k + 1, worstFirst)
+
+  private def push(buf: java.util.PriorityQueue[(Double, Any)],
+      p: (Double, Any)): Unit =
     if (buf.size < k) buf.add(p)
     else if (worstFirst.compare(p, buf.peek()) > 0) { buf.poll(); buf.add(p) }
 
-  override def update(buf: java.util.PriorityQueue[(Double, Long)],
-      input: InternalRow): java.util.PriorityQueue[(Double, Long)] = {
+  override def update(buf: java.util.PriorityQueue[(Double, Any)],
+      input: InternalRow): java.util.PriorityQueue[(Double, Any)] = {
     val v = sort.eval(input)
     val id = payload.eval(input)
     if (v != null && id != null)
-      push(buf, (v.asInstanceOf[Double], id.asInstanceOf[Long]))
+      // copy: variable-width payloads (UTF8String) may point into a
+      // buffer the scan reuses for the next row
+      push(buf, (v.asInstanceOf[Double], InternalRow.copyValue(id)))
     buf
   }
 
-  override def merge(buf: java.util.PriorityQueue[(Double, Long)],
-      other: java.util.PriorityQueue[(Double, Long)]): java.util.PriorityQueue[(Double, Long)] = {
+  override def merge(buf: java.util.PriorityQueue[(Double, Any)],
+      other: java.util.PriorityQueue[(Double, Any)]): java.util.PriorityQueue[(Double, Any)] = {
     val it = other.iterator()
     while (it.hasNext) push(buf, it.next())
     buf
   }
 
-  override def eval(buf: java.util.PriorityQueue[(Double, Long)]): Any = {
+  override def eval(buf: java.util.PriorityQueue[(Double, Any)]): Any = {
     val out = new Array[Any](buf.size)
     var i = out.length - 1
     while (i >= 0) { // heap pops worst-first; fill back-to-front
@@ -160,25 +197,45 @@ case class TopKKeyedAgg(sort: Expression, payload: Expression, k: Int,
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.PriorityQueue[(Double, Long)]): Array[Byte] = {
+  /** (v, id) rows serialize through an UnsafeProjection over the
+    * pair schema — type-aware for ANY payload type, length-prefixed
+    * per pair. */
+  @transient private lazy val pairSchema =
+    Array[DataType](DoubleType, payload.dataType)
+
+  override def serialize(buf: java.util.PriorityQueue[(Double, Any)]): Array[Byte] = {
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(pairSchema)
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     val it = buf.iterator()
     while (it.hasNext) {
       val p = it.next()
-      out.writeDouble(p._1); out.writeLong(p._2)
+      val row = proj(InternalRow(p._1, p._2))
+      val bytes = row.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[(Double, Any)] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
+    val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(2)
     var i = 0
-    while (i < n) { buf.add((in.readDouble(), in.readLong())); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val rb = new Array[Byte](len)
+      in.readFully(rb)
+      row.pointTo(rb, len)
+      buf.add((row.getDouble(0),
+        InternalRow.copyValue(row.get(1, payload.dataType))))
+      i += 1
+    }
     buf
   }
 
@@ -189,19 +246,4 @@ case class TopKKeyedAgg(sort: Expression, payload: Expression, k: Int,
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): TopKKeyedAgg =
     copy(sort = newChildren(0), payload = newChildren(1))
-}
-
-object TopKKeyedAgg {
-  /** Worst-first order so the heap head is always the eviction
-    * candidate: smaller value is worse; on equal values the LARGER
-    * payload is worse (so the smaller payload survives a tie).
-    * A top-level serializable object — the aggregate ships to
-    * executors. */
-  object WorstFirst extends java.util.Comparator[(Double, Long)]
-      with Serializable {
-    override def compare(a: (Double, Long), b: (Double, Long)): Int = {
-      val c = java.lang.Double.compare(a._1, b._1)
-      if (c != 0) c else java.lang.Long.compare(b._2, a._2)
-    }
-  }
 }

@@ -364,11 +364,22 @@ object SuffixArray {
       pattern: String): DataFrame = {
     require(pattern.nonEmpty && pattern.length <= SearchPrefLen,
       s"pattern must be 1..$SearchPrefLen chars (stored probe width)")
-    // suffixes starting with `pattern` have pref in
-    // [pattern, pattern + U+FFFF): straddle test on the fence posts
-    val hi = pattern + '\uFFFF'
+    // straddle test on the fence posts: a partition can contain a
+    // suffix starting with `pattern` iff max_pref >= pattern AND the
+    // partition's smallest prefix, TRUNCATED to the pattern's length,
+    // is <= pattern. The truncated compare is encoding-order safe \u2014
+    // the earlier `min_pref <= pattern + '\uFFFF'` upper bound was
+    // not: Spark compares strings byte-wise in UTF-8, where
+    // supplementary (astral) characters sort ABOVE U+FFFF, so a
+    // partition whose min_pref was `pattern` + an astral char would
+    // be pruned despite holding matches (ADVICE r13)
+    // Spark's substring counts CODE POINTS; pattern.length counts
+    // UTF-16 units — they differ when the pattern itself holds
+    // astral chars, so truncate by the code-point count
+    val patCp = pattern.codePointCount(0, pattern.length)
     val parts = spark.read.parquet(s"$path/bounds")
-      .filter(col("max_pref") >= pattern && col("min_pref") <= hi)
+      .filter(col("max_pref") >= pattern &&
+        substring(col("min_pref"), 1, patCp) <= pattern)
       .select("part").collect().map(_.getInt(0))
     val sa = spark.read.parquet(s"$path/sa")
     val pruned =

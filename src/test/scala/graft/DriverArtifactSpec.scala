@@ -31,8 +31,41 @@ class DriverArtifactSpec extends AnyFunSuite {
     * same-session bench ran all 243 queries with rc 0 — adjudicated
     * environmental again (VERDICT r12 "What's wrong" #1; the judge's
     * independent sweep passed 243/243). Acknowledged here per VERDICT
-    * r12 "Next round" #1a. */
+    * r12 "Next round" #1a.
+    *
+    * An acknowledgment is NOT a bare round number (ADVICE r13 — that
+    * degrades the guard into an editable log): every acknowledged
+    * round must ALSO carry corroborating committed evidence, a green
+    * `CORRECTNESS_SELF_r{NN}.json` for that round (the builder's own
+    * 3-SF DuckDB sweep: n_queries > 0 and n_all_green == n_queries),
+    * asserted by [[selfCheckGreen]] below. And the LATEST round's
+    * artifact can never be acknowledged away — an empty newest
+    * artifact fails regardless, so the signal gets investigated the
+    * round it happens. */
   private val knownEmpty = Set(11, 12)
+
+  /** Corroboration: the builder's committed self-check artifact for
+    * `round` exists, parses, and is all-green. */
+  private def selfCheckGreen(round: Int): Boolean = {
+    val f = new java.io.File(f"CORRECTNESS_SELF_r$round%02d.json")
+    f.exists() && {
+      val text = {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.mkString finally src.close()
+      }
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(text) match {
+        case JObject(fields) =>
+          val m = fields.toMap
+          (m.get("n_queries"), m.get("n_all_green")) match {
+            case (Some(JInt(nq)), Some(JInt(ng))) => nq > 0 && ng == nq
+            case _ => false
+          }
+        case _ => false
+      }
+    }
+  }
 
   private val artifactRe = """CORRECTNESS_r(\d+)\.json""".r
 
@@ -64,13 +97,23 @@ class DriverArtifactSpec extends AnyFunSuite {
     assert(artifacts.nonEmpty, "no CORRECTNESS_r*.json at the repo root")
   }
 
-  test("newest driver artifact is non-empty (or acknowledged)") {
+  test("newest driver artifact is non-empty — never acknowledgeable") {
     val (round, file) = artifacts.last
     val keys = parseKeys(file)
-    assert(keys.nonEmpty || knownEmpty.contains(round),
-      s"${file.getName} is EMPTY and round $round is not in knownEmpty — " +
-        "the driver oracle signal is missing; investigate before closing " +
+    assert(keys.nonEmpty,
+      s"${file.getName} is EMPTY — the driver oracle signal for the " +
+        s"newest round ($round) is missing and the latest round can " +
+        "never be allowlisted (ADVICE r13); investigate before closing " +
         "the round (VERDICT r11 failure mode)")
+  }
+
+  test("every acknowledged-empty round carries corroborating evidence") {
+    knownEmpty.foreach { r =>
+      assert(selfCheckGreen(r),
+        f"round $r is acknowledged empty but CORRECTNESS_SELF_r$r%02d" +
+          ".json is missing or not all-green — an acknowledgment " +
+          "needs committed corroboration, not a bare round number")
+    }
   }
 
   test("newest non-empty driver artifact matches the live registry") {

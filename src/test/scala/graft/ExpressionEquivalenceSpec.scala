@@ -164,6 +164,43 @@ class ExpressionEquivalenceSpec extends SparkSpec {
       s"no partial (map-side) aggregation:\n$plan")
   }
 
+  test("TopKKeyedAgg: non-long payloads keep their type (ADVICE r13)") {
+    // a STRING join key — the documented 'prospective join key' shape
+    // skewProfile feeds this aggregate; the pre-fix form threw
+    // ClassCastException here and narrowed int keys to long
+    val rnd = new scala.util.Random(31L)
+    val rows = (0 until 300).map(i =>
+      (i % 4, (rnd.nextInt(25) * 10).toDouble, f"key_${i % 37}%03d"))
+    val d = rows.toDF("g", "v", "id").repartition(7)
+    val agg = d.groupBy("g")
+      .agg(graft.functions.TopKAgg.topkKeyed(col("v"), col("id"), 5).as("tops"))
+    // output id field keeps StringType
+    val idField = agg.schema("tops").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType.asInstanceOf[org.apache.spark.sql.types.StructType]("id")
+    assert(idField.dataType == org.apache.spark.sql.types.StringType,
+      s"id field must keep the payload type, got ${idField.dataType}")
+    val custom = agg
+      .select(col("g"), posexplode(col("tops")).as(Seq("pos", "t")))
+      .select(col("g"), col("pos"), col("t.v"), col("t.id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("v").desc, col("id").asc)
+    val window = d.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("g"), (col("rk") - 1).as("pos"), col("v"), col("id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getString(3))).toSet
+    assert(custom == window)
+    // and skewProfile itself now takes a string key end-to-end
+    val sp = graft.operators.Profile.skewProfile(
+      rows.toDF("g", "v", "id").select(col("id")), "id")
+    assert(sp.schema("key").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(sp.count() == graft.operators.Profile.SkewTopK)
+  }
+
   test("HllEstimate == HOF aggregate/filter formulation, bit-exact") {
     val rnd = new scala.util.Random(23)
     val rows = (0 until 200).map { i =>
