@@ -101,16 +101,27 @@ object Ordinals {
     val ranked = denseBy(df, sortCols, rk)
     val total = // scalar: the bucket-size base
       if (knownTotal >= 0) knownTotal else ranked.count()
+    ranked.withColumn(bucketCol, ntileOfRank(rk, total, n)).drop(rk)
+  }
+
+  /** Spark's `ntile(n)` bucket as a projection over an existing
+    * 1-based dense rank column and the total row count — the
+    * arithmetic tail of [[ntileBy]], exposed so callers that already
+    * HOLD a rank (e.g. several metrics ranked in one melted pass,
+    * q106) can bucket without another sort. The first N mod n buckets
+    * take ⌈N/n⌉ rows, the rest ⌊N/n⌋. */
+  def ntileOfRank(rankCol: String, total: Long, n: Int): org.apache.spark.sql.Column = {
+    require(n >= 1, s"ntile needs n >= 1, got $n")
     val size = total / n
     val rem = total % n
     val cut = rem * (size + 1)
     // integer `div` keeps the bucket arithmetic exact at any N (a
     // double division could round across a bucket boundary)
     val bucket =
-      if (size == 0) s"$rk" // N < n: one row per bucket, bucket = rank
-      else s"""case when $rk <= $cut
-              |  then ($rk - 1) div ${size + 1} + 1
-              |  else $rem + ($rk - 1 - $cut) div $size + 1 end""".stripMargin
-    ranked.withColumn(bucketCol, expr(bucket).cast("long")).drop(rk)
+      if (size == 0) s"$rankCol" // N < n: one row per bucket = rank
+      else s"""case when $rankCol <= $cut
+              |  then ($rankCol - 1) div ${size + 1} + 1
+              |  else $rem + ($rankCol - 1 - $cut) div $size + 1 end""".stripMargin
+    expr(bucket).cast("long")
   }
 }

@@ -129,12 +129,21 @@ object Olap {
   /** RFM segmentation — recency / frequency / monetary quintiles per
     * customer, then the segment report (population + revenue per RFM
     * cell): the classic customer-base decomposition. One partial agg
-    * per customer, three exact quintile passes over the customer
-    * relation (already aggregated — never order-scale) via
-    * [[graft.Ordinals.ntileBy]] — parallel range-sorts, not
-    * unpartitioned ntile windows (q91's one-task-funnel caveat, now
-    * fixed in code) — deterministic tie-breaks on the customer key,
-    * and a final cell rollup. */
+    * per customer, then ONE ranking pass for all three quintiles
+    * (VERDICT r13 #6 — the earlier form chained three independent
+    * [[graft.Ordinals.ntileBy]] range-sorts of the same customer
+    * relation): each metric melts to a common descending-sortable
+    * LONG key (recency = −days-since-epoch, frequency = −count,
+    * monetary = −cents; decimal(18,2)·100 ≤ 10¹⁸ < 2⁶³ by the TYPE
+    * bound, so the cents cast can never overflow), the 3N-row melted
+    * relation range-sorts ONCE on (metric, key, cust) — still the
+    * parallel-sort primitive, never an unpartitioned window — and
+    * each metric's rank reads off the global ordinal by a −metric·N
+    * offset (metric blocks are contiguous and each exactly N rows).
+    * Bucketing is the shared [[graft.Ordinals.ntileOfRank]]
+    * arithmetic; the per-customer pivot is one keyed agg. Bit-equal
+    * to the chained form (spec-pinned): per-metric ordering and
+    * tie-breaks are unchanged under the key encoding. */
   def q106RfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val per = graft.Checkpoints.cut(Tables(spark, dir).orders
       .groupBy(col("o_custkey").as("cust"))
@@ -142,12 +151,25 @@ object Olap {
         count(lit(1)).as("freq"),
         sum(col("o_totalprice").cast("decimal(18,2)")).as("spend")))
     val nCust = per.count() // all three quintiles share one count
-    val q = graft.Ordinals.ntileBy(
-      graft.Ordinals.ntileBy(
-        graft.Ordinals.ntileBy(per,
-          Seq(col("last_order").desc, col("cust").asc), 5, "r", nCust),
-        Seq(col("freq").desc, col("cust").asc), 5, "f", nCust),
-      Seq(col("spend").desc, col("cust").asc), 5, "m", nCust)
+    val melted = per.select(col("cust"), col("spend"),
+        explode(array(
+          struct(lit(0L).as("metric"),
+            (-datediff(col("last_order"), lit("1970-01-01"))
+              .cast("long")).as("key")),
+          struct(lit(1L).as("metric"), (-col("freq")).as("key")),
+          struct(lit(2L).as("metric"),
+            (-(col("spend") * 100).cast("long")).as("key")))).as("mk"))
+      .select(col("cust"), col("spend"),
+        col("mk.metric").as("metric"), col("mk.key").as("key"))
+    val ranked = graft.Ordinals.denseBy(melted,
+        Seq(col("metric").asc, col("key").asc, col("cust").asc), "grk")
+      .withColumn("rk", col("grk") - col("metric") * nCust)
+      .withColumn("b", graft.Ordinals.ntileOfRank("rk", nCust, 5))
+    val q = ranked.groupBy("cust")
+      .agg(max(when(col("metric") === 0, col("b"))).as("r"),
+        max(when(col("metric") === 1, col("b"))).as("f"),
+        max(when(col("metric") === 2, col("b"))).as("m"),
+        max(col("spend")).as("spend"))
     q.groupBy("r", "f", "m")
       .agg(count(lit(1)).as("n_customers"),
         sum(col("spend")).cast("double").as("revenue"))

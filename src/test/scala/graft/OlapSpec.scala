@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Olap
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, max, sum}
 
 class OlapSpec extends SparkSpec {
   import spark.implicits._
@@ -72,6 +72,34 @@ class OlapSpec extends SparkSpec {
     assert(math.abs(rows.map(_.getDouble(4)).sum -
       deciles.map(_.getDouble(3)).sum) < 1e-4)
     assert(deciles.map(_.getLong(1)).sum == n)
+  }
+
+  test("rfm: one-pass melted ranking == three chained ntileBy passes") {
+    // VERDICT r13 #6 pinned bit-equal: the melted single-sort form in
+    // q106 must reproduce the chained-per-metric form exactly — same
+    // per-metric ordering (desc) and same cust tie-break
+    val per = Tables(spark, sfDir()).orders
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"))
+    val nCust = per.count()
+    val chained = Ordinals.ntileBy(
+        Ordinals.ntileBy(
+          Ordinals.ntileBy(per,
+            Seq(col("last_order").desc, col("cust").asc), 5, "r", nCust),
+          Seq(col("freq").desc, col("cust").asc), 5, "f", nCust),
+        Seq(col("spend").desc, col("cust").asc), 5, "m", nCust)
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend")).cast("double").as("revenue"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val melted = Olap.q106RfmSegments(spark, sfDir()).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(melted == chained, "melted one-pass RFM diverged")
   }
 
   test("cohort revenue: offset 0 everywhere, cumulative never decreases") {
