@@ -252,7 +252,7 @@ object Node2Vec {
     * Must follow a `WITH RECURSIVE` keyword. */
   private[graft] def walkCteSql: String =
     s"""${RandomWalks.adjSeedsCteSql},
-       |adj2 AS (
+       |adj2 AS MATERIALIZED (
        |  SELECT prev, cur, x,
        |         sum(w) OVER (PARTITION BY prev, cur ORDER BY rk)
        |           - w AS lo,
@@ -282,7 +282,9 @@ object Node2Vec {
        |  WHERE w.step < ${RandomWalks.WalkLen}
        |    AND ${RandomWalks.pickSql} % a2.tot >= a2.lo
        |    AND ${RandomWalks.pickSql} % a2.tot < a2.hi),
-       |walk AS (
+       |walk AS MATERIALIZED (
+       |  -- materialized so multi-reference consumers (the trainer's
+       |  -- pair self-join reads walk twice) run the recursion ONCE
        |  SELECT walk_id, CAST(0 AS BIGINT) AS step, node FROM seeds
        |  UNION ALL
        |  SELECT walk_id, step, node FROM walk2)""".stripMargin

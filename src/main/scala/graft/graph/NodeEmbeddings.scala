@@ -400,7 +400,7 @@ object NodeEmbeddings {
     * audits built over the embeddings (q225). Must follow
     * [[RandomWalks.walkCteSql]] under a `WITH RECURSIVE`. */
   private[graft] def embCteSql: String =
-    s"""pr AS (
+    s"""pr AS MATERIALIZED (
        |  SELECT x.node AS u, y.node AS v, CAST(count(*) AS BIGINT) AS n_uv
        |  FROM walk x JOIN walk y
        |    ON x.walk_id = y.walk_id
@@ -420,9 +420,10 @@ object NodeEmbeddings {
     // at q228's 24M-row projection grain made the DuckDB oracle
     // minutes-slow.
     val bitV = graft.text.TextOps.hexToLongSql("h", 1, 15)
-    s"""mg AS (SELECT u, CAST(sum(n_uv) AS BIGINT) AS n_u
+    s"""mg AS MATERIALIZED (SELECT u, CAST(sum(n_uv) AS BIGINT) AS n_u
        |       FROM pr GROUP BY 1),
-       |tot AS (SELECT CAST(sum(n_uv) AS BIGINT) AS d_tot FROM pr),
+       |tot AS MATERIALIZED (
+       |       SELECT CAST(sum(n_uv) AS BIGINT) AS d_tot FROM pr),
        |pp AS (
        |  SELECT p.u, p.v,
        |         CAST(round(greatest(0.0,
@@ -432,10 +433,10 @@ object NodeEmbeddings {
        |  FROM pr p
        |  JOIN mg mu ON mu.u = p.u
        |  JOIN mg mv ON mv.u = p.v, tot t),
-       |ppf AS (SELECT * FROM pp WHERE ppmi > 0),
+       |ppf AS MATERIALIZED (SELECT * FROM pp WHERE ppmi > 0),
        |dims AS (SELECT CAST(unnest(generate_series(0, ${Dims - 1}))
        |                     AS BIGINT) AS dim),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT u, dim,
        |         CAST(sum(ppmi * (1 - 2 * ($bitV % 2)))
        |              AS DECIMAL(18,6)) AS e
@@ -444,7 +445,8 @@ object NodeEmbeddings {
        |                   CAST(d.dim AS VARCHAR)) AS h
        |        FROM ppf p, dims d) hx
        |  GROUP BY 1, 2),
-       |nr AS (SELECT u, sqrt(CAST(sum(e * e) AS DOUBLE)) AS nrm
+       |nr AS MATERIALIZED (
+       |       SELECT u, sqrt(CAST(sum(e * e) AS DOUBLE)) AS nrm
        |       FROM e GROUP BY 1),
        |emb AS MATERIALIZED (
        |  SELECT e.u AS node, e.dim,
@@ -473,7 +475,7 @@ object NodeEmbeddings {
     val sgnBit = graft.text.TextOps.hexToLongSql(
       "md5(CAST(p.v AS VARCHAR) || ':' || CAST(eu.dim AS VARCHAR))",
       1, 15)
-    s"""en AS (SELECT DISTINCT node FROM emb),
+    s"""en AS MATERIALIZED (SELECT DISTINCT node FROM emb),
          |pairsq AS (
          |  SELECT a.node AS u, b.node AS v
          |  FROM en a, en b WHERE a.node <> b.node),
@@ -487,7 +489,7 @@ object NodeEmbeddings {
          |  JOIN emb eu ON eu.node = p.u
          |  JOIN emb ev ON ev.node = p.v AND ev.dim = eu.dim
          |  GROUP BY 1, 2),
-         |lab AS (
+         |lab AS MATERIALIZED (
          |  SELECT s.ww, s.wc, (t.src IS NOT NULL) AS pos
          |  FROM sc s
          |  LEFT JOIN (SELECT DISTINCT src, dst FROM trade) t

@@ -153,14 +153,14 @@ object RandomWalks {
     * second-order one. */
   private[graft] def adjSeedsCteSql: String =
     s"""${TradeGraph.sqlCte},
-       |adj AS (
+       |adj AS MATERIALIZED (
        |  SELECT src, dst,
        |         CAST(row_number() OVER (PARTITION BY src
        |                                 ORDER BY cnt DESC, dst ASC)
        |              AS BIGINT) AS rk,
        |         CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS od
        |  FROM trade),
-       |seeds AS (
+       |seeds AS MATERIALIZED (
        |  SELECT CAST(n_nationkey AS BIGINT) * $WalksPerNode + t.w AS walk_id,
        |         CAST(0 AS BIGINT) AS step,
        |         CAST(n_nationkey AS BIGINT) AS node

@@ -214,10 +214,27 @@ object StarContraction {
     "q233_cc_star_contraction" -> (q233CcStarContraction _),
   )
 
+  /** Round bound for the oracle's min-label propagation. A label
+    * floods one hop per round, so rounds must cover the largest
+    * component's eccentricity from its min node — measured 2/2/5 at
+    * the three shipped SFs (dense co-purchase graphs have tiny
+    * diameters); 16 is 3× headroom. An insufficient bound cannot
+    * pass silently: the oracle would disagree with the Spark answer
+    * and the hash compare goes red. */
+  val CcOracleRounds = 16
+
   val oracleSql: Map[String, String] = Map(
     // MATERIALIZED: without the hint DuckDB may inline `und` (and its
     // whole pair-join ancestry) into every iteration of the recursion
-    // — the q231/q232 oracle pathology (ADVICE/VERDICT r12 trail)
+    // — the q231/q232 oracle pathology (ADVICE/VERDICT r12 trail).
+    //
+    // The recursion is FIXED-ROUND MIN-LABEL PROPAGATION (full state
+    // per round, aggregated in the recursive term), NOT a node×peer
+    // transitive closure: reach pairs are quadratic in component size
+    // and cost 57.5 s of the 109 s sf0.01 oracle pass (VERDICT r13
+    // "What's wrong" #1 — the r11/r12 silent-empty failure class);
+    // per-round state is V rows × [[CcOracleRounds]] rounds, measured
+    // 67.9 s → 0.29 s at sf0.01 with identical output at all 3 SFs.
     "q233_cc_star_contraction" ->
       s"""WITH RECURSIVE li AS MATERIALIZED (
          |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
@@ -230,11 +247,18 @@ object StarContraction {
          |nodes AS MATERIALIZED (
          |  SELECT CAST(p_partkey AS BIGINT) AS node
          |  FROM part WHERE p_partkey < $CcCap),
-         |reach AS (
-         |  SELECT node, node AS peer FROM nodes
-         |  UNION
-         |  SELECT r.node, u.dst FROM reach r JOIN und u ON u.src = r.peer)
-         |SELECT node, CAST(min(peer) AS BIGINT) AS component
-         |FROM reach GROUP BY node ORDER BY node""".stripMargin,
+         |undl AS MATERIALIZED (
+         |  -- und plus self-loops: a node's own label rides each round
+         |  SELECT src, dst FROM und
+         |  UNION ALL SELECT node, node FROM nodes),
+         |lab AS (
+         |  SELECT 0 AS iter, node, node AS comp FROM nodes
+         |  UNION ALL
+         |  SELECT l.iter + 1, u.dst AS node, min(l.comp) AS comp
+         |  FROM lab l JOIN undl u ON u.src = l.node
+         |  WHERE l.iter < $CcOracleRounds
+         |  GROUP BY 1, 2)
+         |SELECT node, CAST(min(comp) AS BIGINT) AS component
+         |FROM lab GROUP BY node ORDER BY node""".stripMargin,
   )
 }

@@ -143,10 +143,10 @@ object Prod2Vec {
     * → symmetric co-occurrence `pr(u, v, n_uv)`, floored at
     * [[MinSupport]] (the trainer's min_count). */
   private val basketCteSql: String =
-    s"""ba AS (
+    s"""ba AS MATERIALIZED (
       |  SELECT DISTINCT l_orderkey AS o, CAST(l_partkey AS BIGINT) AS p
       |  FROM lineitem),
-      |pr AS (
+      |pr AS MATERIALIZED (
       |  SELECT a.p AS u, b.p AS v, CAST(count(*) AS BIGINT) AS n_uv
       |  FROM ba a JOIN ba b ON a.o = b.o AND a.p <> b.p
       |  GROUP BY 1, 2
@@ -174,13 +174,13 @@ object Prod2Vec {
          |  -- Spark side's one-basket-build sharing
          |  SELECT u, v FROM pr),
          |en AS (SELECT DISTINCT node FROM emb),
-         |ranked AS (
+         |ranked AS MATERIALIZED (
          |  SELECT node, CAST(row_number() OVER (ORDER BY node)
          |               AS BIGINT) AS rk
          |  FROM en),
          |ncnt AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes
          |         FROM ranked),
-         |pos AS (
+         |pos AS MATERIALIZED (
          |  SELECT s.u, s.v, CAST(0 AS BIGINT) AS j, TRUE AS pos
          |  FROM sym s
          |  JOIN ranked ru ON ru.node = s.u
@@ -203,7 +203,7 @@ object Prod2Vec {
          |    AND NOT EXISTS (SELECT 1 FROM sym s
          |                    WHERE s.u = d.u AND s.v = r.node)),
          |cand AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
-         |lab AS (
+         |lab AS MATERIALIZED (
          |  SELECT u, v, j, pos,
          |         sum(eu_emb * ev_emb) AS ww,
          |         sum(eu_emb * (1 - 2 * ($sgnBit % 2))) AS wc

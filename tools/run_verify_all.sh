@@ -21,3 +21,8 @@ for sf in 0.001 0.01 0.1; do
     > ${OUT_PREFIX}_check_$sf.log 2>&1 || true
   echo "=== sf$sf done: $(grep -c PASS ${OUT_PREFIX}_check_$sf.log) PASS, $(grep -c FAIL ${OUT_PREFIX}_check_$sf.log) FAIL"
 done
+# oracle-pass budget guard at the driver's SF (r11/r12 empty-artifact
+# class: an over-budget DuckDB pass silently zeroes the round's
+# correctness signal — keep it loud and checked)
+python3 "$REPO/tools/oracle_budget.py" "$TESTDATA/sf0.01" ${OUT_PREFIX}_0.01 90 \
+  || echo "=== ORACLE BUDGET EXCEEDED at sf0.01 — fix before round close"
