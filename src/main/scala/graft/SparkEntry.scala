@@ -27,6 +27,7 @@ object SparkEntry {
       SetSimJoin.queries ++ Skyline.queries ++ BloomJoin.queries ++
       EntityResolution.queries ++
       graft.multimodal.Multimodal.queries ++
+      graft.multimodal.ImageNearDup.queries ++
       graft.multimodal.Audio.queries ++
       graft.multimodal.Video.queries ++
       graft.sources.PackageJsonSource.queries ++
@@ -53,6 +54,7 @@ object SparkEntry {
       SetSimJoin.oracleSql ++ Skyline.oracleSql ++ BloomJoin.oracleSql ++
       EntityResolution.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
+      graft.multimodal.ImageNearDup.oracleSql ++
       graft.multimodal.Audio.oracleSql ++
       graft.multimodal.Video.oracleSql ++
       graft.sources.PackageJsonSource.oracleSql ++
