@@ -389,6 +389,35 @@ object SuffixArray {
       .select("sa_rank", "doc_id", "pos")
   }
 
+  // ---------------------------------------------------------------- q246
+  /** q246: the persisted search index's READ path as an oracled
+    * query — the 100 TB story [[writeSearchIndex]]/[[searchIndexProbe]]
+    * sell, now with driver-oracle evidence of its own (VERDICT r13
+    * #4; q240 oracles the in-plan answer, and the probe was
+    * previously spec-pinned only). Builds the index into a per-SF
+    * scratch directory (E7's idempotent-overwrite sink discipline —
+    * rebuilding is a no-op-equivalent), then answers every
+    * [[SearchPatterns]] literal through the partition-pruned
+    * directory read. The oracle is q240's interval answer VERBATIM:
+    * the two paths must agree row-for-row, so a regression in the
+    * index layout, the bounds fence-posts, the straddle pruning, or
+    * the probe filter hash-mismatches. */
+  def q246SaIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    val d = boundedDocs(spark, dir).pipe(Checkpoints.cut)
+    // scratch path keyed by the SF dir: hermetic per dataset, stable
+    // across reruns (the writer overwrites idempotently)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_sa_index_$key").getAbsolutePath
+    writeSearchIndex(d, path)
+    SearchPatterns.map { p =>
+      searchIndexProbe(spark, path, p).withColumn("pattern", lit(p))
+    }.reduce(_.unionByName(_))
+      .select("pattern", "sa_rank", "doc_id", "pos")
+      .orderBy("pattern", "sa_rank")
+  }
+
   // ---------------------------------------------------------------- q242
   /** Span threshold for the oracled query. 20 (not q164's 40): the
     * bounded SA universe (first [[SaDocCap]] docs, [[SaMaxLen]] chars)
@@ -430,6 +459,7 @@ object SuffixArray {
     "q237_longest_repeated_substrings" -> (q237LongestRepeatedSubstrings _),
     "q240_sa_substring_search" -> (q240SaSubstringSearch _),
     "q242_sa_duplicate_spans" -> (q242SaDuplicateSpans _),
+    "q246_sa_index_probe" -> (q246SaIndexProbe _),
   )
 
   /** Shared oracle CTE chain: the bounded universe and its ranked
@@ -476,6 +506,17 @@ object SuffixArray {
          |FROM l ORDER BY lcp DESC, sa_rank ASC LIMIT $LrsTopK""".stripMargin,
 
     "q240_sa_substring_search" ->
+      s"""WITH $saCtes,
+         |pats AS (SELECT * FROM (VALUES ${SearchPatterns
+            .map(p => s"('$p')").mkString(", ")}) p(pattern))
+         |SELECT p.pattern, sa.sa_rank, sa.doc_id, sa.pos
+         |FROM sa JOIN pats p
+         |  ON substr(sa.suffix, 1, length(p.pattern)) = p.pattern
+         |ORDER BY p.pattern, sa.sa_rank""".stripMargin,
+
+    // the persisted-index probe must return the exact same interval
+    // answer as the in-plan search — one oracle, two engine paths
+    "q246_sa_index_probe" ->
       s"""WITH $saCtes,
          |pats AS (SELECT * FROM (VALUES ${SearchPatterns
             .map(p => s"('$p')").mkString(", ")}) p(pattern))
