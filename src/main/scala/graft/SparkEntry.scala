@@ -28,6 +28,7 @@ object SparkEntry {
       EntityResolution.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.multimodal.ImageNearDup.queries ++
+      graft.multimodal.VideoNearDup.queries ++
       graft.multimodal.Audio.queries ++
       graft.multimodal.Video.queries ++
       graft.sources.PackageJsonSource.queries ++
@@ -55,6 +56,7 @@ object SparkEntry {
       EntityResolution.oracleSql ++
       graft.multimodal.Multimodal.oracleSql ++
       graft.multimodal.ImageNearDup.oracleSql ++
+      graft.multimodal.VideoNearDup.oracleSql ++
       graft.multimodal.Audio.oracleSql ++
       graft.multimodal.Video.oracleSql ++
       graft.sources.PackageJsonSource.oracleSql ++
