@@ -29,6 +29,7 @@ object SparkEntry {
       graft.multimodal.Multimodal.queries ++
       graft.multimodal.ImageNearDup.queries ++
       graft.multimodal.VideoNearDup.queries ++
+      graft.multimodal.AudioNearDup.queries ++
       graft.multimodal.Audio.queries ++
       graft.multimodal.Video.queries ++
       graft.sources.PackageJsonSource.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       graft.multimodal.Multimodal.oracleSql ++
       graft.multimodal.ImageNearDup.oracleSql ++
       graft.multimodal.VideoNearDup.oracleSql ++
+      graft.multimodal.AudioNearDup.oracleSql ++
       graft.multimodal.Audio.oracleSql ++
       graft.multimodal.Video.oracleSql ++
       graft.sources.PackageJsonSource.oracleSql ++
