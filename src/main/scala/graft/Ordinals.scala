@@ -54,11 +54,24 @@ object Ordinals {
     * with a unique tie-break column) or ranks within ties are
     * partition-order-dependent. */
   def denseBy(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
-      rankCol: String, first: Long = 1L): DataFrame = {
+      rankCol: String, first: Long = 1L): DataFrame =
+    denseByWithMeta(df, sortCols, rankCol, first)._1
+
+  /** [[denseBy]] plus the internal lineage-cut frame (so iterative
+    * callers can [[Checkpoints.release]] the superseded round's
+    * blocks — the cut is otherwise unreachable and would accumulate
+    * per iteration) and the EXACT row count (free: the per-partition
+    * counts are already collected for the offsets, so callers that
+    * need |df| — e.g. a doubling loop's convergence scalar — skip a
+    * count job). */
+  def denseByWithMeta(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column], rankCol: String,
+      first: Long = 1L): (DataFrame, DataFrame, Long) = {
     val mono = "__graft_ord_mono"
     val pid = "__graft_ord_pid"
-    val sorted = Checkpoints.cut(
+    val cutFrame = Checkpoints.cut(
       df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*))
+    val sorted = cutFrame
       .withColumn(mono, monotonically_increasing_id())
       .withColumn(pid, spark_partition_id().cast("long"))
     val counts = sorted.groupBy(pid).agg(count(lit(1)).as("__n"))
@@ -76,10 +89,11 @@ object Ordinals {
       .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
     val offRel = sorted.sparkSession.createDataFrame(offsets)
       .toDF(pid, "__off")
-    sorted.join(broadcast(offRel), pid)
+    val ranked = sorted.join(broadcast(offRel), pid)
       .withColumn(rankCol,
         col("__off") + (col(mono).bitwiseAND(lit((1L << 33) - 1))) + first)
       .drop(mono, pid, "__off")
+    (ranked, cutFrame, counts.map(_._2).sum)
   }
 
   /** Exact `ntile(n)` over a global total order WITHOUT the

@@ -619,27 +619,39 @@ object Algorithms {
     * oracle-able community detector — GraphX LabelPropagation is the
     * nondeterministic scale alternative, see GraphxBridge). */
   def connectedComponents(nodes: DataFrame, undirected: DataFrame): DataFrame = {
-    var comp = nodes.select(col("node"), col("node").as("component"))
+    // r14 optimization (guide §2.4): one propagation round is a single
+    // equi-join + one partial agg — the neighbor contributions UNIONED
+    // with a self branch read from the previous round's CACHED comp
+    // frame (so every node appears and carries its own label; no extra
+    // materialized self-loop relation), min over both. The self branch
+    // also carries the OLD label, so the convergence count is a filter
+    // over the round's checkpointed output — per round 1 join + 1 agg
+    // + 1 cached count, down from 2 joins + agg + a third join for the
+    // change count. Labels identical (min propagation is
+    // deterministic; the self branch contributes exactly
+    // `least(own, …)`). Precondition: edge endpoints ⊆ `nodes`.
+    var compCut = nodes.select(col("node"), col("node").as("component"))
+      .withColumn("pc", col("component"))
       .pipe(Checkpoints.cut)
     var changed = 1L
     while (changed > 0) {
-      val viaNeighbor = undirected
-        .join(comp.select(col("node").as("cn"), col("component")),
-          col("src") === col("cn"))
-        .groupBy(col("dst").as("node")).agg(min(col("component")).as("nc"))
-      val next = comp.select(col("node"), col("component"))
-        .join(viaNeighbor.select(col("node").as("vn"), col("nc")),
-          col("node") === col("vn"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nc"), col("component"))).as("component"))
+      val contrib = undirected.select(col("src"), col("dst"))
+        .join(compCut.select(col("node").as("src"), col("component")),
+          Seq("src"))
+        .select(col("dst").as("node"), col("component"),
+          lit(null).cast("long").as("own"))
+      val self = compCut.select(col("node"), col("component"),
+        col("component").as("own"))
+      val next = contrib.unionByName(self)
+        .groupBy("node")
+        .agg(min(col("component")).as("component"),
+          min(col("own")).as("pc"))
         .pipe(Checkpoints.cut)
-      changed = next.join(comp.select(col("node").as("pn"), col("component").as("pc")),
-          next("node") === col("pn"))
-        .filter(col("component") =!= col("pc")).count()
-      Checkpoints.release(comp) // change count above was the last read
-      comp = next
+      changed = next.filter(col("component") =!= col("pc")).count()
+      Checkpoints.release(compCut)
+      compCut = next
     }
-    comp
+    compCut.select("node", "component")
   }
 
   def q15ConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
@@ -679,26 +691,33 @@ object Algorithms {
     var done: DataFrame = null
     var nLeft = remaining.count()
     while (nLeft > 0) {
-      // 1. forward min-color fixpoint
-      var color = remaining.select(col("node"), col("node").as("color"))
+      // 1. forward min-color fixpoint — the r14 propagation shape
+      // (see connectedComponents): one join + one agg per round, the
+      // predecessor contributions unioned with a self branch read
+      // from the previous round's CACHED color frame (every node
+      // appears and carries its own color, which also rides as the
+      // OLD color so the change count is a filter over the round's
+      // checkpointed output).
+      var colorCut = remaining.select(col("node"), col("node").as("color"))
+        .withColumn("pc", col("color"))
         .pipe(Checkpoints.cut)
+      def color = colorCut.select("node", "color")
       var changed = 1L
       while (changed > 0) {
-        val viaPred = live
-          .join(color.select(col("node").as("src"), col("color")), Seq("src"))
-          .groupBy(col("dst").as("node")).agg(min(col("color")).as("nc"))
-        val next = color
-          .join(viaPred.select(col("node").as("vn"), col("nc")),
-            col("node") === col("vn"), "left")
-          .select(col("node"),
-            least(col("color"), coalesce(col("nc"), col("color"))).as("color"))
+        val contrib = live
+          .join(colorCut.select(col("node").as("src"), col("color")),
+            Seq("src"))
+          .select(col("dst").as("node"), col("color"),
+            lit(null).cast("long").as("own"))
+        val self = colorCut.select(col("node"), col("color"),
+          col("color").as("own"))
+        val next = contrib.unionByName(self)
+          .groupBy("node")
+          .agg(min(col("color")).as("color"), min(col("own")).as("pc"))
           .pipe(Checkpoints.cut)
-        changed = next
-          .join(color.select(col("node").as("pn"), col("color").as("pc")),
-            next("node") === col("pn"))
-          .filter(col("color") =!= col("pc")).count()
-        Checkpoints.release(color)
-        color = next
+        changed = next.filter(col("color") =!= col("pc")).count()
+        Checkpoints.release(colorCut)
+        colorCut = next
       }
       // 2. backward BFS from roots, restricted to each root's class
       val classEdges = live
@@ -745,7 +764,8 @@ object Algorithms {
         .join(mark.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(mark.select(col("node").as("dst")), Seq("dst"), "left_anti")
         .select("src", "dst").pipe(Checkpoints.cut)
-      Checkpoints.release(prevRemaining, prevLive, classEdges, mark, color)
+      Checkpoints.release(prevRemaining, prevLive, classEdges, mark,
+        colorCut)
       nLeft = remaining.count()
     }
     Checkpoints.release(remaining, live)

@@ -95,7 +95,7 @@ object Louvain {
     * reintroduce the per-sweep Q actions. */
   def louvain(nodes: DataFrame, edges: DataFrame, iters: Int = 6): DataFrame = {
     val e = weighted(edges).pipe(Checkpoints.cut)
-    val out = louvainOn(nodes, e, iters)
+    val out = louvainOn(nodes, e, iters).select("node", "community")
     Checkpoints.release(e)
     out
   }
@@ -110,9 +110,9 @@ object Louvain {
       case r if r.isNullAt(0) => 0.0
       case r => r.getDouble(0)
     }
-    var assign = nodes.select(col("node"), col("node").as("community"))
-      .pipe(Checkpoints.cut)
-    if (m == 0) return assign
+    if (m == 0)
+      return nodes.select(col("node"), col("node").as("community"))
+        .pipe(Checkpoints.cut)
     // both directions for scoring; self-loops excluded — they move
     // with the node, contributing equally to every candidate
     val und = e.filter(col("src") =!= col("dst"))
@@ -123,12 +123,22 @@ object Louvain {
       .union(e.select(col("dst").as("node"), col("ew")))
       .groupBy("node").agg(sum(col("ew")).as("deg"))
       .pipe(Checkpoints.cut)
+    // the sweep state CARRIES each node's static degree (r14, guide
+    // §2.4): `tot`, `scored` and the post-loop `dc` read deg from the
+    // cached assignment instead of re-joining the deg relation — two
+    // joins fewer per sweep, one fewer in the Q job. Degrees are
+    // integer-valued doubles (unit edges and their contractions), so
+    // every sum over them is order-exact and the carried column can
+    // not perturb Q.
+    var assign = nodes.select(col("node"), col("node").as("community"))
+      .join(deg, Seq("node"), "left").na.fill(0.0, Seq("deg"))
+      .pipe(Checkpoints.cut)
     val assigns = scala.collection.mutable.ArrayBuffer(assign)
     var sweep = 0
     while (sweep < iters) {
       sweep += 1
-      val tot = assign.join(deg, Seq("node"), "left")
-        .groupBy("community").agg(sum(coalesce(col("deg"), lit(0.0))).as("dtot"))
+      val tot = assign
+        .groupBy("community").agg(sum(col("deg")).as("dtot"))
       // candidate communities per node: every neighbor community plus
       // the current one (w_nc = 0 for the current if no internal edge)
       val nbrW = adj
@@ -140,7 +150,6 @@ object Louvain {
         .groupBy("node", "c").agg(max(col("w")).as("w"))
       val scored = cands
         .join(assign, Seq("node"))
-        .join(deg, Seq("node"), "left").na.fill(0.0, Seq("deg"))
         .join(tot.select(col("community").as("c"), col("dtot")), Seq("c"))
         // Σtot of the candidate community EXCLUDING the node itself
         .withColumn("dtot_x",
@@ -148,13 +157,21 @@ object Louvain {
             .otherwise(col("dtot")))
         .withColumn("score",
           col("w") / m - col("deg") * col("dtot_x") / (2.0 * m * m))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("node").orderBy(col("score").desc, col("c").asc)
-      assign = scored.withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+      // argmax as one partial agg (r14, guide §2.4): min(struct(-score,
+      // c, …)) picks exactly the row_number()-over-(score DESC, c ASC)
+      // winner — scores are never -0.0 (each is a subtraction whose
+      // equal-operand case rounds to +0.0), so negation preserves the
+      // total order and ties fall through to the smaller c — without
+      // the per-sweep window sort. deg is constant per node, so
+      // carrying it through the struct keeps it deterministic.
+      assign = scored
+        .groupBy("node")
+        .agg(min(struct((-col("score")).as("ns"), col("c"),
+          col("community"), col("deg"))).as("w0"))
         .select(col("node"),
-          when(pmod(col("node"), lit(2)) === lit(sweep % 2), col("c"))
-            .otherwise(col("community")).as("community"))
+          when(pmod(col("node"), lit(2)) === lit(sweep % 2), col("w0.c"))
+            .otherwise(col("w0.community")).as("community"),
+          col("w0.deg").as("deg"))
         .pipe(Checkpoints.cut)
       assigns += assign
     }
@@ -181,9 +198,9 @@ object Louvain {
         col("s")), Seq("dst", "s"))
       .filter(col("cs") === col("cd"))
       .groupBy(col("s"), col("cs").as("community")).agg(sum(col("ew")).as("lc"))
-    val dc = tagged.join(deg, Seq("node"), "left")
+    val dc = tagged
       .groupBy(col("s"), col("community"))
-      .agg(sum(coalesce(col("deg"), lit(0.0))).as("dc"))
+      .agg(sum(col("deg")).as("dc"))
     val halfDc = col("dc") / (2.0 * m)
     // bounded collect: one row per SWEEP (iters+1 rows total, a
     // library knob — never data-sized), the per-sweep modularity
@@ -200,6 +217,8 @@ object Louvain {
     var bestQ = qBySweep(0)
     for (s <- 1 to iters)
       if (qBySweep(s).compareTo(bestQ) > 0) { bestQ = qBySweep(s); bestS = s }
+    // returned WITH the carried deg column (still the cut frame, so
+    // louvainTwoLevel can release it); louvain() projects for callers
     val best = assigns(bestS)
     Checkpoints.release(adj, deg)
     assigns.zipWithIndex

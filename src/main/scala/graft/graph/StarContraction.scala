@@ -30,9 +30,9 @@ import graft.{Checkpoints, Tables}
   * convention of [[Algorithms.connectedComponents]] and the q15
   * recursive-CTE oracle (min reachable id).
   *
-  * Convergence detection is an exact set comparison (count, then one
-  * `left_anti` probe each way, both LIMIT 1) — no checksum shortcut
-  * that could mask a non-converged edge set. Each round's edge set is
+  * Convergence detection is an exact set comparison (carried counts
+  * plus one distinct-union probe) — no checksum shortcut that could
+  * mask a non-converged edge set. Each round's edge set is
   * lineage-cut via [[Checkpoints.cut]] and the superseded round's
   * blocks are released, same discipline as the other iterative
   * algorithms.
@@ -72,13 +72,17 @@ object StarContraction {
       .distinct()
   }
 
-  /** Exact edge-set equality: cheap count first, then one LIMIT-1
-    * anti-join probe each way. */
-  private def sameEdgeSet(a: DataFrame, b: DataFrame): Boolean = {
-    if (a.count() != b.count()) return false
-    a.join(b, Seq("u", "v"), "left_anti").limit(1).count() == 0 &&
-      b.join(a, Seq("u", "v"), "left_anti").limit(1).count() == 0
-  }
+  /** Exact edge-set equality of two DISTINCT edge relations, given
+    * their (already-known) counts: equal counts plus |a ∪ b| == |a|
+    * ⟺ equal sets. One distinct-union job over two cached
+    * (checkpointed) inputs, replacing the previous two LIMIT-1
+    * anti-join probes (guide §2.4: every convergence probe here is a
+    * full driver round trip, and the iterative loops' job count — not
+    * their data — is the suite wall; still an EXACT set comparison,
+    * no checksum shortcut that could mask a non-converged edge set). */
+  private def sameEdgeSet(a: DataFrame, na: Long, b: DataFrame,
+      nb: Long): Boolean =
+    na == nb && a.unionByName(b).distinct().count() == na
 
   /** (node, component) for every node in `nodes` (isolated nodes keep
     * their own id), plus the round count for specs and scale curves.
@@ -89,13 +93,16 @@ object StarContraction {
       .filter(col("u") =!= col("v")).distinct()
       .pipe(Checkpoints.cut)
     var rounds = 0
-    var done = e.isEmpty
+    var ne = e.count()
+    var done = ne == 0
     while (!done) {
       val next = smallStar(largeStar(e)).pipe(Checkpoints.cut)
       rounds += 1
-      done = sameEdgeSet(next, e)
+      val nn = next.count()
+      done = sameEdgeSet(next, nn, e, ne)
       Checkpoints.release(e)
       e = next
+      ne = nn
     }
     // Fixpoint edges form stars (child -> component-min root); roots
     // and isolated nodes label themselves.
@@ -138,7 +145,25 @@ object StarContraction {
     * turf, and property-pinned on random multigraphs at a probe depth
     * that forces the quotient path mid-propagation.
     *
-    * `probeRounds = 0` skips the probe: pure star contraction. */
+    * `probeRounds = 0` skips the probe: pure star contraction.
+    *
+    * Probe-round shape (r14 optimization, guide §2.4): one
+    * propagation round is a single equi-join + one partial agg — the
+    * neighbor contributions unioned with a self branch read from the
+    * previous round's CACHED comp frame (every node appears and
+    * carries its own label; nothing extra is materialized) — instead
+    * of the previous join + agg + second join (the left-join merge of
+    * old and new labels). The self branch also carries the OLD label,
+    * so the convergence count is a filter over the round's
+    * already-checkpointed output rather than a third join — per
+    * round: 1 join + 1 agg + 1 cached-scan count, down from 2 joins +
+    * 1 agg + 1 join + count. Labels are identical: min-label
+    * propagation is deterministic and the self branch contributes
+    * exactly the node's own label, the same `least(own, neighbor-min)`
+    * as before. Precondition (unchanged, now load-bearing for the
+    * domain too): edge endpoints ⊆ `nodes` — every caller derives
+    * `nodes` from the edge endpoints or filters both from one
+    * keyspace. */
   def ccAuto(nodes: DataFrame, edges: DataFrame,
       probeRounds: Int = 8): DataFrame = {
     require(probeRounds >= 0, s"probeRounds $probeRounds must be >= 0")
@@ -149,28 +174,34 @@ object StarContraction {
         .filter(col("src") =!= col("dst")))
       .distinct()
       .pipe(Checkpoints.cut)
-    var comp = nodes.select(col("node"), col("node").as("component"))
+    var compCut = nodes.select(col("node"), col("node").as("component"))
+      .withColumn("pc", col("component"))
       .pipe(Checkpoints.cut)
+    def comp = compCut.select("node", "component")
     var changed = if (probeRounds == 0) 1L else Long.MaxValue
     var r = 0
     while (changed > 0 && r < probeRounds) {
       r += 1
-      val viaNeighbor = und
-        .join(comp.select(col("node").as("cn"), col("component")),
-          col("src") === col("cn"))
-        .groupBy(col("dst").as("node")).agg(min(col("component")).as("nc"))
-      val next = comp.select(col("node"), col("component"))
-        .join(viaNeighbor.select(col("node").as("vn"), col("nc")),
-          col("node") === col("vn"), "left")
-        .select(col("node"),
-          least(col("component"), coalesce(col("nc"), col("component")))
-            .as("component"))
+      // one join + one agg per round: neighbor contributions unioned
+      // with a self branch read from the previous round's CACHED comp
+      // frame (every node appears and carries its own label — and the
+      // old label rides as `own`, so the convergence count is a filter
+      // over this round's checkpointed output, not another join)
+      val contrib = und
+        .join(comp.select(col("node").as("src"), col("component")),
+          Seq("src"))
+        .select(col("dst").as("node"), col("component"),
+          lit(null).cast("long").as("own"))
+      val self = compCut.select(col("node"), col("component"),
+        col("component").as("own"))
+      val next = contrib.unionByName(self)
+        .groupBy("node")
+        .agg(min(col("component")).as("component"),
+          min(col("own")).as("pc"))
         .pipe(Checkpoints.cut)
-      changed = next.join(comp.select(col("node").as("pn"),
-          col("component").as("pc")), next("node") === col("pn"))
-        .filter(col("component") =!= col("pc")).count()
-      Checkpoints.release(comp)
-      comp = next
+      changed = next.filter(col("component") =!= col("pc")).count()
+      Checkpoints.release(compCut)
+      compCut = next
     }
     if (changed == 0) { Checkpoints.release(und); return comp }
     // diameter exceeds the probe: contract by probe labels, star the

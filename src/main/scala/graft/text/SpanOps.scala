@@ -288,23 +288,33 @@ object SpanOps {
   def q239Winnowing(spark: SparkSession, dir: String): DataFrame =
     winnowing(graft.text.TextOps.docs(spark, dir), WinnowK, WinnowW)
 
-  /** Per-position composite winnowing values (doc_id, pos, v) — see
-    * [[q239Winnowing]] for the arithmetic. */
-  private def winnowValues(d: DataFrame, k: Int, w: Int): DataFrame =
+  /** Positioned gram relation (doc_id, pos, gram) for docs long
+    * enough to winnow at (k, w) — the corpus scan [[winnowValues]]
+    * and the exact-verify gram sets share (one pass, guide §1.2). */
+  private def winnowGrams(d: DataFrame, k: Int, w: Int): DataFrame =
     d.filter(length(col("s")) >= k + w - 1)
       .select(col("doc_id"),
         explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
       .select(col("doc_id"), col("pg.pos").as("pos"),
-        // the composite is only order-correct while pos < 2^20; a doc
-        // past the bound must FAIL LOUDLY, not silently corrupt the
-        // min/tie-break order (shard long docs via q169ChunkStride)
-        when(col("pg.pos") <= lit(1048575L),
-          conv(substring(md5(col("pg.gram")), 1, 10), 16, 10).cast("long")
-            * lit(1048576L) + (lit(1048575L) - col("pg.pos")))
-          .otherwise(raise_error(format_string(
-            "winnowing: doc %d has %d+ grams, past the 2^20 composite " +
-              "position bound; shard long docs (q169ChunkStride) first",
-            col("doc_id"), col("pg.pos")))).as("v"))
+        col("pg.gram").as("gram"))
+
+  /** Composite winnowing value over a [[winnowGrams]] row — see
+    * [[q239Winnowing]] for the arithmetic. */
+  private def winnowV: org.apache.spark.sql.Column =
+    // the composite is only order-correct while pos < 2^20; a doc
+    // past the bound must FAIL LOUDLY, not silently corrupt the
+    // min/tie-break order (shard long docs via q169ChunkStride)
+    when(col("pos") <= lit(1048575L),
+      conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long")
+        * lit(1048576L) + (lit(1048575L) - col("pos")))
+      .otherwise(raise_error(format_string(
+        "winnowing: doc %d has %d+ grams, past the 2^20 composite " +
+          "position bound; shard long docs (q169ChunkStride) first",
+        col("doc_id"), col("pos"))))
+
+  /** Per-position composite winnowing values (doc_id, pos, v). */
+  private def winnowValues(d: DataFrame, k: Int, w: Int): DataFrame =
+    winnowGrams(d, k, w).select(col("doc_id"), col("pos"), winnowV.as("v"))
 
   /** Selected winnowing fingerprints: (doc_id, mv) distinct, mv the
     * composite (hash·2²⁰ + 2²⁰−1−pos) of each window's pick. */
@@ -317,10 +327,17 @@ object SpanOps {
   }
 
   private[graft] def winnowing(d: DataFrame, k: Int, w: Int): DataFrame = {
+    // r14 optimization (guide §1.2): the per-doc gram COUNT is pure
+    // arithmetic — PositionedGrams emits one gram per position
+    // 1..len−k+1, so n_grams = length(s) − k + 1 — which removes the
+    // second full gram+md5 scan the previous gcnt pass paid (the
+    // oracle's gg CTE counts the same generate_series rows). Output
+    // identical.
     val picks = winnowingPicks(d, k, w)
     val per = picks.groupBy("doc_id").agg(count(lit(1)).as("n_fingerprints"))
-    val gcnt = winnowValues(d, k, w).groupBy("doc_id")
-      .agg(count(lit(1)).as("n_grams"))
+    val gcnt = d.filter(length(col("s")) >= k + w - 1)
+      .select(col("doc_id"),
+        (length(col("s")) - (k - 1)).cast("long").as("n_grams"))
     gcnt.join(per, "doc_id")
       .select(col("doc_id"), col("n_grams"),
         (col("n_grams") - (w - 1)).as("n_windows"),
@@ -430,8 +447,17 @@ object SpanOps {
     // already-cut corpus — cutting again would materialize and store
     // the identical relation twice per query (ADVICE r12)
     val d = d0.pipe(graft.Checkpoints.cutOnce)
+    // ONE positioned-gram scan feeds both the winnowing selection and
+    // the exact-verify gram sets below (r14, guide §1.2 — previously
+    // two full PositionedGrams passes over the corpus per query)
+    val grams = graft.Checkpoints.cut(winnowGrams(d, k, w))
     // (doc, hash, witness pos): min position per selected hash
-    val fpsAll = winnowingPicks(d, k, w)
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rangeBetween(-(w - 1), 0)
+    val fpsAll = grams.select(col("doc_id"), col("pos"), winnowV.as("v"))
+      .withColumn("mv", min(col("v")).over(win))
+      .filter(col("pos") >= w)
+      .select(col("doc_id"), col("mv")).distinct()
       .select(col("doc_id"), expr("mv div 1048576").as("h"),
         (lit(1048575L) - expr("mv % 1048576")).as("pos"))
       .groupBy("doc_id", "h").agg(min(col("pos")).as("pos"))
@@ -455,11 +481,9 @@ object SpanOps {
       .select(col("doc_a"), col("doc_b"), col("n_shared_fps"),
         col("w0.pa").as("witness_pos_a"), col("w0.pb").as("witness_pos_b"))
       .pipe(graft.Checkpoints.cut)
-    // verification 1: exact k-gram Jaccard, candidates × doc grams
-    val gd = d.filter(length(col("s")) >= k + w - 1)
-      .select(col("doc_id"),
-        explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
-      .select(col("doc_id"), col("pg.gram").as("gram")).distinct()
+    // verification 1: exact k-gram Jaccard, candidates × doc grams —
+    // gram sets come from the same cut scan as the selection above
+    val gd = grams.select(col("doc_id"), col("gram")).distinct()
       .pipe(graft.Checkpoints.cut)
     val sz = gd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = pairs.select("doc_a", "doc_b")

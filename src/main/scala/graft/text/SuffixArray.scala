@@ -59,25 +59,26 @@ object SuffixArray {
   val SaDocCap = 100
   val SaMaxLen = 256
 
-  /** Order-preserving dense ordinal over the distinct (k1, k2) key
-    * pairs of `pairs`: (k1, k2, rank) with rank = position in the
-    * sorted distinct-key order. */
-  private def keyRanks(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    pairs.select(col("k1"), col("k2")).distinct()
-      .sort("k1", "k2")
-      .rdd.zipWithIndex()
-      .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
-      .toDF("k1", "k2", "nrank")
-  }
+  /** Base doubling horizon (r14 optimization, guide §1.2/§2.4): round
+    * 0 ranks every suffix by its first [[BaseH]] chars — a fixed-width
+    * substring, the same constant-width-sort cost class as the
+    * (rank, rank) pair rounds — so the ladder starts at h = [[BaseH]]
+    * instead of 1, removing log₂([[BaseH]]) sort+join rounds from the
+    * build AND the same number of two-join rounds from the LCP
+    * lifting. The sub-[[BaseH]] LCP residual (< [[BaseH]] by the
+    * ladder's decomposition argument) is resolved by ONE bounded
+    * [[BaseH]]-char compare against the retained round-0 prefix
+    * column — constant width per row, never a suffix string. */
+  val BaseH = 8
 
   /** A built suffix-array index: the array itself, the doubling-round
-    * count, and (when retained) the per-round rank tables
-    * (horizon h → (doc_id, pos, rank): equal rank ⟺ the two
-    * suffixes' first-h-char truncations are identical strings). */
+    * count, (when retained) the per-round rank tables (horizon h →
+    * (doc_id, pos, rank): equal rank ⟺ the two suffixes'
+    * first-h-char truncations are identical strings), and the round-0
+    * bounded prefix relation (doc_id, pos, pref: the suffix's first
+    * [[BaseH]] chars) that resolves sub-[[BaseH]] LCP residuals. */
   private[graft] case class SaIndex(sa: DataFrame, rounds: Int,
-      rankTables: Seq[(Long, DataFrame)])
+      rankTables: Seq[(Long, DataFrame)], prefs: DataFrame)
 
   /** Suffix array of every suffix of `docs` (columns: doc_id LONG,
     * s STRING; s is indexed as-is — truncate upstream if the
@@ -100,28 +101,36 @@ object SuffixArray {
     * without, each superseded round is released immediately. */
   private[graft] def buildIndex(docs: DataFrame,
       retainTables: Boolean): SaIndex = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     val base = docs.select(col("doc_id"), col("s"))
       .filter(col("s").isNotNull && length(col("s")) >= 1)
     val maxLen = base.agg(coalesce(max(length(col("s"))), lit(0)))
       .collect()(0).getInt(0).toLong // scalar: the doubling horizon
-    val chars = base
-      .select(col("doc_id"), posexplode(split(col("s"), "")))
-      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("ch"))
-    // round 0: rank of the single lead character (string sort order
-    // of one char == byte order of the suffix's first byte)
-    val charRank = chars.select("ch").distinct().sort("ch")
-      .rdd.zipWithIndex()
-      .map { case (r, i) => (r.getString(0), i) }.toDF("ch", "r0")
-    var ranks = chars.join(charRank, "ch")
-      .select(col("doc_id"), col("pos"), col("r0").as("rank"))
+    // (doc_id, pos, pref): each suffix's bounded BaseH-char window —
+    // constant width per row, never the suffix. Cut: feeds the
+    // distinct-key ordinal AND the rank join-back (and, retained, the
+    // LCP residual refine).
+    val prefs = Checkpoints.cut(base
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), length(col("s")))).as("posi"))
+      .select(col("doc_id"), col("posi").cast("long").as("pos"),
+        expr(s"substring(s, posi, $BaseH)").as("pref")))
+    // round 0: rank of the BaseH-char truncation (string sort order of
+    // the truncations == suffix order truncated at BaseH — shorter
+    // equal-prefix truncations sort first, exactly the suffix rule).
+    // All ordinal assignment is Ordinals.denseBy — Tungsten range-sort
+    // + broadcast offsets, no .rdd row-conversion seam (BENCH_SCALING
+    // Part 19), and the meta form's exact count makes the convergence
+    // scalar free.
+    val (r0, r0cut, nPref) = graft.Ordinals.denseByWithMeta(
+      prefs.select("pref").distinct(), Seq(col("pref")), "rank", 0L)
+    var ranks = prefs.join(r0, "pref")
+      .select(col("doc_id"), col("pos"), col("rank"))
       .pipe(Checkpoints.cut)
-    var tables = List((1L, ranks))
-    val total = ranks.count()
-    var distinctRanks = ranks.select("rank").distinct().count()
-    var h = 1L
+    Checkpoints.release(r0cut)
+    var tables = List((BaseH.toLong, ranks))
+    val total = prefs.count()
+    var distinctRanks = nPref
+    var h = BaseH.toLong
     var rounds = 0
     while (h < maxLen && distinctRanks < total) {
       rounds += 1
@@ -131,26 +140,26 @@ object SuffixArray {
           col("doc_id") === col("d2") && col("pos") === col("p2"), "left")
         .select(col("doc_id"), col("pos"), col("rank").as("k1"),
           coalesce(col("rank2"), lit(-1L)).as("k2"))
-      // cut the key-rank relation: consumed twice (join + the
-      // convergence count — |distinct keys| IS next round's distinct
-      // rank count, so no extra distinct pass over `next`)
-      val rk = keyRanks(paired).pipe(Checkpoints.cut)
+      val (rk, rkCut, nKeys) = graft.Ordinals.denseByWithMeta(
+        paired.select("k1", "k2").distinct(),
+        Seq(col("k1"), col("k2")), "nrank", 0L)
       val next = paired.join(rk, Seq("k1", "k2"))
         .select(col("doc_id"), col("pos"), col("nrank").as("rank"))
         .pipe(Checkpoints.cut)
-      distinctRanks = rk.count()
-      if (retainTables) Checkpoints.release(rk)
-      else Checkpoints.release(ranks, rk)
+      distinctRanks = nKeys // |distinct keys| IS next's distinct count
+      if (retainTables) Checkpoints.release(rkCut)
+      else Checkpoints.release(ranks, rkCut)
       ranks = next
       h *= 2
       tables ::= (h, next)
     }
-    val sa = ranks.sort("rank", "doc_id", "pos")
-      .rdd.zipWithIndex()
-      .map { case (r, i) => (i + 1, r.getLong(0), r.getLong(1)) }
-      .toDF("sa_rank", "doc_id", "pos")
+    val sa = graft.Ordinals.denseBy(ranks,
+        Seq(col("rank"), col("doc_id"), col("pos")), "sa_rank", 1L)
+      .select("sa_rank", "doc_id", "pos")
       .sort("sa_rank")
-    SaIndex(sa, rounds, if (retainTables) tables.reverse else Nil)
+    if (!retainTables) Checkpoints.release(prefs)
+    SaIndex(sa, rounds, if (retainTables) tables.reverse else Nil,
+      if (retainTables) prefs else null)
   }
 
   /** LCP of every ADJACENT suffix-array pair, from the retained rank
@@ -207,7 +216,24 @@ object SuffixArray {
       Checkpoints.release(cur)
       cur = next
     }
-    cur.select("sa_rank", "doc1", "pos1", "doc2", "pos2", "lcp")
+    // residual < BaseH (the descending ladder decomposes any LCP as
+    // Σ BaseH·2^k + r, r < BaseH): ONE bounded compare of the two
+    // retained BaseH-char prefix windows at offset lcp — constant
+    // width per pair, never a suffix string; a missing window (offset
+    // past end-of-doc) means zero residual.
+    val pa = idx.prefs.select(col("doc_id").as("da"), col("pos").as("pa"),
+      col("pref").as("prefa"))
+    val pb = idx.prefs.select(col("doc_id").as("db"), col("pos").as("pb"),
+      col("pref").as("prefb"))
+    cur
+      .join(pa, col("doc1") === col("da") &&
+        (col("pos1") + col("lcp")) === col("pa"), "left")
+      .join(pb, col("doc2") === col("db") &&
+        (col("pos2") + col("lcp")) === col("pb"), "left")
+      .withColumn("lcp", col("lcp") +
+        when(col("prefa").isNotNull && col("prefb").isNotNull,
+          lcpCol(col("prefa"), col("prefb"))).otherwise(lit(0L)))
+      .select("sa_rank", "doc1", "pos1", "doc2", "pos2", "lcp")
   }
 
   /** The bounded oracle universe shared by q236/q237/q240/q242. */
