@@ -130,6 +130,9 @@ object SuffixArray {
     var tables = List((BaseH.toLong, ranks))
     val total = prefs.count()
     var distinctRanks = nPref
+    // exclusive upper bound on the current rank VALUES (not their
+    // count) — the composite-round guard below
+    var rankBound = nPref
     var h = BaseH.toLong
     var rounds = 0
     while (h < maxLen && distinctRanks < total) {
@@ -140,18 +143,43 @@ object SuffixArray {
           col("doc_id") === col("d2") && col("pos") === col("p2"), "left")
         .select(col("doc_id"), col("pos"), col("rank").as("k1"),
           coalesce(col("rank2"), lit(-1L)).as("k2"))
-      val (rk, rkCut, nKeys) = graft.Ordinals.denseByWithMeta(
-        paired.select("k1", "k2").distinct(),
-        Seq(col("k1"), col("k2")), "nrank", 0L)
-      val next = paired.join(rk, Seq("k1", "k2"))
-        .select(col("doc_id"), col("pos"), col("nrank").as("rank"))
-        .pipe(Checkpoints.cut)
-      distinctRanks = nKeys // |distinct keys| IS next's distinct count
-      if (retainTables) Checkpoints.release(rkCut)
-      else Checkpoints.release(ranks, rkCut)
-      ranks = next
+      // ranks only need to be order-isomorphic integers, not dense
+      // (every consumer compares or sorts them; the LCP lifting tests
+      // equality): while the value range fits, the (k1, k2) pair
+      // re-rank is the ARITHMETIC composite k1·(B+1) + k2 + 1 — a
+      // pure projection fused into the round's checkpoint, with no
+      // distinct + range-sort + join-back (r14, guide §1.2). The
+      // composite's range squares each round; once it would leave
+      // 63 bits (B ≥ 2³¹), one dense re-rank renormalizes it to the
+      // distinct-key count and the convergence scalar refreshes.
+      if (rankBound < (1L << 31)) {
+        val next = paired
+          .select(col("doc_id"), col("pos"),
+            (col("k1") * (rankBound + 1) + col("k2") + 1L).as("rank"))
+          .pipe(Checkpoints.cut)
+        // values in [0, (B−1)(B+1)+B] ⊂ [0, (B+1)²) — still positive,
+        // order- and equality-isomorphic to the (k1, k2) pairs.
+        // distinctRanks is stale (a valid lower bound — refinement
+        // only splits classes), so convergence is re-tested at the
+        // next dense round; the h < maxLen bound caps the loop.
+        rankBound = (rankBound + 1) * (rankBound + 1)
+        if (!retainTables) Checkpoints.release(ranks)
+        ranks = next
+      } else {
+        val (rk, rkCut, nKeys) = graft.Ordinals.denseByWithMeta(
+          paired.select("k1", "k2").distinct(),
+          Seq(col("k1"), col("k2")), "nrank", 0L)
+        val next = paired.join(rk, Seq("k1", "k2"))
+          .select(col("doc_id"), col("pos"), col("nrank").as("rank"))
+          .pipe(Checkpoints.cut)
+        distinctRanks = nKeys // |distinct keys| IS next's distinct count
+        rankBound = nKeys
+        if (retainTables) Checkpoints.release(rkCut)
+        else Checkpoints.release(ranks, rkCut)
+        ranks = next
+      }
       h *= 2
-      tables ::= (h, next)
+      tables ::= (h, ranks)
     }
     val sa = graft.Ordinals.denseBy(ranks,
         Seq(col("rank"), col("doc_id"), col("pos")), "sa_rank", 1L)
@@ -358,14 +386,28 @@ object SuffixArray {
     * the writer is run once per corpus build (E7's idempotent-sink
     * discipline applies — same parquet overwrite semantics). */
   def writeSearchIndex(docs: DataFrame, path: String,
-      nParts: Int = 32): Unit = {
+      nParts: Int = -1): Unit = {
     val spark = docs.sparkSession
+    // default sizing is INPUT-DERIVED (guide §6: output files in the
+    // 128 MB–1 GB class, directories worth pruning): one index row
+    // per corpus char at ~50 B/row (3 longs + the 16-char probe
+    // prefix), ~64 MB per directory partition. A 17 MB suite corpus
+    // gets one healthy file instead of 32 shards of a few KB; a
+    // 100 TB corpus gets ~80k prunable directories. Pass nParts > 0
+    // to pin the geometry (the pruning spec does, at 8).
+    val parts =
+      if (nParts > 0) nParts
+      else {
+        val chars = docs.agg(coalesce(sum(length(col("s"))), lit(0L)))
+          .first().getLong(0)
+        math.max(1L, math.min(1L << 20, chars * 50L / (64L << 20))).toInt
+      }
     val sa = suffixArray(docs)
     val rows = sa.join(docs.withColumnRenamed("doc_id", "sd"),
         col("doc_id") === col("sd"))
       .select(col("sa_rank"), col("doc_id"), col("pos"),
         expr(s"substring(s, cast(pos as int), $SearchPrefLen)").as("pref"))
-    rows.repartitionByRange(nParts, col("sa_rank"))
+    rows.repartitionByRange(parts, col("sa_rank"))
       .sortWithinPartitions("sa_rank")
       .withColumn("part", spark_partition_id())
       .write.mode("overwrite").partitionBy("part").parquet(s"$path/sa")
