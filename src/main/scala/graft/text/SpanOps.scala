@@ -481,27 +481,29 @@ object SpanOps {
       .select(col("doc_a"), col("doc_b"), col("n_shared_fps"),
         col("w0.pa").as("witness_pos_a"), col("w0.pb").as("witness_pos_b"))
       .pipe(graft.Checkpoints.cut)
-    // verification 1: exact k-gram Jaccard, candidates × doc grams —
-    // gram sets come from the same cut scan as the selection above
-    val gd = grams.select(col("doc_id"), col("gram")).distinct()
+    // verification 1: exact k-gram Jaccard — IN-ROW (the q99
+    // discipline, r14 guide §2.3): each candidate pair joins the
+    // per-doc distinct-gram ARRAY twice and intersects in-row, so the
+    // verify ships |pairs| + |docs| rows instead of exploding every
+    // pair into |grams(doc_a)| rows for a (doc, gram)-keyed
+    // intersection join + re-agg. Pairs sharing NO real gram (40-bit
+    // fingerprint collisions) still drop — the inner intersection
+    // join's semantics, now an explicit inter ≥ 1 filter (the DuckDB
+    // mirror's inner join does the same).
+    val ga = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy("doc_id")
+      .agg(collect_list(col("gram")).as("gs"), count(lit(1)).as("sz"))
+      .join(d.select(col("doc_id"), col("s")), Seq("doc_id"))
       .pipe(graft.Checkpoints.cut)
-    val sz = gd.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = pairs.select("doc_a", "doc_b")
-      .join(gd.select(col("doc_id").as("doc_a"), col("gram")), Seq("doc_a"))
-      .join(gd.select(col("doc_id").as("doc_b"), col("gram")),
-        Seq("doc_b", "gram"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     // verification 2: witness-run extension from the matched positions
     pairs
-      .join(inter, Seq("doc_a", "doc_b"))
-      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")),
-        Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")),
-        Seq("doc_b"))
-      .join(d.select(col("doc_id").as("doc_a"), col("s").as("s_a")),
-        Seq("doc_a"))
-      .join(d.select(col("doc_id").as("doc_b"), col("s").as("s_b")),
-        Seq("doc_b"))
+      .join(ga.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"),
+        col("sz").as("sz_a"), col("s").as("s_a")), Seq("doc_a"))
+      .join(ga.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"),
+        col("sz").as("sz_b"), col("s").as("s_b")), Seq("doc_b"))
+      .withColumn("inter",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .filter(col("inter") >= 1)
       .select(col("doc_a"), col("doc_b"), col("n_shared_fps"),
         round(col("inter") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)

@@ -99,16 +99,26 @@ object TextOps {
     * extra cand columns to keep (functionally dependent on (a, b)). */
   private def jaccardVerified(d: DataFrame, sizes: DataFrame, cand: DataFrame,
       thresh: Double, carry: Seq[String] = Nil): DataFrame = {
+    // IN-ROW exact verify (the q99 discipline, r14 guide §2.3):
+    // CharGrams already emits each doc's DISTINCT gram set as one
+    // array, so a candidate pair joins the two arrays and intersects
+    // in-row — |pairs| + |candidate docs| rows through the verify
+    // instead of exploding every pair into |grams| rows for a
+    // gram-keyed intersection join + re-agg. Zero-intersection pairs
+    // (previously dropped by the inner gram join) drop at the
+    // j ≥ thresh filter (thresh > 0 for every caller). `carry`
+    // columns ride the candidate row untouched.
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
-    val gc = Checkpoints.cut(grams(d.join(candDocs, Seq("doc_id"), "left_semi")))
-    val inter = cand.as("c")
-      .join(gc.as("ga"), col("c.a") === col("ga.doc_id"))
-      .join(gc.as("gb"),
-        col("c.b") === col("gb.doc_id") && col("ga.gram") === col("gb.gram"))
-      .groupBy(("a" +: "b" +: carry).map(n => col("c." + n).as(n)): _*)
-      .agg(count(lit(1)).as("c"))
-    inter
+    val ga = Checkpoints.cut(
+      d.join(candDocs, Seq("doc_id"), "left_semi")
+        .filter(length(col("s")) >= 5)
+        .select(col("doc_id"), graft.functions.CharGrams(col("s")).as("gs")))
+    cand
+      .join(ga.select(col("doc_id").as("a"), col("gs").as("gs_a")), Seq("a"))
+      .join(ga.select(col("doc_id").as("b"), col("gs").as("gs_b")), Seq("b"))
+      .withColumn("c",
+        size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .join(sizes.select(col("doc_id").as("da"), col("nn").as("na")), col("a") === col("da"))
       .join(sizes.select(col("doc_id").as("db"), col("nn").as("nb")), col("b") === col("db"))
       .withColumn("j", col("c").cast("double") / (col("na") + col("nb") - col("c")))
