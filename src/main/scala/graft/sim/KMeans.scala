@@ -61,16 +61,18 @@ object KMeans {
       .select(g :+ col("vec_id").cast("int").as("cell") :+ col("e").as("c"): _*)
       .pipe(Checkpoints.cut)
     var assign: DataFrame = null
-    val w = Window.partitionBy(g :+ col("vec_id"): _*)
-      .orderBy(col("dist").asc, col("cell").asc)
     for (t <- 1 to iters) {
       val prevAssign = assign
+      // argmin as one partial agg (r14, guide §2.4): min(struct(dist,
+      // cell)) is exactly the row_number()-over-(dist ASC, cell ASC)
+      // winner (ties fall through to the smaller cell) without the
+      // per-iteration window sort; dist ≥ 0, no sign games needed.
       assign = (if (grp.isEmpty) v.crossJoin(broadcast(cent))
                 else v.join(broadcast(cent), grp))
         .withColumn("dist", sqDist(col("e"), col("c")))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(g :+ col("vec_id") :+ col("cell"): _*)
+        .groupBy(g :+ col("vec_id"): _*)
+        .agg(min(struct(col("dist"), col("cell"))).as("w0"))
+        .select(g :+ col("vec_id") :+ col("w0.cell").as("cell"): _*)
         .pipe(Checkpoints.cut)
       if (prevAssign != null) Checkpoints.release(prevAssign)
       if (t < iters) {

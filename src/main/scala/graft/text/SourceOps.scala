@@ -579,7 +579,28 @@ object SourceOps {
       .select(col("source"), explode(split(col("s"), " ")).as("w"))
       .filter(col("w") =!= "").distinct())
 
-  /** Greedy core over a distinct (source, w) coverage relation. */
+  /** Source-count bound for [[greedyCoverage]]'s histogram path: the
+    * per-token source BITMASK histogram has ≤ 2^|sources| rows, so the
+    * bounded collect it rides on is only justified while that stays a
+    * q121-codebook-sized relation (2^20 rows ≈ 16 MB worst case). */
+  val CoverageMaskMaxSources = 20
+
+  /** Greedy core over a distinct (source, w) coverage relation.
+    *
+    * r14 shape (guide §1.2 — the distributed algorithm first): greedy
+    * max-coverage picks are inherently sequential, but the ONLY thing
+    * a pick needs is, per source, the count of still-uncovered tokens
+    * — a pure function of each token's source MEMBERSHIP SET. With
+    * sources a bounded data dimension (20 at every SF), that set is a
+    * bitmask, and the whole loop collapses to ONE aggregation pass
+    * (token → mask → histogram, ≤ 2^|sources| rows, bounded collect)
+    * plus driver arithmetic over the histogram: gain(s) = Σ n(mask)
+    * where mask has bit s and no picked bit. The previous shape ran
+    * one anti-join + agg + collect AND one checkpoint per pick — 2
+    * jobs × |sources| over the corpus-scale token relation. Output
+    * identical (same exact gains, same (−gain, source) tie-break);
+    * corpora with more than [[CoverageMaskMaxSources]] sources keep
+    * the iterative path, where the histogram bound would not hold. */
   private[graft] def greedyCoverage(tok0: DataFrame): DataFrame = {
     val spark = tok0.sparkSession
     import spark.implicits._
@@ -587,27 +608,54 @@ object SourceOps {
     // source list: a data DIMENSION (20 at every SF), not corpus rows
     val sources = tok.select("source").distinct()
       .collect().map(_.getString(0)).sorted
-    var covered = tok.select("w").limit(0).pipe(graft.Checkpoints.cut)
-    val remaining = scala.collection.mutable.ArrayBuffer(sources: _*)
     val picks = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Long)]()
     var cum = 0L
-    for (step <- 1 to sources.length) {
-      val gains = tok
-        .join(covered.select(col("w").as("cw")), col("w") === col("cw"),
-          "left_anti")
-        .groupBy("source").agg(count(lit(1)).as("gain"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val (gain, src) = remaining
-        .map(s0 => (gains.getOrElse(s0, 0L), s0))
-        .minBy { case (g, s0) => (-g, s0) }
-      cum += gain
-      picks += ((step.toLong, src, gain, cum))
-      remaining -= src
-      val nextCovered = covered
-        .union(tok.filter(col("source") === src).select("w")).distinct()
-        .pipe(graft.Checkpoints.cut)
-      graft.Checkpoints.release(covered)
-      covered = nextCovered
+    if (sources.length <= CoverageMaskMaxSources) {
+      val srcRel = sources.zipWithIndex.toSeq.toDF("source", "si")
+      // tok is distinct (source, w), so sum(bit) over a token's rows
+      // IS the bitwise OR of its membership bits — exact
+      val hist = tok.join(broadcast(srcRel), "source")
+        .select(col("w"),
+          expr("shiftleft(cast(1 as bigint), si)").as("bit"))
+        .groupBy("w").agg(sum(col("bit")).as("mask"))
+        .groupBy("mask").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val remaining = scala.collection.mutable.ArrayBuffer(
+        sources.zipWithIndex: _*)
+      var pickedMask = 0L
+      for (step <- 1 to sources.length) {
+        val (gain, (src, si)) = remaining.map { case (s0, i) =>
+          val g = hist.collect {
+            case (m, n) if (m & (1L << i)) != 0 && (m & pickedMask) == 0 => n
+          }.sum
+          (g, (s0, i))
+        }.minBy { case (g, (s0, _)) => (-g, s0) }
+        cum += gain
+        picks += ((step.toLong, src, gain, cum))
+        remaining -= ((src, si))
+        pickedMask |= 1L << si
+      }
+    } else {
+      var covered = tok.select("w").limit(0).pipe(graft.Checkpoints.cut)
+      val remaining = scala.collection.mutable.ArrayBuffer(sources: _*)
+      for (step <- 1 to sources.length) {
+        val gains = tok
+          .join(covered.select(col("w").as("cw")), col("w") === col("cw"),
+            "left_anti")
+          .groupBy("source").agg(count(lit(1)).as("gain"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val (gain, src) = remaining
+          .map(s0 => (gains.getOrElse(s0, 0L), s0))
+          .minBy { case (g, s0) => (-g, s0) }
+        cum += gain
+        picks += ((step.toLong, src, gain, cum))
+        remaining -= src
+        val nextCovered = covered
+          .union(tok.filter(col("source") === src).select("w")).distinct()
+          .pipe(graft.Checkpoints.cut)
+        graft.Checkpoints.release(covered)
+        covered = nextCovered
+      }
     }
     picks.toSeq.toDF("step", "source", "new_tokens", "cum_tokens")
       .orderBy("step")
