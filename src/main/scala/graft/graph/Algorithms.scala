@@ -727,26 +727,27 @@ object Algorithms {
           Seq("dst"))
         .filter(col("cs") === col("cd"))
         .select("src", "dst").pipe(Checkpoints.cut)
-      var mark = color.filter(col("node") === col("color")).select("node")
+      // mark = union of the cut frontiers (r14, guide §2.4): every
+      // frontier is already checkpointed, so the accumulated mark is
+      // a cheap union VIEW over cached frames — no per-hop re-cut of
+      // the whole marked set (the anti-join below scans the cached
+      // branches; BFS depth is bounded by the class diameter).
+      val root = color.filter(col("node") === col("color")).select("node")
         .pipe(Checkpoints.cut)
-      var frontier = mark
+      val frontiers = scala.collection.mutable.ArrayBuffer(root)
+      var frontier = root
+      def mark = frontiers.reduce(_.union(_))
       var n = frontier.count()
       while (n > 0) {
-        val prevFrontier = frontier
         frontier = classEdges
           .join(frontier.select(col("node").as("dst")), Seq("dst"), "left_semi")
           .select(col("src").as("node")).distinct()
           .join(mark, Seq("node"), "left_anti")
           .pipe(Checkpoints.cut)
         n = frontier.count()
-        if (n > 0) {
-          val prevMark = mark
-          mark = mark.union(frontier).pipe(Checkpoints.cut)
-          Checkpoints.release(prevMark)
-        }
-        if (!(prevFrontier eq mark)) Checkpoints.release(prevFrontier)
+        if (n > 0) frontiers += frontier
+        else Checkpoints.release(frontier)
       }
-      if (!(frontier eq mark)) Checkpoints.release(frontier)
       // 3. emit the root SCCs, shrink the live subgraph
       val emitted = mark.join(color, Seq("node"))
         .select(col("node"), col("color").as("scc")).pipe(Checkpoints.cut)
@@ -764,8 +765,8 @@ object Algorithms {
         .join(mark.select(col("node").as("src")), Seq("src"), "left_anti")
         .join(mark.select(col("node").as("dst")), Seq("dst"), "left_anti")
         .select("src", "dst").pipe(Checkpoints.cut)
-      Checkpoints.release(prevRemaining, prevLive, classEdges, mark,
-        colorCut)
+      Checkpoints.release(prevRemaining, prevLive, classEdges, colorCut)
+      frontiers.foreach(Checkpoints.release(_))
       nLeft = remaining.count()
     }
     Checkpoints.release(remaining, live)

@@ -403,7 +403,10 @@ object TermOps {
     val n = d.agg(count(lit(1)).as("n_docs"))
     // the vocabulary is corpus-derived: no broadcast hint (L26's
     // reasoning); the one-row count broadcasts
-    val w = tf.join(df, "word")
+    // cut: the weighted posting relation feeds THREE consumers (the
+    // norm agg, the query slice, the dot-product join) — without it
+    // the tf/df subtree re-executes once per consumer (r14, guide §5)
+    val w = graft.Checkpoints.cut(tf.join(df, "word")
       .crossJoin(broadcast(n))
       .filter(col("df") <= col("n_docs") * CosDfFracMax)
       .select(col("doc_id"), col("word"),
@@ -411,7 +414,7 @@ object TermOps {
           .as("wt"))
       // zero-idf terms (df = N) carry no weight AND the largest
       // posting lists — dropping them also guards the zero-norm NaN
-      .filter(col("wt") =!= 0.0)
+      .filter(col("wt") =!= 0.0))
     val norms = w
       .select(col("doc_id"),
         round(col("wt") * col("wt"), 6).cast("decimal(18,6)").as("w2"))
