@@ -1124,15 +1124,17 @@ object Algorithms {
           .select(col("ca").as("comp"), col("a"), col("b"), col("w"))
           .union(labeled
             .select(col("cb").as("comp"), col("a"), col("b"), col("w")))
-        val wmin = Window.partitionBy("comp")
-          .orderBy(col("w").asc, col("a").asc, col("b").asc)
-        val sel = sides.withColumn("rk", row_number().over(wmin))
-          .filter(col("rk") === 1)
-          .select("a", "b", "w").distinct()
+        // per-component lightest edge as one partial agg (r14, guide
+        // §2.4): min(struct(w, a, b)) is the row_number()-over-
+        // (w ASC, a ASC, b ASC) winner without the window sort
+        val sel = sides.groupBy("comp")
+          .agg(min(struct(col("w"), col("a"), col("b"))).as("m"))
+          .select(col("m.a").as("a"), col("m.b").as("b"),
+            col("m.w").as("w")).distinct()
           .pipe(Checkpoints.cut)
-        val pm = mst
-        mst = pm.unionByName(sel).pipe(Checkpoints.cut)
-        Checkpoints.release(pm)
+        // the forest accumulates as a union VIEW over the cut per-round
+        // selections — no re-checkpoint of the whole forest per round
+        mst = mst.unionByName(sel)
         val selComp = sel
           .join(labeled.select(col("a"), col("b"), col("ca"), col("cb"))
             .dropDuplicates("a", "b"), Seq("a", "b"))
@@ -1145,7 +1147,9 @@ object Algorithms {
         comp = pc.join(relabel, col("oldc") === col("c"))
           .select(col("node"), col("component").as("c"))
           .pipe(Checkpoints.cut)
-        Checkpoints.release(pc, sel, labeled)
+        // sel stays checkpointed: the returned forest is a union view
+        // over the per-round selections (caller/releaseAll frees them)
+        Checkpoints.release(pc, labeled)
       }
     }
     Checkpoints.release(comp)
