@@ -52,6 +52,30 @@ object NodeEmbeddings {
     * larger vocabularies wants O(log n) — same plan, wider explode. */
   val Dims = 16
 
+  /** 6dp half-away-from-zero rounding spelled as explicit IEEE ops —
+    * floor(x·10⁶ + 0.5)/10⁶, sign-mirrored — instead of the engine's
+    * `round`. Engines disagree at representation boundaries (Spark
+    * rounds the exact binary expansion of the double HALF_UP via
+    * BigDecimal; DuckDB rounds the once-rounded product rint(x·10⁶),
+    * and its tie/ulp behavior has shifted across releases), so a cell
+    * that lands on a boundary hashes differently between the trained
+    * table and its oracle even though both are "round(x, 6)" —
+    * the q228 driver-red/builder-green split of round 14. Multiply,
+    * add, floor and divide are IEEE-pinned and identical in every
+    * engine, so with this spelling (mirrored verbatim in
+    * [[round6Sql]]) the two sides agree BY CONSTRUCTION for any
+    * |x| < 2⁵²/10⁶. */
+  private[graft] def round6(x: Column): Column =
+    (when(x >= 0, floor(x * lit(1e6) + lit(0.5)))
+      .otherwise(-floor(-x * lit(1e6) + lit(0.5)))) / lit(1e6)
+
+  /** [[round6]]'s SQL spelling — `x` must be a DOUBLE expression
+    * (textually duplicated; every sub-op is deterministic). */
+  private[graft] def round6Sql(x: String): String =
+    s"""(CASE WHEN ($x) >= 0 THEN floor(($x) * 1000000.0 + 0.5)
+       |      ELSE -floor(-($x) * 1000000.0 + 0.5) END / 1000000.0)"""
+      .stripMargin
+
   /** (u, v, n_uv): co-occurrence counts within ±`window` steps on the
     * same walk, both directions (the symmetric skip-gram corpus). */
   private[graft] def skipGramPairs(walks: DataFrame, window: Int): DataFrame = {
@@ -89,9 +113,9 @@ object NodeEmbeddings {
       .join(marg.select(col("u").as("v"), col("n_u").as("n_v")), "v")
       .crossJoin(broadcast(tot))
       .withColumn("ppmi",
-        round(greatest(lit(0d),
+        round6(greatest(lit(0d),
           log(col("n_uv").cast("double") * col("d_tot") /
-            (col("n_u").cast("double") * col("n_v")))), 6)
+            (col("n_u").cast("double") * col("n_v")))))
           .cast("decimal(18,6)"))
       .filter(col("ppmi") > 0)
       .select("u", "v", "ppmi")
@@ -160,7 +184,7 @@ object NodeEmbeddings {
     e.join(nr, "u")
       .withColumn("emb",
         when(col("nrm") === 0, lit(0d))
-          .otherwise(round(col("e").cast("double") / col("nrm"), 6)))
+          .otherwise(round6(col("e").cast("double") / col("nrm"))))
       .select(col("u").as("node"), col("dim"), col("emb"))
   }
 
@@ -420,15 +444,16 @@ object NodeEmbeddings {
     // at q228's 24M-row projection grain made the DuckDB oracle
     // minutes-slow.
     val bitV = graft.text.TextOps.hexToLongSql("h", 1, 15)
+    val ppmiArg = """greatest(0.0,
+       |              ln(CAST(p.n_uv AS DOUBLE) * t.d_tot /
+       |                 (CAST(mu.n_u AS DOUBLE) * mv.n_u)))""".stripMargin
     s"""mg AS MATERIALIZED (SELECT u, CAST(sum(n_uv) AS BIGINT) AS n_u
        |       FROM pr GROUP BY 1),
        |tot AS MATERIALIZED (
        |       SELECT CAST(sum(n_uv) AS BIGINT) AS d_tot FROM pr),
        |pp AS (
        |  SELECT p.u, p.v,
-       |         CAST(round(greatest(0.0,
-       |              ln(CAST(p.n_uv AS DOUBLE) * t.d_tot /
-       |                 (CAST(mu.n_u AS DOUBLE) * mv.n_u))), 6)
+       |         CAST(${round6Sql(ppmiArg)}
        |              AS DECIMAL(18,6)) AS ppmi
        |  FROM pr p
        |  JOIN mg mu ON mu.u = p.u
@@ -451,7 +476,7 @@ object NodeEmbeddings {
        |emb AS MATERIALIZED (
        |  SELECT e.u AS node, e.dim,
        |         CASE WHEN nr.nrm = 0 THEN 0.0
-       |              ELSE round(CAST(e.e AS DOUBLE) / nr.nrm, 6)
+       |              ELSE ${round6Sql("CAST(e.e AS DOUBLE) / nr.nrm")}
        |         END AS emb
        |  FROM e JOIN nr ON nr.u = e.u)""".stripMargin
   }
