@@ -408,10 +408,22 @@ object EntityResolution {
     * — which is why the q203 oracle can be the global recursive-CTE
     * form (the spec also pins it against [[resolveEntities]]).
     *
-    * Here the membership edges are recomputed from the registry slice
-    * (the harness has no persisted store — q87's corpus-fingerprint
-    * convention); a deployment feeds yesterday's membership table
-    * straight in.
+    * THE SUITE ENTRY RUNS ONE CC (r15; VERDICT r14 #3): the harness
+    * has no persisted store, so the registry membership would have to
+    * be RECOMPUTED from the registry slice — a second candidate pass,
+    * a second verify pass and a second iterative CC loop whose only
+    * product is an input to the final CC, on a suite where the
+    * iterative loops' JOB COUNT (not their data) is the wall
+    * (121 stages at ~40 ms each, r14 telemetry). Global match pairs =
+    * registry pairs ∪ batch-touching pairs and the membership stars
+    * are a connectivity-preserving contraction, so CC once over the
+    * shared verified pair relation gives the identical output —
+    * including the status strata, which derive from each GLOBAL
+    * entity's member ids vs the bound, never from the membership
+    * table. The production daily shape — yesterday's PERSISTED
+    * membership + batch-touching candidates only, no registry
+    * recompute at all — is [[resolveIncrementalFromMembership]],
+    * spec-pinned equal to this global form.
     *
     * Chaining note: the incremental form inherits single-link merge
     * semantics (a batch bridge merges standing entities). On a dirty
@@ -421,22 +433,31 @@ object EntityResolution {
   private[graft] def resolveIncremental(parts: DataFrame,
       registryBound: Long, tau: Double): DataFrame = {
     val sigs = sigRelation(parts)
-    val keys = blockingKeys(sigs)
-    val cand = candidates(keys, Some(registryBound))
+    val cand = candidates(blockingKeys(sigs), None)
+    survive(parts, matchComponents(verifiedPairs(sigs, cand, tau)),
+      Some(registryBound))
+  }
+
+  /** The PRODUCTION incremental path: resolve a batch (id ≥
+    * `registryBound`) against a standing registry whose resolved
+    * (record → entity) `membership` table is fed in — candidate
+    * generation touches only batch-side blocking keys (cost per
+    * increment = O(batch keys × blocked collisions), independent of
+    * registry-internal pair volume), registry×registry pairs are
+    * never regenerated, and ONE CC runs over batch-touching verified
+    * pairs ∪ membership star edges (the contraction preserves
+    * components, so labels equal the global resolution's — the
+    * previous formulation ran a second CC just to rebuild the
+    * membership the store already holds). */
+  private[graft] def resolveIncrementalFromMembership(parts: DataFrame,
+      membership: DataFrame, registryBound: Long, tau: Double): DataFrame = {
+    val sigs = sigRelation(parts)
+    val cand = candidates(blockingKeys(sigs), Some(registryBound))
     val newPairs = verifiedPairs(sigs, cand, tau)
-    // the standing registry's stored (record → entity) memberships.
-    // signatures and blocking keys are ROW-WISE, so the registry
-    // slice is a filter over the already-cut relations rather than a
-    // second scan + signature + checkpoint of 90% of the input
-    // (A/B'd equal wall at sf0.1 — the query's cost is the two
-    // iterative CC loops, the q58-class tiny-graph scheduling
-    // overhead — but one checkpoint replaces two)
-    val regSigs = sigs.filter(col("id") < registryBound)
-    val regCand = candidates(keys.filter(col("id") < registryBound), None)
-    val regEdges = matchComponents(verifiedPairs(regSigs, regCand, tau))
+    val memEdges = membership
       .select(col("node").as("a"), col("component").as("b"))
       .filter(col("a") =!= col("b"))
-    survive(parts, matchComponents(newPairs.union(regEdges)),
+    survive(parts, matchComponents(newPairs.union(memEdges)),
       Some(registryBound))
   }
 
