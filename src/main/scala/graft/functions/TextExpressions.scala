@@ -153,6 +153,125 @@ object CharGrams {
     ColumnBridge.column(CharGrams(ColumnBridge.expression(c)))
 }
 
+/** Distinct k-grams of a string (code-point windows, first-occurrence
+  * order) — [[CharGrams]] generalized to any width. Empty array for
+  * strings shorter than `k` code points (callers filter; an empty set
+  * intersects to 0 either way). One JVM loop per row: the exploded
+  * alternative shuffles the corpus's full positioned-gram relation
+  * through a distinct + collect_list just to rebuild a per-doc set
+  * that is a pure row-local function of the text (r15, guide §2.4 —
+  * the q241/q244 verify's gram arrays). */
+case class DistinctGrams(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "gram width must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_distinct_grams"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    if (cps.length < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + k <= cps.length) { seen.add(new String(cps, i, k)); i += 1 }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DistinctGrams =
+    copy(child = newChild)
+}
+
+object DistinctGrams {
+  def apply(c: Column, k: Int): Column =
+    ColumnBridge.column(DistinctGrams(ColumnBridge.expression(c), k))
+}
+
+/** The winnowing fingerprint selection (Schleimer, Wilkerson & Aiken
+  * 2003, basic rule) of one document as a single row-local loop:
+  * per-position composite v(pos) = h40(gram) · 2²⁰ + (2²⁰ − 1 − pos)
+  * with h40 = the first 10 hex nibbles of md5(gram) (identical to
+  * `conv(substring(md5(gram), 1, 10), 16, 10)` — the first 5 digest
+  * bytes big-endian), sliding min over each w-window of full windows
+  * only (pos ≥ w), distinct picks in first-occurrence order.
+  *
+  * Replaces the exploded formulation — positioned-gram explode →
+  * corpus-wide hash exchange on doc_id → per-doc sort → O(w)-frame
+  * window min → distinct — with one O(n) monotonic-deque pass per
+  * document and NO shuffle at all (r15, guide §2.4: the selection is
+  * a pure per-doc function; only the selected ~2/(w+1) density ever
+  * needs to leave the row). Output set is bit-identical: same
+  * composite arithmetic, same full-window rule, same distinct.
+  *
+  * Positions are 1-based and must stay under 2²⁰ for the composite's
+  * order to hold — same loud failure as the column form (shard long
+  * docs via q169ChunkStride first). Empty array for docs shorter
+  * than w + k − 1 code points (no full window exists). */
+case class WinnowingPicks(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1 && w >= 1, "gram width and window must be >= 1")
+
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnowing_picks"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val cps = s.codePoints().toArray
+    val n = cps.length - k + 1 // grams at positions 1..n
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    val md = MessageDigest.getInstance("MD5")
+    val vs = new Array[Long](n + 1) // 1-based
+    var p = 1
+    while (p <= n) {
+      if (p > 1048575)
+        throw new IllegalStateException(
+          s"winnowing: doc has $p+ grams, past the 2^20 composite " +
+            "position bound; shard long docs (q169ChunkStride) first")
+      md.reset()
+      val dig = md.digest(
+        new String(cps, p - 1, k).getBytes(StandardCharsets.UTF_8))
+      val h40 = ((dig(0) & 255L) << 32) | ((dig(1) & 255L) << 24) |
+        ((dig(2) & 255L) << 16) | ((dig(3) & 255L) << 8) | (dig(4) & 255L)
+      vs(p) = h40 * 1048576L + (1048575L - p)
+      p += 1
+    }
+    // monotonic deque sliding min over windows [p-w+1, p], p = w..n
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val dq = new Array[Int](n + 1) // indices, increasing v
+    var head = 0
+    var tail = 0 // exclusive
+    p = 1
+    while (p <= n) {
+      while (tail > head && vs(dq(tail - 1)) >= vs(p)) tail -= 1
+      dq(tail) = p; tail += 1
+      if (dq(head) <= p - w) head += 1
+      if (p >= w) seen.add(vs(dq(head)))
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingPicks =
+    copy(child = newChild)
+}
+
+object WinnowingPicks {
+  def apply(c: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowingPicks(ColumnBridge.expression(c), k, w))
+}
+
 /** Distinct n-word shingles of a space-separated string
   * (first-occurrence order): words = split(s, ' ') with trailing
   * empties kept (mirroring Spark `split`), shingle = `n` consecutive

@@ -132,7 +132,13 @@ object SpanOps {
   /** Cut `spans` (doc_id, span_start, span_end, span_len) out of `d`
     * and reassemble — the slicing shared by the remove-all (q170) and
     * keep-first (q243) policies. */
-  private[graft] def scrubFromSpans(d: DataFrame, spans: DataFrame): DataFrame = {
+  private[graft] def scrubFromSpans(d: DataFrame, spans0: DataFrame): DataFrame = {
+    // cut: the span relation feeds THREE consumers (the pre-span
+    // segments, the per-doc tail agg, and the untouched anti-join) —
+    // live, the whole duplicate-span pipeline above it (gram agg +
+    // join-back + islands window) re-executes once per consumer
+    // (r15, guide §5 reuse — the q134 pattern)
+    val spans = graft.Checkpoints.cut(spans0)
     val byDoc = Window.partitionBy("doc_id").orderBy("span_start")
     // segment BEFORE each span: [prev_end, span_start)
     val pre = spans
@@ -288,43 +294,19 @@ object SpanOps {
   def q239Winnowing(spark: SparkSession, dir: String): DataFrame =
     winnowing(graft.text.TextOps.docs(spark, dir), WinnowK, WinnowW)
 
-  /** Positioned gram relation (doc_id, pos, gram) for docs long
-    * enough to winnow at (k, w) — the corpus scan [[winnowValues]]
-    * and the exact-verify gram sets share (one pass, guide §1.2). */
-  private def winnowGrams(d: DataFrame, k: Int, w: Int): DataFrame =
-    d.filter(length(col("s")) >= k + w - 1)
-      .select(col("doc_id"),
-        explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"),
-        col("pg.gram").as("gram"))
-
-  /** Composite winnowing value over a [[winnowGrams]] row — see
-    * [[q239Winnowing]] for the arithmetic. */
-  private def winnowV: org.apache.spark.sql.Column =
-    // the composite is only order-correct while pos < 2^20; a doc
-    // past the bound must FAIL LOUDLY, not silently corrupt the
-    // min/tie-break order (shard long docs via q169ChunkStride)
-    when(col("pos") <= lit(1048575L),
-      conv(substring(md5(col("gram")), 1, 10), 16, 10).cast("long")
-        * lit(1048576L) + (lit(1048575L) - col("pos")))
-      .otherwise(raise_error(format_string(
-        "winnowing: doc %d has %d+ grams, past the 2^20 composite " +
-          "position bound; shard long docs (q169ChunkStride) first",
-        col("doc_id"), col("pos"))))
-
-  /** Per-position composite winnowing values (doc_id, pos, v). */
-  private def winnowValues(d: DataFrame, k: Int, w: Int): DataFrame =
-    winnowGrams(d, k, w).select(col("doc_id"), col("pos"), winnowV.as("v"))
-
   /** Selected winnowing fingerprints: (doc_id, mv) distinct, mv the
-    * composite (hash·2²⁰ + 2²⁰−1−pos) of each window's pick. */
-  private[graft] def winnowingPicks(d: DataFrame, k: Int, w: Int): DataFrame = {
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rangeBetween(-(w - 1), 0)
-    winnowValues(d, k, w).withColumn("mv", min(col("v")).over(win))
-      .filter(col("pos") >= w) // full windows only
-      .select(col("doc_id"), col("mv")).distinct()
-  }
+    * composite (hash·2²⁰ + 2²⁰−1−pos) of each window's pick —
+    * computed IN-ROW per document by
+    * [[graft.functions.WinnowingPicks]] (r15, guide §2.4): the
+    * selection is a pure per-doc function of the text, so the old
+    * exploded form's corpus-wide gram exchange, per-doc sort and
+    * O(w)-frame window were shuffle and sort for a row-local loop.
+    * Same composite arithmetic, same full-window rule, same distinct
+    * set — only the selected ~2/(w+1) density ever leaves the row. */
+  private[graft] def winnowingPicks(d: DataFrame, k: Int, w: Int): DataFrame =
+    graft.Partitioning.spread(d.filter(length(col("s")) >= k + w - 1))
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowingPicks(col("s"), k, w)).as("mv"))
 
   private[graft] def winnowing(d: DataFrame, k: Int, w: Int): DataFrame = {
     // r14 optimization (guide §1.2): the per-doc gram COUNT is pure
@@ -447,17 +429,11 @@ object SpanOps {
     // already-cut corpus — cutting again would materialize and store
     // the identical relation twice per query (ADVICE r12)
     val d = d0.pipe(graft.Checkpoints.cutOnce)
-    // ONE positioned-gram scan feeds both the winnowing selection and
-    // the exact-verify gram sets below (r14, guide §1.2 — previously
-    // two full PositionedGrams passes over the corpus per query)
-    val grams = graft.Checkpoints.cut(winnowGrams(d, k, w))
-    // (doc, hash, witness pos): min position per selected hash
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rangeBetween(-(w - 1), 0)
-    val fpsAll = grams.select(col("doc_id"), col("pos"), winnowV.as("v"))
-      .withColumn("mv", min(col("v")).over(win))
-      .filter(col("pos") >= w)
-      .select(col("doc_id"), col("mv")).distinct()
+    // (doc, hash, witness pos): min position per selected hash — the
+    // selection itself is one in-row loop per doc ([[winnowingPicks]],
+    // r15), so the only corpus-wide shuffle left here is the per-doc
+    // pick set (~2/(w+1) of gram volume) into this agg
+    val fpsAll = winnowingPicks(d, k, w)
       .select(col("doc_id"), expr("mv div 1048576").as("h"),
         (lit(1048575L) - expr("mv % 1048576")).as("pos"))
       .groupBy("doc_id", "h").agg(min(col("pos")).as("pos"))
@@ -490,17 +466,34 @@ object SpanOps {
     // fingerprint collisions) still drop — the inner intersection
     // join's semantics, now an explicit inter ≥ 1 filter (the DuckDB
     // mirror's inner join does the same).
-    val ga = grams.select(col("doc_id"), col("gram")).distinct()
-      .groupBy("doc_id")
-      .agg(collect_list(col("gram")).as("gs"), count(lit(1)).as("sz"))
-      .join(d.select(col("doc_id"), col("s")), Seq("doc_id"))
+    //
+    // r15 (guide §2.4): the array is a row-local function of the
+    // text — [[graft.functions.DistinctGrams]] builds it in ONE loop
+    // per doc, replacing the corpus-wide positioned-gram explode →
+    // distinct exchange → collect_list that rebuilt the same sets.
+    // And only docs that actually appear in a candidate pair need
+    // one (the TextOps.jaccardVerified semi-join-prune discipline);
+    // the old form built arrays for the whole corpus. Array ORDER
+    // differs from the old shuffle-arrival order — irrelevant, the
+    // only consumers are array_intersect/size (set semantics).
+    val candDocs = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val ga = graft.Partitioning.spread(d)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .filter(length(col("s")) >= k + w - 1)
+      .select(col("doc_id"),
+        graft.functions.DistinctGrams(col("s"), k).as("gs"), col("s"))
       .pipe(graft.Checkpoints.cut)
-    // verification 2: witness-run extension from the matched positions
-    pairs
+    // The gram-array chain and the witness-text chain are SEPARATE
+    // joins re-united on the narrow (doc_a, doc_b) key (r15, measured
+    // 2.9 → 1.2 s): carried together, every row of the second join
+    // holds a ~70 KB gram array AND the doc text, and the join's
+    // sort/serialization of those wide rows dominated the verify.
+    val core = pairs
       .join(ga.select(col("doc_id").as("doc_a"), col("gs").as("gs_a"),
-        col("sz").as("sz_a"), col("s").as("s_a")), Seq("doc_a"))
+        size(col("gs")).cast("long").as("sz_a")), Seq("doc_a"))
       .join(ga.select(col("doc_id").as("doc_b"), col("gs").as("gs_b"),
-        col("sz").as("sz_b"), col("s").as("s_b")), Seq("doc_b"))
+        size(col("gs")).cast("long").as("sz_b")), Seq("doc_b"))
       .withColumn("inter",
         size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .filter(col("inter") >= 1)
@@ -508,11 +501,22 @@ object SpanOps {
         round(col("inter") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6)
           .as("jaccard"),
-        col("witness_pos_a"), col("witness_pos_b"),
+        col("witness_pos_a"), col("witness_pos_b"))
+    // verification 2: witness-run extension from the matched positions
+    val wit = pairs
+      .join(ga.select(col("doc_id").as("doc_a"), col("s").as("s_a")),
+        Seq("doc_a"))
+      .join(ga.select(col("doc_id").as("doc_b"), col("s").as("s_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
         SuffixArray.lcpCol(
           expr(s"substring(s_a, cast(witness_pos_a as int), $WitnessCap)"),
           expr(s"substring(s_b, cast(witness_pos_b as int), $WitnessCap)"))
           .as("witness_lcp"))
+    core.join(wit, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_fps"),
+        col("jaccard"), col("witness_pos_a"), col("witness_pos_b"),
+        col("witness_lcp"))
       .orderBy("doc_a", "doc_b")
   }
 
