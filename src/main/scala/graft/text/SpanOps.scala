@@ -61,12 +61,16 @@ object SpanOps {
     // single-loop gram expression (emits only the grams, not the doc
     // string per position) + a lineage cut so the corpus-scale gram
     // relation is computed ONCE for the dup agg and the join-back
-    val pos = graft.Checkpoints.cut(d.filter(length(col("s")) >= k)
-      .select(col("doc_id"),
-        explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"),
-        (if (hashGramKey) xxhash64(col("pg.gram"))
-         else col("pg.gram")).as("gram")))
+    // spread: the gram explode AND its map-side combine run in the
+    // scan's own stage — on a one-file local scan that is one task
+    // doing the whole corpus's gram work (r15, guide §2.5)
+    val pos = graft.Checkpoints.cut(
+      graft.Partitioning.spread(d.filter(length(col("s")) >= k))
+        .select(col("doc_id"),
+          explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"),
+          (if (hashGramKey) xxhash64(col("pg.gram"))
+           else col("pg.gram")).as("gram")))
     val dup = pos.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select("gram")
@@ -202,11 +206,12 @@ object SpanOps {
     scrubSpansKeepFirst(TextOps.docs(spark, dir), SpanGram)
 
   private[graft] def scrubSpansKeepFirst(d: DataFrame, k: Int): DataFrame = {
-    val pos = graft.Checkpoints.cut(d.filter(length(col("s")) >= k)
-      .select(col("doc_id"),
-        explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
-      .select(col("doc_id"), col("pg.pos").as("pos"),
-        col("pg.gram").as("gram")))
+    val pos = graft.Checkpoints.cut(
+      graft.Partitioning.spread(d.filter(length(col("s")) >= k))
+        .select(col("doc_id"),
+          explode(graft.functions.PositionedGrams(col("s"), k)).as("pg"))
+        .select(col("doc_id"), col("pg.pos").as("pos"),
+          col("pg.gram").as("gram")))
     // one gram-keyed agg carries both the dup decision and the
     // canonical (minimal) occurrence
     val stats = pos.groupBy("gram")
