@@ -267,45 +267,73 @@ object NodeEmbeddings {
     * Candidates are all ordered pairs (u ≠ v) of EMBEDDED nodes —
     * bounded by the audited graph (at corpus scale one samples
     * negatives; the positive set is the edge list either way). Both
-    * scores are DECIMAL product sums (order-free, q183 discipline).
+    * scores are EXACT integer dot products over the 6dp-scaled cells
+    * ([[scoreVectors]]) — order-free like the decimal sums they
+    * replace, and order-isomorphic to them, so the rank-based report
+    * is unchanged.
     * Each AUC is the tie-corrected Mann–Whitney rank-sum computed
     * GROUPED: ranks come from one window over the DISTINCT score
     * values per score kind (average rank per tie group = preceding
     * count + (c+1)/2), never a per-row global sort; rank sums are
     * exact integer-plus-half doubles. Self-loop edges can never be
     * positives (u ≠ v). */
+  /** Per-node SCORE VECTORS for the link audits (r15, guide §2.3):
+    * `liv[d]` = the trained cell emb(node, d) as its exact 6dp
+    * integer (emb·10⁶ — precisely the DECIMAL(18,6) value the old
+    * per-dim scoring summed, times 10⁶), `sgn[d]` = the ±1 context
+    * hash row, both materialized ONCE per node instead of per
+    * (candidate pair × dim) joined row. Stored as array<double> so
+    * the codegen'd [[graft.functions.DotProduct]] runs the scoring
+    * loop; |cell| ≤ 10⁶, so every product (≤ 10¹²) and 16-term sum
+    * (≤ 1.6·10¹³) stays far under 2⁵³ — the double arithmetic IS
+    * exact integer arithmetic. The resulting scores are the old
+    * decimal scores scaled by 10¹² (ww) and 10⁶ (wc): strictly
+    * monotone injective maps per score kind, and [[aucReport]] is a
+    * rank statistic over per-kind score groups, so n_pos/n_neg and
+    * both AUCs are IDENTICAL (spec- and oracle-pinned). */
+  private def scoreVectors(emb: DataFrame): DataFrame = {
+    val li = (when(col("emb") >= 0, floor(col("emb") * lit(1e6) + lit(0.5)))
+      .otherwise(-floor(-col("emb") * lit(1e6) + lit(0.5)))).cast("double")
+    emb.select(col("node"), col("dim"), li.as("li"))
+      .groupBy("node")
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, li))), x -> x.li)")
+        .as("liv"))
+      .withColumn("sgn", expr(
+        """transform(sequence(0, size(liv) - 1), d ->
+          |  cast(1 - 2 * (cast(conv(substring(md5(concat(
+          |    cast(node as string), ':', cast(d as string))),
+          |    1, 15), 16, 10) as bigint) % 2) as double))""".stripMargin))
+  }
+
   /** (u, v, ww, wc, pos): both link scores for every ordered pair of
     * embedded nodes, labeled against the edge set — the pre-cut
     * relation [[linkAuc]] ranks (factored out so the plan audit sees
-    * the joins before the checkpoint truncates lineage). */
+    * the joins before the checkpoint truncates lineage). Scores are
+    * the [[scoreVectors]] scaled integers — two node-keyed vector
+    * joins + an in-row dot product, replacing the ×dims exploded
+    * score join and its (u, v)-keyed re-aggregation. */
   private[graft] def scoredPairs(emb: DataFrame,
       edges: DataFrame): DataFrame = {
-    val e = graft.Checkpoints.cut(emb.select(col("node"), col("dim"),
-      col("emb").cast("decimal(18,6)").as("ed")))
-    val en = e.select("node").distinct()
+    val sv = graft.Checkpoints.cut(scoreVectors(emb))
+    val en = sv.select("node")
     val pairs = en.select(col("node").as("u"))
       .join(en.select(col("node").as("v")), col("u") =!= col("v"))
-    // sgn(v, dim): the context vector of v under the projection hash
-    val sgnV = {
-      val bit = expr(
-        """cast(conv(substring(md5(concat(cast(v as string), ':',
-          |  cast(dim as string))), 1, 15), 16, 10) as bigint) % 2"""
-          .stripMargin)
-      (lit(1) - lit(2) * bit).cast("int")
-    }
     pairs
-      .join(e.select(col("node").as("u"), col("dim"), col("ed").as("eu")),
-        Seq("u"))
-      .join(e.select(col("node").as("v"), col("dim"), col("ed").as("ev")),
-        Seq("v", "dim"))
-      .groupBy("u", "v")
-      .agg(sum(col("eu") * col("ev")).as("ww"),
-        sum(col("eu") * sgnV).as("wc"))
+      .join(sv.select(col("node").as("u"), col("liv").as("lu")), Seq("u"))
+      .join(sv.select(col("node").as("v"), col("liv").as("lv"),
+        col("sgn").as("sgv")), Seq("v"))
+      .select(col("u"), col("v"),
+        graft.functions.GraftFunctions.dot(col("lu"), col("lv"))
+          .cast("long").as("ww"),
+        graft.functions.GraftFunctions.dot(col("lu"), col("sgv"))
+          .cast("long").as("wc"))
       .join(
         edges.select(col("src").as("u"), col("dst").as("v")).distinct()
           .withColumn("p", lit(1)),
         Seq("u", "v"), "left")
       .withColumn("pos", col("p").isNotNull)
+      .select("u", "v", "ww", "wc", "pos")
   }
 
   private[graft] def linkAuc(emb: DataFrame, edges: DataFrame): DataFrame =
@@ -327,18 +355,20 @@ object NodeEmbeddings {
     aucReport(graft.Checkpoints.cut(scoredSampledPairs(emb, edges, negK)))
 
   /** (u, v, j, ww, wc, pos): the sampled audit's labeled score
-    * relation (pre-cut; j = 0 marks positives, 1..negK the draws). */
+    * relation (pre-cut; j = 0 marks positives, 1..negK the draws).
+    * Scores are the [[scoreVectors]] scaled integers — node-keyed
+    * vector joins + in-row dot products, no per-dim explode and no
+    * (u, v, j)-keyed re-aggregation. */
   private[graft] def scoredSampledPairs(emb: DataFrame, edges: DataFrame,
       negK: Int): DataFrame = {
-    val e = graft.Checkpoints.cut(emb.select(col("node"), col("dim"),
-      col("emb").cast("decimal(18,6)").as("ed")))
+    val sv = graft.Checkpoints.cut(scoreVectors(emb))
     // vocabulary ordinal via the distributed sort+zipWithIndex
     // primitive (graft.Ordinals) — NOT an unpartitioned row_number
     // window, which would sort the full embedded node set in one task
     // (the 100 TB vocabulary funnel; VERDICT r12 "What's wrong" #2).
     // Ranks over distinct sorted nodes are bit-identical either way.
     val ranked = graft.Checkpoints.cut(
-      graft.Ordinals.dense(e.select("node").distinct(), Seq("node"), "rk"))
+      graft.Ordinals.dense(sv.select("node"), Seq("node"), "rk"))
     val nRel = ranked.agg(count(lit(1)).as("n_nodes"))
     val sym = edges.select(col("src").as("u"), col("dst").as("v"))
       .distinct()
@@ -362,22 +392,26 @@ object NodeEmbeddings {
       .filter(col("u") =!= col("v"))
       .join(sym, Seq("u", "v"), "left_anti")
       .withColumn("pos", lit(false))
+    // Multiplicity m: two different positives (u, v₁), (u, v₂) can
+    // DRAW the same negative (u, v', j). The previous per-dim join +
+    // groupBy collapsed those duplicates into one row whose sums
+    // counted every dim m times (the oracle's GROUP BY does the
+    // same), so the vector form groups candidates first and scales
+    // the dot by m — one global ×1e6/×1e12 scaling per score kind
+    // still, since m rides inside both the old and new value.
     val cand = pos.unionByName(neg)
-    val sgnV = {
-      val bit = expr(
-        """cast(conv(substring(md5(concat(cast(v as string), ':',
-          |  cast(dim as string))), 1, 15), 16, 10) as bigint) % 2"""
-          .stripMargin)
-      (lit(1) - lit(2) * bit).cast("int")
-    }
+      .groupBy("u", "v", "j", "pos").agg(count(lit(1)).as("m"))
     cand
-      .join(e.select(col("node").as("u"), col("dim"), col("ed").as("eu")),
-        Seq("u"))
-      .join(e.select(col("node").as("v"), col("dim"), col("ed").as("ev")),
-        Seq("v", "dim"))
-      .groupBy("u", "v", "j", "pos")
-      .agg(sum(col("eu") * col("ev")).as("ww"),
-        sum(col("eu") * sgnV).as("wc"))
+      .join(sv.select(col("node").as("u"), col("liv").as("lu")), Seq("u"))
+      .join(sv.select(col("node").as("v"), col("liv").as("lv"),
+        col("sgn").as("sgv")), Seq("v"))
+      .select(col("u"), col("v"), col("j"), col("pos"),
+        (col("m").cast("double") *
+          graft.functions.GraftFunctions.dot(col("lu"), col("lv")))
+          .cast("long").as("ww"),
+        (col("m").cast("double") *
+          graft.functions.GraftFunctions.dot(col("lu"), col("sgv")))
+          .cast("long").as("wc"))
   }
 
   /** The grouped tie-corrected Mann–Whitney report over any labeled

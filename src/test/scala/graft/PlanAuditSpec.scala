@@ -647,10 +647,15 @@ class PlanAuditSpec extends SparkSpec {
     // formatted explain lists each operator twice (tree + details).
     val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
     assert(bnlj <= 2, s"unexpected nested-loop legs (${bnlj / 2}):\n$p")
-    // the per-dim score join is keyed on (v, dim) and u
+    // r15: the score joins fetch per-node VECTORS keyed on u and v —
+    // the per-dim grain never leaves the trainer, so no join may be
+    // keyed on dim
     val keyLines = p.linesIterator.filter(_.contains("keys")).toSeq
-    assert(keyLines.exists(l => l.contains("v#") && l.contains("dim#")),
-      s"no (v,dim)-keyed score join:\n${keyLines.mkString("\n")}")
+    assert(keyLines.exists(_.contains("u#")) &&
+      keyLines.exists(_.contains("v#")),
+      s"no node-keyed score joins:\n${keyLines.mkString("\n")}")
+    assert(!keyLines.exists(_.contains("dim#")),
+      s"a dim-keyed score join survived the vector rewrite:\n${keyLines.mkString("\n")}")
   }
 
   test("q229: sampled audit stays keyed — draw join on the rank column, no cartesian") {
