@@ -57,13 +57,19 @@ object Prod2Vec {
     * combine still sees every pair, but only the repeat tail
     * survives into the PPMI stage. */
   private[graft] def basketPairs(t: Tables): DataFrame = {
-    val li = t.lineitem
+    // ONE exchange instead of two (r15, guide §2.4): the old form
+    // shuffled lineitem for the distinct (order, part) relation and
+    // then RE-shuffled it for the order-keyed self-join. collect_set
+    // dedups inside a single order-keyed agg (map-side combinable),
+    // and the ordered pairs of each basket expand in-row — the same
+    // Σ basket² rows flow into the (u, v) count either way.
+    val baskets = t.lineitem
       .select(col("l_orderkey").as("o"),
         col("l_partkey").cast("long").as("p"))
-      .distinct()
-    li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") =!= col("b.p"))
-      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .groupBy("o").agg(collect_set(col("p")).as("ps"))
+    baskets
+      .select(explode(graft.functions.OrderedPairs(col("ps"))).as("pr"))
+      .groupBy(col("pr.u").as("u"), col("pr.v").as("v"))
       .agg(count(lit(1)).as("n_uv"))
       .filter(col("n_uv") >= MinSupport)
   }
