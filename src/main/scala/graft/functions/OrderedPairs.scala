@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
   * whole query's previous CPU on the q228 basket relation. Output
   * order is row-local and deterministic (i-major, j-minor); every
   * consumer aggregates, so order never matters. */
-case class OrderedPairs(child: Expression)
+case class OrderedPairs(child: Expression, ltOnly: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -37,18 +37,28 @@ case class OrderedPairs(child: Expression)
     val xs = input.asInstanceOf[ArrayData]
     val n = xs.numElements()
     if (n < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](n * (n - 1))
+    val out = new Array[Any](if (ltOnly) n * (n - 1) / 2 else n * (n - 1))
     var k = 0
     var i = 0
     while (i < n) {
       val u = xs.getLong(i)
       var j = 0
       while (j < n) {
-        if (j != i) { out(k) = InternalRow(u, xs.getLong(j)); k += 1 }
+        if (j != i) {
+          val v = xs.getLong(j)
+          if (!ltOnly) { out(k) = InternalRow(u, v); k += 1 }
+          else if (u < v) { out(k) = InternalRow(u, v); k += 1 }
+        }
         j += 1
       }
       i += 1
     }
+    // ltOnly over a set fills exactly n(n-1)/2 slots; a duplicated
+    // value (caller passed a non-set) would leave a hole — surface
+    // it rather than emit nulls
+    if (k != out.length) throw new IllegalStateException(
+      s"$prettyName(ltOnly) expects distinct elements; " +
+        s"got ${out.length - k} equal pairs")
     new GenericArrayData(out)
   }
 
@@ -59,4 +69,6 @@ case class OrderedPairs(child: Expression)
 object OrderedPairs {
   def apply(c: Column): Column =
     ColumnBridge.column(OrderedPairs(ColumnBridge.expression(c)))
+  def apply(c: Column, ltOnly: Boolean): Column =
+    ColumnBridge.column(OrderedPairs(ColumnBridge.expression(c), ltOnly))
 }

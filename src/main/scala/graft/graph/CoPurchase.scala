@@ -19,10 +19,45 @@ import graft.Tables
   * (same shape as a shuffle-keyed self-join on basket id). */
 object CoPurchase {
 
+  /** Per-order distinct part baskets — ONE order-keyed exchange with
+    * in-agg dedup (collect_set), replacing the old distinct (o, p)
+    * shuffle + order-keyed self-join re-shuffle; each basket's
+    * src < dst pairs expand in a single JVM loop
+    * ([[graft.functions.OrderedPairs]]) — r15, guide §2.4. */
+  private def basketsOf(op: DataFrame): DataFrame =
+    op.groupBy("o").agg(collect_set(col("p")).as("ps"))
+
+  private def baskets(t: Tables): DataFrame =
+    basketsOf(t.lineitem
+      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p")))
+
+  /** One row per (order-local) co-purchased pair, src < dst —
+    * multiplicity = number of orders containing both parts. */
+  private def basketPairs(t: Tables): DataFrame =
+    baskets(t)
+      .select(explode(graft.functions.OrderedPairs(col("ps"), ltOnly = true))
+        .as("pr"))
+      .select(col("pr.u").as("src"), col("pr.v").as("dst"))
+
   /** Distinct undirected co-purchase edges (src < dst). */
-  def edges(t: Tables): DataFrame = {
+  def edges(t: Tables): DataFrame =
+    basketPairs(t).distinct()
+
+  /** [[edges]] restricted to parts with id < `partCap`, applied
+    * BEFORE pair formation so the bound reaches the lineitem scan as
+    * a pushed filter — a post-hoc filter on the pair relation cannot
+    * cross the basket aggregation (the q233 lesson). Identical
+    * output: a pair survives the post-filter iff BOTH endpoints are
+    * under the cap iff both parts survive the pre-filter. On the
+    * capped (small) slice the distinct + self-join shape measures
+    * CHEAPER than the basket agg (tiny relation, no per-order set
+    * allocation), so this keeps the original join form; [[edges]]'s
+    * full-scan consumers keep the one-exchange basket form. */
+  def edgesCapped(t: Tables, partCap: Long): DataFrame = {
     val li = t.lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
+      .select(col("l_orderkey").as("o"),
+        col("l_partkey").cast("long").as("p"))
+      .filter(col("p") < partCap)
       .distinct()
     li.as("a").join(li.as("b"),
         col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -81,17 +116,12 @@ object CoPurchase {
     * graph densifies with scale (1.2M edges at sf0.1) while the
     * repeat graph tracks true association (≈3.5k edges at every SF
     * here). One partial-agg count per pair, then the filter. */
-  def repeatEdges(t: Tables, minSupport: Long): DataFrame = {
-    val li = t.lineitem
-      .select(col("l_orderkey").as("o"), col("l_partkey").cast("long").as("p"))
-      .distinct()
-    li.as("a").join(li.as("b"),
-        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("src"), col("b.p").as("dst"))
+  def repeatEdges(t: Tables, minSupport: Long): DataFrame =
+    basketPairs(t)
+      .groupBy("src", "dst")
       .agg(count(lit(1)).as("m"))
       .filter(col("m") >= minSupport)
       .select("src", "dst")
-  }
 
   /** Top-20 parts by triangle count on the repeat-co-purchase graph —
     * q63's (degree, id)-oriented wedge algorithm oracle-checked on a
