@@ -198,6 +198,14 @@ object StarContraction {
         .groupBy("node")
         .agg(min(col("component")).as("component"),
           min(col("own")).as("pc"))
+        // a dst outside `nodes` has no self row ⇒ pc null: fail
+        // loudly instead of emitting a foreign node (ADVICE r14 —
+        // the precondition used to be enforced only by a comment)
+        .select(col("node"), col("component"),
+          when(col("pc").isNotNull, col("pc")).otherwise(raise_error(
+            format_string("ccAuto: edge endpoint %d is not in " +
+              "`nodes` — callers must pass every endpoint",
+              col("node")))).as("pc"))
         .pipe(Checkpoints.cut)
       changed = next.filter(col("component") =!= col("pc")).count()
       Checkpoints.release(compCut)

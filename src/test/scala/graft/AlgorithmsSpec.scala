@@ -409,6 +409,28 @@ class AlgorithmsSpec extends SparkSpec {
       (0L to 5L).map(i => i -> i))
   }
 
+  test("scc mark-view re-cut: one deep cycle past the width cap stays exact") {
+    // a single directed cycle of 48 nodes = one SCC whose backward
+    // BFS runs 48 hops — past Algorithms.UnionViewMaxWidth (32), so
+    // the accumulated-mark union view is re-cut mid-walk at least
+    // once; the labels must be unaffected (every node -> min id 0)
+    val n = 48L
+    val cn = (0L until n).toDF("node")
+    val ce = (0L until n).map(i => (i, (i + 1) % n)).toDF("src", "dst")
+    val got = Algorithms.sccLabels(cn, ce).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("scc")).toMap
+    assert(got == (0L until n).map(_ -> 0L).toMap)
+  }
+
+  test("connected components fails loudly on an edge endpoint outside nodes") {
+    val ns = Seq(1L, 2L).toDF("node")
+    val bad = Seq((1L, 2L), (2L, 9L), (9L, 2L)).toDF("src", "dst")
+    val ex = intercept[Exception] {
+      Algorithms.connectedComponents(ns, bad).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("degree orientation keeps wedges bounded on a skewed star") {
     // a relay hub the id orientation mishandles: 40 low-id spokes point
     // at node 100, node 100 points at 40 high-id spokes. Canonical
