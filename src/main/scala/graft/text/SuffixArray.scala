@@ -109,7 +109,7 @@ object SuffixArray {
     // constant width per row, never the suffix. Cut: feeds the
     // distinct-key ordinal AND the rank join-back (and, retained, the
     // LCP residual refine).
-    val prefs = Checkpoints.cut(base
+    val prefs = Checkpoints.cut(graft.Partitioning.spread(base)
       .select(col("doc_id"), col("s"),
         explode(sequence(lit(1), length(col("s")))).as("posi"))
       .select(col("doc_id"), col("posi").cast("long").as("pos"),
